@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Registry of gmall-surface operators (SURVEY.md §2) as oracle-checkable
+  * queries. Conventions for cross-engine (Spark vs DuckDB) determinism:
+  *  - numeric outputs are BIGINT or DOUBLE (doubles derived from exact
+  *    DECIMAL arithmetic, so partition order cannot perturb them);
+  *  - time outputs are formatted strings or BIGINT epoch seconds;
+  *  - every query ends in a total ORDER BY with deterministic tiebreaks.
+  */
+object GmallRegistry {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (RelationalOps.pricingSummary _),
+    "j1_interval_join" -> (RelationalOps.intervalJoin _),
+    "j3_dim_enrich" -> (RelationalOps.dimEnrich _),
+    "j4_order_wide" -> (RelationalOps.orderWide _),
+    "p11_coalesce_merge" -> (RelationalOps.coalesceMerge _),
+    "u1_tagged_union" -> (RelationalOps.taggedUnion _),
+    "p1_json_parse" -> (EventOps.jsonParse _),
+    "p6_datetime_derive" -> (EventOps.datetimeDerive _),
+    "st1_is_new_fix" -> (EventOps.isNewFix _),
+    "st2_daily_uv" -> (EventOps.dailyUniqueVisitors _),
+    "st3_bounce_detect" -> (EventOps.bounceDetect _),
+    "x1_log_split" -> (EventOps.logSplit _),
+    "s4_cdc_normalize" -> (EventOps.cdcNormalize _),
+    "j2_config_route" -> (EventOps.configRoute _),
+    "p4_dynamic_prune" -> ((s: SparkSession, d: String) => EventOps.dynamicPrune(s, d)),
+    "k2_dynamic_topic" -> (EventOps.dynamicTopic _),
+    "dws_tumbling" -> (WindowOps.tumbling _),
+    "dws_sliding" -> (WindowOps.sliding _),
+    "dws_uv_per_hour" -> (WindowOps.uvPerHour _),
+    "dws_uv_per_hour_approx" -> (WindowOps.uvPerHourApprox _),
+    "dws_keyword_count" -> (WindowOps.keywordCount _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j1_interval_join" ->
+      """SELECT l.l_orderkey AS orderkey, CAST(l.l_linenumber AS BIGINT) AS linenumber,
+        |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |  o.o_orderstatus AS orderstatus
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  AND l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+        |ORDER BY orderkey, linenumber""".stripMargin,
+    "j3_dim_enrich" ->
+      """SELECT o.o_orderkey AS orderkey, c.c_name AS cust_name,
+        |  n.n_name AS nation_name, r.r_name AS region_name
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY orderkey""".stripMargin,
+    "j4_order_wide" ->
+      """SELECT l.l_orderkey AS orderkey, CAST(l.l_linenumber AS BIGINT) AS linenumber,
+        |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  o.o_orderpriority AS orderpriority, p.p_brand AS brand, s.s_name AS supp_name,
+        |  c.c_mktsegment AS mktsegment, n.n_name AS cust_nation
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY orderkey, linenumber""".stripMargin,
+    "p11_coalesce_merge" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(c.c_custkey, p.o_custkey) AS custkey,
+        |  coalesce(c.c_name, 'unknown') AS name,
+        |  coalesce(p.n_orders, 0) AS n_orders,
+        |  CAST(coalesce(p.total_spent, 0) AS DOUBLE) AS total_spent
+        |FROM customer c FULL OUTER JOIN per_cust p ON c.c_custkey = p.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "u1_tagged_union" ->
+      """SELECT event_id, 'high' AS tag FROM events WHERE value >= 150.0
+        |UNION ALL
+        |SELECT event_id, 'error' AS tag FROM events WHERE event_type = 'error' AND value < 150.0
+        |ORDER BY event_id""".stripMargin,
+    "p1_json_parse" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.k') IS NOT NULL AS clean
+        |FROM events ORDER BY event_id""".stripMargin,
+    "p6_datetime_derive" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS dt,
+        |  CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec
+        |FROM events ORDER BY event_id""".stripMargin,
+    "st1_is_new_fix" ->
+      """SELECT event_id, user_id,
+        |  CAST(CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        |FROM events ORDER BY event_id""".stripMargin,
+    "st2_daily_uv" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt,
+        |  min(event_id) AS first_event_id, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, dt""".stripMargin,
+    "st3_bounce_detect" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS prev_sec,
+        |    CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS next_sec
+        |  FROM events)
+        |SELECT event_id, user_id FROM w
+        |WHERE (prev_sec IS NULL OR sec - prev_sec > 1800)
+        |  AND (next_sec IS NULL OR next_sec - sec > 600)
+        |ORDER BY event_id""".stripMargin,
+    "x1_log_split" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_id, 'start' AS branch, CAST(NULL AS BIGINT) AS item, CAST(NULL AS VARCHAR) AS page_id
+        |  FROM e WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT event_id, 'page', NULL, NULL FROM e WHERE event_type <> 'signup'
+        |UNION ALL
+        |SELECT event_id, 'display', unnest(range(1, k % 4 + 1)), event_type
+        |  FROM e WHERE event_type <> 'signup'
+        |ORDER BY event_id, branch, item""".stripMargin,
+    "s4_cdc_normalize" ->
+      """SELECT 'gmall2021' AS database, 'order_info' AS tableName,
+        |  o_orderkey AS id,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'insert' ELSE 'update' END AS type
+        |FROM orders WHERE o_orderstatus IN ('O', 'F')
+        |ORDER BY id""".stripMargin,
+    "j2_config_route" ->
+      """SELECT e.event_id, cfg.sink_type, cfg.sink_table AS topic
+        |FROM events e
+        |JOIN (VALUES ('click','kafka','dwd_click'), ('view','kafka','dwd_view'),
+        |             ('purchase','hbase','dim_purchase'), ('signup','hbase','dim_signup'))
+        |  AS cfg(source_type, sink_type, sink_table)
+        |  ON e.event_type = cfg.source_type
+        |ORDER BY e.event_id""".stripMargin,
+    "p4_dynamic_prune" ->
+      "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
+    "k2_dynamic_topic" ->
+      """SELECT event_id, 'dwd_' || event_type AS topic,
+        |  CAST(to_json(struct_pack(event_id := event_id, event_type := event_type, user_id := user_id)) AS VARCHAR) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "dws_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dws_sliding" ->
+      """WITH s AS (
+        |  SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS s0 FROM events),
+        |w AS (SELECT unnest([s0, s0 - INTERVAL 30 MINUTE]) AS ws FROM s)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dws_uv_per_hour" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(DISTINCT user_id) AS uv
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dws_keyword_count" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents) t
+        |WHERE length(word) > 0 GROUP BY 1 ORDER BY n DESC, word""".stripMargin)
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place for engine session defaults, shared by Verify, Bench and
+  * the test suites.
+  *
+  * Scale posture: shuffle partitions default to the local core count
+  * (the driver contract pins local mode); on a real cluster this knob —
+  * and `spark.sql.files.maxPartitionBytes` — are sized so a shuffle
+  * partition fits in executor memory. AQE is on so skewed shuffles are
+  * split and tiny partitions coalesced at runtime, which is the setting
+  * that carries a plan from sf0.1 to 100 TB unchanged.
+  */
+object Session {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(appName: String): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft._
+import graft.Tables._
+
+/** Event-stream operators — batch twins of the reference's DataStream
+  * pipeline, expressed over the driver's `events` table
+  * (event_id, ts, user_id, event_type, value, props-JSON).
+  *
+  * Each has a Structured Streaming twin in [[graft.streaming]]; the batch
+  * form is the DuckDB-oracle-checkable one (SURVEY.md §7.1 batch-first
+  * stance). Window functions partition by `user_id` — the same hash
+  * partitioning the reference gets from `keyBy(mid)`
+  * (gmall-realtime/.../app/dwd/BaseLogApp.java:74). One shuffle on the
+  * key, then all per-user logic is partition-local; scales linearly with
+  * users.
+  */
+object EventOps {
+
+  /** P1/P2: JSON parse with dirty-record diversion (reference
+    * BaseLogApp.java:55-71 side-output "Dirty"). `get_json_object`
+    * returns null on corrupt input, so clean/dirty are two filters over
+    * one parse — no exceptions, no job failure on bad records.
+    */
+  def jsonParse(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("bigint").as("k"))
+      .withColumn("clean", $"k".isNotNull)
+      .orderBy($"event_id")
+
+  /** P6/P7: datetime derivations (reference OrderWideApp.java:50-62
+    * create_date/create_hour/create_ts; UniqueVisitApp.java:71 dt).
+    */
+  def datetimeDerive(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        $"event_id",
+        date_format($"ts", "yyyy-MM-dd").as("dt"),
+        hour($"ts").cast("bigint").as("hr"),
+        unix_timestamp($"ts").as("epoch_sec"))
+      .orderBy($"event_id")
+
+  /** ST1: new/returning-visitor correction (reference
+    * BaseLogApp.java:73-101: keyed ValueState flips is_new "1"→"0" after
+    * the first sighting). Batch twin: first event per user keeps
+    * is_new=1, all later events 0. Deterministic tiebreak on event_id.
+    */
+  def isNewFix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .select($"event_id", $"user_id",
+        when($"rn" === 1, lit(1L)).otherwise(lit(0L)).as("is_new"))
+      .orderBy($"event_id")
+  }
+
+  /** ST2: daily unique-visitor dedup (reference UniqueVisitApp.java:53-102:
+    * keyed date-valued state with 24 h TTL keeps one event per mid per
+    * day). Batch twin: min event per (user, day). The streaming twin uses
+    * `dropDuplicates` under a 1-day watermark — same answer, bounded
+    * state.
+    */
+  def dailyUniqueVisitors(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("dt", date_format($"ts", "yyyy-MM-dd"))
+      .groupBy($"user_id", $"dt")
+      .agg(min($"event_id").as("first_event_id"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"dt")
+
+  /** ST3: bounce detection, batch twin (reference UserJumpDetailApp
+    * CEP: session-entry then another entry or silence within 10 s ⇒
+    * bounce; gmall-realtime/.../app/dwm/UserJumpDetailApp.java:85-111).
+    *
+    * Sessionization by gap: an event is a session entry when >30 min have
+    * passed since the user's previous event; a bounce is an entry whose
+    * next event is >600 s away (or absent) — covering both the CEP
+    * "pattern match" (next is a fresh entry) and the "timeout" branch in
+    * one predicate, exactly what the streaming twin's
+    * flatMapGroupsWithState emits on match/timeout.
+    */
+  def bounceDetect(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("next_ts", lead($"ts", 1).over(w))
+      .withColumn("is_entry",
+        $"prev_ts".isNull || unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800)
+      .filter($"is_entry" &&
+        ($"next_ts".isNull || unix_timestamp($"next_ts") - unix_timestamp($"ts") > 600))
+      .select($"event_id", $"user_id")
+      .orderBy($"event_id")
+  }
+
+  /** X1/X4: multi-way split with explode (reference BaseLogApp.java:103-142
+    * splits one stream into start/page/display, display = exploded
+    * `displays[]` array tagged with parent page_id). Here: signup events
+    * are the "start" branch, everything else "page"; the "display" branch
+    * explodes a derived item array, each element tagged with its parent's
+    * event_type — the same generator + parent-tag semantics.
+    */
+  def logSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("bigint"))
+    val start = e.filter($"event_type" === "signup")
+      .select($"event_id", lit("start").as("branch"),
+        lit(null).cast("bigint").as("item"), lit(null).cast("string").as("page_id"))
+    val page = e.filter($"event_type" =!= "signup")
+      .select($"event_id", lit("page").as("branch"),
+        lit(null).cast("bigint").as("item"), lit(null).cast("string").as("page_id"))
+    val display = e.filter($"event_type" =!= "signup" && $"k" % 4 >= 1)
+      .select($"event_id", explode(sequence(lit(1L), $"k" % 4)).as("item"),
+        $"event_type".as("page_id"))
+      .select($"event_id", lit("display").as("branch"), $"item", $"page_id")
+    start.unionByName(page).unionByName(display)
+      .orderBy($"event_id", $"branch", $"item")
+  }
+
+  /** S4/P3: CDC envelope normalization + delete filter (reference
+    * CustomerDeserialization.java:29-83 maps binlog ops, "create" →
+    * "insert"; BaseDBLog.java:60-66 drops deletes). Orders stand in for
+    * the change stream: status → op-type, then normalize + filter.
+    */
+  def cdcNormalize(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .withColumn("raw_type",
+        when($"o_orderstatus" === "O", lit("create"))
+          .when($"o_orderstatus" === "F", lit("update"))
+          .otherwise(lit("delete")))
+      .withColumn("type",
+        when($"raw_type" === "create", lit("insert")).otherwise($"raw_type"))
+      .filter($"type" =!= "delete")
+      .select(lit("gmall2021").as("database"), lit("order_info").as("tableName"),
+        $"o_orderkey".as("id"), $"type")
+      .orderBy($"id")
+
+  /** Routing config: (source_type, sink_type, sink_table) — the
+    * `table_process` table of the reference (bean/TableProcess.java:12-24),
+    * built in-memory here; in production a JDBC-read config table
+    * refreshed per micro-batch.
+    */
+  def routeConfig(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("click", "kafka", "dwd_click"),
+      ("view", "kafka", "dwd_view"),
+      ("purchase", "hbase", "dim_purchase"),
+      ("signup", "hbase", "dim_signup"))
+      .toDF("source_type", "sink_type", "sink_table")
+  }
+
+  /** J2/X2/K2: config-driven routing via broadcast control join (reference
+    * BaseDBLog.java:81-105 + TableProcessFunction: broadcast config state,
+    * route each record to kafka vs hbase by lookup, unmatched dropped).
+    * The config DF broadcasts (it is tiny by construction); the inner join
+    * drops unmatched types exactly like the reference's "no such key"
+    * branch; `sink_table` is the dynamic topic column the Kafka sink
+    * consumes.
+    */
+  def configRoute(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val cfg = routeConfig(spark)
+    e.join(broadcast(cfg), e("event_type") === cfg("source_type"))
+      .select($"event_id", $"sink_type", $"sink_table".as("topic"))
+      .orderBy($"event_id")
+  }
+
+  /** P4: data-driven column pruning (reference
+    * TableProcessFunction.java:183-195 keeps only config-listed keys).
+    * The projection is built at plan time from the config string — the
+    * runtime analogue of Catalyst's static ColumnPruning, and it reaches
+    * the parquet scan (ReadSchema shows only these columns).
+    */
+  def dynamicPrune(spark: SparkSession, dir: String,
+      sinkColumns: String = "event_id,event_type,user_id"): DataFrame = {
+    val cols = sinkColumns.split(",").map(c => col(c.trim))
+    events(spark, dir).select(cols: _*).orderBy($"event_id")
+  }
+
+  /** P9/K2: dynamic-topic sink projection (reference MyKafkaUtil.java:23-31
+    * per-record topic + JSON value). Emits the exact (topic, value) shape
+    * Spark's Kafka sink consumes; value is canonical JSON of the payload.
+    */
+  def dynamicTopic(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select($"event_id",
+        concat(lit("dwd_"), $"event_type").as("topic"),
+        to_json(struct($"event_id", $"event_type", $"user_id")).as("value"))
+      .orderBy($"event_id")
+}

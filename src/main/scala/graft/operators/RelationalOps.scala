@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import graft.Tables._
+
+/** Core relational operators: aggregation, joins (broadcast dim star,
+  * interval/range), full-outer coalesce merge, union.
+  *
+  * Scale notes (100 TB posture):
+  *  - Dim tables (region/nation/customer/supplier/part at warehouse scale:
+  *    the small side) are joined with explicit `broadcast()` hints so the
+  *    fact scan never shuffles for enrichment — mirrors the reference's
+  *    Redis-cached async dim lookup (reference
+  *    gmall-realtime/.../app/function/DimAsyncFunction.java:46-82) which a
+  *    BroadcastHashJoin subsumes.
+  *  - Fact-fact joins (orders ⋈ lineitem) shuffle on the join key only;
+  *    with AQE enabled skew is split at runtime.
+  *  - Money arithmetic is done in DECIMAL so results are exactly
+  *    reproducible across engines (oracle parity) and stable under
+  *    re-partitioning — double sums are partition-order dependent.
+  */
+object RelationalOps {
+
+  /** Decimal cast used for exact, order-independent money aggregation. */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Pricing-summary aggregation (TPC-H Q1 shape) — the hash-aggregate
+    * workhorse. Partial aggregation (map-side combine) happens
+    * automatically; cardinality of the group key is tiny so the final
+    * shuffle is negligible at any scale.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount"))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** Batch twin of the reference's stream-stream interval join
+    * (OrderWideApp: orderInfo ⋈ orderDetail within ±5 s, reference
+    * gmall-realtime/.../app/dwm/OrderWideApp.java:88-97): equi key plus a
+    * time-range predicate. Here: lineitem within 90 days of its order's
+    * date. Catalyst plans the equi part as the shuffle key; the range
+    * predicate is a post-join filter, so state/memory stays bounded by the
+    * equi-key groups — the same reason the reference bounds its join
+    * window.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(
+        l("l_orderkey").as("orderkey"),
+        l("l_linenumber").cast("bigint").as("linenumber"),
+        dec(l("l_extendedprice")).cast("double").as("price"),
+        o("o_orderstatus").as("orderstatus"))
+      .orderBy($"orderkey", $"linenumber")
+  }
+
+  /** Dim-enrichment chain (reference DimAsyncFunction / OrderWideApp
+    * intended joins, gmall-realtime/.../bean/OrderWide.java:40-53):
+    * customer → nation → region resolved via broadcast left joins, the
+    * Spark-native replacement for per-event cached dim lookups.
+    */
+  def dimEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .select(
+        o("o_orderkey").as("orderkey"),
+        c("c_name").as("cust_name"),
+        n("n_name").as("nation_name"),
+        r("r_name").as("region_name"))
+      .orderBy($"orderkey")
+  }
+
+  /** Full order-wide table: facts joined to every dimension (the completed
+    * version of the reference's unfinished OrderWideApp enrichment,
+    * OrderWide.java:40-53). Two fact tables shuffle on the order key; all
+    * four dims broadcast.
+    */
+  def orderWide(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    val p = part(spark, dir)
+    val s = supplier(spark, dir)
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"), "left")
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .select(
+        l("l_orderkey").as("orderkey"),
+        l("l_linenumber").cast("bigint").as("linenumber"),
+        (dec(l("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(l("l_discount")))).cast("double").as("revenue"),
+        o("o_orderpriority").as("orderpriority"),
+        p("p_brand").as("brand"),
+        s("s_name").as("supp_name"),
+        c("c_mktsegment").as("mktsegment"),
+        n("n_name").as("cust_nation"))
+      .orderBy($"orderkey", $"linenumber")
+  }
+
+  /** First-non-null merge after a full outer join — the relational form of
+    * the reference's field-wise `firstNonNull` OrderWide merge
+    * (bean/OrderWide.java:90-107): coalesce each side's key/value.
+    */
+  def coalesceMerge(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(spark, dir).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum(dec($"o_totalprice")).as("total_spent"))
+    val c = customer(spark, dir)
+    c.join(perCust, c("c_custkey") === perCust("o_custkey"), "full_outer")
+      .select(
+        coalesce(c("c_custkey"), perCust("o_custkey")).as("custkey"),
+        coalesce(c("c_name"), lit("unknown")).as("name"),
+        coalesce(perCust("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(perCust("total_spent"), lit(0).cast("decimal(28,2)")).cast("double").as("total_spent"))
+      .orderBy($"custkey")
+  }
+
+  /** Union of two homogeneous branches with provenance tags (reference
+    * UserJumpDetailApp.java:115 unions match + timeout streams).
+    */
+  def taggedUnion(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val high = e.filter($"value" >= 150.0)
+      .select($"event_id", lit("high").as("tag"))
+    val errs = e.filter($"event_type" === "error" && $"value" < 150.0)
+      .select($"event_id", lit("error").as("tag"))
+    high.union(errs).orderBy($"event_id")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import graft.Tables._
+
+/** DWS-layer windowed aggregations — the layer the reference intended but
+  * never built (SURVEY.md §2.8: ClickHouse sink config, blink planner +
+  * ikanalyzer deps, keyword constants at
+  * gmall-realtime/.../common/GmallConstant.java:64-67).
+  *
+  * Batch twins here; streaming twins with watermarks in
+  * [[graft.streaming.StreamingPipelines]]. Window starts are emitted as
+  * formatted strings for cross-engine comparability. Group-by keys are
+  * (window × low-cardinality dims) so partial aggregation collapses
+  * almost everything map-side; the final shuffle moves only
+  * windows × dims rows regardless of input scale.
+  */
+object WindowOps {
+
+  /** Tumbling window: per-hour per-type counts and exact decimal sums. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+
+  /** Sliding window (1 h size, 30 min slide): each event contributes to 2
+    * windows. Spark's `window()` generator expands windows before
+    * aggregation — the same expansion the DuckDB oracle does with
+    * unnest over the two candidate starts.
+    */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"), $"n")
+      .orderBy($"window_start")
+
+  /** Exact unique visitors per hour — the DWS consumer of ST2's dedup.
+    * `countDistinct` is a two-phase distinct aggregate (partial distinct
+    * map-side); for extreme-cardinality keys swap in
+    * `approx_count_distinct` (HLL, constant memory).
+    */
+  def uvPerHour(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(countDistinct($"user_id").as("uv"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"), $"uv")
+      .orderBy($"window_start")
+
+  /** HLL variant of [[uvPerHour]] for extreme cardinalities — constant
+    * memory per window, mergeable partials, no exact-distinct shuffle.
+    * Sketch contents are engine-specific → rows-only correctness check.
+    */
+  def uvPerHourApprox(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(approx_count_distinct($"user_id", 0.01).as("uv_approx"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"), $"uv_approx")
+      .orderBy($"window_start")
+
+  /** Keyword tokenize → explode → count (the planned ikanalyzer keyword
+    * job, reference pom.xml:179-183 + GmallConstant SEARCH/CLICK/CART/
+    * ORDER). Tokenization = lowercase, split on non-alphanumerics —
+    * shared with [[graft.functions.TextAnalysis.tokens]].
+    */
+  def keywordCount(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(split(lower($"text"), "[^a-z0-9]+")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+}
