@@ -1,12 +1,235 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions._
+import graft.functions.Hashing._
 
-/** Registry of the LLM-training-data-pipeline operators (dedup, similarity
-  * search, text analysis, multimodal) — filled in as they are built.
+/** Registry of the LLM-training-data-pipeline operators: dedup (exact /
+  * MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine),
+  * similarity search (brute-force + LSH ANN), text analysis, multimodal.
+  *
+  * Oracle SQL is *generated* with the same constants
+  * ([[graft.functions.Hashing]]) the Spark implementations use, so even
+  * the hash-heavy operators get full value-level DuckDB checks. All
+  * floating-point outputs are derived from exact integer arithmetic
+  * (BIGINT ratios / md5-prefix hashes), making them bit-identical across
+  * engines.
   */
 object LlmRegistry {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  val queries: Map[String, Q] = Map(
+    "text_token_counts" -> (TextAnalysis.tokenCounts _),
+    "text_quality" -> (TextAnalysis.qualityScore _),
+    "text_langid" -> (TextAnalysis.langId _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_minhash_sig" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashSignatures(s, d).orderBy("doc_id", "j")),
+    "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "dedup_embedding" -> (Dedup.embeddingNearDup _),
+    "sim_bruteforce_topk" -> (Similarity.bruteForceTopK _),
+    "sim_lsh_buckets" -> ((s: SparkSession, d: String) =>
+      Similarity.lshBuckets(s, d)
+        .selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "bucket")
+        .orderBy("vec_id")),
+    "sim_lsh_topk" -> (Similarity.lshTopK _),
+    "mm_media_meta" -> (Multimodal.mediaMeta _),
+    "mm_decode_features" -> ((s: SparkSession, d: String) =>
+      Multimodal.decodeFeatures(s, d)),
+    "mm_frame_sample" -> (Multimodal.frameSample _))
+
+  // ---- shared SQL fragments --------------------------------------------
+
+  private val toks = TextAnalysis.sqlTokens("text")
+  private val normText = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val quantize =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  private def listDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) AS BIGINT)"
+  private def listNorm(a: String): String =
+    s"CAST(list_sum(list_transform($a, x -> x * x)) AS BIGINT)"
+  private val modality = "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]"
+  private val pow2List: String =
+    (0 until Dedup.SimBits).map(i => 1L << i).mkString("[", ", ", "]")
+  private val markerValues: String = TextAnalysis.langMarkers
+    .map { case (l, m) => s"('$l','$m')" }.mkString(", ")
+
+  private val minhashCtes =
+    s"""WITH sh AS (${Dedup.sqlShingles}),
+       |h AS (SELECT doc_id, ${sqlMd5Hash31("shingle")} AS h FROM sh),
+       |e AS (SELECT doc_id, h, unnest(range(${Dedup.NumPerm})) AS j FROM h),
+       |mh AS (SELECT doc_id, CAST(j AS BIGINT) AS j,
+       |  min((${sqlMinhashAList(Dedup.NumPerm)}[CAST(j AS INT) + 1] * h +
+       |       ${sqlMinhashBList(Dedup.NumPerm)}[CAST(j AS INT) + 1]) % $P31) AS mh
+       |  FROM e GROUP BY 1, 2)""".stripMargin
+
+  private val simhashCtes =
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${sqlMd5Prefix60("tok")} AS h FROM tok),
+       |bits AS (SELECT doc_id, h, unnest(range(${Dedup.SimBits})) AS i FROM h),
+       |votes AS (SELECT doc_id, i,
+       |  CASE WHEN (h & $pow2List[CAST(i AS INT) + 1]) > 0 THEN 1 ELSE -1 END AS vote
+       |  FROM bits),
+       |v AS (SELECT doc_id, i, sum(vote) AS v FROM votes GROUP BY 1, 2),
+       |sh AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN v > 0 THEN $pow2List[CAST(i AS INT) + 1] ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM v GROUP BY 1)""".stripMargin
+
+  private val bucketExpr =
+    s"""CAST(list_sum(list_transform(range(${Similarity.NumPlanes}), p ->
+       |  CASE WHEN list_sum(list_transform(list_zip(q, ${sqlPlaneList(Similarity.NumPlanes, Similarity.Dim)}[CAST(p AS INT) + 1]),
+       |    x -> x[1] * x[2])) > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  private def topkSql(bucketJoin: Boolean): String = {
+    val bucketCte = if (bucketJoin)
+      s""",
+         |b AS (SELECT vec_id, q, norm, $bucketExpr AS bucket FROM n)""".stripMargin
+    else ""
+    val src = if (bucketJoin) "b" else "n"
+    val bucketCond = if (bucketJoin) "AND c.bucket = qs.bucket" else ""
+    s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz)$bucketCte,
+       |qs AS (SELECT vec_id AS query_id, q AS qv, norm AS qnorm${if (bucketJoin) ", bucket" else ""}
+       |  FROM $src WHERE vec_id < ${Similarity.NumQueries}),
+       |scored AS (SELECT qs.query_id, c.vec_id,
+       |    CAST(${listDot("c.q", "qs.qv")} AS DOUBLE) /
+       |      sqrt(CAST(c.norm AS DOUBLE) * CAST(qs.qnorm AS DOUBLE)) AS cosine
+       |  FROM $src c JOIN qs ON c.vec_id <> qs.query_id $bucketCond),
+       |ranked AS (SELECT query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
+       |    vec_id AS neighbor_id, cosine
+       |  FROM scored)
+       |SELECT * FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_counts" ->
+      s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.piecePattern}')) AS BIGINT) AS n_pieces,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter($toks, x -> list_contains(${TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS n_stop,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+         |  CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+         |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token,
+         |  CAST(CASE WHEN n_tokens >= 10 AND n_stop > 0
+         |    AND CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.5
+         |    THEN 1 ELSE 0 END AS BIGINT) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |hits AS (SELECT doc_id, cand_lang, count(*) AS hits
+         |  FROM tok JOIN (VALUES $markerValues) AS m(cand_lang, marker) ON tok = marker
+         |  GROUP BY 1, 2),
+         |best AS (SELECT doc_id, cand_lang, hits,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+         |  FROM hits)
+         |SELECT d.doc_id, coalesce(b.cand_lang, 'und') AS pred_lang,
+         |  coalesce(b.hits, 0) AS marker_hits
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5($normText) AS fp_md5,
+         |  ${sqlMd5Prefix60(normText)} AS fp60
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      s"""SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         |FROM (SELECT doc_id, md5($normText) AS fp FROM documents) t
+         |GROUP BY fp ORDER BY keep_doc_id""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""$minhashCtes
+         |SELECT doc_id, j, mh FROM mh ORDER BY doc_id, j""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""$minhashCtes,
+         |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,
+         |  string_agg(mh, '_' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT c.a, c.b,
+         |    sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS eq
+         |  FROM cand c JOIN mh x ON x.doc_id = c.a
+         |    JOIN mh y ON y.doc_id = c.b AND y.j = x.j
+         |  GROUP BY 1, 2)
+         |SELECT a, b, CAST(eq AS DOUBLE) / ${Dedup.NumPerm}.0 AS est_jaccard
+         |FROM pairs WHERE CAST(eq AS DOUBLE) / ${Dedup.NumPerm}.0 >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    "dedup_simhash" ->
+      s"""$simhashCtes
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""$simhashCtes,
+         |blk AS (SELECT doc_id, simhash, unnest(range(4)) AS blk FROM sh),
+         |blkv AS (SELECT doc_id, simhash, blk,
+         |  (simhash >> CAST(blk * 12 AS INT)) & 4095 AS blkval FROM blk),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM blkv a JOIN blkv b ON a.blk = b.blk AND a.blkval = b.blkval
+         |    AND a.doc_id < b.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (${Dedup.sqlShingles}),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+         |        HAVING count(*) <= ${Dedup.DfCap}) f USING (shingle)),
+         |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.a, i.b,
+         |  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH q AS (SELECT vec_id, $quantize AS q FROM embeddings),
+         |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |    ${listDot("a.q", "b.q")} AS dot,
+         |    ${listNorm("a.q")} AS na, ${listNorm("b.q")} AS nb
+         |  FROM q a JOIN q b ON a.vec_id < b.vec_id)
+         |SELECT a, b,
+         |  (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
+         |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos2
+         |FROM p WHERE dot > 0
+         |  AND (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
+         |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= ${Dedup.Cos2Threshold}
+         |ORDER BY a, b""".stripMargin,
+    "sim_bruteforce_topk" -> topkSql(bucketJoin = false),
+    "sim_lsh_buckets" ->
+      s"""WITH qz AS (SELECT vec_id, label, $quantize AS q FROM embeddings)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label, $bucketExpr AS bucket
+         |FROM qz ORDER BY vec_id""".stripMargin,
+    "sim_lsh_topk" -> topkSql(bucketJoin = true),
+    "mm_media_meta" ->
+      s"""SELECT doc_id, $modality AS modality,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, source
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode_features" ->
+      s"""SELECT doc_id, $modality AS modality,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  ${sqlMd5Prefix60("text")} AS checksum60,
+         |  CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_frames,
+         |  ${sqlMd5Prefix60("text")} % 997 AS feat
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id, $modality AS modality,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+         |f AS (SELECT doc_id, modality,
+         |  unnest(range(0, (n_bytes - 1) // 1024 + 1)) AS frame_id FROM m)
+         |SELECT doc_id, modality, frame_id FROM f
+         |WHERE frame_id % 4 = 0 ORDER BY doc_id, frame_id""".stripMargin)
 }

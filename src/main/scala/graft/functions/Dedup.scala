@@ -1,0 +1,230 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import graft.Tables._
+import Hashing._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every stage is a shuffle on a bounded key (hash,
+  * band signature, bit block, bucket) — never an unbounded cross join.
+  * Candidate generation caps bucket width (frequency / size caps, noted
+  * per operator) so a pathological key cannot quadratic-blow a reducer;
+  * the caps are part of the operator contract and mirrored in the
+  * oracles. AQE skew-join handles residual imbalance.
+  */
+object Dedup {
+
+  // ---- shared shapes ----------------------------------------------------
+
+  /** Distinct word 3-shingles per doc, hashed into the 31-bit ring.
+    * The shingle stream is a rolling 3-word window — the rolling-hash
+    * fingerprint stream of the document.
+    */
+  def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens($"text")
+    documents(spark, dir)
+      .select($"doc_id", toks.as("toks"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, greatest(size(toks) - 3, -1)), i -> " +
+          "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shingle"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[shingles]] as a CTE body. */
+  def sqlShingles: String =
+    s"""SELECT DISTINCT doc_id,
+       |    toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+       |  FROM (SELECT doc_id, toks, unnest(range(greatest(len(toks) - 2, 0))) AS i
+       |        FROM (SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents))""".stripMargin
+
+  // ---- exact dedup ------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on the normalized fingerprint, keep the
+    * lowest doc_id per group. One shuffle on a 128-bit key; at 100 TB
+    * this is the cheapest possible full-corpus dedup.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
+    documents(spark, dir)
+      .select($"doc_id", md5(norm).as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_doc_id", $"n_copies")
+      .orderBy($"keep_doc_id")
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  val NumPerm = 16
+  val BandRows = 4
+  val NumBands: Int = NumPerm / BandRows // 4
+
+  /** MinHash signatures: NumPerm permutations of the shingle-hash set.
+    * explode(perm) × shingles then min per (doc, perm): partial min
+    * happens map-side, so the shuffle carries ≤ docs × NumPerm rows.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val aArr = typedlit((0 until NumPerm).map(minhashA))
+    val bArr = typedlit((0 until NumPerm).map(minhashB))
+    shingles(spark, dir)
+      .select($"doc_id", md5Hash31($"shingle").as("h"))
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(NumPerm - 1))).as("j"))
+      .select($"doc_id", $"j".cast("bigint").as("j"),
+        ((element_at(aArr, $"j".cast("int") + 1) * $"h" +
+          element_at(bArr, $"j".cast("int") + 1)) % P31).as("hj"))
+      .groupBy($"doc_id", $"j").agg(min($"hj").as("mh"))
+  }
+
+  /** MinHash LSH near-dup pairs: band the signature (NumBands bands of
+    * BandRows), bucket-join on (band, band signature), then estimate
+    * similarity as the fraction of equal minhashes; keep est ≥ 0.5.
+    * Only candidate pairs (≥1 colliding band) are scored — the LSH
+    * contract that avoids the all-pairs product at scale.
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir).cache()
+    val bands = sig
+      .withColumn("band", expr(s"j div $BandRows"))
+      .groupBy($"doc_id", $"band")
+      .agg(concat_ws("_",
+        transform(array_sort(collect_list(struct($"j", $"mh"))),
+          s => s("mh").cast("string"))).as("sig"))
+    val b2 = bands.select($"doc_id".as("doc_b"), $"band", $"sig")
+    val cand = bands.join(b2, Seq("band", "sig"))
+      .filter($"doc_id" < $"doc_b")
+      .select($"doc_id".as("a"), $"doc_b".as("b")).distinct()
+    val s2 = sig.select($"doc_id".as("doc_b2"), $"j".as("j2"), $"mh".as("mh2"))
+    cand.join(sig, cand("a") === sig("doc_id"))
+      .join(s2, $"b" === $"doc_b2" && $"j" === $"j2")
+      .groupBy($"a", $"b")
+      .agg((sum(when($"mh" === $"mh2", 1L).otherwise(0L)).cast("double") /
+        lit(NumPerm.toDouble)).as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.5)
+      .orderBy($"a", $"b")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  val SimBits = 48
+
+  /** 48-bit SimHash per doc: per-token 60-bit hashes vote ±1 on each bit
+    * position; the sign vector is the fingerprint. Implemented as
+    * explode(bit positions) + sum — fully distributed, map-side partial
+    * aggregation, ≤ docs × 48 shuffled rows.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val pow2 = typedlit((0 until SimBits).map(i => 1L << i))
+    documents(spark, dir)
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
+      .select($"doc_id", md5Prefix60($"tok").as("h"),
+        explode(sequence(lit(0), lit(SimBits - 1))).as("i"))
+      .select($"doc_id", $"i",
+        when(($"h".bitwiseAND(element_at(pow2, $"i" + 1))) > 0, lit(1L))
+          .otherwise(lit(-1L)).as("vote"))
+      .groupBy($"doc_id", $"i").agg(sum($"vote").as("v"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"v" > 0, element_at(pow2, $"i".cast("int") + 1)).otherwise(0L)).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** SimHash near-dup pairs: block LSH (4 blocks of 12 bits — any pair
+    * within Hamming distance 3 must agree on ≥1 whole block), then exact
+    * Hamming ≤ 3 via xor + bit_count. Bucket join keeps candidate
+    * generation linear-ish; the 4-block scheme is exact for d ≤ 3.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(spark, dir).cache()
+    val withBlk = sh.select($"doc_id", $"simhash",
+        explode(expr("sequence(0, 3)")).as("blk"))
+      .withColumn("blkval",
+        expr("shiftright(simhash, cast(blk * 12 as int))").bitwiseAND(lit(4095L)))
+    val right = withBlk.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"),
+      $"blk".as("blk_b"), $"blkval".as("blkval_b"))
+    withBlk.join(right, $"blk" === $"blk_b" && $"blkval" === $"blkval_b" &&
+        $"doc_id" < $"doc_b")
+      .select($"doc_id".as("a"), $"doc_b".as("b"), $"simhash", $"sim_b").distinct()
+      .withColumn("hamming", bit_count($"simhash".bitwiseXOR($"sim_b")).cast("bigint"))
+      .filter($"hamming" <= 3)
+      .select($"a", $"b", $"hamming")
+      .orderBy($"a", $"b")
+  }
+
+  // ---- n-gram Jaccard ---------------------------------------------------
+
+  /** Document frequency cap for candidate generation: shingles occurring
+    * in more than this many docs are dropped from pairing (standard
+    * "stop-shingle" cap — at corpus scale a boilerplate shingle would
+    * otherwise pair everything with everything).
+    */
+  val DfCap = 100
+
+  /** Exact n-gram Jaccard near-dup pairs: candidate pairs share ≥1
+    * non-stop shingle; J = |∩| / |∪| computed exactly from per-doc
+    * shingle counts; keep J ≥ 0.5.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" <= DfCap)
+    val rare = sh.join(df.select($"shingle"), Seq("shingle"))
+    val r2 = rare.select($"shingle", $"doc_id".as("doc_b"))
+    val inter = rare.join(r2, Seq("shingle"))
+      .filter($"doc_id" < $"doc_b")
+      .groupBy($"doc_id", $"doc_b").agg(count(lit(1)).as("n_inter"))
+    val szB = sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_sh_b"))
+    inter.join(sizes, Seq("doc_id")).join(szB, Seq("doc_b"))
+      .select($"doc_id".as("a"), $"doc_b".as("b"),
+        ($"n_inter".cast("double") /
+          ($"n_sh" + $"n_sh_b" - $"n_inter").cast("double")).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"a", $"b")
+  }
+
+  // ---- embedding near-dup ----------------------------------------------
+
+  /** Scalar-quantize an embedding into exact integer space: floor(x*1e6).
+    * All downstream arithmetic (dots, norms) is exact BIGINT, making
+    * cosine thresholds engine-independent — the oracle-parity form of
+    * scalar quantization.
+    */
+  def quantized(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+
+  /** Cosine threshold for embedding near-dup pairs. The synthetic
+    * embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so the
+    * classic 0.95+ near-dup cutoff matches nothing; 0.35 exercises the
+    * operator on a few hundred pairs. cos² form keeps arithmetic exact.
+    */
+  val CosThreshold = 0.35
+  val Cos2Threshold: Double = CosThreshold * CosThreshold
+
+  /** Embedding-cosine near-dup pairs (brute force within the corpus):
+    * cos² = dot²/(|a|²|b|²) in exact-int-derived doubles; keep dot>0 and
+    * cos ≥ [[CosThreshold]]. Brute-force is the correctness baseline;
+    * the LSH bucket path in [[Similarity]] is the scale path.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.ArrayOps._
+    // Norms once per vector (not per pair); dot via the codegen'd
+    // LongArrayDot — the pair join is then a single tight loop per row.
+    val q = quantized(spark, dir).select($"vec_id", $"q")
+      .withColumn("nrm", longArrayNormSq($"q"))
+    val q2 = q.select($"vec_id".as("vec_b"), $"q".as("qb"), $"nrm".as("nrm_b"))
+    q.join(q2, $"vec_id" < $"vec_b")
+      .select($"vec_id".as("a"), $"vec_b".as("b"),
+        longArrayDot($"q", $"qb").as("dot"), $"nrm".as("na"), $"nrm_b".as("nb"))
+      .withColumn("cos2",
+        ($"dot".cast("double") * $"dot".cast("double")) /
+          ($"na".cast("double") * $"nb".cast("double")))
+      .filter($"dot" > 0 && $"cos2" >= Cos2Threshold)
+      .select($"a", $"b", $"cos2")
+      .orderBy($"a", $"b")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import Hashing._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Two paths, same interface:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    At scale this is queries × corpus, so it is only for small query
+  *    sets (the corpus side stays distributed; the query side
+  *    broadcasts).
+  *  - [[lshTopK]]: random-hyperplane LSH buckets (sign bits of integer
+  *    projections), then exact scoring within the bucket only — the
+  *    100 TB path: candidate generation is a bucket equi-join, i.e. one
+  *    shuffle on an 8-bit key, no cross product.
+  *
+  * Cosine is computed on scalar-quantized vectors ([[Dedup.quantized]])
+  * so scores are exact-integer-derived and engine-independent.
+  */
+object Similarity {
+
+  val NumQueries = 8
+  val TopK = 10
+  val NumPlanes = 8
+  val Dim = 64
+
+  import graft.plans.ArrayOps._
+
+  private def withNorm(df: DataFrame, vecCol: String, prefix: String): DataFrame =
+    df.withColumn(s"${prefix}norm", longArrayNormSq(col(vecCol)))
+
+  /** Exact cosine top-k: query vectors (vec_id < NumQueries) joined
+    * against the whole corpus; rank by cosine desc with vec_id tiebreak.
+    * The query side is tiny → broadcast; corpus scan stays partitioned.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = Dedup.quantized(spark, dir).select($"vec_id", $"q")
+    val queries = withNorm(q.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"q".as("qv")), "qv", "q")
+    val corpus = withNorm(q.select($"vec_id", $"q"), "q", "c")
+    val scored = corpus.join(broadcast(queries), $"query_id" =!= $"vec_id")
+      .withColumn("dot", longArrayDot($"q", $"qv"))
+      .withColumn("cosine",
+        $"dot".cast("double") / sqrt($"cnorm".cast("double") * $"qnorm".cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank".cast("bigint").as("rank"),
+        $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** LSH bucket id per vector: sign bits of NumPlanes integer-hyperplane
+    * projections. Exact integer dot products → deterministic buckets.
+    */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val planes = typedlit((0 until NumPlanes).map(p =>
+      (0 until Dim).map(i => planeWeight(p, i))))
+    Dedup.quantized(spark, dir)
+      .withColumn("planes", planes)
+      .select($"vec_id", $"label", expr(
+        """aggregate(sequence(0, 7), 0L, (acc, p) ->
+          |  acc + IF(aggregate(zip_with(q, planes[p], (x, w) -> x * w),
+          |              0L, (s, v) -> s + v) > 0,
+          |           shiftleft(1L, cast(p as int)), 0L))""".stripMargin).as("bucket"))
+  }
+
+  /** ANN top-k via LSH: score only within the query vector's bucket.
+    * Recall is approximate by construction (bucket miss ⇒ neighbor
+    * miss); at 100 TB, multi-probe or repeated tables raise recall
+    * without changing the join shape.
+    */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = Dedup.quantized(spark, dir).select($"vec_id", $"q")
+    val withB = lshBuckets(spark, dir).select($"vec_id", $"bucket")
+      .join(q, Seq("vec_id"))
+    val queries = withNorm(withB.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"bucket".as("qbucket"), $"q".as("qv")), "qv", "q")
+    val corpus = withNorm(withB, "q", "c")
+    val scored = corpus.join(broadcast(queries),
+        $"bucket" === $"qbucket" && $"query_id" =!= $"vec_id")
+      .withColumn("dot", longArrayDot($"q", $"qv"))
+      .withColumn("cosine",
+        $"dot".cast("double") / sqrt($"cnorm".cast("double") * $"qnorm".cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank".cast("bigint").as("rank"),
+        $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+}

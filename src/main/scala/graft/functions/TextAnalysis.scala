@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import graft.Tables._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All are per-row narrow transforms (no shuffle except where a groupBy
+  * is the point), so they scale embarrassingly: at 100 TB each executor
+  * streams its parquet splits through codegen'd expressions. Ratios are
+  * computed as BIGINT/BIGINT double divisions — identical inputs give
+  * bit-identical doubles in any engine, keeping the oracle exact.
+  */
+object TextAnalysis {
+
+  /** Canonical tokenizer: lowercase, split on non-alphanumerics. */
+  def tokens(c: Column): Column = {
+    val t = split(lower(c), "[^a-z0-9]+")
+    filter(t, x => length(x) > 0)
+  }
+
+  /** BPE-ish piece pattern: letter runs, digit runs, single punct. */
+  val piecePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Token counting: whitespace tokens + BPE-ish piece count + chars. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select($"doc_id",
+        size(tokens($"text")).cast("bigint").as("n_tokens"),
+        size(expr(s"regexp_extract_all(lower(text), '$piecePattern', 0)"))
+          .cast("bigint").as("n_pieces"),
+        length($"text").cast("bigint").as("n_chars"))
+      .orderBy($"doc_id")
+
+  /** English-ish stopwords drawn from the corpus vocabulary. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality scoring: token stats + stopword/alpha ratios + a composite
+    * score, all exact-integer-derived doubles.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens($"text")
+    val nTok = size(toks).cast("bigint")
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("bigint")
+    val nAlpha = length(regexp_replace(lower($"text"), "[^a-z]", "")).cast("bigint")
+    val nChars = length($"text").cast("bigint")
+    documents(spark, dir)
+      .select($"doc_id", nTok.as("n_tokens"),
+        (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+        (nAlpha.cast("double") / nChars.cast("double")).as("alpha_ratio"),
+        (nChars.cast("double") / nTok.cast("double")).as("chars_per_token"))
+      .withColumn("quality",
+        when($"n_tokens" >= 10 && $"stopword_ratio" > 0.0 && $"alpha_ratio" > 0.5,
+          lit(1L)).otherwise(lit(0L)))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-marker lists for the n-gram-profile-style language ID
+    * heuristic (scaled-down word-level profiles; a production system
+    * would use character n-gram profiles — the pipeline shape is the
+    * same: explode → join profile → argmax).
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "fast", "en" -> "slow",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "petit",
+    "es" -> "el", "es" -> "los", "es" -> "y", "es" -> "rapido",
+    "de" -> "der", "de" -> "und", "de" -> "das", "de" -> "schnell")
+
+  /** Language ID: tokens ⋈ broadcast marker profile → per-(doc,lang) hit
+    * counts → argmax with deterministic tiebreak (hit count desc, lang
+    * asc); docs with no marker hits predict "und" (undetermined).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = spark.createDataFrame(langMarkers).toDF("cand_lang", "marker")
+    val d = documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+    val hits = d.join(broadcast(markers), $"tok" === $"marker")
+      .groupBy($"doc_id", $"cand_lang").agg(count(lit(1)).as("hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"hits".desc, $"cand_lang")
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"doc_id", $"cand_lang", $"hits")
+    documents(spark, dir).select($"doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cand_lang", lit("und")).as("pred_lang"),
+        coalesce($"hits", lit(0L)).as("marker_hits"))
+      .orderBy($"doc_id")
+  }
+
+  /** Normalized content fingerprint: md5 of whitespace-collapsed
+    * lowercase text (hex) plus its 60-bit numeric reduction — the exact
+    * dedup key. A content-defined rolling-hash variant lives in
+    * [[Dedup.shingles]] (shingle stream = rolling window fingerprints).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
+    documents(spark, dir)
+      .select($"doc_id", md5(norm).as("fp_md5"),
+        Hashing.md5Prefix60(norm).as("fp60"))
+      .orderBy($"doc_id")
+  }
+
+  /** Shared DuckDB fragment: the canonical tokenizer. */
+  def sqlTokens(expr: String): String =
+    s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), x -> length(x) > 0)"
+}

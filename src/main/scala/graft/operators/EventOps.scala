@@ -142,15 +142,13 @@ object EventOps {
     * built in-memory here; in production a JDBC-read config table
     * refreshed per micro-batch.
     */
-  def routeConfig(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq(
+  def routeConfig(spark: SparkSession): DataFrame =
+    spark.createDataFrame(Seq(
       ("click", "kafka", "dwd_click"),
       ("view", "kafka", "dwd_view"),
       ("purchase", "hbase", "dim_purchase"),
-      ("signup", "hbase", "dim_signup"))
+      ("signup", "hbase", "dim_signup")))
       .toDF("source_type", "sink_type", "sink_table")
-  }
 
   /** J2/X2/K2: config-driven routing via broadcast control join (reference
     * BaseDBLog.java:81-105 + TableProcessFunction: broadcast config state,
