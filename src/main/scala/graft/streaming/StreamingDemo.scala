@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.Encoders
+import graft._
+import graft.sources.GmallSchemas.TableProcess
+
+/** End-to-end streaming demo: the reference's three apps wired over file
+  * streams (the Kafka-less fixture transport; swap `format("json")` for
+  * `format("kafka")` + topic options in production — every transform in
+  * between is identical).
+  *
+  * Usage: runMain graft.streaming.StreamingDemo [workDir]
+  * Writes gmall-shaped fixture lines, runs
+  *  1. BaseLogApp: parse → is_new fix → 3-way split → 3 parquet sinks,
+  *  2. BaseDBLog: CDC route → kafka-shaped sink + dim-store MERGE,
+  *  3. UserJumpDetail: bounce detection on the page stream,
+  * then prints per-sink row counts.
+  */
+object StreamingDemo {
+  def main(args: Array[String]): Unit = {
+    val work = if (args.nonEmpty) args(0)
+      else Files.createTempDirectory("graft-demo").toString
+    val spark = Session.get("graft-streaming-demo")
+    import org.apache.spark.sql.functions._
+
+    // ---- fixture input ------------------------------------------------
+    val logDir = s"$work/in/ods_base_log"
+    val dbDir = s"$work/in/ods_base_db"
+    Files.createDirectories(Paths.get(logDir))
+    Files.createDirectories(Paths.get(dbDir))
+    val t0 = 1754956800000L
+    def page(mid: String, isNew: String, pid: String, last: String, ts: Long) =
+      s"""{"common":{"mid":"$mid","is_new":"$isNew","ar":"110000","ch":"appstore","vc":"v2","uid":"1","os":"iOS","md":"x","ba":"x"},"page":{"page_id":"$pid","last_page_id":${Option(last).map("\"" + _ + "\"").getOrElse("null")},"during_time":100,"item":null,"item_type":null},"displays":[{"display_type":"activity","item":"1","item_type":"activity_id","order":1,"pos_id":3}],"ts":$ts}"""
+    def start(mid: String, ts: Long) =
+      s"""{"common":{"mid":"$mid","is_new":"1","ar":"110000","ch":"appstore","vc":"v2","uid":"1","os":"iOS","md":"x","ba":"x"},"start":{"entry":"icon","open_ad_id":1,"loading_time":10,"open_ad_ms":20,"open_ad_skip_ms":0},"ts":$ts}"""
+    Files.writeString(Paths.get(s"$logDir/batch0.jsonl"), Seq(
+      start("m1", t0),
+      page("m1", "1", "home", null, t0 + 1000),
+      page("m1", "1", "detail", "home", t0 + 2000),
+      page("m2", "1", "home", null, t0 + 1000),
+      page("m2", "1", "home", null, t0 + 4000), // entry->entry: bounce
+      "corrupt {not json",
+      page("m3", "0", "home", null, t0 + 1000)).mkString("\n"))
+    def env(table: String, op: String, after: String) =
+      s"""{"database":"gmall2021","tableName":"$table","before":{},"after":$after,"type":"$op"}"""
+    Files.writeString(Paths.get(s"$dbDir/batch0.jsonl"), Seq(
+      env("order_info", "insert", """{"id":"1","user_id":"42","total_amount":"299.00","secret":"x"}"""),
+      env("user_info", "insert", """{"id":"7","name":"alice","birthday":"1990-05-01","gender":"F"}"""),
+      env("user_info", "update", """{"id":"7","name":"alice2","birthday":"1990-05-01","gender":"F"}"""),
+      env("order_info", "delete", """{"id":"1"}""")).mkString("\n"))
+
+    // ---- 1. BaseLogApp ------------------------------------------------
+    val rawLog = spark.readStream.schema("value STRING").text(logDir)
+      .withColumnRenamed("value", "value")
+    val parsed = LogPipeline.parse(rawLog.select($"value"))
+    val events = LogPipeline.clean(parsed)
+    import LogPipeline.LogEvent
+    val enc = Encoders.product[LogEvent]
+    val typed = events.select($"common.mid".as("mid"),
+      $"common.is_new".as("is_new"), $"page.page_id".as("page_id"),
+      $"page.last_page_id".as("last_page_id"), $"ts").as[LogEvent](enc)
+    val fixedTyped = LogPipeline.fixIsNewStreaming(typed)
+    val logQ = events.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.persist()
+        val (s, p, d) = LogPipeline.split(b)
+        s.write.mode("append").parquet(s"$work/out/dwd_start_log")
+        p.write.mode("append").parquet(s"$work/out/dwd_page_log")
+        d.write.mode("append").parquet(s"$work/out/dwd_display_log")
+        b.unpersist(); ()
+      }
+      .option("checkpointLocation", s"$work/ckpt/log").start()
+    val isNewQ = fixedTyped.writeStream.outputMode("append")
+      .format("parquet").option("path", s"$work/out/dwd_is_new_fixed")
+      .option("checkpointLocation", s"$work/ckpt/isnew").start()
+
+    // ---- 2. BaseDBLog -------------------------------------------------
+    val config = Seq(
+      TableProcess("order_info", "insert", "kafka", "dwd_order_info", "id,user_id,total_amount"),
+      TableProcess("user_info", "insert", "hbase", "dim_user_info", "id,name,birthday,gender"),
+      TableProcess("user_info", "update", "hbase", "dim_user_info", "id,name,birthday,gender"))
+    val rawDb = spark.readStream.schema("value STRING").text(dbDir)
+    val dbQ = rawDb.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (toKafka, toDim) = CdcRouter.route(CdcRouter.parse(batch), config)
+        toKafka.write.mode("append").parquet(s"$work/out/kafka_shaped")
+        CdcRouter.sinkDims(s"$work/out/dim_store", toDim, config)
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt/db").start()
+
+    // ---- 3. bounce detection ------------------------------------------
+    import VisitorPipeline.PageEvent
+    val pEnc = Encoders.product[PageEvent]
+    val pages = events.filter($"page".isNotNull)
+      .select($"common.mid".as("mid"), $"page.page_id".as("page_id"),
+        $"page.last_page_id".as("last_page_id"), $"ts").as[PageEvent](pEnc)
+    val bounceQ = VisitorPipeline.bounceStreaming(pages)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", s"$work/out/dwm_user_jump")
+      .option("checkpointLocation", s"$work/ckpt/bounce").start()
+
+    Seq(logQ, isNewQ, dbQ, bounceQ).foreach(_.processAllAvailable())
+    Seq(logQ, isNewQ, dbQ, bounceQ).foreach(_.stop())
+
+    // ---- report -------------------------------------------------------
+    def count(path: String): Long =
+      try spark.read.parquet(path).count() catch { case _: Throwable => -1 }
+    println(s"demo-out work=$work")
+    Seq("dwd_start_log", "dwd_page_log", "dwd_display_log",
+      "dwd_is_new_fixed", "kafka_shaped", "dim_store/dim_user_info",
+      "dwm_user_jump").foreach { p =>
+      println(f"demo-out ${p}%-28s rows=${count(s"$work/out/$p")}")
+    }
+    println("demo-out dim_user_info row: " +
+      spark.read.parquet(s"$work/out/dim_store/dim_user_info")
+        .selectExpr("__pk", "row['name']").collect().mkString(","))
+    spark.stop()
+  }
+}

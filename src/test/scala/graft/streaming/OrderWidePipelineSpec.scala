@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.sources.GmallSchemas.{OrderDetail, OrderInfo}
+
+/** OrderWideApp: interval join (±5 s) batch/streaming equivalence and
+  * dim enrichment (FIXTURES.md §5-§6 cases: detail within ±5 s joins,
+  * >5 s dropped, one order with N details → N wide rows, missing dim key
+  * passes through un-enriched).
+  */
+class OrderWidePipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  val t0 = 1700000000000L
+  def info(id: Long, ts: Long): OrderInfo =
+    OrderInfo(id, 17L, "1001", 42L, BigDecimal("299.00"), BigDecimal("0.00"),
+      BigDecimal("0.00"), BigDecimal("299.00"), BigDecimal("12.00"),
+      null, "2026-08-12 10:15:30", null, "2026-08-12", "10", ts)
+  def detail(id: Long, orderId: Long, ts: Long): OrderDetail =
+    OrderDetail(id, orderId, 5L, 2L, BigDecimal("149.50"),
+      BigDecimal("299.00"), BigDecimal("0.00"), BigDecimal("0.00"),
+      "widget", "2026-08-12 10:15:30", ts)
+
+  val infos = Seq(info(1L, t0), info(2L, t0 + 100000))
+  val details = Seq(
+    detail(11L, 1L, t0 + 3000),  // within +5s -> joins
+    detail(12L, 1L, t0 - 4000),  // within -5s -> joins
+    detail(13L, 1L, t0 + 9000),  // outside -> dropped
+    detail(21L, 2L, t0 + 100000)) // exact match -> joins
+
+  test("interval join (batch): +-5s window, N details -> N rows") {
+    val got = OrderWidePipeline.intervalJoinBatch(
+      spark.createDataFrame(infos), spark.createDataFrame(details))
+    assert(got.select($"detail_id").as[Long](Encoders.scalaLong)
+      .collect().toSet === Set(11L, 12L, 21L))
+  }
+
+  test("interval join (streaming) matches batch on a closed input") {
+    val iEnc = Encoders.product[OrderInfo]
+    val dEnc = Encoders.product[OrderDetail]
+    val msI = MemoryStream[OrderInfo](iEnc, spark)
+    val msD = MemoryStream[OrderDetail](dEnc, spark)
+    val out = OrderWidePipeline.intervalJoinStreaming(msI.toDS(), msD.toDS())
+    val q = out.writeStream.format("memory").queryName("ow_join")
+      .outputMode("append").start()
+    try {
+      msI.addData(infos: _*)
+      msD.addData(details: _*)
+      q.processAllAvailable()
+      val got = spark.table("ow_join").select($"detail_id")
+        .as[Long](Encoders.scalaLong).collect().toSet
+      assert(got === Set(11L, 12L, 21L))
+    } finally q.stop()
+  }
+
+  test("enrichment: six-dim chain, missing key stays null (left join)") {
+    val wide = OrderWidePipeline.intervalJoinBatch(
+      spark.createDataFrame(infos), spark.createDataFrame(details))
+    def dimDf(rows: (String, Map[String, String])*) =
+      spark.createDataFrame(rows).toDF("__pk", "row")
+    val dims = Map(
+      "dim_user_info" -> dimDf("42" -> Map("gender" -> "F", "birthday" -> "1990-05-01")),
+      "dim_base_province" -> dimDf("17" -> Map(
+        "name" -> "Beijing", "area_code" -> "110000",
+        "iso_code" -> "CN-11", "iso_3166_2" -> "CN-BJ")),
+      "dim_sku_info" -> dimDf("5" -> Map(
+        "spu_id" -> "500", "tm_id" -> "9", "category3_id" -> "61")),
+      "dim_spu_info" -> dimDf("500" -> Map("spu_name" -> "Widget Pro")),
+      "dim_base_trademark" -> dimDf(), // empty: tm_name must stay null
+      "dim_base_category3" -> dimDf("61" -> Map("name" -> "Gadgets")))
+    val got = OrderWidePipeline.enrich(wide, dims)
+    val r = got.filter($"detail_id" === 11L).head()
+    assert(r.getAs[String]("province_name") === "Beijing")
+    assert(r.getAs[String]("user_gender") === "F")
+    assert(r.getAs[String]("spu_name") === "Widget Pro")
+    assert(r.getAs[String]("category3_name") === "Gadgets")
+    assert(r.getAs[String]("tm_name") === null)
+    assert(r.getAs[Int]("user_age") >= 36)
+  }
+}
