@@ -34,7 +34,16 @@ object GmallRegistry {
     "dws_sliding" -> (WindowOps.sliding _),
     "dws_uv_per_hour" -> (WindowOps.uvPerHour _),
     "dws_uv_per_hour_approx" -> (WindowOps.uvPerHourApprox _),
-    "dws_keyword_count" -> (WindowOps.keywordCount _))
+    "dws_keyword_count" -> (WindowOps.keywordCount _),
+    "agg_rollup" -> (AnalyticsOps.rollupSummary _),
+    "agg_cube" -> (AnalyticsOps.cubeEvents _),
+    "rank_top_per_brand" -> (AnalyticsOps.topPerBrand _),
+    "window_running_total" -> (AnalyticsOps.runningTotal _),
+    "set_intersect" -> (AnalyticsOps.setIntersect _),
+    "set_except" -> (AnalyticsOps.setExcept _),
+    "sessionize" -> (AnalyticsOps.sessionize _),
+    "topk_orders" -> (AnalyticsOps.topKOrders _),
+    "q3_shipping_priority" -> (AnalyticsOps.shippingPriority _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -168,5 +177,77 @@ object GmallRegistry {
     "dws_keyword_count" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents) t
-        |WHERE length(word) > 0 GROUP BY 1 ORDER BY n DESC, word""".stripMargin)
+        |WHERE length(word) > 0 GROUP BY 1 ORDER BY n DESC, word""".stripMargin,
+    "agg_rollup" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "agg_cube" ->
+      """SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS etype,
+        |  CASE WHEN GROUPING(dt) = 1 THEN 'ALL' ELSE dt END AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt, value FROM events) t
+        |GROUP BY CUBE (event_type, dt)
+        |ORDER BY etype, day""".stripMargin,
+    "rank_top_per_brand" ->
+      """WITH rev AS (
+        |  SELECT p.p_brand, p.p_partkey,
+        |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT p_brand AS brand,
+        |    CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS BIGINT) AS rank,
+        |    p_partkey AS partkey, revenue
+        |  FROM rev)
+        |SELECT brand, rank, partkey, revenue FROM r WHERE rank <= 3
+        |ORDER BY brand, rank""".stripMargin,
+    "window_running_total" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY custkey, orderkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, dt""".stripMargin,
+    "set_except" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, dt""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS prev_sec
+        |  FROM events),
+        |s AS (SELECT user_id, sec,
+        |    CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS is_start
+        |  FROM e),
+        |g AS (SELECT user_id, sec,
+        |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM s)
+        |SELECT user_id, session_no, min(sec) AS session_start,
+        |  count(*) AS n_events, max(sec) - min(sec) AS duration_sec
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, session_no""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey AS orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        |FROM orders ORDER BY totalprice DESC, orderkey LIMIT 100""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l.l_orderkey AS orderkey,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin)
 }

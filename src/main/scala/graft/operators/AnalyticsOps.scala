@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft._
+import graft.Tables._
+
+/** The implied DWS/ADS analytics surface (SURVEY.md §2.8: the reference
+  * planned but never built its OLAP layer — ClickHouse sink config,
+  * blink-planner deps): multi-dim aggregation (rollup/cube), ranking,
+  * set operations, sessionization, global top-k.
+  *
+  * Scale notes: rollup/cube expand grouping sets before aggregation but
+  * keep partial aggregation map-side; rank windows shuffle once on the
+  * partition key; top-k compiles to TakeOrderedAndProject (per-partition
+  * heap + driver merge of k rows — never a full sort of the input).
+  */
+object AnalyticsOps {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Rollup over (returnflag, linestatus): subtotals + grand total.
+    * Grouping nulls are rewritten to 'ALL' via GROUPING() so the output
+    * is total-order-able across engines.
+    */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        expr("CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END").as("returnflag"),
+        expr("CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END").as("linestatus"),
+        count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+      .select($"returnflag", $"linestatus", $"n", $"sum_qty")
+      .orderBy($"returnflag", $"linestatus")
+
+  /** Cube over (event_type, day): every dim combination. */
+  def cubeEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("dt", date_format($"ts", "yyyy-MM-dd"))
+      .cube($"event_type", $"dt")
+      .agg(
+        expr("CASE WHEN grouping(event_type) = 1 THEN 'ALL' ELSE event_type END").as("etype"),
+        expr("CASE WHEN grouping(dt) = 1 THEN 'ALL' ELSE dt END").as("day"),
+        count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select($"etype", $"day", $"n", $"sum_value")
+      .orderBy($"etype", $"day")
+
+  /** Top-3 parts per brand by revenue: rank window, deterministic ties. */
+  def topPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir)
+    val p = part(spark, dir)
+    val rev = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy($"p_brand", $"p_partkey")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+        .cast("double").as("revenue"))
+    val w = Window.partitionBy($"p_brand").orderBy($"revenue".desc, $"p_partkey")
+    rev.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter($"rank" <= 3)
+      .select($"p_brand".as("brand"), $"rank", $"p_partkey".as("partkey"), $"revenue")
+      .orderBy($"brand", $"rank")
+  }
+
+  /** Running total per customer over order dates — frame-bounded window
+    * aggregate. Exact decimal accumulation, double at the edge.
+    */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(spark, dir)
+      .select($"o_custkey".as("custkey"), $"o_orderkey".as("orderkey"),
+        sum(dec($"o_totalprice")).over(w).cast("double").as("running_total"))
+      .orderBy($"custkey", $"orderkey")
+  }
+
+  /** (user, day) pairs with a given activity — the set-op operand.
+    * Day grain because the tiny test corpus has every user doing every
+    * event type overall (user-level sets would be degenerate).
+    */
+  private def userDays(spark: SparkSession, dir: String, etype: String): DataFrame =
+    events(spark, dir).filter($"event_type" === etype)
+      .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("dt"))
+
+  /** INTERSECT: user-days with both a click and a purchase. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    userDays(spark, dir, "click")
+      .intersect(userDays(spark, dir, "purchase"))
+      .orderBy($"user_id", $"dt")
+
+  /** EXCEPT: user-days with a click but no purchase. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    userDays(spark, dir, "click")
+      .except(userDays(spark, dir, "purchase"))
+      .orderBy($"user_id", $"dt")
+
+  /** Session gap: a new session starts after 30 min of inactivity. */
+  val SessionGapSec = 1800L
+
+  /** Sessionization, batch gaps-and-islands form: per (user, session) —
+    * start, events, duration. Streaming twin:
+    * [[graft.streaming.WindowedAggs.sessionized]] (session_window with
+    * watermark) — same gap semantics.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, dir)
+      .withColumn("sec", unix_timestamp($"ts"))
+      .withColumn("prev_sec", lag($"sec", 1).over(byUser))
+      .withColumn("is_start",
+        when($"prev_sec".isNull || $"sec" - $"prev_sec" > SessionGapSec, 1L).otherwise(0L))
+      .withColumn("session_no", sum($"is_start").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_no")
+      .agg(min($"sec").as("session_start"), count(lit(1)).as("n_events"),
+        (max($"sec") - min($"sec")).as("duration_sec"))
+      .select($"user_id", $"session_no", $"session_start", $"n_events", $"duration_sec")
+      .orderBy($"user_id", $"session_no")
+  }
+
+  /** Global top-k: largest orders. Compiles to TakeOrderedAndProject —
+    * per-partition heaps, k rows to the driver, no full sort.
+    */
+  def topKOrders(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select($"o_orderkey".as("orderkey"),
+        dec($"o_totalprice").cast("double").as("totalprice"))
+      .orderBy($"totalprice".desc, $"orderkey")
+      .limit(100)
+
+  /** Shipping-priority style analytic join (classic TPC-H Q3 shape):
+    * segment-filtered customers ⋈ orders ⋈ lineitem, revenue per order,
+    * top 10. Filters push to the parquet scans.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(l("l_orderkey"))
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .select($"l_orderkey".as("orderkey"), $"revenue")
+      .orderBy($"revenue".desc, $"orderkey")
+      .limit(10)
+  }
+}

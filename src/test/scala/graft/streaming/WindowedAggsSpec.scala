@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Streaming windowed aggregations: watermarked tumbling windows emit
+  * finalized results; session_window merges events within the gap and
+  * splits across it.
+  */
+class WindowedAggsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  case class E(user_id: Long, event_type: String, ts: Long)
+  implicit lazy val enc = Encoders.product[E]
+  val h0 = 1700000000000L - (1700000000000L % 3600000L) // hour-aligned base
+
+  test("tumbling window finalizes when the watermark passes") {
+    val ms = MemoryStream[E](enc, spark)
+    val out = WindowedAggs.tumblingCounts(ms.toDF(), Seq("event_type"))
+    val q = out.writeStream.format("memory").queryName("tumb_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(E(1, "click", h0 + 1000), E(2, "click", h0 + 2000),
+        E(3, "view", h0 + 3000))
+      q.processAllAvailable()
+      // append mode: nothing final until watermark passes the window end
+      assert(spark.table("tumb_out").count() === 0)
+      ms.addData(E(9, "click", h0 + 3 * 3600000L)) // advance watermark 3h
+      q.processAllAvailable()
+      val got = spark.table("tumb_out")
+        .select($"event_type", $"n").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === Set(("click", 2L), ("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session_window merges within gap, splits across it") {
+    val ms = MemoryStream[E](enc, spark)
+    val out = WindowedAggs.sessionized(ms.toDF())
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        E(1, "a", h0), E(1, "b", h0 + 60000),          // one session
+        E(1, "c", h0 + 2 * 3600000L),                  // 2h later: new session
+        E(2, "a", h0))
+      q.processAllAvailable()
+      ms.addData(E(9, "z", h0 + 6 * 3600000L)) // close everything
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .filter($"user_id" === 1).select($"n_events")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
