@@ -19,6 +19,8 @@ object GmallRegistry {
     "j3_dim_enrich" -> (RelationalOps.dimEnrich _),
     "j4_order_wide" -> (RelationalOps.orderWide _),
     "p11_coalesce_merge" -> (RelationalOps.coalesceMerge _),
+    "j5_semi_join" -> (RelationalOps.semiJoin _),
+    "j6_anti_join" -> (RelationalOps.antiJoin _),
     "u1_tagged_union" -> (RelationalOps.taggedUnion _),
     "p1_json_parse" -> (EventOps.jsonParse _),
     "p6_datetime_derive" -> (EventOps.datetimeDerive _),
@@ -35,6 +37,7 @@ object GmallRegistry {
     "dws_uv_per_hour" -> (WindowOps.uvPerHour _),
     "dws_uv_per_hour_approx" -> (WindowOps.uvPerHourApprox _),
     "dws_keyword_count" -> (WindowOps.keywordCount _),
+    "dws_keyword_count_udtf" -> (WindowOps.keywordCountUdtf _),
     "agg_rollup" -> (AnalyticsOps.rollupSummary _),
     "agg_cube" -> (AnalyticsOps.cubeEvents _),
     "rank_top_per_brand" -> (AnalyticsOps.topPerBrand _),
@@ -91,6 +94,16 @@ object GmallRegistry {
         |  coalesce(p.n_orders, 0) AS n_orders,
         |  CAST(coalesce(p.total_spent, 0) AS DOUBLE) AS total_spent
         |FROM customer c FULL OUTER JOIN per_cust p ON c.c_custkey = p.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "j5_semi_join" ->
+      """SELECT c_custkey AS custkey, c_name AS name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY custkey""".stripMargin,
+    "j6_anti_join" ->
+      """SELECT c_custkey AS custkey, c_name AS name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |ORDER BY custkey""".stripMargin,
     "u1_tagged_union" ->
       """SELECT event_id, 'high' AS tag FROM events WHERE value >= 150.0
@@ -175,6 +188,10 @@ object GmallRegistry {
         |  count(DISTINCT user_id) AS uv
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "dws_keyword_count" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents) t
+        |WHERE length(word) > 0 GROUP BY 1 ORDER BY n DESC, word""".stripMargin,
+    "dws_keyword_count_udtf" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents) t
         |WHERE length(word) > 0 GROUP BY 1 ORDER BY n DESC, word""".stripMargin,

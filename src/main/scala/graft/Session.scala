@@ -31,6 +31,8 @@ object Session {
   def get(appName: String): SparkSession = {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // engine SQL surface (tokenize_explode etc.); idempotent
+    org.apache.spark.sql.graftexpr.TokenizeExplode.register(s)
     s
   }
 }

@@ -131,6 +131,33 @@ object RelationalOps {
       .orderBy($"custkey")
   }
 
+  /** Left-semi join (EXISTS): customers that have at least one urgent
+    * order. Semi joins ship only the key column of the right side
+    * through the shuffle and short-circuit on first match — the
+    * existence-check shape used for retention/activity filters at scale.
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    customer(spark, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey".as("custkey"), $"c_name".as("name"))
+      .orderBy($"custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent orders —
+    * the complement sweep. (Every customer in the corpus has *some*
+    * order, so the predicate matches the semi join's to stay
+    * non-vacuous.)
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir)
+          .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey".as("custkey"), $"c_name".as("name"))
+      .orderBy($"custkey")
+
   /** Union of two homogeneous branches with provenance tags (reference
     * UserJumpDetailApp.java:115 unions match + timeout streams).
     */

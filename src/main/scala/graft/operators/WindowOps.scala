@@ -76,4 +76,17 @@ object WindowOps {
       .groupBy($"word")
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"word")
+
+  /** Same keyword job through the SQL-registered custom Generator
+    * ([[org.apache.spark.sql.graftexpr.TokenizeExplode]]) — the
+    * pluggable-tokenizer path; identical results by construction.
+    */
+  def keywordCountUdtf(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graftexpr.TokenizeExplode.register(spark)
+    documents(spark, dir)
+      .selectExpr("tokenize_explode(text) AS word")
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+  }
 }
