@@ -37,6 +37,7 @@ object LlmRegistry {
         .selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "bucket")
         .orderBy("vec_id")),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
+    "dedup_embedding_lsh" -> (Similarity.lshNearDupPairs _),
     "mm_media_meta" -> (Multimodal.mediaMeta _),
     "mm_decode_features" -> ((s: SparkSession, d: String) =>
       Multimodal.decodeFeatures(s, d)),
@@ -214,6 +215,19 @@ object LlmRegistry {
          |SELECT vec_id, CAST(label AS BIGINT) AS label, $bucketExpr AS bucket
          |FROM qz ORDER BY vec_id""".stripMargin,
     "sim_lsh_topk" -> topkSql(bucketJoin = true),
+    "dedup_embedding_lsh" ->
+      s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+         |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm, $bucketExpr AS bucket FROM qz),
+         |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |    ${listDot("a.q", "b.q")} AS dot, a.norm AS na, b.norm AS nb
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT a, b,
+         |  (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
+         |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos2
+         |FROM p WHERE dot > 0
+         |  AND (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
+         |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= ${Dedup.Cos2Threshold}
+         |ORDER BY a, b""".stripMargin,
     "mm_media_meta" ->
       s"""SELECT doc_id, $modality AS modality,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, source

@@ -69,6 +69,37 @@ object Similarity {
           |           shiftleft(1L, cast(p as int)), 0L))""".stripMargin).as("bucket"))
   }
 
+  /** Near-dup pairs, LSH-bucketed (the 100 TB path of
+    * [[Dedup.embeddingNearDup]]): candidate pairs only within a bucket,
+    * exact quantized-cosine check after. The bucket equi-join replaces
+    * the all-pairs product; output is always a sound subset of the
+    * brute-force pairs.
+    *
+    * Recall calibration: P(all 8 planes agree) ≈ (1 - θ/π)^8, so at this
+    * corpus's weak threshold (cos ≥ 0.35, θ ≈ 69°) measured recall is
+    * ~7%; at a true near-dup threshold (cos ≥ 0.95, θ ≈ 18°) it is ~65%
+    * per table. Production raises recall with fewer bits, multiple hash
+    * tables (union of L independent bucketings), or multi-probe — all
+    * the same join shape repeated.
+    */
+  def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val q = Dedup.quantized(spark, dir).select($"vec_id", $"q")
+      .withColumn("nrm", longArrayNormSq($"q"))
+    val withB = lshBuckets(spark, dir).select($"vec_id", $"bucket").join(q, Seq("vec_id"))
+    val right = withB.select($"vec_id".as("vec_b"), $"bucket",
+      $"q".as("qb"), $"nrm".as("nrm_b"))
+    withB.join(right, Seq("bucket"))
+      .filter($"vec_id" < $"vec_b")
+      .select($"vec_id".as("a"), $"vec_b".as("b"),
+        longArrayDot($"q", $"qb").as("dot"), $"nrm".as("na"), $"nrm_b".as("nb"))
+      .withColumn("cos2",
+        ($"dot".cast("double") * $"dot".cast("double")) /
+          ($"na".cast("double") * $"nb".cast("double")))
+      .filter($"dot" > 0 && $"cos2" >= Dedup.Cos2Threshold)
+      .select($"a", $"b", $"cos2")
+      .orderBy($"a", $"b")
+  }
+
   /** ANN top-k via LSH: score only within the query vector's bucket.
     * Recall is approximate by construction (bucket miss ⇒ neighbor
     * miss); at 100 TB, multi-probe or repeated tables raise recall

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import VisitorPipeline.PageEvent
+
+/** ST2 exact-TTL variant: per-mid date state with event-time timeout. */
+class UvTtlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  implicit lazy val enc = Encoders.product[PageEvent]
+  val t0 = 1700000000000L
+
+  test("emits one entry per mid per day; non-entries never emit") {
+    val ms = MemoryStream[PageEvent](enc, spark)
+    val q = VisitorPipeline.uvStreamingTtl(ms.toDS())
+      .writeStream.format("memory").queryName("uvttl_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        PageEvent("m1", "home", null, t0),
+        PageEvent("m1", "list", "", t0 + 5000),      // same day entry: dedup
+        PageEvent("m1", "detail", "home", t0 + 9000)) // non-entry: never
+      q.processAllAvailable()
+      ms.addData(PageEvent("m1", "home", null, t0 + 86400000L + 1000)) // next day
+      q.processAllAvailable()
+      val got = spark.table("uvttl_out").as[PageEvent](enc).collect()
+        .map(e => (e.mid, e.ts)).toSet
+      assert(got === Set(("m1", t0), ("m1", t0 + 86400000L + 1000)))
+    } finally q.stop()
+  }
+}
