@@ -51,8 +51,10 @@ object StreamingDemo {
       env("order_info", "delete", """{"id":"1"}""")).mkString("\n"))
 
     // ---- 1. BaseLogApp ------------------------------------------------
-    val rawLog = spark.readStream.schema("value STRING").text(logDir)
-      .withColumnRenamed("value", "value")
+    // topics resolve through the Transport abstraction (file transport
+    // here; KafkaTransport on a real cluster, same pipeline code)
+    val transport = new graft.sources.FileTransport(s"$work/in")
+    val rawLog = transport.readStream(spark, "ods_base_log")
     val parsed = LogPipeline.parse(rawLog.select($"value"))
     val events = LogPipeline.clean(parsed)
     import LogPipeline.LogEvent
@@ -80,7 +82,7 @@ object StreamingDemo {
       TableProcess("order_info", "insert", "kafka", "dwd_order_info", "id,user_id,total_amount"),
       TableProcess("user_info", "insert", "hbase", "dim_user_info", "id,name,birthday,gender"),
       TableProcess("user_info", "update", "hbase", "dim_user_info", "id,name,birthday,gender"))
-    val rawDb = spark.readStream.schema("value STRING").text(dbDir)
+    val rawDb = transport.readStream(spark, "ods_base_db")
     val dbQ = rawDb.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val (toKafka, toDim) = CdcRouter.route(CdcRouter.parse(batch), config)
