@@ -30,6 +30,7 @@ object GmallRegistry {
     "x1_log_split" -> (EventOps.logSplit _),
     "s4_cdc_normalize" -> (EventOps.cdcNormalize _),
     "j2_config_route" -> (EventOps.configRoute _),
+    "x2_cdc_route" -> (EventOps.cdcRoute _),
     "p4_dynamic_prune" -> ((s: SparkSession, d: String) => EventOps.dynamicPrune(s, d)),
     "k2_dynamic_topic" -> (EventOps.dynamicTopic _),
     "dws_tumbling" -> (WindowOps.tumbling _),
@@ -166,6 +167,21 @@ object GmallRegistry {
         |  AS cfg(source_type, sink_type, sink_table)
         |  ON e.event_type = cfg.source_type
         |ORDER BY e.event_id""".stripMargin,
+    "x2_cdc_route" ->
+      """WITH cdc AS (
+        |  SELECT o_orderkey AS id,
+        |    CASE WHEN o_orderstatus = 'O' THEN 'insert' ELSE 'update' END AS type,
+        |    o_orderkey::VARCHAR AS v_id, o_custkey::VARCHAR AS v_user,
+        |    (o_totalprice::DECIMAL(18,2))::VARCHAR AS v_amt
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F'))
+        |SELECT id, 'kafka' AS sink_type, 'dwd_order_info' AS topic,
+        |  CAST(json_object('id', v_id, 'user_id', v_user, 'total_amount', v_amt) AS VARCHAR) AS value
+        |FROM cdc WHERE type = 'insert'
+        |UNION ALL
+        |SELECT id, 'hbase', 'dim_order_info',
+        |  CAST(json_object('id', v_id, 'total_amount', v_amt) AS VARCHAR)
+        |FROM cdc WHERE type = 'update'
+        |ORDER BY id""".stripMargin,
     "p4_dynamic_prune" ->
       "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
     "k2_dynamic_topic" ->

@@ -41,7 +41,8 @@ object LlmRegistry {
     "mm_media_meta" -> (Multimodal.mediaMeta _),
     "mm_decode_features" -> ((s: SparkSession, d: String) =>
       Multimodal.decodeFeatures(s, d)),
-    "mm_frame_sample" -> (Multimodal.frameSample _))
+    "mm_frame_sample" -> (Multimodal.frameSample _),
+    "pipeline_clean_corpus" -> (CorpusPipeline.cleanCorpus _))
 
   // ---- shared SQL fragments --------------------------------------------
 
@@ -239,6 +240,31 @@ object LlmRegistry {
          |  CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_frames,
          |  ${sqlMd5Prefix60("text")} % 997 AS feat
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""$minhashCtes,
+         |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,
+         |  string_agg(mh, '_' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id),
+         |losers AS (SELECT DISTINCT c.b AS doc_id FROM cand c
+         |  WHERE (SELECT sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+         |         FROM mh x JOIN mh y ON y.doc_id = c.b AND y.j = x.j
+         |         WHERE x.doc_id = c.a) >= ${Dedup.NumPerm} * 0.5),
+         |quality AS (SELECT doc_id FROM (SELECT doc_id,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter($toks, x -> list_contains(${TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS n_stop,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents) q
+         |  WHERE n_tokens >= 10 AND n_stop > 0
+         |    AND CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.5),
+         |exact_keep AS (SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, md5($normText) AS fp FROM documents) t GROUP BY fp)
+         |SELECT q.doc_id FROM quality q
+         |JOIN exact_keep e ON e.doc_id = q.doc_id
+         |WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY q.doc_id""".stripMargin,
     "mm_frame_sample" ->
       s"""WITH m AS (SELECT doc_id, $modality AS modality,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),

@@ -137,6 +137,39 @@ object EventOps {
         $"o_orderkey".as("id"), $"type")
       .orderBy($"id")
 
+  /** X2/K2/K3 batch twin of the full CDC route (reference BaseDBLog +
+    * TableProcessFunction): orders become change envelopes with an
+    * `after` map; a config table routes insert→kafka / update→hbase,
+    * prunes `after` to the configured columns, and emits the
+    * dynamic-topic JSON payload. Deletes are dropped (P3); unknown
+    * (table, op) combos would be dropped by the inner join (X2's
+    * "no such key" branch).
+    */
+  def cdcRoute(spark: SparkSession, dir: String): DataFrame = {
+    val cdc = orders(spark, dir)
+      .withColumn("type",
+        when($"o_orderstatus" === "O", lit("insert"))
+          .when($"o_orderstatus" === "F", lit("update"))
+          .otherwise(lit("delete")))
+      .filter($"type" =!= "delete")
+      .select($"o_orderkey".as("id"), $"type",
+        map(
+          lit("id"), $"o_orderkey".cast("string"),
+          lit("user_id"), $"o_custkey".cast("string"),
+          lit("total_amount"), $"o_totalprice".cast("decimal(18,2)").cast("string"),
+          lit("secret"), lit("x")).as("after"))
+    val cfg = broadcast(spark.createDataFrame(Seq(
+      ("order_info", "insert", "kafka", "dwd_order_info", "id,user_id,total_amount"),
+      ("order_info", "update", "hbase", "dim_order_info", "id,total_amount")))
+      .toDF("sourceTable", "operateType", "sinkType", "sinkTable", "sinkColumns"))
+    cdc.join(cfg, $"type" === cfg("operateType") && cfg("sourceTable") === "order_info")
+      .withColumn("pruned",
+        map_filter($"after", (k, _) => array_contains(split($"sinkColumns", ","), k)))
+      .select($"id", $"sinkType".as("sink_type"), $"sinkTable".as("topic"),
+        to_json($"pruned").as("value"))
+      .orderBy($"id")
+  }
+
   /** Routing config: (source_type, sink_type, sink_table) — the
     * `table_process` table of the reference (bean/TableProcess.java:12-24),
     * built in-memory here; in production a JDBC-read config table
