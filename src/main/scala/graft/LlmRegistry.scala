@@ -23,6 +23,9 @@ object LlmRegistry {
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "vocab_build" -> (TextAnalysis.vocabBuild _),
+    "tokens_to_ids" -> (TextAnalysis.tokensToIds _),
+    "text_commonness" -> (TextAnalysis.commonness _),
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_sig" -> ((s: SparkSession, d: String) =>
       Dedup.minhashSignatures(s, d).orderBy("doc_id", "j")),
@@ -147,6 +150,33 @@ object LlmRegistry {
       s"""SELECT doc_id, md5($normText) AS fp_md5,
          |  ${sqlMd5Prefix60(normText)} AS fp60
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "vocab_build" ->
+      s"""WITH counts AS (SELECT tok AS token, count(*) AS freq
+         |  FROM (SELECT unnest($toks) AS tok FROM documents) t GROUP BY 1),
+         |ranked AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id,
+         |  token, freq FROM counts)
+         |SELECT token_id, token, freq FROM ranked
+         |WHERE token_id <= ${TextAnalysis.VocabSize} ORDER BY token_id""".stripMargin,
+    "tokens_to_ids" ->
+      s"""WITH counts AS (SELECT tok AS token, count(*) AS freq
+         |  FROM (SELECT unnest($toks) AS tok FROM documents) t GROUP BY 1),
+         |vocab AS (SELECT token,
+         |  CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
+         |  FROM counts QUALIFY token_id <= ${TextAnalysis.VocabSize}),
+         |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i + 1] AS token
+         |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+         |        FROM (SELECT doc_id, $toks AS toks FROM documents) d) e)
+         |SELECT p.doc_id, p.pos, coalesce(v.token_id, -1) AS token_id
+         |FROM pos p LEFT JOIN vocab v USING (token)
+         |ORDER BY doc_id, pos""".stripMargin,
+    "text_commonness" ->
+      s"""WITH counts AS (SELECT tok AS token, count(*) AS freq
+         |  FROM (SELECT unnest($toks) AS tok FROM documents) t GROUP BY 1),
+         |dt AS (SELECT doc_id, unnest($toks) AS token FROM documents)
+         |SELECT doc_id, CAST(sum(c.freq) AS BIGINT) AS commonness,
+         |  count(*) AS n_tokens
+         |FROM dt JOIN counts c USING (token)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
          |FROM (SELECT doc_id, md5($normText) AS fp FROM documents) t

@@ -103,6 +103,62 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Vocabulary size for [[vocabBuild]]. The corpus has only 31 distinct
+    * tokens, so V is set below that to keep the OOV (-1) path of
+    * [[tokensToIds]] live; production would use 32k-128k.
+    */
+  val VocabSize = 20
+
+  /** Pretraining-prep: build a frequency-ranked vocabulary — top-V
+    * tokens with dense ids (rank by count desc, token asc). The id
+    * assignment is a global sort of V rows, not of the corpus: token
+    * counting is the only full-corpus pass and it partial-aggregates
+    * map-side.
+    */
+  def vocabBuild(spark: SparkSession, dir: String): DataFrame = {
+    val counts = documents(spark, dir)
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"freq".desc, $"token")
+    counts.withColumn("token_id", row_number().over(w).cast("bigint"))
+      .filter($"token_id" <= VocabSize)
+      .select($"token_id", $"token", $"freq")
+      .orderBy($"token_id")
+  }
+
+  /** Pretraining-prep: tokenize the corpus to vocabulary ids — one row
+    * per (doc, position), OOV → -1. The vocab broadcasts; the corpus
+    * side never shuffles.
+    */
+  def tokensToIds(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabBuild(spark, dir).select($"token", $"token_id")
+    documents(spark, dir)
+      .select($"doc_id", posexplode(tokens($"text")))
+      .select($"doc_id", $"pos".cast("bigint").as("pos"), $"col".as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select($"doc_id", $"pos",
+        coalesce($"token_id", lit(-1L)).as("token_id"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** Unigram commonness score per doc: sum of corpus-wide token
+    * frequencies over the doc's tokens — an exact-integer proxy for
+    * unigram log-likelihood (higher = more boilerplate-like), the
+    * rare-document signal without floating-point logs.
+    */
+  def commonness(spark: SparkSession, dir: String): DataFrame = {
+    val freqs = documents(spark, dir)
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+    documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .join(broadcast(freqs), Seq("token"))
+      .groupBy($"doc_id")
+      .agg(sum($"freq").as("commonness"), count(lit(1)).as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** Shared DuckDB fragment: the canonical tokenizer. */
   def sqlTokens(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), x -> length(x) > 0)"
