@@ -12,8 +12,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.get("graft-bench")
-    // JVM/codegen warmup so the first measured query isn't charged for it
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    // Warm each query once at the smallest SF: JIT + codegen + plan
+    // caches settle so the measured run reflects steady-state throughput
+    // (the regime a long-running cluster job is in), not first-call cost.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      finally spark.catalog.clearCache() // operators cache() subplans
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -21,6 +28,7 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+        finally spark.catalog.clearCache()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
