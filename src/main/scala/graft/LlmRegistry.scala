@@ -41,6 +41,7 @@ object LlmRegistry {
         .orderBy("vec_id")),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
     "dedup_embedding_lsh" -> (Similarity.lshNearDupPairs _),
+    "dedup_embedding_lsh_multi" -> (Similarity.lshNearDupPairsMulti _),
     "mm_media_meta" -> (Multimodal.mediaMeta _),
     "mm_decode_features" -> ((s: SparkSession, d: String) =>
       Multimodal.decodeFeatures(s, d)),
@@ -246,6 +247,27 @@ object LlmRegistry {
          |SELECT vec_id, CAST(label AS BIGINT) AS label, $bucketExpr AS bucket
          |FROM qz ORDER BY vec_id""".stripMargin,
     "sim_lsh_topk" -> topkSql(bucketJoin = true),
+    "dedup_embedding_lsh_multi" ->
+      s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+         |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),
+         |wt AS (SELECT vec_id, q, norm, unnest(range(${Similarity.NumTables})) AS t FROM n),
+         |b AS (SELECT vec_id, q, norm, t,
+         |  CAST(list_sum(list_transform(range(${Similarity.NumPlanes}), p ->
+         |    CASE WHEN list_sum(list_transform(list_zip(q,
+         |        ${sqlPlaneList(Similarity.NumTables * Similarity.NumPlanes, Similarity.Dim)}[CAST(t * ${Similarity.NumPlanes} + p AS INT) + 1]),
+         |      x -> x[1] * x[2])) > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM wt),
+         |cand AS (SELECT DISTINCT a.vec_id AS a, b2.vec_id AS b
+         |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         |p AS (SELECT c.a, c.b, ${listDot("x.q", "y.q")} AS dot, x.norm AS na, y.norm AS nb
+         |  FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b)
+         |SELECT a, b,
+         |  (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
+         |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos2
+         |FROM p WHERE dot > 0
+         |  AND (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
+         |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= ${Dedup.Cos2Threshold}
+         |ORDER BY a, b""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
          |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm, $bucketExpr AS bucket FROM qz),

@@ -100,6 +100,45 @@ object Similarity {
       .orderBy($"a", $"b")
   }
 
+  /** Number of independent LSH tables for the multi-table variant. */
+  val NumTables = 4
+
+  /** Multi-table LSH near-dup pairs: L independent bucketings (each its
+    * own 8 hyperplanes); a pair is a candidate if it collides in ANY
+    * table — recall ≈ 1-(1-r)^L for per-table recall r, at L× the
+    * candidate-join cost. Same exact-check contract as
+    * [[lshNearDupPairs]].
+    */
+  def lshNearDupPairsMulti(spark: SparkSession, dir: String): DataFrame = {
+    val planes = typedlit(Seq.tabulate(NumTables * NumPlanes)(pt =>
+      Seq.tabulate(Dim)(i => planeWeight(pt, i))))
+    val q = Dedup.quantized(spark, dir).select($"vec_id", $"q")
+      .withColumn("nrm", longArrayNormSq($"q"))
+    val withT = q
+      .withColumn("t", explode(sequence(lit(0), lit(NumTables - 1))))
+      .withColumn("planes", planes)
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, ${NumPlanes - 1}), 0L, (acc, p) ->
+           |  acc + IF(aggregate(zip_with(q, planes[CAST(t * $NumPlanes + p AS INT)],
+           |              (x, w) -> x * w), 0L, (s, v) -> s + v) > 0,
+           |           shiftleft(1L, cast(p as int)), 0L))""".stripMargin))
+      .select($"vec_id", $"t", $"bucket", $"q", $"nrm")
+    val right = withT.select($"vec_id".as("vec_b"), $"t", $"bucket",
+      $"q".as("qb"), $"nrm".as("nrm_b"))
+    withT.join(right, Seq("t", "bucket"))
+      .filter($"vec_id" < $"vec_b")
+      .select($"vec_id".as("a"), $"vec_b".as("b"), $"q", $"qb", $"nrm", $"nrm_b")
+      .distinct()
+      .select($"a", $"b", longArrayDot($"q", $"qb").as("dot"),
+        $"nrm".as("na"), $"nrm_b".as("nb"))
+      .withColumn("cos2",
+        ($"dot".cast("double") * $"dot".cast("double")) /
+          ($"na".cast("double") * $"nb".cast("double")))
+      .filter($"dot" > 0 && $"cos2" >= Dedup.Cos2Threshold)
+      .select($"a", $"b", $"cos2")
+      .orderBy($"a", $"b")
+  }
+
   /** ANN top-k via LSH: score only within the query vector's bucket.
     * Recall is approximate by construction (bucket miss ⇒ neighbor
     * miss); at 100 TB, multi-probe or repeated tables raise recall
