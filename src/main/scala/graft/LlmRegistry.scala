@@ -289,7 +289,7 @@ object LlmRegistry {
       s"""SELECT doc_id, $modality AS modality,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          |  ${sqlMd5Prefix60("text")} AS checksum60,
-         |  CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_frames,
+         |  CAST((octet_length(encode(text)) - 1) // 1024 + 1 AS BIGINT) AS n_frames,
          |  ${sqlMd5Prefix60("text")} % 997 AS feat
          |FROM documents ORDER BY doc_id""".stripMargin,
     "pipeline_clean_corpus" ->

@@ -24,13 +24,21 @@ object Dedup {
     * The shingle stream is a rolling 3-word window — the rolling-hash
     * fingerprint stream of the document.
     */
-  def shingles(spark: SparkSession, dir: String): DataFrame = {
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(documents(spark, dir))
+
+  /** Core of [[shingles]] over any (doc_id, text) frame. */
+  def shinglesOf(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens($"text")
-    documents(spark, dir)
+    docs
       .select($"doc_id", toks.as("toks"))
+      // guard: sequence(0, -1) in Spark is DESCENDING [0, -1], so a
+      // <3-token doc would emit spurious short pseudo-shingles; emit none
       .select($"doc_id", explode(expr(
-        "transform(sequence(0, greatest(size(toks) - 3, -1)), i -> " +
-          "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shingle"))
+        "CASE WHEN size(toks) >= 3 THEN " +
+          "transform(sequence(0, size(toks) - 3), i -> " +
+          "concat_ws(' ', toks[i], toks[i+1], toks[i+2])) " +
+          "ELSE array() END")).as("shingle"))
       .distinct()
   }
 
@@ -92,7 +100,10 @@ object Dedup {
     * contract that avoids the all-pairs product at scale.
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatureArray(spark, dir).cache()
+    // no cache(): the self-join reuses the signature subplan via
+    // Catalyst's ReusedExchange; an operator-held cache would pin
+    // storage for the session lifetime (library leak)
+    val sig = minhashSignatureArray(spark, dir)
     // band signatures by array slice — pure projection, no re-aggregation
     val bands = sig.select($"doc_id", $"sig",
       posexplode(expr(s"transform(sequence(0, ${NumBands - 1}), b -> " +
@@ -147,7 +158,7 @@ object Dedup {
     * generation linear-ish; the 4-block scheme is exact for d ≤ 3.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(spark, dir).cache()
+    val sh = simhash(spark, dir)
     val withBlk = sh.select($"doc_id", $"simhash",
         explode(expr("sequence(0, 3)")).as("blk"))
       .withColumn("blkval",
@@ -177,7 +188,7 @@ object Dedup {
     * shingle counts; keep J ≥ 0.5.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = shingles(spark, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" <= DfCap)

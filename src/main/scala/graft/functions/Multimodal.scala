@@ -44,8 +44,9 @@ object Multimodal {
       val hex = md.digest(r.payload).map("%02x".format(_)).mkString
       val checksum60 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
       val nBytes = r.payload.length.toLong
+      // frames = ceil(nBytes / 1KiB) — same count frameSample slices
       MediaFeatures(r.doc_id, r.modality, nBytes, checksum60,
-        nBytes / 1024 + 1, checksum60 % 997)
+        (nBytes - 1) / 1024 + 1, checksum60 % 997)
     }
   }
 

@@ -56,27 +56,49 @@ object CdcRouter {
     * the configured pk; creates the table on first write (the auto-DDL,
     * TableProcessFunction.java:116-153). Latest write wins per key, the
     * same contract as the reference's Phoenix `upsert into`.
+    *
+    * Within-batch ordering: `seq` must be a deterministic change-order
+    * column (binlog offset / source timestamp) when same-pk changes can
+    * share a micro-batch. The default `monotonically_increasing_id`
+    * follows partition layout, not arrival order — adequate only for
+    * single-partition batches (tests/fixtures); real CDC feeds should
+    * pass their offset column.
+    *
+    * Crash safety: the new table is written to `.tmp`, the live table
+    * moved aside to `.old`, tmp renamed in, then `.old` dropped — at any
+    * crash point a complete table copy exists on disk (`.old` is the
+    * recovery source if the swap was interrupted); rename failures throw
+    * instead of silently losing the table.
     */
   def mergeDim(spark: SparkSession, storeDir: String, sinkTable: String,
-      pk: String, batch: DataFrame): Unit = {
+      pk: String, batch: DataFrame,
+      seq: org.apache.spark.sql.Column = monotonically_increasing_id()): Unit = {
     val path = s"$storeDir/$sinkTable"
     val incoming = batch.select(
-      $"row".getItem(pk).as("__pk"), $"row", monotonically_increasing_id().as("__seq"))
+      $"row".getItem(pk).as("__pk"), $"row", seq.as("__seq"))
     val merged =
       if (new java.io.File(path).exists()) {
         val existing = spark.read.parquet(path)
-          .select($"__pk", $"row", lit(-1L).as("__seq"))
+          .select($"__pk", $"row", lit(Long.MinValue).as("__seq"))
         existing.unionByName(incoming)
       } else incoming
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"__pk").orderBy($"__seq".desc)
     val latest = merged.withColumn("__rn", row_number().over(w))
       .filter($"__rn" === 1).select($"__pk", $"row")
-    val tmp = s"$path.tmp"
-    latest.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dir = new java.io.File(path)
-    if (dir.exists()) { org.apache.commons.io.FileUtils.deleteDirectory(dir) }
-    new java.io.File(tmp).renameTo(dir)
+    val tmp = new java.io.File(s"$path.tmp")
+    val old = new java.io.File(s"$path.old")
+    val live = new java.io.File(path)
+    latest.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    if (live.exists() && !live.renameTo(old))
+      throw new java.io.IOException(s"dim-store swap: cannot move $live aside")
+    if (!tmp.renameTo(live)) {
+      // restore the previous table before failing
+      if (old.exists()) old.renameTo(live)
+      throw new java.io.IOException(s"dim-store swap: cannot activate $tmp")
+    }
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
     ()
   }
 

@@ -16,19 +16,24 @@ object VisitorPipeline {
 
   // ---- ST2: daily unique visitors --------------------------------------
 
-  /** Streaming UV dedup via dropDuplicates under a 1-day watermark —
-    * the Spark-native form of the reference's 24 h-TTL ValueState
-    * (UniqueVisitApp.java:53-102): state for a (mid, dt) pair is evicted
-    * once the watermark passes the day, same retention contract as the
-    * TTL.
+  /** Streaming UV dedup under a 1-day watermark — the Spark-native form
+    * of the reference's 24 h-TTL ValueState (UniqueVisitApp.java:53-102).
+    * Uses `dropDuplicatesWithinWatermark`: plain `dropDuplicates` on
+    * (mid, dt) would never evict state (eviction requires the
+    * event-time column among the keys), growing unboundedly; the
+    * within-watermark variant expires each (mid, dt) entry once the
+    * watermark passes it — the same retention contract as the TTL.
     */
-  def uvStreaming(events: DataFrame): DataFrame =
-    events
+  def uvStreaming(events: DataFrame): DataFrame = {
+    val prepared = events
       .filter($"last_page_id".isNull || length($"last_page_id") === 0)
       .withColumn("event_time", timestamp_millis($"ts"))
       .withColumn("dt", date_format($"event_time", "yyyy-MM-dd"))
-      .withWatermark("event_time", "1 day")
-      .dropDuplicates("mid", "dt")
+    if (prepared.isStreaming)
+      prepared.withWatermark("event_time", "1 day")
+        .dropDuplicatesWithinWatermark("mid", "dt")
+    else prepared.dropDuplicates("mid", "dt")
+  }
 
   /** Exact-TTL variant: flatMapGroupsWithState with event-time timeout,
     * for when the 24 h sliding-TTL semantics (not calendar-day) must be
@@ -36,6 +41,7 @@ object VisitorPipeline {
     */
   def uvStreamingTtl(events: Dataset[PageEvent]): Dataset[PageEvent] = {
     val enc = Encoders.product[PageEvent]
+    val streaming = events.isStreaming
     withEventTimeWatermark(events).groupByKey(_.mid)(Encoders.STRING)
       .flatMapGroupsWithState[String, PageEvent](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -44,7 +50,8 @@ object VisitorPipeline {
           else {
             val out = scala.collection.mutable.ArrayBuffer[PageEvent]()
             var last = state.getOption.getOrElse("")
-            it.toSeq.sortBy(_.ts).foreach { e =>
+            val sorted = it.toSeq.sortBy(_.ts)
+            sorted.foreach { e =>
               if (e.last_page_id == null || e.last_page_id.isEmpty) {
                 val dt = java.time.Instant.ofEpochMilli(e.ts)
                   .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
@@ -52,7 +59,13 @@ object VisitorPipeline {
               }
             }
             state.update(last)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 86400000L)
+            // TTL anchored on the newest event for this key (the
+            // watermark alone is epoch-0 in the first batch, which would
+            // evict all day-1 state at batch 2); timeout APIs only exist
+            // under a streaming watermark
+            if (streaming) state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1,
+              sorted.last.ts + 86400000L))
             out.iterator
           }
       }(Encoders.STRING, enc)
@@ -91,6 +104,7 @@ object VisitorPipeline {
     */
   def bounceStreaming(events: Dataset[PageEvent]): Dataset[PageEvent] = {
     val enc = Encoders.product[PageEvent]
+    val streaming = events.isStreaming
     withEventTimeWatermark(events).groupByKey(_.mid)(Encoders.STRING)
       .flatMapGroupsWithState[BounceState, PageEvent](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -107,6 +121,11 @@ object VisitorPipeline {
             var pending = state.getOption
             it.toSeq.sortBy(_.ts).foreach { e =>
               pending match {
+                case Some(p) if e.ts < p.pendingTs =>
+                  // late arrival from BEFORE the pending entry (crossed a
+                  // micro-batch boundary): it is not a follow-up page, so
+                  // it must not clear the pending bounce candidate
+                  ()
                 case Some(p) if e.ts - p.pendingTs > BounceWindowMs =>
                   out += PageEvent(mid, p.pendingPage, null, p.pendingTs)
                   pending = if (isEntry(e)) Some(BounceState(e.ts, e.page_id)) else None
@@ -122,8 +141,12 @@ object VisitorPipeline {
             pending match {
               case Some(p) =>
                 state.update(p)
-                // must exceed the current watermark or Spark rejects it
-                state.setTimeoutTimestamp(math.max(
+                // must exceed the current watermark or Spark rejects it;
+                // timeout APIs only exist under a streaming watermark —
+                // on a batch Dataset the pending entry is emitted by the
+                // caller's closed-input convention (bounceBatch is the
+                // batch twin)
+                if (streaming) state.setTimeoutTimestamp(math.max(
                   state.getCurrentWatermarkMs() + 1, p.pendingTs + BounceWindowMs))
               case None => state.remove()
             }

@@ -30,7 +30,8 @@ case class TokenizeExplode(child: Expression)
     val v = child.eval(input)
     if (v == null) Nil
     else {
-      TokenizeExplode.Pattern.split(v.asInstanceOf[UTF8String].toString.toLowerCase)
+      TokenizeExplode.Pattern.split(
+        v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
         .iterator.filter(_.nonEmpty)
         .map(t => InternalRow(UTF8String.fromString(t)))
     }

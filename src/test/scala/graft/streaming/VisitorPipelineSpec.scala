@@ -73,6 +73,29 @@ class VisitorPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late event from before the pending entry does not clear it") {
+    val ms = MemoryStream[PageEvent](enc, spark)
+    val out = VisitorPipeline.bounceStreaming(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("bounce_late")
+      .outputMode("append").start()
+    try {
+      ms.addData(PageEvent("m7", "home", null, t0)) // entry becomes pending
+      q.processAllAvailable()
+      // a non-entry event from BEFORE the entry arrives late (within the
+      // 1 s disorder tolerance): must not count as a follow-up page
+      ms.addData(PageEvent("m7", "prev", "x", t0 - 500))
+      q.processAllAvailable()
+      // silence + watermark advance => the pending entry still bounces
+      ms.addData(PageEvent("zz", "p", "x", t0 + 60000))
+      q.processAllAvailable()
+      ms.addData(PageEvent("zz", "p2", "p", t0 + 61000))
+      q.processAllAvailable()
+      val got = spark.table("bounce_late").as[PageEvent](enc).collect()
+      assert(got.exists(e => e.mid == "m7" && e.ts == t0),
+        "late pre-entry event must not suppress the bounce")
+    } finally q.stop()
+  }
+
   import graft.ColStr // $ interpolator for DataFrame twin
 
   test("streaming semantics match the batch lead() twin on a closed input") {
