@@ -109,12 +109,12 @@ object Dedup {
       posexplode(expr(s"transform(sequence(0, ${NumBands - 1}), b -> " +
         s"concat_ws('_', slice(sig, b * $BandRows + 1, $BandRows)))")))
       .select($"doc_id", $"sig", $"pos".as("band"), $"col".as("bandsig"))
-    val b2 = bands.select($"doc_id".as("doc_b"), $"band",
-      $"bandsig", $"sig".as("sig_b"))
-    // bucket equi-join on (band, bandsig); estimate = elementwise equality
-    bands.join(b2, Seq("band", "bandsig"))
-      .filter($"doc_id" < $"doc_b")
-      .select($"doc_id".as("a"), $"doc_b".as("b"), $"sig", $"sig_b")
+    // bucket equi-join on (band, bandsig) — alias self-join so the
+    // shuffled band frame is a ReusedExchange (signatures computed once)
+    bands.as("x").join(bands.as("y"),
+        expr("x.band = y.band AND x.bandsig = y.bandsig AND x.doc_id < y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sig").as("sig"), col("y.sig").as("sig_b"))
       .distinct()
       .withColumn("est_jaccard",
         expr(s"size(filter(zip_with(sig, sig_b, (x, y) -> x = y), v -> v))")
@@ -159,15 +159,17 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhash(spark, dir)
+    // self-join via aliases of the SAME plan so the shuffled block frame
+    // canonicalizes identically on both sides → ReusedExchange (computes
+    // the simhash aggregation once, no operator-held cache needed)
     val withBlk = sh.select($"doc_id", $"simhash",
         explode(expr("sequence(0, 3)")).as("blk"))
       .withColumn("blkval",
         expr("shiftright(simhash, cast(blk * 12 as int))").bitwiseAND(lit(4095L)))
-    val right = withBlk.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"),
-      $"blk".as("blk_b"), $"blkval".as("blkval_b"))
-    withBlk.join(right, $"blk" === $"blk_b" && $"blkval" === $"blkval_b" &&
-        $"doc_id" < $"doc_b")
-      .select($"doc_id".as("a"), $"doc_b".as("b"), $"simhash", $"sim_b").distinct()
+    withBlk.as("x").join(withBlk.as("y"),
+        expr("x.blk = y.blk AND x.blkval = y.blkval AND x.doc_id < y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("simhash"), col("y.simhash").as("sim_b")).distinct()
       .withColumn("hamming", bit_count($"simhash".bitwiseXOR($"sim_b")).cast("bigint"))
       .filter($"hamming" <= 3)
       .select($"a", $"b", $"hamming")
@@ -193,9 +195,9 @@ object Dedup {
     val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" <= DfCap)
     val rare = sh.join(df.select($"shingle"), Seq("shingle"))
-    val r2 = rare.select($"shingle", $"doc_id".as("doc_b"))
-    val inter = rare.join(r2, Seq("shingle"))
-      .filter($"doc_id" < $"doc_b")
+    val inter = rare.as("x").join(rare.as("y"),
+        expr("x.shingle = y.shingle AND x.doc_id < y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("doc_b"))
       .groupBy($"doc_id", $"doc_b").agg(count(lit(1)).as("n_inter"))
     val szB = sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_sh_b"))
     inter.join(sizes, Seq("doc_id")).join(szB, Seq("doc_b"))
@@ -237,10 +239,10 @@ object Dedup {
     // LongArrayDot — the pair join is then a single tight loop per row.
     val q = quantized(spark, dir).select($"vec_id", $"q")
       .withColumn("nrm", longArrayNormSq($"q"))
-    val q2 = q.select($"vec_id".as("vec_b"), $"q".as("qb"), $"nrm".as("nrm_b"))
-    q.join(q2, $"vec_id" < $"vec_b")
-      .select($"vec_id".as("a"), $"vec_b".as("b"),
-        longArrayDot($"q", $"qb").as("dot"), $"nrm".as("na"), $"nrm_b".as("nb"))
+    q.as("x").join(q.as("y"), expr("x.vec_id < y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        longArrayDot(col("x.q"), col("y.q")).as("dot"),
+        col("x.nrm").as("na"), col("y.nrm").as("nb"))
       .withColumn("cos2",
         ($"dot".cast("double") * $"dot".cast("double")) /
           ($"na".cast("double") * $"nb".cast("double")))

@@ -86,12 +86,11 @@ object Similarity {
     val q = Dedup.quantized(spark, dir).select($"vec_id", $"q")
       .withColumn("nrm", longArrayNormSq($"q"))
     val withB = lshBuckets(spark, dir).select($"vec_id", $"bucket").join(q, Seq("vec_id"))
-    val right = withB.select($"vec_id".as("vec_b"), $"bucket",
-      $"q".as("qb"), $"nrm".as("nrm_b"))
-    withB.join(right, Seq("bucket"))
-      .filter($"vec_id" < $"vec_b")
-      .select($"vec_id".as("a"), $"vec_b".as("b"),
-        longArrayDot($"q", $"qb").as("dot"), $"nrm".as("na"), $"nrm_b".as("nb"))
+    withB.as("x").join(withB.as("y"),
+        expr("x.bucket = y.bucket AND x.vec_id < y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        longArrayDot(col("x.q"), col("y.q")).as("dot"),
+        col("x.nrm").as("na"), col("y.nrm").as("nb"))
       .withColumn("cos2",
         ($"dot".cast("double") * $"dot".cast("double")) /
           ($"na".cast("double") * $"nb".cast("double")))
@@ -123,11 +122,11 @@ object Similarity {
            |              (x, w) -> x * w), 0L, (s, v) -> s + v) > 0,
            |           shiftleft(1L, cast(p as int)), 0L))""".stripMargin))
       .select($"vec_id", $"t", $"bucket", $"q", $"nrm")
-    val right = withT.select($"vec_id".as("vec_b"), $"t", $"bucket",
-      $"q".as("qb"), $"nrm".as("nrm_b"))
-    withT.join(right, Seq("t", "bucket"))
-      .filter($"vec_id" < $"vec_b")
-      .select($"vec_id".as("a"), $"vec_b".as("b"), $"q", $"qb", $"nrm", $"nrm_b")
+    withT.as("x").join(withT.as("y"),
+        expr("x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        col("x.q").as("q"), col("y.q").as("qb"),
+        col("x.nrm").as("nrm"), col("y.nrm").as("nrm_b"))
       .distinct()
       .select($"a", $"b", longArrayDot($"q", $"qb").as("dot"),
         $"nrm".as("na"), $"nrm_b".as("nb"))

@@ -158,6 +158,28 @@ object RelationalOps {
       .select($"c_custkey".as("custkey"), $"c_name".as("name"))
       .orderBy($"custkey")
 
+  /** As-of join: each purchase attributed to the user's most recent
+    * preceding view (last-touch attribution). Implemented as
+    * union + last_value window — one shuffle on the user key, no
+    * inequality join and no per-pair state, so it scales like a sort
+    * within partitions. (The composable form Spark lacks a native
+    * operator for; preference order per design notes: compose before
+    * custom plan.)
+    */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).filter($"event_type".isin("view", "purchase"))
+      .select($"event_id", $"user_id", $"event_type", $"ts",
+        when($"event_type" === "view", $"event_id").as("view_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    e.withColumn("last_view_id", last($"view_id", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        coalesce($"last_view_id", lit(-1L)).as("attributed_view_id"))
+      .orderBy($"purchase_id")
+  }
+
   /** Union of two homogeneous branches with provenance tags (reference
     * UserJumpDetailApp.java:115 unions match + timeout streams).
     */
