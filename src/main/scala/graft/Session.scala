@@ -26,6 +26,16 @@ object Session {
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB-backed streaming state: state spills to local disk
+      // instead of living on the JVM heap — the setting that lets the
+      // stateful operators (dedup, CEP, stream-stream joins) carry
+      // 100 TB-scale key cardinalities. Default on; SPARK_GRAFT_HDFS_STATE=1
+      // reverts to the in-memory provider.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.contains("SPARK_GRAFT_HDFS_STATE"))
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String): SparkSession = {
