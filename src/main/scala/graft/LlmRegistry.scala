@@ -289,7 +289,7 @@ object LlmRegistry {
       s"""SELECT doc_id, $modality AS modality,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          |  ${sqlMd5Prefix60("text")} AS checksum60,
-         |  CAST((octet_length(encode(text)) - 1) // 1024 + 1 AS BIGINT) AS n_frames,
+         |  CAST((octet_length(encode(text)) + 1023) // 1024 AS BIGINT) AS n_frames,
          |  ${sqlMd5Prefix60("text")} % 997 AS feat
          |FROM documents ORDER BY doc_id""".stripMargin,
     "pipeline_clean_corpus" ->
@@ -321,7 +321,8 @@ object LlmRegistry {
       s"""WITH m AS (SELECT doc_id, $modality AS modality,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
          |f AS (SELECT doc_id, modality,
-         |  unnest(range(0, (n_bytes - 1) // 1024 + 1)) AS frame_id FROM m)
+         |  unnest(range(0, (n_bytes - 1) // 1024 + 1)) AS frame_id
+         |  FROM m WHERE n_bytes > 0)
          |SELECT doc_id, modality, frame_id FROM f
          |WHERE frame_id % 4 = 0 ORDER BY doc_id, frame_id""".stripMargin)
 }

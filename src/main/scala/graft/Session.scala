@@ -32,7 +32,8 @@ object Session {
       // 100 TB-scale key cardinalities. Default on; SPARK_GRAFT_HDFS_STATE=1
       // reverts to the in-memory provider.
       .config("spark.sql.streaming.stateStore.providerClass",
-        if (sys.env.contains("SPARK_GRAFT_HDFS_STATE"))
+        if (sys.env.get("SPARK_GRAFT_HDFS_STATE")
+            .exists(v => v == "1" || v.equalsIgnoreCase("true")))
           "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
         else
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

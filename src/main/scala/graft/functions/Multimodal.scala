@@ -44,9 +44,11 @@ object Multimodal {
       val hex = md.digest(r.payload).map("%02x".format(_)).mkString
       val checksum60 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
       val nBytes = r.payload.length.toLong
-      // frames = ceil(nBytes / 1KiB) — same count frameSample slices
+      // frames = ceil(nBytes / 1KiB), 0 for empty payloads — same count
+      // frameSample slices ((n-1)/1024+1 would give 1 for n=0 under
+      // Java's truncating division)
       MediaFeatures(r.doc_id, r.modality, nBytes, checksum60,
-        (nBytes - 1) / 1024 + 1, checksum60 % 997)
+        (nBytes + 1023) / 1024, checksum60 % 997)
     }
   }
 
@@ -94,6 +96,7 @@ object Multimodal {
     mediaTable(spark, dir)
       .select($"doc_id", $"modality",
         length($"payload").cast("bigint").as("n_bytes"))
+      .filter($"n_bytes" > 0) // empty payload ⇒ zero frames, not one
       .select($"doc_id", $"modality",
         explode(sequence(lit(0L), expr("(n_bytes - 1) div 1024"))).as("frame_id"))
       .filter($"frame_id" % 4 === 0)

@@ -121,13 +121,17 @@ object Similarity {
            |  acc + IF(aggregate(zip_with(q, planes[CAST(t * $NumPlanes + p AS INT)],
            |              (x, w) -> x * w), 0L, (s, v) -> s + v) > 0,
            |           shiftleft(1L, cast(p as int)), 0L))""".stripMargin))
-      .select($"vec_id", $"t", $"bucket", $"q", $"nrm")
-    withT.as("x").join(withT.as("y"),
+      .select($"vec_id", $"t", $"bucket")
+    // dedup cross-table candidates on the (a, b) KEY, then rejoin the
+    // vectors — distinct() over rows carrying two 64-long arrays would
+    // shuffle and hash ~1 KB per candidate for nothing
+    val cand = withT.as("x").join(withT.as("y"),
         expr("x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        col("x.q").as("q"), col("y.q").as("qb"),
-        col("x.nrm").as("nrm"), col("y.nrm").as("nrm_b"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
+    cand
+      .join(q.select($"vec_id".as("a"), $"q", $"nrm"), Seq("a"))
+      .join(q.select($"vec_id".as("b"), $"q".as("qb"), $"nrm".as("nrm_b")), Seq("b"))
       .select($"a", $"b", longArrayDot($"q", $"qb").as("dot"),
         $"nrm".as("na"), $"nrm_b".as("nb"))
       .withColumn("cos2",

@@ -74,6 +74,12 @@ object CdcRouter {
       pk: String, batch: DataFrame,
       seq: org.apache.spark.sql.Column = monotonically_increasing_id()): Unit = {
     val path = s"$storeDir/$sinkTable"
+    // recover an interrupted swap: if the live table vanished mid-swap,
+    // the .old copy is the last complete table — restore it FIRST
+    val liveF = new java.io.File(path)
+    val oldF = new java.io.File(s"$path.old")
+    if (!liveF.exists() && oldF.exists() && !oldF.renameTo(liveF))
+      throw new java.io.IOException(s"dim-store recovery: cannot restore $oldF")
     val incoming = batch.select(
       $"row".getItem(pk).as("__pk"), $"row", seq.as("__seq"))
     val merged =
@@ -106,13 +112,14 @@ object CdcRouter {
     * foreachBatch body for the streaming job, callable on a batch frame
     * too.
     */
-  def sinkDims(storeDir: String, toDim: DataFrame, config: Seq[TableProcess]): Unit = {
+  def sinkDims(storeDir: String, toDim: DataFrame, config: Seq[TableProcess],
+      seq: org.apache.spark.sql.Column = monotonically_increasing_id()): Unit = {
     val spark = toDim.sparkSession
     config.filter(_.sinkType == "hbase").foreach { tp =>
       val rows = toDim.filter($"sinkTable" === tp.sinkTable)
       if (!rows.isEmpty) {
         mergeDim(spark, storeDir, tp.sinkTable,
-          Option(tp.sinkPk).getOrElse("id"), rows)
+          Option(tp.sinkPk).getOrElse("id"), rows, seq)
       }
     }
   }

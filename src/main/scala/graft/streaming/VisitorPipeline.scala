@@ -123,9 +123,12 @@ object VisitorPipeline {
               pending match {
                 case Some(p) if e.ts < p.pendingTs =>
                   // late arrival from BEFORE the pending entry (crossed a
-                  // micro-batch boundary): it is not a follow-up page, so
-                  // it must not clear the pending bounce candidate
-                  ()
+                  // micro-batch boundary): not a follow-up page, so the
+                  // pending candidate stays. If the late event is itself
+                  // an entry, in event-time order it was followed by the
+                  // pending entry — by the CEP pattern it bounced
+                  // (entry→entry within the window, or silence beyond it)
+                  if (isEntry(e)) out += PageEvent(mid, e.page_id, null, e.ts)
                 case Some(p) if e.ts - p.pendingTs > BounceWindowMs =>
                   out += PageEvent(mid, p.pendingPage, null, p.pendingTs)
                   pending = if (isEntry(e)) Some(BounceState(e.ts, e.page_id)) else None

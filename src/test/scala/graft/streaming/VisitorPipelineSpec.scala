@@ -96,6 +96,23 @@ class VisitorPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a late ENTRY before the pending entry bounces itself") {
+    val ms = MemoryStream[PageEvent](enc, spark)
+    val out = VisitorPipeline.bounceStreaming(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("bounce_late_entry")
+      .outputMode("append").start()
+    try {
+      ms.addData(PageEvent("m8", "home", null, t0)) // pending entry
+      q.processAllAvailable()
+      // late entry 500ms earlier: in event-time order it was followed by
+      // the pending entry => entry->entry pattern, it bounced
+      ms.addData(PageEvent("m8", "home", "", t0 - 500))
+      q.processAllAvailable()
+      val got = spark.table("bounce_late_entry").as[PageEvent](enc).collect()
+      assert(got.exists(e => e.mid == "m8" && e.ts == t0 - 500))
+    } finally q.stop()
+  }
+
   import graft.ColStr // $ interpolator for DataFrame twin
 
   test("streaming semantics match the batch lead() twin on a closed input") {
