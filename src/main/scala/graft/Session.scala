@@ -42,8 +42,9 @@ object Session {
   def get(appName: String): SparkSession = {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // engine SQL surface (tokenize_explode etc.); idempotent
-    org.apache.spark.sql.graftexpr.TokenizeExplode.register(s)
+    // engine SQL surface (tokenize_explode, md5_prefix60, minhash_sig,
+    // simhash_fp, word_shingles, long_array_dot); idempotent
+    org.apache.spark.sql.graftexpr.GraftFunctions.registerAll(s)
     s
   }
 }

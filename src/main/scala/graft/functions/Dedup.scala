@@ -20,27 +20,26 @@ object Dedup {
 
   // ---- shared shapes ----------------------------------------------------
 
-  /** Distinct word 3-shingles per doc, hashed into the 31-bit ring.
-    * The shingle stream is a rolling 3-word window — the rolling-hash
-    * fingerprint stream of the document.
+  import graft.plans.ArrayOps.{minhashSig, simhashFp, wordShingles}
+
+  /** Distinct word 3-shingles per doc, as one array column per document
+    * — a NARROW projection (codegen'd [[wordShingles]] kernel), so the
+    * shingle stream never crosses a shuffle: downstream operators
+    * aggregate or join on per-doc derivatives (signatures, band keys),
+    * one row per document.
     */
+  def shingleArrays(docs: DataFrame): DataFrame =
+    docs.select($"doc_id",
+        array_distinct(wordShingles(TextAnalysis.tokens($"text"), 3)).as("sh_arr"))
+      .filter(size($"sh_arr") > 0)
+
+  /** Exploded view of [[shingleArrays]] (one row per distinct shingle). */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(documents(spark, dir))
 
   /** Core of [[shingles]] over any (doc_id, text) frame. */
-  def shinglesOf(docs: DataFrame): DataFrame = {
-    val toks = TextAnalysis.tokens($"text")
-    docs
-      .select($"doc_id", toks.as("toks"))
-      // guard: sequence(0, -1) in Spark is DESCENDING [0, -1], so a
-      // <3-token doc would emit spurious short pseudo-shingles; emit none
-      .select($"doc_id", explode(expr(
-        "CASE WHEN size(toks) >= 3 THEN " +
-          "transform(sequence(0, size(toks) - 3), i -> " +
-          "concat_ws(' ', toks[i], toks[i+1], toks[i+2])) " +
-          "ELSE array() END")).as("shingle"))
-      .distinct()
-  }
+  def shinglesOf(docs: DataFrame): DataFrame =
+    shingleArrays(docs).select($"doc_id", explode($"sh_arr").as("shingle"))
 
   /** DuckDB twin of [[shingles]] as a CTE body. */
   def sqlShingles: String =
@@ -71,21 +70,20 @@ object Dedup {
   val BandRows = 4
   val NumBands: Int = NumPerm / BandRows // 4
 
-  /** MinHash signature as one wide aggregation: NumPerm `min` aggregates
-    * over the shingle hashes in a single groupBy(doc_id) pass — no
-    * perm-explode (the first cut exploded shingles × NumPerm and was the
-    * bottleneck of the pairs query). Partial min happens map-side; the
-    * shuffle carries one row per doc. Output: doc_id, sig: array<bigint>.
+  /** MinHash signature as one NARROW pass: the codegen'd [[minhashSig]]
+    * kernel folds all NumPerm permutations over the rolling-shingle
+    * array inside the scan stage — no explode, no groupBy, no shuffle.
+    * (History: v1 exploded shingles × NumPerm; v2 was a 16-column min
+    * aggregation whose shuffle carried one row per doc; this form never
+    * shuffles at all.) Duplicate shingles cannot change a min, so the
+    * kernel runs on the raw (non-distinct) shingle array.
+    * Output: doc_id, sig: array<bigint>.
     */
-  def minhashSignatureArray(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until NumPerm).map(j =>
-      min((lit(minhashA(j)) * $"h" + lit(minhashB(j))) % P31).as(s"mh_$j"))
-    shingles(spark, dir)
-      .select($"doc_id", md5Hash31($"shingle").as("h"))
-      .groupBy($"doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select($"doc_id", array((0 until NumPerm).map(j => col(s"mh_$j")): _*).as("sig"))
-  }
+  def minhashSignatureArray(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select($"doc_id", wordShingles(TextAnalysis.tokens($"text"), 3).as("sh"))
+      .filter(size($"sh") > 0) // <3-token docs have no shingles → no row
+      .select($"doc_id", minhashSig($"sh", NumPerm).as("sig"))
 
   /** Long-form signatures (doc_id, j, mh) — the oracle-facing view. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
@@ -131,24 +129,19 @@ object Dedup {
   /** 48-bit SimHash per doc: per-token 60-bit hashes vote ±1 per bit;
     * the sign vector is the fingerprint.
     *
-    * One aggregation pass: per bit i, `2·count(bit set) > n_tokens` ⟺
-    * the ±1 vote sum is positive, so the whole fingerprint is 48 columnar
-    * conditional-sum aggregates + one projection — no bit-explode (the
-    * first cut exploded tokens × 48 and was 10× slower). One row per doc
-    * crosses the shuffle.
+    * One NARROW pass: the codegen'd [[simhashFp]] kernel accumulates all
+    * 48 bit votes over the token array inside the scan stage — no token
+    * explode, no groupBy, no shuffle. (History: v1 exploded tokens × 48
+    * bits; v2 was a 48-column conditional-sum aggregation; this form
+    * keeps the token stream inside the scan.) Bit i is set iff
+    * 2·count(bit set) > n_tokens — the majority-vote form.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val bitCounts = (0 until SimBits).map(i =>
-      sum(shiftright($"h", i).bitwiseAND(lit(1L))).as(s"c_$i"))
-    val sim = (0 until SimBits).map(i =>
-      when(lit(2L) * col(s"c_$i") > $"n", lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    val toks = TextAnalysis.tokens($"text")
     documents(spark, dir)
-      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
-      .select($"doc_id", md5Prefix60($"tok").as("h"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n"), bitCounts: _*)
-      .select($"doc_id", sim.as("simhash"))
+      .select($"doc_id", toks.as("toks"))
+      .filter(size($"toks") > 0) // token-less docs had no rows to group
+      .select($"doc_id", simhashFp($"toks", SimBits).as("simhash"))
       .orderBy($"doc_id")
   }
 
@@ -188,20 +181,27 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs: candidate pairs share ≥1
     * non-stop shingle; J = |∩| / |∪| computed exactly from per-doc
     * shingle counts; keep J ≥ 0.5.
+    *
+    * The per-doc set size rides along with each exploded shingle row
+    * (it's a narrow `size(sh_arr)` projection), so both |A| and |B| are
+    * already on the candidate rows after the self-join — no separate
+    * sizes aggregation and no post-join size lookups. Shuffles: the DF
+    * count, the shingle-key candidate join, the pair groupBy.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val sh = shingleArrays(documents(spark, dir))
+      .select($"doc_id", size($"sh_arr").cast("bigint").as("n_sh"),
+        explode($"sh_arr").as("shingle"))
     val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" <= DfCap)
     val rare = sh.join(df.select($"shingle"), Seq("shingle"))
-    val inter = rare.as("x").join(rare.as("y"),
+    rare.as("x").join(rare.as("y"),
         expr("x.shingle = y.shingle AND x.doc_id < y.doc_id"))
-      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("doc_b"))
-      .groupBy($"doc_id", $"doc_b").agg(count(lit(1)).as("n_inter"))
-    val szB = sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_sh_b"))
-    inter.join(sizes, Seq("doc_id")).join(szB, Seq("doc_b"))
-      .select($"doc_id".as("a"), $"doc_b".as("b"),
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.n_sh").as("n_sh"), col("y.n_sh").as("n_sh_b"))
+      .groupBy($"a", $"b", $"n_sh", $"n_sh_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .select($"a", $"b",
         ($"n_inter".cast("double") /
           ($"n_sh" + $"n_sh_b" - $"n_inter").cast("double")).as("jaccard"))
       .filter($"jaccard" >= 0.5)

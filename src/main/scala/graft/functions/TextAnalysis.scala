@@ -99,7 +99,7 @@ object TextAnalysis {
     val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
     documents(spark, dir)
       .select($"doc_id", md5(norm).as("fp_md5"),
-        Hashing.md5Prefix60(norm).as("fp60"))
+        graft.plans.ArrayOps.md5Prefix60(norm).as("fp60"))
       .orderBy($"doc_id")
   }
 

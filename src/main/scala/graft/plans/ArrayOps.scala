@@ -12,4 +12,16 @@ object ArrayOps {
 
   def longArrayNormSq(a: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.longArrayNormSq(a)
+
+  def md5Prefix60(c: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.md5Prefix60(c)
+
+  def wordShingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.wordShingles(c, n)
+
+  def minhashSig(c: Column, numPerm: Int): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.minhashSig(c, numPerm)
+
+  def simhashFp(c: Column, bits: Int): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.simhashFp(c, bits)
 }

@@ -71,4 +71,20 @@ object GraftExpressions {
 
   /** Squared L2 norm of an array<bigint> column. */
   def longArrayNormSq(a: Column): Column = longArrayDot(a, a)
+
+  /** 60-bit md5-prefix hash of a string column (codegen'd). */
+  def md5Prefix60(c: Column): Column =
+    ExpressionUtils.column(Md5Prefix60(ExpressionUtils.expression(c)))
+
+  /** Rolling n-word shingles of a token-array column (codegen'd). */
+  def wordShingles(c: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(c), n))
+
+  /** MinHash signature array of a shingle-array column (codegen'd). */
+  def minhashSig(c: Column, numPerm: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), numPerm))
+
+  /** SimHash fingerprint of a token-array column (codegen'd). */
+  def simhashFp(c: Column, bits: Int): Column =
+    ExpressionUtils.column(SimHashFp(ExpressionUtils.expression(c), bits))
 }

@@ -57,10 +57,56 @@ object TokenizeExplode {
       "tokenize_explode", build, "scala_udf")
 }
 
+/** SQL surface of the engine's custom expressions. Each builder parses
+  * its literal int parameters at analysis time so a malformed call fails
+  * the query analysis, not the executor.
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT parameter, got $other")
+  }
+
+  /** (name, arity check + construction) for every scalar expression. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "md5_prefix60" -> { exprs =>
+      require(exprs.length == 1, s"md5_prefix60 expects 1 argument, got ${exprs.length}")
+      Md5Prefix60(exprs.head)
+    },
+    "word_shingles" -> { exprs =>
+      require(exprs.length == 2, s"word_shingles expects 2 arguments, got ${exprs.length}")
+      WordShingles(exprs.head, litInt(exprs(1), "word_shingles"))
+    },
+    "minhash_sig" -> { exprs =>
+      require(exprs.length == 2, s"minhash_sig expects 2 arguments, got ${exprs.length}")
+      MinHashSig(exprs.head, litInt(exprs(1), "minhash_sig"))
+    },
+    "simhash_fp" -> { exprs =>
+      require(exprs.length == 2, s"simhash_fp expects 2 arguments, got ${exprs.length}")
+      SimHashFp(exprs.head, litInt(exprs(1), "simhash_fp"))
+    },
+    "long_array_dot" -> { exprs =>
+      require(exprs.length == 2, s"long_array_dot expects 2 arguments, got ${exprs.length}")
+      LongArrayDot(exprs.head, exprs(1))
+    })
+
+  /** Runtime registration of the full engine SQL surface (idempotent). */
+  def registerAll(spark: SparkSession): Unit = {
+    TokenizeExplode.register(spark)
+    builders.foreach { case (name, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, build, "scala_udf")
+    }
+  }
+}
+
 /** Plugin-style registration: set
   * `spark.sql.extensions=org.apache.spark.sql.graftexpr.GraftExtensions`
-  * and the function exists in every session — the packaging a deployed
-  * cluster would use; [[TokenizeExplode.register]] is the embedded form.
+  * and the functions exist in every session — the packaging a deployed
+  * cluster would use; [[GraftFunctions.registerAll]] is the embedded form.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
@@ -69,5 +115,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TokenizeExplode].getName, "tokenize_explode"),
       (exprs: Seq[Expression]) => TokenizeExplode.build(exprs)))
+    GraftFunctions.builders.foreach { case (name, build) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(getClass.getName, name),
+        build))
+    }
   }
 }
