@@ -30,10 +30,13 @@ object Dedup {
     */
   def shingleArrays(docs: DataFrame): DataFrame =
     docs.select($"doc_id",
-        array_distinct(wordShingles(TextAnalysis.tokens($"text"), 3)).as("sh_arr"))
-      .filter(size($"sh_arr") > 0)
+      array_distinct(wordShingles(TextAnalysis.tokens($"text"), 3)).as("sh_arr"))
 
-  /** Exploded view of [[shingleArrays]] (one row per distinct shingle). */
+  /** Exploded view of [[shingleArrays]] (one row per distinct shingle).
+    * No size filter needed: exploding an empty array emits no rows, and
+    * a pushed-down size predicate would re-evaluate the shingle kernel
+    * inside the filter condition.
+    */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(documents(spark, dir))
 
@@ -107,9 +110,10 @@ object Dedup {
       posexplode(expr(s"transform(sequence(0, ${NumBands - 1}), b -> " +
         s"concat_ws('_', slice(sig, b * $BandRows + 1, $BandRows)))")))
       .select($"doc_id", $"sig", $"pos".as("band"), $"col".as("bandsig"))
-    // bucket equi-join on (band, bandsig) — alias self-join so the
-    // shuffled band frame is a ReusedExchange (signatures computed once)
-    bands.as("x").join(bands.as("y"),
+    // bucket equi-join on (band, bandsig), forced shuffle_hash: the band
+    // frame is the whole corpus — broadcasting it is the wrong shape at
+    // scale, and the shuffle makes the second side a ReusedExchange
+    bands.as("x").join(bands.as("y").hint("shuffle_hash"),
         expr("x.band = y.band AND x.bandsig = y.bandsig AND x.doc_id < y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.sig").as("sig"), col("y.sig").as("sig_b"))
@@ -159,7 +163,7 @@ object Dedup {
         explode(expr("sequence(0, 3)")).as("blk"))
       .withColumn("blkval",
         expr("shiftright(simhash, cast(blk * 12 as int))").bitwiseAND(lit(4095L)))
-    withBlk.as("x").join(withBlk.as("y"),
+    withBlk.as("x").join(withBlk.as("y").hint("shuffle_hash"),
         expr("x.blk = y.blk AND x.blkval = y.blkval AND x.doc_id < y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.simhash").as("simhash"), col("y.simhash").as("sim_b")).distinct()
@@ -194,8 +198,13 @@ object Dedup {
         explode($"sh_arr").as("shingle"))
     val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" <= DfCap)
-    val rare = sh.join(df.select($"shingle"), Seq("shingle"))
-    rare.as("x").join(rare.as("y"),
+    // shuffle_hash, NOT broadcast: `df` is the full shingle vocabulary —
+    // at corpus scale it cannot broadcast, and shuffling both joins on
+    // the shingle key lets the self-join below reuse the partitioning
+    // (one exchange, ReusedExchange on the second side) instead of
+    // broadcasting the exploded corpus.
+    val rare = sh.join(df.select($"shingle").hint("shuffle_hash"), Seq("shingle"))
+    rare.as("x").join(rare.as("y").hint("shuffle_hash"),
         expr("x.shingle = y.shingle AND x.doc_id < y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.n_sh").as("n_sh"), col("y.n_sh").as("n_sh_b"))

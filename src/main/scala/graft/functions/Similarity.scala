@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft._
 import Hashing._
@@ -54,20 +54,30 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
-  /** LSH bucket id per vector: sign bits of NumPlanes integer-hyperplane
-    * projections. Exact integer dot products → deterministic buckets.
+  /** Bucket-id column: sign bits of NumPlanes integer-hyperplane
+    * projections of `q` — codegen'd [[longArrayDot]] per plane, so the
+    * bucket is a narrow per-row derivation (no join, no lambda
+    * dispatch). Exact integer dot products → deterministic buckets.
     */
-  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val planes = typedlit((0 until NumPlanes).map(p =>
-      (0 until Dim).map(i => planeWeight(p, i))))
+  private def bucketCol: Column =
+    (0 until NumPlanes).map { p =>
+      val plane = typedlit((0 until Dim).map(i => planeWeight(p, i)))
+      when(longArrayDot($"q", plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Corpus with bucket and norm attached — all narrow projections over
+    * one scan (bucket and norm derive from the vector itself; v1 joined
+    * the bucket frame back to the vectors, a pointless self-join).
+    */
+  private def bucketed(spark: SparkSession, dir: String): DataFrame =
     Dedup.quantized(spark, dir)
-      .withColumn("planes", planes)
-      .select($"vec_id", $"label", expr(
-        """aggregate(sequence(0, 7), 0L, (acc, p) ->
-          |  acc + IF(aggregate(zip_with(q, planes[p], (x, w) -> x * w),
-          |              0L, (s, v) -> s + v) > 0,
-          |           shiftleft(1L, cast(p as int)), 0L))""".stripMargin).as("bucket"))
-  }
+      .select($"vec_id", $"q", longArrayNormSq($"q").as("nrm"),
+        bucketCol.as("bucket"))
+
+  /** LSH bucket id per vector: oracle-facing view of [[bucketed]]. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    Dedup.quantized(spark, dir)
+      .select($"vec_id", $"label", bucketCol.as("bucket"))
 
   /** Near-dup pairs, LSH-bucketed (the 100 TB path of
     * [[Dedup.embeddingNearDup]]): candidate pairs only within a bucket,
@@ -83,10 +93,10 @@ object Similarity {
     * the same join shape repeated.
     */
   def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val q = Dedup.quantized(spark, dir).select($"vec_id", $"q")
-      .withColumn("nrm", longArrayNormSq($"q"))
-    val withB = lshBuckets(spark, dir).select($"vec_id", $"bucket").join(q, Seq("vec_id"))
-    withB.as("x").join(withB.as("y"),
+    val withB = bucketed(spark, dir)
+    // shuffle on the bucket key — broadcasting the corpus side would be
+    // the wrong shape at scale (and defeats ReusedExchange here)
+    withB.as("x").join(withB.as("y").hint("shuffle_hash"),
         expr("x.bucket = y.bucket AND x.vec_id < y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         longArrayDot(col("x.q"), col("y.q")).as("dot"),
@@ -109,23 +119,24 @@ object Similarity {
     * [[lshNearDupPairs]].
     */
   def lshNearDupPairsMulti(spark: SparkSession, dir: String): DataFrame = {
-    val planes = typedlit(Seq.tabulate(NumTables * NumPlanes)(pt =>
-      Seq.tabulate(Dim)(i => planeWeight(pt, i))))
     val q = Dedup.quantized(spark, dir).select($"vec_id", $"q")
       .withColumn("nrm", longArrayNormSq($"q"))
+    // all NumTables buckets in one narrow projection (codegen'd dots,
+    // table pt uses planes pt*NumPlanes..pt*NumPlanes+7), then explode
+    // the 4-element array — the per-table bucket stream never joins back
+    val buckets = array((0 until NumTables).map { t =>
+      (0 until NumPlanes).map { p =>
+        val plane = typedlit((0 until Dim).map(i => planeWeight(t * NumPlanes + p, i)))
+        when(longArrayDot($"q", plane) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
     val withT = q
-      .withColumn("t", explode(sequence(lit(0), lit(NumTables - 1))))
-      .withColumn("planes", planes)
-      .withColumn("bucket", expr(
-        s"""aggregate(sequence(0, ${NumPlanes - 1}), 0L, (acc, p) ->
-           |  acc + IF(aggregate(zip_with(q, planes[CAST(t * $NumPlanes + p AS INT)],
-           |              (x, w) -> x * w), 0L, (s, v) -> s + v) > 0,
-           |           shiftleft(1L, cast(p as int)), 0L))""".stripMargin))
-      .select($"vec_id", $"t", $"bucket")
+      .select($"vec_id", posexplode(buckets))
+      .select($"vec_id", $"pos".as("t"), $"col".as("bucket"))
     // dedup cross-table candidates on the (a, b) KEY, then rejoin the
     // vectors — distinct() over rows carrying two 64-long arrays would
     // shuffle and hash ~1 KB per candidate for nothing
-    val cand = withT.as("x").join(withT.as("y"),
+    val cand = withT.as("x").join(withT.as("y").hint("shuffle_hash"),
         expr("x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
@@ -148,12 +159,11 @@ object Similarity {
     * without changing the join shape.
     */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val q = Dedup.quantized(spark, dir).select($"vec_id", $"q")
-    val withB = lshBuckets(spark, dir).select($"vec_id", $"bucket")
-      .join(q, Seq("vec_id"))
-    val queries = withNorm(withB.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"bucket".as("qbucket"), $"q".as("qv")), "qv", "q")
-    val corpus = withNorm(withB, "q", "c")
+    val withB = bucketed(spark, dir)
+    val queries = withB.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"bucket".as("qbucket"),
+        $"q".as("qv"), $"nrm".as("qnorm"))
+    val corpus = withB.withColumnRenamed("nrm", "cnorm")
     val scored = corpus.join(broadcast(queries),
         $"bucket" === $"qbucket" && $"query_id" =!= $"vec_id")
       .withColumn("dot", longArrayDot($"q", $"qv"))
