@@ -22,6 +22,7 @@ object GmallRegistry {
     "j5_semi_join" -> (RelationalOps.semiJoin _),
     "j6_anti_join" -> (RelationalOps.antiJoin _),
     "j7_asof_attribution" -> (RelationalOps.asofAttribution _),
+    "j8_asof_native" -> (RelationalOps.asofAttributionNative _),
     "u1_tagged_union" -> (RelationalOps.taggedUnion _),
     "p1_json_parse" -> (EventOps.jsonParse _),
     "p6_datetime_derive" -> (EventOps.datetimeDerive _),
@@ -108,6 +109,23 @@ object GmallRegistry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |ORDER BY custkey""".stripMargin,
     "j7_asof_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (SELECT event_id, user_id, event_type,
+        |    last_value(view_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_id
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id,
+        |  coalesce(last_view_id, -1) AS attributed_view_id
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+    // the native as-of exec implements exactly the window-form contract
+    // (strict lexicographic (ts, event_id) predecessor), so its oracle
+    // is the same query
+    "j8_asof_native" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, ts,
         |    CASE WHEN event_type = 'view' THEN event_id END AS view_id

@@ -246,9 +246,16 @@ object Dedup {
     import graft.plans.ArrayOps._
     // Norms once per vector (not per pair); dot via the codegen'd
     // LongArrayDot — the pair join is then a single tight loop per row.
+    // The stream side is hash-spread before the O(n²) nested-loop join:
+    // the scan may be a single input split, and a pairwise scan must
+    // run one partition per core, not one per file.
     val q = quantized(spark, dir).select($"vec_id", $"q")
       .withColumn("nrm", longArrayNormSq($"q"))
-    q.as("x").join(q.as("y"), expr("x.vec_id < y.vec_id"))
+    // explicit partition count: AQE would coalesce a column-only
+    // repartition of a small input back to one partition, and the cost
+    // here is pairwise compute, not data volume
+    val par = spark.sparkContext.defaultParallelism
+    q.repartition(par, $"vec_id").as("x").join(q.as("y"), expr("x.vec_id < y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         longArrayDot(col("x.q"), col("y.q")).as("dot"),
         col("x.nrm").as("na"), col("y.nrm").as("nb"))

@@ -40,7 +40,11 @@ object Similarity {
     val q = Dedup.quantized(spark, dir).select($"vec_id", $"q")
     val queries = withNorm(q.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"q".as("qv")), "qv", "q")
+    // corpus side hash-spread before the corpus × queries scan (the
+    // single-file scan would otherwise score every pair in one task;
+    // explicit count so AQE doesn't coalesce the tiny input back to one)
     val corpus = withNorm(q.select($"vec_id", $"q"), "q", "c")
+      .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
     val scored = corpus.join(broadcast(queries), $"query_id" =!= $"vec_id")
       .withColumn("dot", longArrayDot($"q", $"qv"))
       .withColumn("cosine",

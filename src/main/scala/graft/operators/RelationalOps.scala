@@ -180,6 +180,34 @@ object RelationalOps {
       .orderBy($"purchase_id")
   }
 
+  /** Same attribution via the engine's NATIVE as-of join operator
+    * ([[org.apache.spark.sql.graftexpr.AsOfJoinExec]]): purchases as-of
+    * joined to views on user_id, ordered by (ts, event_id), strict. One
+    * shuffle per side on the user key and a single merge pass per
+    * partition — unlike the window form, the views stream is never
+    * unioned into the purchase stream, so each side scans and prunes
+    * independently (at scale: views >> purchases; the purchase side
+    * shuffle is tiny).
+    */
+  def asofAttributionNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val views = e.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("view_user_id"),
+        $"ts".as("view_ts"))
+    // key user_id; order (ts, event_id) strict — identical tie semantics
+    // to the window form (a view at the same ts with a smaller event_id
+    // counts as preceding)
+    org.apache.spark.sql.graftexpr.AsOf.join(purchases, views,
+        leftKeys = Seq("user_id"), rightKeys = Seq("view_user_id"),
+        leftOrder = Seq("ts", "event_id"), rightOrder = Seq("view_ts", "view_id"),
+        strict = true)
+      .select($"event_id".as("purchase_id"), $"user_id",
+        coalesce($"view_id", lit(-1L)).as("attributed_view_id"))
+      .orderBy($"purchase_id")
+  }
+
   /** Union of two homogeneous branches with provenance tags (reference
     * UserJumpDetailApp.java:115 unions match + timeout streams).
     */

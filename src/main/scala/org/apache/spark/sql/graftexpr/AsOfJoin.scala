@@ -1,0 +1,201 @@
+package org.apache.spark.sql.graftexpr
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join: for each left row, attach the LAST right row with
+  * the same key whose ordering tuple is < (strict) or <= (inclusive) the
+  * left row's — last-touch attribution, price-as-of-trade, etc. Left
+  * outer flavor: unmatched left rows keep nulls on the right.
+  *
+  * This is the custom-operator tier of the engine (logical node →
+  * strategy → physical exec, injected via [[GraftExtensions]] or
+  * [[GraftFunctions.registerAll]]): Spark has no as-of relational
+  * operator, and the composable alternatives either blow up (theta join:
+  * every right row with ord <= left.ord, then argmax — quadratic within
+  * key groups) or require unioning both inputs into one stream for a
+  * window pass ([[graft.operators.RelationalOps.asofAttribution]]).
+  *
+  * Scale shape: both sides hash-cluster on the key (one shuffle each,
+  * same as any equi-join) and sort within partitions by (key, order) —
+  * then a single forward merge pass per partition: O(n log n) in the
+  * partition, O(1) state (one candidate row), no per-key buffering. At
+  * 100 TB this behaves exactly like a sort-merge join; AQE handles skew
+  * the same way.
+  *
+  * Ordering tuples compare lexicographically (natural ascending, nulls
+  * first per Spark sort semantics); rows with null keys compare equal to
+  * null keys, matching sort-merge grouping rather than SQL equi-join
+  * null semantics — callers filter null keys if they need the latter.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftOrder: Seq[Expression],
+    rightOrder: Seq[Expression],
+    strict: Boolean) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val resolved: Boolean =
+    childrenResolved &&
+      (leftKeys ++ rightKeys ++ leftOrder ++ rightOrder).forall(_.resolved) &&
+      leftKeys.map(_.dataType) == rightKeys.map(_.dataType) &&
+      leftOrder.map(_.dataType) == rightOrder.map(_.dataType)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] as [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lo, ro, strict) =>
+      AsOfJoinExec(lk, rk, lo, ro, strict, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join exec: requires both children clustered on the
+  * join key and sorted by (key, order); emits one output row per left
+  * row in a single merge pass.
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftOrder: Seq[Expression],
+    rightOrder: Seq[Expression],
+    strict: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys ++ leftOrder).map(SortOrder(_, Ascending)),
+    (rightKeys ++ rightOrder).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys ++ leftOrder).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val strictCmp = strict
+    val lk = leftKeys
+    val rk = rightKeys
+    val lo = leftOrder
+    val ro = rightOrder
+    val keyTypes = leftKeys.map(_.dataType)
+    val ordTypes = leftOrder.map(_.dataType)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val lOrdProj = UnsafeProjection.create(lo, lOut)
+      val rOrdProj = UnsafeProjection.create(ro, rOut)
+      val keyOrdering = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val ordOrdering = RowOrdering.createNaturalAscendingOrdering(ordTypes)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      new Iterator[InternalRow] {
+        // candidate: last right row seen whose (key, ord) passed the
+        // bound for the PREVIOUS left rows; re-validated per left row
+        private var candidate: InternalRow = _
+        private var candidateKey: InternalRow = _
+        private var rHead: InternalRow = _
+        private var rHeadKey: InternalRow = _
+        private var rHeadOrd: InternalRow = _
+        private def advanceRight(): Unit = {
+          if (rIter.hasNext) {
+            rHead = rIter.next()
+            rHeadKey = rKeyProj(rHead).copy()
+            rHeadOrd = rOrdProj(rHead).copy()
+          } else { rHead = null; rHeadKey = null; rHeadOrd = null }
+        }
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          val lOrd = lOrdProj(lRow)
+          // consume right rows whose (key, ord) is within this left
+          // row's bound; the last one becomes the candidate
+          var continue = rHead != null
+          while (continue) {
+            val kc = keyOrdering.compare(rHeadKey, lKey)
+            val within = kc < 0 || (kc == 0 && {
+              val oc = ordOrdering.compare(rHeadOrd, lOrd)
+              if (strictCmp) oc < 0 else oc <= 0
+            })
+            if (within) {
+              candidate = rHead.copy()
+              candidateKey = rHeadKey
+              advanceRight()
+              continue = rHead != null
+            } else continue = false
+          }
+          val matched = candidate != null && keyOrdering.compare(candidateKey, lKey) == 0
+          outProj(joined(lRow, if (matched) candidate else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-facing API for the native as-of join. */
+object AsOf {
+  /** Left as-of join `left` with `right`: equal keys, last right row
+    * whose order tuple is below the left row's (strictly if `strict`).
+    * Key/order columns are named per side; use distinct output column
+    * names across the two sides. The right side is re-aliased internally
+    * so self-joins (both sides derived from the same table) are safe.
+    */
+  def join(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftOrder: Seq[String], rightOrder: Seq[String],
+      strict: Boolean): DataFrame = {
+    val spark = left.sparkSession
+    // fresh exprIds on the right side (Alias always mints new ids) so a
+    // self-join can't produce ambiguous attribute references
+    val r = right.select(right.columns.map(c => right(c).as(c)).toIndexedSeq: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attrs(plan: LogicalPlan, names: Seq[String]): Seq[Expression] =
+      names.map(n => plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of join: column $n not in [${plan.output.map(_.name).mkString(", ")}]")))
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      AsOfJoin(lPlan, rPlan,
+        attrs(lPlan, leftKeys), attrs(rPlan, rightKeys),
+        attrs(lPlan, leftOrder), attrs(rPlan, rightOrder), strict))
+  }
+
+  /** Same-name convenience overload. */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      order: Seq[String], strict: Boolean): DataFrame =
+    join(left, right, keys, keys, order, order, strict)
+}

@@ -100,6 +100,10 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, build, "scala_udf")
     }
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
   }
 }
 
@@ -121,5 +125,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(getClass.getName, name),
         build))
     }
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftexpr.AsOf
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Native as-of join exec: semantics (backward match, strict vs
+  * inclusive, unmatched rows, tie-breaks, partition boundaries) and
+  * equivalence with the composed window form on the events table.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def trades = Seq(
+    // (trade_id, sym, t)
+    (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "b", 5L),
+    (5L, "c", 100L)
+  ).toDF("trade_id", "sym", "t")
+
+  private def quotes = Seq(
+    // (quote_id, qsym, qt, px)
+    (100L, "a", 5L, 1.0), (101L, "a", 20L, 2.0), (102L, "a", 30L, 3.0),
+    (103L, "b", 6L, 9.0) // after b's only trade
+  ).toDF("quote_id", "qsym", "qt", "px")
+
+  private def run(strict: Boolean): Map[Long, Any] =
+    AsOf.join(trades, quotes,
+        leftKeys = Seq("sym"), rightKeys = Seq("qsym"),
+        leftOrder = Seq("t"), rightOrder = Seq("qt"), strict = strict)
+      .select($"trade_id", $"quote_id")
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+
+  test("inclusive backward as-of picks the last quote at-or-before") {
+    val m = run(strict = false)
+    assert(m(1L) == 100L) // t=10: quote at 5
+    assert(m(2L) == 101L) // t=20: quote AT 20 (inclusive)
+    assert(m(3L) == 101L)
+    assert(m(4L) == null) // b: only quote is after the trade
+    assert(m(5L) == null) // c: no quotes at all
+  }
+
+  test("strict backward as-of excludes equal order values") {
+    val m = run(strict = true)
+    assert(m(1L) == 100L)
+    assert(m(2L) == 100L) // quote at 20 excluded under strict
+    assert(m(4L) == null)
+  }
+
+  test("last-of-several: the greatest matching order value wins") {
+    val l = Seq((1L, "k", 100L)).toDF("lid", "k", "t")
+    val r = Seq((10L, "k", 1L), (11L, "k", 50L), (12L, "k", 99L), (13L, "k", 101L))
+      .toDF("rid", "rk", "rt")
+    val got = AsOf.join(l, r, Seq("k"), Seq("rk"), Seq("t"), Seq("rt"),
+      strict = false).select($"rid").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(12L))
+  }
+
+  test("composite order tuple breaks ties lexicographically") {
+    val l = Seq((1L, "k", 10L, 5L)).toDF("lid", "k", "t", "seq")
+    val r = Seq((20L, "k", 10L, 4L), (21L, "k", 10L, 5L), (22L, "k", 10L, 6L))
+      .toDF("rid", "rk", "rt", "rseq")
+    val strictGot = AsOf.join(l, r, Seq("k"), Seq("rk"),
+        Seq("t", "seq"), Seq("rt", "rseq"), strict = true)
+      .select($"rid").collect().map(_.getLong(0)).toSeq
+    assert(strictGot == Seq(20L)) // (10,4) < (10,5); (10,5) excluded
+    val inclGot = AsOf.join(l, r, Seq("k"), Seq("rk"),
+        Seq("t", "seq"), Seq("rt", "rseq"), strict = false)
+      .select($"rid").collect().map(_.getLong(0)).toSeq
+    assert(inclGot == Seq(21L)) // (10,5) allowed
+  }
+
+  test("many keys across partitions: equivalent to the window form") {
+    val dir = "/root/testdata/sf0.01"
+    val native = graft.operators.RelationalOps.asofAttributionNative(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val composed = graft.operators.RelationalOps.asofAttribution(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(native.nonEmpty)
+    assert(native == composed)
+  }
+
+  test("physical plan uses AsOfJoinExec with one shuffle per side") {
+    val df = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"),
+      Seq("t"), Seq("qt"), strict = false)
+    // SparkPlan.nodeName strips the Exec suffix
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+  }
+}
