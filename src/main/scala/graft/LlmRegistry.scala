@@ -40,6 +40,8 @@ object LlmRegistry {
         .selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "bucket")
         .orderBy("vec_id")),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
+    "sim_lsh_topk_multiprobe" -> (Similarity.lshTopKMultiProbe _),
+    "sim_ivf_topk" -> (Similarity.ivfTopK _),
     "dedup_embedding_lsh" -> (Similarity.lshNearDupPairs _),
     "dedup_embedding_lsh_multi" -> (Similarity.lshNearDupPairsMulti _),
     "mm_media_meta" -> (Multimodal.mediaMeta _),
@@ -247,6 +249,48 @@ object LlmRegistry {
          |SELECT vec_id, CAST(label AS BIGINT) AS label, $bucketExpr AS bucket
          |FROM qz ORDER BY vec_id""".stripMargin,
     "sim_lsh_topk" -> topkSql(bucketJoin = true),
+    "sim_lsh_topk_multiprobe" ->
+      s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+         |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),
+         |b AS (SELECT vec_id, q, norm, $bucketExpr AS bucket FROM n),
+         |qs AS (SELECT vec_id AS query_id, q AS qv, norm AS qnorm, bucket
+         |  FROM b WHERE vec_id < ${Similarity.NumQueries}),
+         |probes AS (SELECT query_id, qv, qnorm,
+         |    unnest([bucket] || list_transform(range(${Similarity.NumPlanes}),
+         |      p -> xor(bucket, 1::BIGINT << CAST(p AS INT)))) AS probe
+         |  FROM qs),
+         |scored AS (SELECT p.query_id, c.vec_id,
+         |    CAST(${listDot("c.q", "p.qv")} AS DOUBLE) /
+         |      sqrt(CAST(c.norm AS DOUBLE) * CAST(p.qnorm AS DOUBLE)) AS cosine
+         |  FROM b c JOIN probes p ON c.bucket = p.probe AND c.vec_id <> p.query_id),
+         |ranked AS (SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
+         |    vec_id AS neighbor_id, cosine
+         |  FROM scored)
+         |SELECT * FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+         |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),
+         |cents AS (SELECT vec_id AS cent_id, q AS cv, norm AS cnorm2
+         |  FROM n WHERE vec_id < ${Similarity.NumCells}),
+         |asg0 AS (SELECT n.vec_id, n.q, n.norm, c.cent_id,
+         |    c.cnorm2 - 2 * ${listDot("n.q", "c.cv")} AS s
+         |  FROM n CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, q, norm, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cent_id) AS rn
+         |  FROM asg0),
+         |corpus AS (SELECT vec_id, q, norm, cent_id AS cell FROM asg WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, q AS qv, norm AS qnorm, cent_id AS probe_cell
+         |  FROM asg WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.NProbe}),
+         |scored AS (SELECT p.query_id, c.vec_id,
+         |    CAST(${listDot("c.q", "p.qv")} AS DOUBLE) /
+         |      sqrt(CAST(c.norm AS DOUBLE) * CAST(p.qnorm AS DOUBLE)) AS cosine
+         |  FROM corpus c JOIN probes p ON c.cell = p.probe_cell AND c.vec_id <> p.query_id),
+         |ranked AS (SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
+         |    vec_id AS neighbor_id, cosine
+         |  FROM scored)
+         |SELECT * FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin,
     "dedup_embedding_lsh_multi" ->
       s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
          |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),

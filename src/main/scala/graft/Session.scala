@@ -38,6 +38,9 @@ object Session {
         else
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
+      // catalog tables (bucketed layouts) land outside the repo tree
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
 
   def get(appName: String): SparkSession = {
     val s = builder(appName).getOrCreate()

@@ -157,6 +157,98 @@ object Similarity {
       .orderBy($"a", $"b")
   }
 
+  /** Multi-probe ANN top-k: score within the query's bucket AND the
+    * NumPlanes buckets at Hamming distance 1 (one sign bit flipped) —
+    * the standard recall raiser that reuses ONE bucketing instead of L
+    * independent tables. The probe set is 9 distinct bucket ids per
+    * query, so candidate generation stays a bucket equi-join (probe
+    * side explodes 9×, corpus side unchanged); no (query, vec) pair can
+    * match twice because a vector has exactly one bucket.
+    */
+  def lshTopKMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val withB = bucketed(spark, dir)
+    val probes = array(
+      ($"bucket" +: (0 until NumPlanes).map(p =>
+        $"bucket".bitwiseXOR(lit(1L << p)))): _*)
+    val queries = withB.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), posexplode(probes),
+        $"q".as("qv"), $"nrm".as("qnorm"))
+      .select($"query_id", $"col".as("probe"), $"qv", $"qnorm")
+    val corpus = withB.withColumnRenamed("nrm", "cnorm")
+    val scored = corpus.join(broadcast(queries),
+        $"bucket" === $"probe" && $"query_id" =!= $"vec_id")
+      .withColumn("dot", longArrayDot($"q", $"qv"))
+      .withColumn("cosine",
+        $"dot".cast("double") / sqrt($"cnorm".cast("double") * $"qnorm".cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank".cast("bigint").as("rank"),
+        $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Number of IVF cells and probed cells for [[ivfTopK]]. */
+  val NumCells = 16
+  val NProbe = 2
+
+  /** Centroid list as ONE collected row (cent_id, vector, |c|²) —
+    * cross-join-broadcast to every corpus row so cell assignment is a
+    * narrow argmin over the array, composed with the codegen'd
+    * long_array_dot inside the lambda. Centroids here are the first
+    * NumCells corpus vectors — a deterministic stand-in for the k-means
+    * step (out of the relational engine's scope); the engine shape is
+    * what matters: the corpus NEVER shuffles to learn its cell.
+    */
+  private def centroidRow(spark: SparkSession, dir: String): DataFrame =
+    Dedup.quantized(spark, dir)
+      .filter($"vec_id" < NumCells)
+      .select($"vec_id".as("cent_id"), $"q".as("cv"),
+        longArrayNormSq($"q").as("cnorm2"))
+      .agg(collect_list(struct($"cent_id", $"cv", $"cnorm2")).as("cents"))
+
+  /** Exact integer cell ranking of `q` against the centroid array:
+    * sorted (|c|² − 2·q·c, cent_id) structs — argmin distance with
+    * lowest-id tiebreak, |q|² being constant per row.
+    */
+  private def cellRanking: Column = expr(
+    """array_sort(transform(cents, c ->
+      |  struct(c.cnorm2 - 2 * long_array_dot(q, c.cv) AS s, c.cent_id AS cid)))""".stripMargin)
+
+  /** IVF ANN top-k: each query probes its NProbe nearest cells; exact
+    * cosine within the probed cells only. The scale path when one LSH
+    * table's recall is not enough: the inverted-file cell join replaces
+    * the all-pairs scan, candidates ≈ corpus × NProbe / NumCells.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val centArr = centroidRow(spark, dir)
+    val base = Dedup.quantized(spark, dir).select($"vec_id", $"q")
+      .withColumn("nrm", longArrayNormSq($"q"))
+      .join(broadcast(centArr), lit(true))
+    val corpus = base
+      .withColumn("cell", element_at(cellRanking, 1).getField("cid"))
+      .select($"vec_id", $"q", $"nrm", $"cell")
+    // query-side: same ranking, keep the NProbe best cells
+    val probes = base.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"q".as("qv"), $"nrm".as("qnorm"),
+        explode(slice(cellRanking, 1, NProbe)).as("probe"))
+      .select($"query_id", $"probe".getField("cid").as("probe_cell"),
+        $"qv", $"qnorm")
+    val scored = corpus.join(broadcast(probes),
+        $"cell" === $"probe_cell" && $"query_id" =!= $"vec_id")
+      .withColumn("dot", longArrayDot($"q", $"qv"))
+      .withColumn("cosine",
+        $"dot".cast("double") / sqrt($"nrm".cast("double") * $"qnorm".cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank".cast("bigint").as("rank"),
+        $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** ANN top-k via LSH: score only within the query vector's bucket.
     * Recall is approximate by construction (bucket miss ⇒ neighbor
     * miss); at 100 TB, multi-probe or repeated tables raise recall

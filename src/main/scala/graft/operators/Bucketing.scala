@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for repeated co-located joins.
+  *
+  * The 100 TB pattern the sfDir parquet files cannot show: when two fact
+  * tables are joined on the same key by many queries (orders ⋈ lineitem
+  * here; the reference's OrderInfo ⋈ OrderDetail stream pair in batch
+  * form), write both bucketed AND sorted by that key. Every subsequent
+  * join then skips the exchange (bucket pruning proves co-partitioning)
+  * and the sort (bucket files are pre-sorted) — the dominant cost of a
+  * fact-fact sort-merge join disappears from every downstream query,
+  * paid once at write time.
+  *
+  * Bucket count is a layout decision: at 100 TB pick
+  * `table size / target partition size` (e.g. 2048) and use the SAME
+  * count on both tables — mismatched counts fall back to a shuffle on
+  * one side.
+  */
+object Bucketing {
+
+  /** Write `df` into the session catalog bucketed+sorted by `key`. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Equi-join two bucketed tables on their bucket key — plans as a
+    * sort-merge join with NO exchange and NO sort when both tables are
+    * bucketed by `lKey`/`rKey` with equal bucket counts.
+    */
+  def colocatedJoin(spark: SparkSession, lTable: String, rTable: String,
+      lKey: String, rKey: String): DataFrame = {
+    val l = spark.table(lTable)
+    val r = spark.table(rTable)
+    l.join(r, l(lKey) === r(rKey))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** Bucketed-write co-located join: the plan proof that the layout pays —
+  * joining two tables bucketed+sorted on the join key must contain no
+  * shuffle exchange and no sort, and return the same rows as the plain
+  * join.
+  */
+class BucketingSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed orders ⋈ lineitem joins without exchange or sort") {
+    // the in-memory catalog forgets tables between JVMs but the
+    // warehouse dirs persist — clear both for idempotent re-runs
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    val wh = new java.io.File("/tmp/graft-warehouse")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+    Bucketing.writeBucketed(Tables.orders(spark, dir), "b_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(Tables.lineitem(spark, dir), "b_lineitem", "l_orderkey", 8)
+
+    val joined = Bucketing.colocatedJoin(spark, "b_lineitem", "b_orders",
+      "l_orderkey", "o_orderkey")
+    val n = joined.count()
+
+    // run the full plan (not count, which prunes) and inspect the
+    // final adaptive plan
+    joined.write.format("noop").mode("overwrite").save()
+    val exec = joined.queryExecution.executedPlan
+    val finalPlan = exec.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(exec)
+    val shuffles = finalPlan.collect { case s: ShuffleExchangeExec => s }
+    val sorts = finalPlan.collect { case s: SortExec => s }
+    assert(shuffles.isEmpty, s"expected no exchange, got:\n$finalPlan")
+    assert(sorts.isEmpty, s"expected no sort, got:\n$finalPlan")
+
+    // same result as the unbucketed join
+    val pl = Tables.lineitem(spark, dir)
+    val po = Tables.orders(spark, dir)
+    val plain = pl.join(po, pl("l_orderkey") === po("o_orderkey")).count()
+    assert(n == plain && n > 0)
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+}
