@@ -30,8 +30,9 @@ object StreamingDemo {
     Files.createDirectories(Paths.get(logDir))
     Files.createDirectories(Paths.get(dbDir))
     val t0 = 1754956800000L
-    def page(mid: String, isNew: String, pid: String, last: String, ts: Long) =
-      s"""{"common":{"mid":"$mid","is_new":"$isNew","ar":"110000","ch":"appstore","vc":"v2","uid":"1","os":"iOS","md":"x","ba":"x"},"page":{"page_id":"$pid","last_page_id":${Option(last).map("\"" + _ + "\"").getOrElse("null")},"during_time":100,"item":null,"item_type":null},"displays":[{"display_type":"activity","item":"1","item_type":"activity_id","order":1,"pos_id":3}],"ts":$ts}"""
+    def page(mid: String, isNew: String, pid: String, last: String, ts: Long,
+        item: String = null) =
+      s"""{"common":{"mid":"$mid","is_new":"$isNew","ar":"110000","ch":"appstore","vc":"v2","uid":"1","os":"iOS","md":"x","ba":"x"},"page":{"page_id":"$pid","last_page_id":${Option(last).map("\"" + _ + "\"").getOrElse("null")},"during_time":100,"item":${Option(item).map("\"" + _ + "\"").getOrElse("null")},"item_type":${if (item == null) "null" else "\"keyword\""}},"displays":[{"display_type":"activity","item":"1","item_type":"activity_id","order":1,"pos_id":3}],"ts":$ts}"""
     def start(mid: String, ts: Long) =
       s"""{"common":{"mid":"$mid","is_new":"1","ar":"110000","ch":"appstore","vc":"v2","uid":"1","os":"iOS","md":"x","ba":"x"},"start":{"entry":"icon","open_ad_id":1,"loading_time":10,"open_ad_ms":20,"open_ad_skip_ms":0},"ts":$ts}"""
     Files.writeString(Paths.get(s"$logDir/batch0.jsonl"), Seq(
@@ -41,6 +42,8 @@ object StreamingDemo {
       page("m2", "1", "home", null, t0 + 1000),
       page("m2", "1", "home", null, t0 + 4000), // entry->entry: bounce
       "corrupt {not json",
+      page("m3", "0", "good_list", "home", t0 + 3000, item = "red dress"),
+      page("m3", "0", "good_list", "good_list", t0 + 5000, item = "red shoes"),
       page("m3", "0", "home", null, t0 + 1000)).mkString("\n"))
     def env(table: String, op: String, after: String) =
       s"""{"database":"gmall2021","tableName":"$table","before":{},"after":$after,"type":"$op"}"""
@@ -103,8 +106,26 @@ object StreamingDemo {
       .format("parquet").option("path", s"$work/out/dwm_user_jump")
       .option("checkpointLocation", s"$work/ckpt/bounce").start()
 
-    Seq(logQ, isNewQ, dbQ, bounceQ).foreach(_.processAllAvailable())
-    Seq(logQ, isNewQ, dbQ, bounceQ).foreach(_.stop())
+    // ---- 4. DWS keyword window ----------------------------------------
+    val searchPages = events.filter($"page".isNotNull)
+      .select($"page.item".as("item"), $"ts")
+    val kwQ = WindowedAggs.keywordCounts(searchPages)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", s"$work/out/dws_keyword")
+      .option("checkpointLocation", s"$work/ckpt/keyword").start()
+
+    val queries = Seq(logQ, isNewQ, dbQ, bounceQ, kwQ)
+    queries.foreach(_.processAllAvailable())
+    // append-mode windows finalize only when the watermark passes: feed
+    // two late batches (the watermark computed from batch N applies to
+    // batch N+1) so the keyword window closes in this demo run
+    Files.writeString(Paths.get(s"$logDir/batch1.jsonl"),
+      page("m9", "0", "home", null, t0 + 7200000L))
+    queries.foreach(_.processAllAvailable())
+    Files.writeString(Paths.get(s"$logDir/batch2.jsonl"),
+      page("m9", "0", "home", "home", t0 + 7300000L))
+    queries.foreach(_.processAllAvailable())
+    queries.foreach(_.stop())
 
     // ---- report -------------------------------------------------------
     def count(path: String): Long =
@@ -112,7 +133,7 @@ object StreamingDemo {
     println(s"demo-out work=$work")
     Seq("dwd_start_log", "dwd_page_log", "dwd_display_log",
       "dwd_is_new_fixed", "kafka_shaped", "dim_store/dim_user_info",
-      "dwm_user_jump").foreach { p =>
+      "dwm_user_jump", "dws_keyword").foreach { p =>
       println(f"demo-out ${p}%-28s rows=${count(s"$work/out/$p")}")
     }
     println("demo-out dim_user_info row: " +

@@ -26,6 +26,29 @@ object WindowedAggs {
       .select(($"w.start".as("window_start") +: dimCols) :+ $"n": _*)
   }
 
+  /** Streaming keyword job (the tokenize → explode → windowed count the
+    * reference planned: ikanalyzer dep + SEARCH/CLICK/CART/ORDER
+    * constants, reference gmall-realtime/pom.xml:179-183,
+    * common/GmallConstant.java:64-67): search terms from page events
+    * tokenize through the engine's canonical tokenizer, then tumbling
+    * hourly counts per keyword. Input: a frame with `ts` (epoch ms) and
+    * a `item` search-term column (nullable).
+    */
+  def keywordCounts(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("event_time", timestamp_millis($"ts"))
+      .withWatermark("event_time", "1 hour")
+      // no `item IS NOT NULL` filter: the optimizer would push it BELOW
+      // the watermark node and non-search pages would stop advancing the
+      // event clock (a search lull would hold every window open). The
+      // explode of tokens(null) emits nothing, and a Generate cannot be
+      // pushed under the watermark.
+      .select($"event_time",
+        explode(graft.functions.TextAnalysis.tokens($"item")).as("keyword"))
+      .groupBy(window($"event_time", "1 hour").as("w"), $"keyword")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("window_start"), $"keyword", $"n")
+
   /** Session windows with a 30-min gap — Spark's native session_window
     * generalizes the batch gaps-and-islands form; state per open session,
     * closed by the watermark.

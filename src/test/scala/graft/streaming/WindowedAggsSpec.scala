@@ -14,6 +14,7 @@ class WindowedAggsSpec extends AnyFunSuite {
   import graft.ColStr
 
   case class E(user_id: Long, event_type: String, ts: Long)
+  case class P(item: String, ts: Long)
   implicit lazy val enc = Encoders.product[E]
   val h0 = 1700000000000L - (1700000000000L % 3600000L) // hour-aligned base
 
@@ -34,6 +35,25 @@ class WindowedAggsSpec extends AnyFunSuite {
         .select($"event_type", $"n").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSet
       assert(got === Set(("click", 2L), ("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("keyword window tokenizes search terms and counts per keyword") {
+    implicit val pEnc: org.apache.spark.sql.Encoder[P] = Encoders.product[P]
+    val ms = MemoryStream[P](pEnc, spark)
+    val out = WindowedAggs.keywordCounts(ms.toDF())
+    val q = out.writeStream.format("memory").queryName("kw_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(P("red dress", h0 + 1000), P("Red shoes!", h0 + 2000),
+        P(null, h0 + 3000))
+      q.processAllAvailable()
+      ms.addData(P("later", h0 + 3 * 3600000L)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("kw_out").select($"keyword", $"n").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // tokenizer lowercases and strips punctuation: "red" counts twice
+      assert(got === Set(("red", 2L), ("dress", 1L), ("shoes", 1L)))
     } finally q.stop()
   }
 
