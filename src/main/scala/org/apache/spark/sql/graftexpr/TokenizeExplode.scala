@@ -104,6 +104,10 @@ object GraftFunctions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(RewriteMd5Prefix60)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteMd5Prefix60
+    }
   }
 }
 
@@ -126,5 +130,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         build))
     }
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => RewriteMd5Prefix60)
   }
 }

@@ -112,6 +112,23 @@ class TextHashSpec extends AnyFunSuite {
     assert(r.length == 1 && r.head.getSeq[Long](3).length == 16)
   }
 
+  test("optimizer rewrites the composed conv/substring/md5 form to the kernel") {
+    // parquet-backed source so ConvertToLocalRelation can't pre-fold
+    val pdocs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val df = pdocs.select(Hashing.md5Prefix60($"text").as("h"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("md5_prefix60"), optimized)
+    assert(!optimized.contains("conv("), optimized)
+    // and SQL text written in the portable form gets the kernel too
+    pdocs.createOrReplaceTempView("texthash_pdocs")
+    val viaSql = spark.sql(
+      "SELECT CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) AS h FROM texthash_pdocs")
+    assert(viaSql.queryExecution.optimizedPlan.toString.contains("md5_prefix60"))
+    // values unchanged by the rewrite
+    val direct = pdocs.select(ArrayOps.md5Prefix60($"text")).collect().map(_.getLong(0))
+    assert(viaSql.collect().map(_.getLong(0)).toSeq == direct.toSeq)
+  }
+
   test("null and empty inputs") {
     val df = Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")
     val rows = df.select(
