@@ -49,6 +49,7 @@ object GmallRegistry {
     "set_except" -> (AnalyticsOps.setExcept _),
     "sessionize" -> (AnalyticsOps.sessionize _),
     "topk_orders" -> (AnalyticsOps.topKOrders _),
+    "topk_orders_agg" -> (AnalyticsOps.topKOrdersAgg _),
     "q3_shipping_priority" -> (AnalyticsOps.shippingPriority _))
 
   val oracleSql: Map[String, String] = Map(
@@ -304,6 +305,11 @@ object GmallRegistry {
         |  count(*) AS n_events, max(sec) - min(sec) AS duration_sec
         |FROM g GROUP BY 1, 2 ORDER BY user_id, session_no""".stripMargin,
     "topk_orders" ->
+      """SELECT o_orderkey AS orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        |FROM orders ORDER BY totalprice DESC, orderkey LIMIT 100""".stripMargin,
+    // heap-aggregate form keeps the same contract as the sort+limit form
+    "topk_orders_agg" ->
       """SELECT o_orderkey AS orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
         |FROM orders ORDER BY totalprice DESC, orderkey LIMIT 100""".stripMargin,

@@ -129,6 +129,21 @@ object AnalyticsOps {
       .orderBy($"totalprice".desc, $"orderkey")
       .limit(100)
 
+  /** Same top-100, via the engine's bounded-heap TypedImperativeAggregate
+    * ([[org.apache.spark.sql.graftexpr.TopKAgg]]): one partial-agg pass —
+    * each task keeps a 100-row heap, the shuffle carries one heap per
+    * partition. The sort+limit form above leans on Spark's TakeOrdered;
+    * the aggregate form composes (usable per-group, in rollups, in
+    * streaming) and never materializes a global order.
+    */
+  def topKOrdersAgg(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .agg(org.apache.spark.sql.graftexpr.TopKAgg.topKIds(
+        $"o_orderkey", dec($"o_totalprice").cast("double"), 100).as("top"))
+      .select(explode($"top").as("e"))
+      .select($"e.id".as("orderkey"), $"e.score".as("totalprice"))
+      .orderBy($"totalprice".desc, $"orderkey")
+
   /** Shipping-priority style analytic join (classic TPC-H Q3 shape):
     * segment-filtered customers ⋈ orders ⋈ lineitem, revenue per order,
     * top 10. Filters push to the parquet scans.

@@ -163,8 +163,10 @@ object EventOps {
       ("order_info", "update", "hbase", "dim_order_info", "id,total_amount")))
       .toDF("sourceTable", "operateType", "sinkType", "sinkTable", "sinkColumns"))
     cdc.join(cfg, $"type" === cfg("operateType") && cfg("sourceTable") === "order_info")
+      // split once per row, not once per map entry inside the lambda
+      .withColumn("keep_cols", split($"sinkColumns", ","))
       .withColumn("pruned",
-        map_filter($"after", (k, _) => array_contains(split($"sinkColumns", ","), k)))
+        map_filter($"after", (k, _) => array_contains($"keep_cols", k)))
       .select($"id", $"sinkType".as("sink_type"), $"sinkTable".as("topic"),
         to_json($"pruned").as("value"))
       .orderBy($"id")
