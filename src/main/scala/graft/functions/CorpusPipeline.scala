@@ -18,6 +18,25 @@ import graft._
   */
 object CorpusPipeline {
 
+  /** Streaming ingest twin of the exact-dedup stage: documents arriving
+    * on a stream are fingerprinted (codegen'd md5-prefix kernel over the
+    * normalized text) and deduplicated on the fingerprint within the
+    * watermark. `dropDuplicatesWithinWatermark` (not `dropDuplicates`)
+    * because the dedup key is DERIVED — with a plain dropDuplicates on a
+    * non-watermark column the state never evicts and a 100 TB ingest
+    * accumulates one state row per unique document forever.
+    * Input: a streaming frame with (doc_id, text, ts epoch-ms).
+    */
+  def dedupStream(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
+    docs
+      .withColumn("event_time", timestamp_millis($"ts"))
+      .withWatermark("event_time", "1 hour")
+      .withColumn("fp", graft.plans.ArrayOps.md5Prefix60(norm))
+      .dropDuplicatesWithinWatermark("fp")
+      .select($"doc_id", $"fp", $"event_time")
+  }
+
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextAnalysis.qualityScore(spark, dir)
       .filter($"quality" === 1L).select($"doc_id")
