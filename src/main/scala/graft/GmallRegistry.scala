@@ -43,6 +43,9 @@ object GmallRegistry {
     "dws_keyword_count_udtf" -> (WindowOps.keywordCountUdtf _),
     "agg_rollup" -> (AnalyticsOps.rollupSummary _),
     "agg_cube" -> (AnalyticsOps.cubeEvents _),
+    "agg_grouping_sets" -> (AnalyticsOps.groupingSets _),
+    "agg_pivot" -> (AnalyticsOps.pivotStatusCounts _),
+    "agg_median" -> (AnalyticsOps.medianValueByType _),
     "rank_top_per_brand" -> (AnalyticsOps.topPerBrand _),
     "window_running_total" -> (AnalyticsOps.runningTotal _),
     "set_intersect" -> (AnalyticsOps.setIntersect _),
@@ -245,6 +248,30 @@ object GmallRegistry {
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents) t
         |WHERE length(word) > 0 GROUP BY 1 ORDER BY n DESC, word""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderpriority AS priority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_median" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events)
+        |SELECT event_type, avg(value) AS median_value,
+        |  CAST(any_value(cnt) AS BIGINT) AS n
+        |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_rollup" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,

@@ -35,6 +35,59 @@ object AnalyticsOps {
       .select($"returnflag", $"linestatus", $"n", $"sum_qty")
       .orderBy($"returnflag", $"linestatus")
 
+  /** Explicit GROUPING SETS (beyond rollup/cube's fixed lattices): the
+    * (flag, status), (flag), () sets — i.e. rollup minus nothing here,
+    * but chosen per-set; the SQL surface a BI layer generates.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("li_gsets")
+    spark.sql(
+      """SELECT
+        |  CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM li_gsets
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** Pivot: order counts per priority × status — conditional-aggregation
+    * semantics (one pass, no join), the wide-table report shape.
+    */
+  def pivotStatusCounts(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy($"o_orderpriority".as("priority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select($"priority",
+        coalesce($"O", lit(0L)).as("n_open"),
+        coalesce($"F", lit(0L)).as("n_filled"),
+        coalesce($"P", lit(0L)).as("n_pending"))
+      .orderBy($"priority")
+
+  /** Exact per-group median (no approx sketch): the two middle elements
+    * by (value, event_id) window rank, averaged. One shuffle on the
+    * group key; rank + filter keeps ≤2 rows per group before the final
+    * tiny aggregation.
+    */
+  def medianValueByType(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"value", $"event_id")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+    events(spark, dir)
+      .select($"event_type", $"value", $"event_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      // `div`, not `/`: Spark's / on longs is double division, which
+      // would silently select only the upper-middle row for even groups
+      .filter(expr("rn = (cnt + 1) div 2 OR rn = (cnt + 2) div 2"))
+      .groupBy($"event_type")
+      .agg(avg($"value").as("median_value"), first($"cnt").as("n"))
+      .select($"event_type", $"median_value", $"n")
+      .orderBy($"event_type")
+  }
+
   /** Cube over (event_type, day): every dim combination. */
   def cubeEvents(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
