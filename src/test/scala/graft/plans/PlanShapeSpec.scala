@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Plan contracts: the shapes the engine's scale story depends on,
+  * asserted against the actual physical plans at sf0.001. These are the
+  * properties that survive (or break) a 100 TB scale-up — column
+  * pruning at the scan, broadcast for dims, zero shuffles in the narrow
+  * kernel pipelines, shuffle (not corpus broadcast) in candidate joins.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+  private def countShuffles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }.size
+
+  test("q1 pricing summary: scan reads only the five needed lineitem columns") {
+    val scan = planString(q("q1_pricing_summary"))
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"),
+      readSchema)
+  }
+
+  test("dim enrichment joins broadcast, never sort-merge") {
+    val plan = planString(q("j3_dim_enrich"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("minhash signatures are computed with ZERO shuffles before the sort") {
+    // one range exchange for the oracle-protocol total order; nothing else
+    assert(countShuffles(q("dedup_minhash_sig")) <= 1)
+  }
+
+  test("simhash fingerprints are narrow: no aggregation exchange") {
+    assert(countShuffles(q("dedup_simhash")) <= 1)
+  }
+
+  test("text kernels run inside WholeStageCodegen") {
+    // collect() drives THIS Dataset's own QueryExecution (a write would
+    // clone it), finalizing the adaptive plan with codegen stages
+    val df = q("text_fingerprint")
+    df.collect()
+    val adaptive = df.queryExecution.executedPlan
+    val finalPlan = adaptive.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(adaptive)
+    // codegen stages print as "*(n) Operator" in the compact plan string
+    val s = finalPlan.toString
+    assert(s.contains("*(1) Project"), s)
+  }
+
+  test("filter on source column reaches the parquet scan (PushedFilters)") {
+    val plan = planString(q("j5_semi_join"))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderpriority)")
+      || plan.contains("EqualTo(o_orderpriority"), plan)
+  }
+
+  test("LSH candidate join shuffles on the bucket key, corpus side not broadcast") {
+    val df = q("dedup_embedding_lsh")
+    df.write.format("noop").mode("overwrite").save()
+    val adaptive = df.queryExecution.executedPlan
+    val finalPlan = adaptive.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(adaptive)
+    val s = finalPlan.toString
+    assert(s.contains("ShuffledHashJoin") || s.contains("SortMergeJoin"), s)
+  }
+
+  test("native as-of join plans AsOfJoinExec with clustered+sorted children") {
+    val plan = planString(q("j8_asof_native"))
+    assert(plan.contains("AsOfJoin"), plan)
+  }
+}
