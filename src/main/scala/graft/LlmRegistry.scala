@@ -53,7 +53,7 @@ object LlmRegistry {
   // ---- shared SQL fragments --------------------------------------------
 
   private val toks = TextAnalysis.sqlTokens("text")
-  private val normText = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val normText = Hashing.sqlNormText("text")
   private val quantize =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
   private def listDot(a: String, b: String): String =

@@ -27,15 +27,16 @@ object CorpusPipeline {
     * accumulates one state row per unique document forever.
     * Input: a streaming frame with (doc_id, text, ts epoch-ms).
     */
-  def dedupStream(docs: DataFrame): DataFrame = {
-    val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
+  def dedupStream(docs: DataFrame): DataFrame =
     docs
       .withColumn("event_time", timestamp_millis($"ts"))
       .withWatermark("event_time", "1 hour")
-      .withColumn("fp", graft.plans.ArrayOps.md5Prefix60(norm))
+      // FULL 128-bit md5, same as the batch Dedup.exact key: a 60-bit
+      // prefix would birthday-collide at corpus scale (~N²/2⁶¹ distinct
+      // docs silently dropped at 10⁹⁺ docs)
+      .withColumn("fp", md5(Hashing.normText($"text")))
       .dropDuplicatesWithinWatermark("fp")
       .select($"doc_id", $"fp", $"event_time")
-  }
 
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextAnalysis.qualityScore(spark, dir)

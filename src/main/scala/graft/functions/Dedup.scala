@@ -58,9 +58,8 @@ object Dedup {
     * this is the cheapest possible full-corpus dedup.
     */
   def exact(spark: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
     documents(spark, dir)
-      .select($"doc_id", md5(norm).as("fp"))
+      .select($"doc_id", md5(Hashing.normText($"text")).as("fp"))
       .groupBy($"fp")
       .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select($"keep_doc_id", $"n_copies")
@@ -84,9 +83,14 @@ object Dedup {
     */
   def minhashSignatureArray(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
-      .select($"doc_id", wordShingles(TextAnalysis.tokens($"text"), 3).as("sh"))
-      .filter(size($"sh") > 0) // <3-token docs have no shingles → no row
-      .select($"doc_id", minhashSig($"sh", NumPerm).as("sig"))
+      // explode(array(..)) is a Generate BARRIER: the null filter (docs
+      // with <3 tokens have no shingles → null sig → no row) applies to
+      // the generated attribute, so the optimizer cannot push it down
+      // into a second evaluation of the kernel per row
+      .select($"doc_id",
+        explode(array(minhashSig(wordShingles(TextAnalysis.tokens($"text"), 3),
+          NumPerm))).as("sig"))
+      .filter($"sig".isNotNull)
 
   /** Long-form signatures (doc_id, j, mh) — the oracle-facing view. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
@@ -143,9 +147,11 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokens($"text")
     documents(spark, dir)
-      .select($"doc_id", toks.as("toks"))
-      .filter(size($"toks") > 0) // token-less docs had no rows to group
-      .select($"doc_id", simhashFp($"toks", SimBits).as("simhash"))
+      // Generate barrier (see minhashSignatureArray): token-less docs
+      // yield a null fingerprint and are filtered WITHOUT the optimizer
+      // pushing the predicate into a second kernel evaluation
+      .select($"doc_id", explode(array(simhashFp(toks, SimBits))).as("simhash"))
+      .filter($"simhash".isNotNull)
       .orderBy($"doc_id")
   }
 

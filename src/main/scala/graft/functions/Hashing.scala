@@ -26,6 +26,18 @@ object Hashing {
   def md5Prefix60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
 
+  /** Canonical text normalization for fingerprinting/dedup (lowercase,
+    * trim, collapse whitespace) — the ONE definition all dedup sites
+    * (batch exact, streaming ingest, fingerprint query) and the
+    * generated oracle SQL ([[sqlNormText]]) share.
+    */
+  def normText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** DuckDB twin of [[normText]]. */
+  def sqlNormText(expr: String): String =
+    s"regexp_replace(trim(lower($expr)), '\\s+', ' ', 'g')"
+
   /** Same reduced into the 31-bit ring for overflow-safe mixing. */
   def md5Hash31(c: Column): Column = md5Prefix60(c) % P31
 

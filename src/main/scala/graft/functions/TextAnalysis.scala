@@ -96,7 +96,7 @@ object TextAnalysis {
     * [[Dedup.shingles]] (shingle stream = rolling window fingerprints).
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
+    val norm = Hashing.normText($"text")
     documents(spark, dir)
       .select($"doc_id", md5(norm).as("fp_md5"),
         graft.plans.ArrayOps.md5Prefix60(norm).as("fp60"))

@@ -36,8 +36,9 @@ object AnalyticsOps {
       .orderBy($"returnflag", $"linestatus")
 
   /** Explicit GROUPING SETS (beyond rollup/cube's fixed lattices): the
-    * (flag, status), (flag), () sets — i.e. rollup minus nothing here,
-    * but chosen per-set; the SQL surface a BI layer generates.
+    * (flag, status), (status), () sets — NOT a rollup of (flag, status)
+    * (which would subtotal by flag); the per-status subtotal is the
+    * set a rollup cannot express, which is the point of the operator.
     */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
     lineitem(spark, dir).createOrReplaceTempView("li_gsets")

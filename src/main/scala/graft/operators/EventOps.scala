@@ -163,10 +163,10 @@ object EventOps {
       ("order_info", "update", "hbase", "dim_order_info", "id,total_amount")))
       .toDF("sourceTable", "operateType", "sinkType", "sinkTable", "sinkColumns"))
     cdc.join(cfg, $"type" === cfg("operateType") && cfg("sourceTable") === "order_info")
-      // split once per row, not once per map entry inside the lambda
-      .withColumn("keep_cols", split($"sinkColumns", ","))
+      // (hoisting split() into its own column is a no-op: CollapseProject
+      // inlines a single-use alias back into the lambda body)
       .withColumn("pruned",
-        map_filter($"after", (k, _) => array_contains($"keep_cols", k)))
+        map_filter($"after", (k, _) => array_contains(split($"sinkColumns", ","), k)))
       .select($"id", $"sinkType".as("sink_type"), $"sinkTable".as("topic"),
         to_json($"pruned").as("value"))
       .orderBy($"id")

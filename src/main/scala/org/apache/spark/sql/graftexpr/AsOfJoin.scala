@@ -26,8 +26,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * same as any equi-join) and sort within partitions by (key, order) —
   * then a single forward merge pass per partition: O(n log n) in the
   * partition, O(1) state (one candidate row), no per-key buffering. At
-  * 100 TB this behaves exactly like a sort-merge join; AQE handles skew
-  * the same way.
+  * 100 TB this behaves like a sort-merge join, with one caveat: AQE's
+  * OptimizeSkewedJoin matches only the built-in join execs, so a
+  * pathologically hot key lands on one task — pre-salt the key (and
+  * merge the salted results) if the key distribution demands it.
   *
   * Ordering tuples compare lexicographically (natural ascending, nulls
   * first per Spark sort semantics); rows with null keys compare equal to

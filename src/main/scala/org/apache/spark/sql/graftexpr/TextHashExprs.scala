@@ -83,11 +83,11 @@ object TextHash {
   /** MinHash signature over a shingle array in one pass:
     * sig[j] = min over shingles of (a_j * (md5p60 % P31) + b_j) % P31.
     * Duplicate shingles cannot change a min, so the input need not be
-    * distinct. Empty input → sig of P31 sentinels (callers filter docs
-    * with no shingles, matching the groupBy form where such docs simply
-    * had no rows).
+    * distinct. Empty input → NULL (a fingerprint of nothing is
+    * undefined; matches the groupBy form where such docs had no rows).
     */
   def minhashSig(arr: ArrayData, numPerm: Int): ArrayData = {
+    if (arr.numElements() == 0) return null
     val mins = Array.fill(numPerm)(P)
     val num = arr.numElements()
     var i = 0
@@ -110,7 +110,8 @@ object TextHash {
     * 60-bit hash votes on each of `bits` positions; bit i of the result
     * is set iff more than half the tokens have bit i set
     * (2·count > n, with n counting all elements — the count(lit(1))
-    * semantics of the aggregation form).
+    * semantics of the aggregation form). Empty input → NULL (handled in
+    * the expression wrapper; matches the groupBy form).
     */
   def simhashFp(arr: ArrayData, bits: Int): Long = {
     val counts = new Array[Int](bits)
@@ -158,6 +159,7 @@ case class Md5Prefix60(child: Expression)
 /** Rolling n-word shingles of a token array (see [[TextHash.wordShingles]]). */
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"word_shingles: shingle width must be >= 1, got $n")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
@@ -173,37 +175,56 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-/** MinHash signature array of a shingle array (see [[TextHash.minhashSig]]). */
+/** MinHash signature array of a shingle array (see [[TextHash.minhashSig]]).
+  * NULL (not a sentinel array) on an empty shingle array.
+  */
 case class MinHashSig(child: Expression, numPerm: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(numPerm >= 1 && numPerm <= 64,
+    s"minhash_sig: numPerm must be in [1, 64] (coefficient table size), got $numPerm")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty input → null
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(v: Any): Any =
     TextHash.minhashSig(v.asInstanceOf[ArrayData], numPerm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graftexpr.TextHash.minhashSig($c, $numPerm)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = org.apache.spark.sql.graftexpr.TextHash.minhashSig($c, $numPerm);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 
-/** SimHash fingerprint of a token array (see [[TextHash.simhashFp]]). */
+/** SimHash fingerprint of a token array (see [[TextHash.simhashFp]]).
+  * NULL on an empty token array.
+  */
 case class SimHashFp(child: Expression, bits: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 64,
+    s"simhash_fp: bits must be in [1, 64] (long fingerprint), got $bits")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // empty input → null
   override def prettyName: String = "simhash_fp"
 
-  override def nullSafeEval(v: Any): Any =
-    TextHash.simhashFp(v.asInstanceOf[ArrayData], bits)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else TextHash.simhashFp(arr, bits)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graftexpr.TextHash.simhashFp($c, $bits)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |if ($c.numElements() == 0) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = org.apache.spark.sql.graftexpr.TextHash.simhashFp($c, $bits);
+       |}
+     """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): SimHashFp =
     copy(child = newChild)

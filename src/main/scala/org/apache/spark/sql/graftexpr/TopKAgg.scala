@@ -33,9 +33,16 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKAgg.Heap] {
+  extends TypedImperativeAggregate[TopKAgg.Heap]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  require(k >= 0, s"top_k_ids: k must be >= 0, got $k")
 
   override def children: Seq[Expression] = Seq(idExpr, scoreExpr)
+  // fail a wrongly-typed call at analysis, not with a ClassCastException
+  // per row in the executor
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(LongType, DoubleType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = false),

@@ -21,7 +21,8 @@ class BucketingSpec extends AnyFunSuite {
     // warehouse dirs persist — clear both for idempotent re-runs
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    val wh = new java.io.File("/tmp/graft-warehouse")
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
     Seq("b_orders", "b_lineitem").foreach { t =>
       val d = new java.io.File(wh, t)
       if (d.exists()) {
