@@ -19,22 +19,25 @@ import graft._
 object CorpusPipeline {
 
   /** Streaming ingest twin of the exact-dedup stage: documents arriving
-    * on a stream are fingerprinted (codegen'd md5-prefix kernel over the
-    * normalized text) and deduplicated on the fingerprint within the
-    * watermark. `dropDuplicatesWithinWatermark` (not `dropDuplicates`)
-    * because the dedup key is DERIVED — with a plain dropDuplicates on a
+    * on a stream are fingerprinted with the FULL 128-bit md5 of the
+    * normalized text (the same key as batch [[Dedup.exact]] — a 60-bit
+    * prefix would birthday-collide at corpus scale, silently dropping
+    * ~N²/2⁶¹ distinct docs at 10⁹⁺ documents) and deduplicated on the
+    * fingerprint within the watermark. The key is stored as 16-byte
+    * binary (`unhex`), half the state/shuffle width of the hex string.
+    * `dropDuplicatesWithinWatermark` (not `dropDuplicates`) because the
+    * dedup key is DERIVED — with a plain dropDuplicates on a
     * non-watermark column the state never evicts and a 100 TB ingest
     * accumulates one state row per unique document forever.
     * Input: a streaming frame with (doc_id, text, ts epoch-ms).
+    * NOTE: the key schema changed (bigint → binary) during development;
+    * checkpoints written by earlier builds cannot be restored.
     */
   def dedupStream(docs: DataFrame): DataFrame =
     docs
       .withColumn("event_time", timestamp_millis($"ts"))
       .withWatermark("event_time", "1 hour")
-      // FULL 128-bit md5, same as the batch Dedup.exact key: a 60-bit
-      // prefix would birthday-collide at corpus scale (~N²/2⁶¹ distinct
-      // docs silently dropped at 10⁹⁺ docs)
-      .withColumn("fp", md5(Hashing.normText($"text")))
+      .withColumn("fp", unhex(md5(Hashing.normText($"text"))))
       .dropDuplicatesWithinWatermark("fp")
       .select($"doc_id", $"fp", $"event_time")
 

@@ -74,7 +74,8 @@ object Dedup {
 
   /** MinHash signature as one NARROW pass: the codegen'd [[minhashSig]]
     * kernel folds all NumPerm permutations over the rolling-shingle
-    * array inside the scan stage — no explode, no groupBy, no shuffle.
+    * array inside the scan stage — no shingle explode, no groupBy, no
+    * shuffle; the only Generate is the one-element barrier below.
     * (History: v1 exploded shingles × NumPerm; v2 was a 16-column min
     * aggregation whose shuffle carried one row per doc; this form never
     * shuffles at all.) Duplicate shingles cannot change a min, so the
@@ -139,9 +140,10 @@ object Dedup {
     *
     * One NARROW pass: the codegen'd [[simhashFp]] kernel accumulates all
     * 48 bit votes over the token array inside the scan stage — no token
-    * explode, no groupBy, no shuffle. (History: v1 exploded tokens × 48
-    * bits; v2 was a 48-column conditional-sum aggregation; this form
-    * keeps the token stream inside the scan.) Bit i is set iff
+    * explode, no groupBy, no shuffle; the only Generate is the
+    * one-element barrier below. (History: v1 exploded tokens × 48 bits;
+    * v2 was a 48-column conditional-sum aggregation; this form keeps
+    * the token stream inside the scan.) Bit i is set iff
     * 2·count(bit set) > n_tokens — the majority-vote form.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {

@@ -138,4 +138,30 @@ class TextHashSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(0) && rows(0).isNullAt(1)) // null text → null
     assert(!rows(1).isNullAt(0) && rows(1).getSeq[String](1).isEmpty)
   }
+
+  test("empty arrays fingerprint to NULL, not a sentinel") {
+    val df = Seq(Tuple1(Seq.empty[String]), Tuple1(Seq("a", "b", "c")))
+      .toDF("toks")
+    val rows = df.select(
+      ArrayOps.minhashSig(ArrayOps.wordShingles($"toks", 3), 16).as("sig"),
+      ArrayOps.simhashFp($"toks", 48).as("fp")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(!rows(1).isNullAt(0) && !rows(1).isNullAt(1))
+  }
+
+  test("width parameters are validated at construction") {
+    intercept[IllegalArgumentException](ArrayOps.minhashSig($"x", 65))
+    intercept[IllegalArgumentException](ArrayOps.minhashSig($"x", 0))
+    intercept[IllegalArgumentException](ArrayOps.simhashFp($"x", 65))
+    intercept[IllegalArgumentException](ArrayOps.wordShingles($"x", 0))
+  }
+
+  test("top_k_ids rejects wrongly-typed inputs at analysis") {
+    val df = Seq(("a", 1.0)).toDF("id", "score")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(org.apache.spark.sql.graftexpr.TopKAgg.topKIds($"id", $"score", 5))
+        .collect()
+    }
+    assert(ex.getMessage.contains("top_k_ids") || ex.getMessage.contains("DATATYPE"))
+  }
 }
