@@ -48,6 +48,8 @@ object GmallRegistry {
     "agg_median" -> (AnalyticsOps.medianValueByType _),
     "rank_top_per_brand" -> (AnalyticsOps.topPerBrand _),
     "window_running_total" -> (AnalyticsOps.runningTotal _),
+    "window_lag_lead" -> (AnalyticsOps.lagLeadGaps _),
+    "window_range_frame" -> (AnalyticsOps.rangeFrameSum _),
     "set_intersect" -> (AnalyticsOps.setIntersect _),
     "set_except" -> (AnalyticsOps.setExcept _),
     "sessionize" -> (AnalyticsOps.sessionize _),
@@ -272,6 +274,21 @@ object GmallRegistry {
         |  CAST(any_value(cnt) AS BIGINT) AS n
         |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "window_lag_lead" ->
+      """SELECT user_id, event_id,
+        |  lag(event_id, 1) OVER w AS prev_event,
+        |  lead(event_id, 1) OVER w AS next_event,
+        |  epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS gap_ms
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "window_range_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 60000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_minute_value
+        |FROM events ORDER BY event_id""".stripMargin,
     "agg_rollup" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,

@@ -89,6 +89,40 @@ object AnalyticsOps {
       .orderBy($"event_type")
   }
 
+  /** lag/lead navigation: previous/next event id and the gap to the
+    * previous event per user — the session-stitching primitives.
+    * Deterministic: the window orders by (ts, event_id) and event_id is
+    * unique.
+    */
+  def lagLeadGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, dir)
+      .select($"user_id", $"event_id", $"ts")
+      .select($"user_id", $"event_id",
+        lag($"event_id", 1).over(w).as("prev_event"),
+        lead($"event_id", 1).over(w).as("next_event"),
+        (unix_millis($"ts") - lag(unix_millis($"ts"), 1).over(w)).as("gap_ms"))
+      .orderBy($"event_id")
+  }
+
+  /** RANGE-frame windowed sum: per user, the exact value total over the
+    * trailing 60 s (range frame on the epoch-ms ordering column — peers
+    * at the same timestamp all join the frame, unlike a ROWS frame, so
+    * the result is insensitive to intra-timestamp ordering). DECIMAL
+    * accumulation keeps the double output engine-exact.
+    */
+  def rangeFrameSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy(unix_millis($"ts"))
+      .rangeBetween(-60000L, 0L)
+    events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .select($"user_id", $"event_id",
+        sum(dec($"value")).over(w).cast("double").as("trailing_minute_value"))
+      .orderBy($"event_id")
+  }
+
   /** Cube over (event_type, day): every dim combination. */
   def cubeEvents(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
