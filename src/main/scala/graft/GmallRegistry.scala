@@ -45,6 +45,7 @@ object GmallRegistry {
     "agg_cube" -> (AnalyticsOps.cubeEvents _),
     "agg_grouping_sets" -> (AnalyticsOps.groupingSets _),
     "agg_pivot" -> (AnalyticsOps.pivotStatusCounts _),
+    "agg_unpivot" -> (AnalyticsOps.unpivotStatusCounts _),
     "agg_median" -> (AnalyticsOps.medianValueByType _),
     "rank_top_per_brand" -> (AnalyticsOps.topPerBrand _),
     "window_running_total" -> (AnalyticsOps.runningTotal _),
@@ -265,6 +266,18 @@ object GmallRegistry {
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_unpivot" ->
+      """WITH p AS (SELECT o_orderpriority AS priority,
+        |    count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |    count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        |  FROM orders GROUP BY 1)
+        |SELECT priority, 'n_open' AS status_bucket, n_open AS n FROM p
+        |UNION ALL
+        |SELECT priority, 'n_filled', n_filled FROM p
+        |UNION ALL
+        |SELECT priority, 'n_pending', n_pending FROM p
+        |ORDER BY priority, status_bucket""".stripMargin,
     "agg_median" ->
       """WITH r AS (SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -67,6 +67,17 @@ object AnalyticsOps {
         coalesce($"P", lit(0L)).as("n_pending"))
       .orderBy($"priority")
 
+  /** Unpivot (melt): the wide pivot report back to long form — one row
+    * per (priority, status bucket). Narrow Expand-based operator, no
+    * shuffle beyond the pivot's own aggregation.
+    */
+  def unpivotStatusCounts(spark: SparkSession, dir: String): DataFrame =
+    pivotStatusCounts(spark, dir)
+      .unpivot(Array($"priority"),
+        Array($"n_open", $"n_filled", $"n_pending"),
+        "status_bucket", "n")
+      .orderBy($"priority", $"status_bucket")
+
   /** Exact per-group median (no approx sketch): the two middle elements
     * by (value, event_id) window rank, averaged. One shuffle on the
     * group key; rank + filter keeps ≤2 rows per group before the final
