@@ -26,6 +26,7 @@ object LlmRegistry {
     "vocab_build" -> (TextAnalysis.vocabBuild _),
     "tokens_to_ids" -> (TextAnalysis.tokensToIds _),
     "text_commonness" -> (TextAnalysis.commonness _),
+    "text_repetition" -> (TextAnalysis.repetition _),
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_sig" -> ((s: SparkSession, d: String) =>
       Dedup.minhashSignatures(s, d).orderBy("doc_id", "j")),
@@ -180,6 +181,18 @@ object LlmRegistry {
          |  count(*) AS n_tokens
          |FROM dt JOIN counts c USING (token)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH pt AS (SELECT doc_id, tok AS token, count(*) AS freq
+         |  FROM (SELECT doc_id, unnest($toks) AS tok FROM documents) t
+         |  GROUP BY 1, 2),
+         |r AS (SELECT doc_id, token, freq,
+         |    sum(freq) OVER (PARTITION BY doc_id) AS n_tokens,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY freq DESC, token) AS rn
+         |  FROM pt)
+         |SELECT doc_id, token AS top_token, CAST(freq AS BIGINT) AS top_freq,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS repetition_ratio
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
          |FROM (SELECT doc_id, md5($normText) AS fp FROM documents) t

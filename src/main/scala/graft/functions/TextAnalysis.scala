@@ -142,6 +142,28 @@ object TextAnalysis {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** Repetition ratio per doc: the share of the document taken by its
+    * most frequent token (ties toward the lexicographically first) —
+    * the boilerplate/spam signal (high ratio = repeated filler). Exact
+    * BIGINT/BIGINT double division.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val perTok = documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"freq".desc, $"token")
+    perTok
+      .withColumn("n_tokens", sum($"freq").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"token".as("top_token"), $"freq".as("top_freq"),
+        $"n_tokens",
+        ($"freq".cast("double") / $"n_tokens".cast("double")).as("repetition_ratio"))
+      .orderBy($"doc_id")
+  }
+
   /** Unigram commonness score per doc: sum of corpus-wide token
     * frequencies over the doc's tokens — an exact-integer proxy for
     * unigram log-likelihood (higher = more boilerplate-like), the

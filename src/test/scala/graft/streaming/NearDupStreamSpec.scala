@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+object NearDupStreamSpec {
+  case class D(doc_id: Long, text: String, ts: Long)
+}
+
+/** Streaming MinHash-LSH near-dup detection: first owner wins, later
+  * colliders are flagged against the owner, distinct docs pass, and
+  * state carries across micro-batches.
+  */
+class NearDupStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+  import NearDupStreamSpec.D
+
+  implicit lazy val enc: org.apache.spark.sql.Encoder[D] = Encoders.product[D]
+  val t0 = 1700000000000L
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the sun sets slowly behind distant purple mountains tonight"
+
+  test("near-identical docs flag against the first owner across batches") {
+    val ms = MemoryStream[D](enc, spark)
+    val q = NearDupStream.nearDups(ms.toDF())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        D(1, base, t0),
+        D(2, "a completely different tiny document about database engines and " +
+          "storage formats with columnar layouts and vectorized execution", t0 + 1000))
+      q.processAllAvailable()
+      // batch 2: a near-copy of doc 1 (one word changed) and an exact copy
+      ms.addData(D(3, base.replace("lazy", "sleepy"), t0 + 2000),
+        D(4, base, t0 + 3000))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out")
+        .select($"doc_id", $"dup_of").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // docs 3 and 4 must both be flagged against owner 1; doc 2 clean
+      assert(got.contains((4L, 1L)), got)
+      assert(got.exists(_._1 == 3L), got)
+      assert(!got.exists(_._1 == 2L), got)
+      assert(!got.exists(_._1 == 1L), got)
+    } finally q.stop()
+  }
+
+  test("batch mode (NoTimeout path) matches the collision contract") {
+    import spark.implicits._
+    val df = Seq(D(10, base, t0), D(11, base, t0 + 1),
+      D(12, "unrelated short words only here", t0 + 2)).toDF()
+    val got = NearDupStream.nearDups(df)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((11L, 10L)))
+  }
+}
