@@ -83,15 +83,31 @@ object Dedup {
     * Output: doc_id, sig: array<bigint>.
     */
   def minhashSignatureArray(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      // explode(array(..)) is a Generate BARRIER: the null filter (docs
-      // with <3 tokens have no shingles → null sig → no row) applies to
-      // the generated attribute, so the optimizer cannot push it down
-      // into a second evaluation of the kernel per row
-      .select($"doc_id",
+    withMinhashSig(documents(spark, dir)).select($"doc_id", $"sig")
+
+  /** Signature projection over ANY frame with a `text` column; every
+    * other column is preserved (the streaming twin keeps its watermark
+    * column riding along). explode(array(..)) is a Generate BARRIER:
+    * the null filter (docs with <3 tokens have no shingles → null sig →
+    * no row) applies to the generated attribute, so the optimizer
+    * cannot push it down into a second evaluation of the kernel per
+    * row.
+    */
+  def withMinhashSig(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sig",
         explode(array(minhashSig(wordShingles(TextAnalysis.tokens($"text"), 3),
-          NumPerm))).as("sig"))
+          NumPerm))))
       .filter($"sig".isNotNull)
+      .drop("text")
+
+  /** Banding posexplode over a signature column: NumBands bands of
+    * BandRows, band signature = '_'-joined slice — the ONE definition
+    * both the batch pairs join and the streaming detector key on.
+    */
+  def bandsigCols(sigCol: String): Column =
+    posexplode(expr(s"transform(sequence(0, ${NumBands - 1}), b -> " +
+      s"concat_ws('_', slice($sigCol, b * $BandRows + 1, $BandRows)))"))
 
   /** Long-form signatures (doc_id, j, mh) — the oracle-facing view. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
@@ -111,9 +127,7 @@ object Dedup {
     // storage for the session lifetime (library leak)
     val sig = minhashSignatureArray(spark, dir)
     // band signatures by array slice — pure projection, no re-aggregation
-    val bands = sig.select($"doc_id", $"sig",
-      posexplode(expr(s"transform(sequence(0, ${NumBands - 1}), b -> " +
-        s"concat_ws('_', slice(sig, b * $BandRows + 1, $BandRows)))")))
+    val bands = sig.select($"doc_id", $"sig", bandsigCols("sig"))
       .select($"doc_id", $"sig", $"pos".as("band"), $"col".as("bandsig"))
     // bucket equi-join on (band, bandsig), forced shuffle_hash: the band
     // frame is the whole corpus — broadcasting it is the wrong shape at

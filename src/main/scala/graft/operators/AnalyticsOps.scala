@@ -84,9 +84,9 @@ object AnalyticsOps {
     * tiny aggregation.
     */
   def medianValueByType(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy($"event_type").orderBy($"value", $"event_id")
-    val wc = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+    val wc = Window.partitionBy($"event_type")
     events(spark, dir)
       .select($"event_type", $"value", $"event_id")
       .withColumn("rn", row_number().over(w))
@@ -106,7 +106,7 @@ object AnalyticsOps {
     * unique.
     */
   def lagLeadGaps(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy($"user_id").orderBy($"ts", $"event_id")
     events(spark, dir)
       .select($"user_id", $"event_id", $"ts")
@@ -124,7 +124,7 @@ object AnalyticsOps {
     * accumulation keeps the double output engine-exact.
     */
   def rangeFrameSum(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy($"user_id").orderBy(unix_millis($"ts"))
       .rangeBetween(-60000L, 0L)
     events(spark, dir)

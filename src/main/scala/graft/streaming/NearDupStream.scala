@@ -4,8 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft._
-import graft.functions.{Dedup, TextAnalysis}
-import graft.plans.ArrayOps.{minhashSig, wordShingles}
+import graft.functions.Dedup
 
 /** Streaming near-duplicate detection — the Structured Streaming twin
   * of the batch MinHash-LSH pairs operator ([[Dedup.minhashPairs]]).
@@ -56,17 +55,14 @@ object NearDupStream {
   def bandHits(docs: DataFrame): Dataset[BandHit] = {
     // event_time stays in every projection: the watermark must reach the
     // stateful operator (.as[] binds the four BandHit fields but keeps
-    // the extra column in the plan)
-    docs
-      .withColumn("event_time", timestamp_millis($"ts"))
-      .withWatermark("event_time", "1 hour")
-      .select($"doc_id", $"ts", $"event_time",
-        explode(array(minhashSig(wordShingles(TextAnalysis.tokens($"text"), 3),
-          Dedup.NumPerm))).as("sig"))
-      .filter($"sig".isNotNull)
-      .select($"doc_id", $"ts", $"event_time", posexplode(expr(
-        s"transform(sequence(0, ${Dedup.NumBands - 1}), b -> " +
-          s"concat_ws('_', slice(sig, b * ${Dedup.BandRows} + 1, ${Dedup.BandRows})))")))
+    // the extra column in the plan). Signature + banding come from the
+    // SAME helpers as the batch pairs operator, so the two paths cannot
+    // drift.
+    Dedup.withMinhashSig(
+        docs
+          .withColumn("event_time", timestamp_millis($"ts"))
+          .withWatermark("event_time", "1 hour"))
+      .select($"doc_id", $"ts", $"event_time", Dedup.bandsigCols("sig"))
       .select($"pos".cast("int").as("band"), $"col".as("bandsig"),
         $"doc_id", $"ts", $"event_time")
       .as[BandHit]
@@ -88,18 +84,29 @@ object NearDupStream {
             state.remove()
             Iterator.empty
           } else {
-            // arrival order within a micro-batch carries no meaning;
-            // the smallest doc_id wins ownership for determinism
-            val docs = rows.toSeq
-            val ids = docs.map(_.doc_id).sorted
-            val owner = math.min(state.getOption.getOrElse(Long.MaxValue), ids.head)
+            // one pass: min doc_id (batch owner candidate) and max ts.
+            // The STORED owner always wins across batches — taking a
+            // later, smaller doc_id as owner would silently swallow its
+            // own collision (the late doc would have nothing to be
+            // flagged against). Within the first batch for a key, the
+            // min id owns, which keeps single-batch output
+            // arrival-order-independent.
+            var minId = Long.MaxValue
+            var maxTs = Long.MinValue
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            rows.foreach { h =>
+              ids += h.doc_id
+              if (h.doc_id < minId) minId = h.doc_id
+              if (h.ts > maxTs) maxTs = h.ts
+            }
+            val owner = state.getOption.getOrElse(minId)
             state.update(owner)
             if (isStreaming) {
               // sliding event-time TTL anchored on the newest hit (the
               // watermark alone is epoch-0 in the first batch)
               state.setTimeoutTimestamp(math.max(
                 state.getCurrentWatermarkMs() + 1,
-                docs.map(_.ts).max + StateTtlMs))
+                maxTs + StateTtlMs))
             }
             ids.iterator.filter(_ != owner).map(Candidate(_, owner, band))
           }

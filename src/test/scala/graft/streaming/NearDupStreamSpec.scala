@@ -50,6 +50,23 @@ class NearDupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a late duplicate with a SMALLER doc_id is flagged against the stored owner") {
+    val ms = MemoryStream[D](enc, spark)
+    val q = NearDupStream.nearDups(ms.toDF())
+      .writeStream.format("memory").queryName("neardup_late")
+      .outputMode("append").start()
+    try {
+      ms.addData(D(10, base, t0))
+      q.processAllAvailable()
+      ms.addData(D(3, base, t0 + 1000)) // exact copy, smaller id, later batch
+      q.processAllAvailable()
+      val got = spark.table("neardup_late")
+        .select($"doc_id", $"dup_of").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((3L, 10L)), got)
+    } finally q.stop()
+  }
+
   test("batch mode (NoTimeout path) matches the collision contract") {
     import spark.implicits._
     val df = Seq(D(10, base, t0), D(11, base, t0 + 1),
