@@ -114,7 +114,27 @@ object StreamingDemo {
       .format("parquet").option("path", s"$work/out/dws_keyword")
       .option("checkpointLocation", s"$work/ckpt/keyword").start()
 
-    val queries = Seq(logQ, isNewQ, dbQ, bounceQ, kwQ)
+    // ---- 5. streaming corpus near-dup ingest --------------------------
+    val docsDir = s"$work/in/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    val baseDoc = "the quick brown fox jumps over the lazy dog while the " +
+      "sun sets slowly behind distant purple mountains tonight"
+    def docLine(id: Long, text: String, ts: Long) =
+      s"""{"doc_id":$id,"text":"$text","ts":$ts}"""
+    Files.writeString(Paths.get(s"$docsDir/batch0.jsonl"), Seq(
+      docLine(1, baseDoc, t0),
+      docLine(2, "an unrelated catalog entry describing warehouse layouts and " +
+        "columnar storage with vectorized execution pipelines", t0 + 1000),
+      docLine(3, baseDoc.replace("lazy", "sleepy"), t0 + 2000), // near-dup of 1
+      docLine(4, baseDoc, t0 + 3000)).mkString("\n")) // exact dup of 1
+    val docsStream = spark.readStream
+      .schema("doc_id long, text string, ts long").json(docsDir)
+    val dupQ = NearDupStream.nearDups(docsStream)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", s"$work/out/corpus_near_dups")
+      .option("checkpointLocation", s"$work/ckpt/neardup").start()
+
+    val queries = Seq(logQ, isNewQ, dbQ, bounceQ, kwQ, dupQ)
     queries.foreach(_.processAllAvailable())
     // append-mode windows finalize only when the watermark passes: feed
     // two late batches (the watermark computed from batch N applies to
@@ -133,7 +153,7 @@ object StreamingDemo {
     println(s"demo-out work=$work")
     Seq("dwd_start_log", "dwd_page_log", "dwd_display_log",
       "dwd_is_new_fixed", "kafka_shaped", "dim_store/dim_user_info",
-      "dwm_user_jump", "dws_keyword").foreach { p =>
+      "dwm_user_jump", "dws_keyword", "corpus_near_dups").foreach { p =>
       println(f"demo-out ${p}%-28s rows=${count(s"$work/out/$p")}")
     }
     println("demo-out dim_user_info row: " +
