@@ -19,6 +19,7 @@ object GmallRegistry {
     "j3_dim_enrich" -> (RelationalOps.dimEnrich _),
     "j4_order_wide" -> (RelationalOps.orderWide _),
     "p11_coalesce_merge" -> (RelationalOps.coalesceMerge _),
+    "q5_above_avg" -> (RelationalOps.aboveCustomerAverage _),
     "j5_semi_join" -> (RelationalOps.semiJoin _),
     "j6_anti_join" -> (RelationalOps.antiJoin _),
     "j7_asof_attribution" -> (RelationalOps.asofAttribution _),
@@ -110,6 +111,17 @@ object GmallRegistry {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |ORDER BY custkey""".stripMargin,
+    // cross-multiplied comparison keeps the boundary in exact DECIMAL
+    "q5_above_avg" ->
+      """WITH a AS (SELECT o_custkey AS agg_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_sum,
+        |    count(*) AS spend_cnt
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        |FROM orders o JOIN a ON o.o_custkey = a.agg_custkey
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * spend_cnt > spend_sum
+        |ORDER BY orderkey""".stripMargin,
     "j6_anti_join" ->
       """SELECT c_custkey AS custkey, c_name AS name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o

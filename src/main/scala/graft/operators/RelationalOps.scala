@@ -114,6 +114,24 @@ object RelationalOps {
       .orderBy($"orderkey", $"linenumber")
   }
 
+  /** Decorrelated "above my group's average" predicate — the scalar-
+    * subquery shape (orders above their customer's average spend),
+    * planned as a self-aggregation join. The comparison cross-multiplies
+    * (price · count > sum) so it stays in exact DECIMAL — an avg would
+    * round and make the filter boundary engine-dependent.
+    */
+  def aboveCustomerAverage(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val perCust = o.groupBy($"o_custkey".as("agg_custkey"))
+      .agg(sum(dec($"o_totalprice")).as("spend_sum"),
+        count(lit(1)).as("spend_cnt"))
+    o.join(perCust, $"o_custkey" === $"agg_custkey")
+      .filter(dec($"o_totalprice") * $"spend_cnt" > $"spend_sum")
+      .select($"o_orderkey".as("orderkey"), $"o_custkey".as("custkey"),
+        dec($"o_totalprice").cast("double").as("totalprice"))
+      .orderBy($"orderkey")
+  }
+
   /** First-non-null merge after a full outer join — the relational form of
     * the reference's field-wise `firstNonNull` OrderWide merge
     * (bean/OrderWide.java:90-107): coalesce each side's key/value.
