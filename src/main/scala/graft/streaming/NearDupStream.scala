@@ -34,6 +34,15 @@ object NearDupStream {
   /** Band-owner state TTL (sliding: reset on every hit). */
   val StateTtlMs: Long = 24L * 3600 * 1000
 
+  /** Max candidates emitted per band signature per micro-batch — the
+    * streaming mirror of the batch operators' bucket-width caps
+    * ([[Dedup.DfCap]]): a boilerplate band signature shared by millions
+    * of docs must not quadratic-blow one state task. Docs beyond the
+    * cap in a batch are not flagged (they are overwhelmingly duplicates
+    * of an already-flagged template; an exact post-pass catches stragglers).
+    */
+  val BandWidthCap: Int = 100
+
   case class BandHit(band: Int, bandsig: String, doc_id: Long, ts: Long)
   case class Candidate(doc_id: Long, dup_of: Long, band: Int)
 
@@ -45,8 +54,10 @@ object NearDupStream {
     org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaInt,
       org.apache.spark.sql.Encoders.STRING)
-  private implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
-    org.apache.spark.sql.Encoders.scalaLong
+  private implicit val stateEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
 
   /** (doc_id, text, ts) stream → watermarked banded-signature stream
     * (narrow; the watermark is applied before the signature projection
@@ -75,40 +86,47 @@ object NearDupStream {
     val isStreaming = hits.isStreaming
     hits
       .groupByKey(h => (h.band, h.bandsig))
-      .flatMapGroupsWithState[Long, Candidate](
+      .flatMapGroupsWithState[(Long, Long), Candidate](
         OutputMode.Append(),
         if (isStreaming) GroupStateTimeout.EventTimeTimeout
         else GroupStateTimeout.NoTimeout) {
-        case ((band, _), rows, state: GroupState[Long]) =>
+        case ((band, _), rows, state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            // one pass: min doc_id (batch owner candidate) and max ts.
-            // The STORED owner always wins across batches — taking a
-            // later, smaller doc_id as owner would silently swallow its
-            // own collision (the late doc would have nothing to be
-            // flagged against). Within the first batch for a key, the
-            // min id owns, which keeps single-batch output
-            // arrival-order-independent.
+            // One bounded pass. The STORED owner always wins across
+            // batches — taking a later, smaller doc_id as owner would
+            // silently swallow its own collision. Within the first
+            // batch for a key the min id owns, which keeps single-batch
+            // output arrival-order-independent. The candidate buffer is
+            // capped at BandWidthCap+1 so a pathological band signature
+            // cannot blow up the task.
+            val stored = state.getOption // (owner, max event ts seen)
             var minId = Long.MaxValue
-            var maxTs = Long.MinValue
-            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var maxTs = stored.map(_._2).getOrElse(Long.MinValue)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
             rows.foreach { h =>
-              ids += h.doc_id
               if (h.doc_id < minId) minId = h.doc_id
               if (h.ts > maxTs) maxTs = h.ts
+              if (buf.size <= BandWidthCap) buf += h.doc_id
             }
-            val owner = state.getOption.getOrElse(minId)
-            state.update(owner)
+            val owner = stored.map(_._1).getOrElse(minId)
+            // write state only when it changes (owner is immutable once
+            // set; maxTs grows) — a no-op put per key per batch would
+            // churn the RocksDB changelog for nothing
+            if (!stored.contains((owner, maxTs))) state.update((owner, maxTs))
             if (isStreaming) {
-              // sliding event-time TTL anchored on the newest hit (the
-              // watermark alone is epoch-0 in the first batch)
+              // sliding event-time TTL anchored on the newest hit EVER
+              // seen for the key — anchoring on the current batch alone
+              // would move the deadline EARLIER when a batch holds only
+              // late (but in-watermark) hits. Monotone since maxTs is.
               state.setTimeoutTimestamp(math.max(
                 state.getCurrentWatermarkMs() + 1,
                 maxTs + StateTtlMs))
             }
-            ids.iterator.filter(_ != owner).map(Candidate(_, owner, band))
+            buf.iterator.filter(_ != owner).take(BandWidthCap)
+              .map(Candidate(_, owner, band))
           }
       }
   }
