@@ -20,6 +20,8 @@ object GmallRegistry {
     "j4_order_wide" -> (RelationalOps.orderWide _),
     "p11_coalesce_merge" -> (RelationalOps.coalesceMerge _),
     "q5_above_avg" -> (RelationalOps.aboveCustomerAverage _),
+    "q6_cheapest_supplier" -> (RelationalOps.cheapestSupplier _),
+    "q7_nation_revenue" -> (RelationalOps.nationRevenue _),
     "j5_semi_join" -> (RelationalOps.semiJoin _),
     "j6_anti_join" -> (RelationalOps.antiJoin _),
     "j7_asof_attribution" -> (RelationalOps.asofAttribution _),
@@ -111,6 +113,26 @@ object GmallRegistry {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |ORDER BY custkey""".stripMargin,
+    "q6_cheapest_supplier" ->
+      """WITH l AS (SELECT l_partkey, l_suppkey,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem),
+        |m AS (SELECT l_partkey AS mp, min(price) AS min_price FROM l GROUP BY 1)
+        |SELECT l.l_partkey AS partkey, min(l.l_suppkey) AS suppkey,
+        |  CAST(any_value(m.min_price) AS DOUBLE) AS min_price
+        |FROM l JOIN m ON l.l_partkey = m.mp AND l.price = m.min_price
+        |GROUP BY 1 ORDER BY partkey""".stripMargin,
+    "q7_nation_revenue" ->
+      """SELECT r.r_name AS region_name, n.n_name AS nation_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // cross-multiplied comparison keeps the boundary in exact DECIMAL
     "q5_above_avg" ->
       """WITH a AS (SELECT o_custkey AS agg_custkey,

@@ -132,6 +132,52 @@ object RelationalOps {
       .orderBy($"orderkey")
   }
 
+  /** Argmin join (TPC-H Q2 shape without a partsupp table): per part,
+    * the supplier offering its minimum line price — min computed in
+    * exact DECIMAL, rows matching the min recovered by equi-join, ties
+    * resolved to the lowest supplier key. Two aggregations + one
+    * shuffle join on the part key; no window over the fact table.
+    */
+  def cheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey", dec($"l_extendedprice").as("price"))
+    val mins = l.groupBy($"l_partkey".as("mp")).agg(min($"price").as("min_price"))
+    l.join(mins, $"l_partkey" === $"mp" && $"price" === $"min_price")
+      .groupBy($"l_partkey")
+      .agg(min($"l_suppkey").as("suppkey"), first($"min_price").as("min_price"))
+      .select($"l_partkey".as("partkey"), $"suppkey",
+        $"min_price".cast("double").as("min_price"))
+      .orderBy($"partkey")
+  }
+
+  /** Local-supplier revenue by nation (TPC-H Q5 shape): the six-way
+    * join customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region
+    * with the customer-and-supplier-same-nation condition. Facts
+    * shuffle on their join keys; all dims broadcast; revenue in exact
+    * DECIMAL.
+    */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    val s = supplier(spark, dir)
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    // no broadcast hint on customer: at warehouse scale it is a large
+    // dim that should shuffle (stats pick broadcast at test scale)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s),
+        l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name").as("region_name"), n("n_name").as("nation_name"))
+      .agg(sum(dec(l("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(l("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy($"region_name", $"nation_name")
+  }
+
   /** First-non-null merge after a full outer join — the relational form of
     * the reference's field-wise `firstNonNull` OrderWide merge
     * (bean/OrderWide.java:90-107): coalesce each side's key/value.
