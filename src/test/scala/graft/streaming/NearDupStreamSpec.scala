@@ -67,6 +67,29 @@ class NearDupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("band-owner state survives query restart from checkpoint") {
+    val work = java.nio.file.Files.createTempDirectory("neardup-restart").toString
+    val ms = MemoryStream[D](enc, spark)
+    val out = NearDupStream.nearDups(ms.toDF())
+    def start() = out.writeStream.outputMode("append")
+      .format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt").start()
+
+    val q1 = start()
+    ms.addData(D(1, base, t0))
+    q1.processAllAvailable(); q1.stop()
+
+    val q2 = start() // fresh query instance, same checkpoint
+    ms.addData(D(7, base, t0 + 1000)) // duplicate seen only post-restart
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(s"$work/out")
+      .select($"doc_id", $"dup_of").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // flagged against the PRE-restart owner only if state was recovered
+    assert(got == Set((7L, 1L)), got)
+  }
+
   test("batch mode (NoTimeout path) matches the collision contract") {
     import spark.implicits._
     val df = Seq(D(10, base, t0), D(11, base, t0 + 1),
