@@ -28,8 +28,7 @@ object LlmRegistry {
     "text_commonness" -> (TextAnalysis.commonness _),
     "text_repetition" -> (TextAnalysis.repetition _),
     "dedup_exact" -> (Dedup.exact _),
-    "dedup_minhash_sig" -> ((s: SparkSession, d: String) =>
-      Dedup.minhashSignatures(s, d).orderBy("doc_id", "j")),
+    "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
@@ -38,8 +37,7 @@ object LlmRegistry {
     "sim_bruteforce_topk" -> (Similarity.bruteForceTopK _),
     "sim_lsh_buckets" -> ((s: SparkSession, d: String) =>
       Similarity.lshBuckets(s, d)
-        .selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "bucket")
-        .orderBy("vec_id")),
+        .selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "bucket")),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
     "sim_lsh_topk_multiprobe" -> (Similarity.lshTopKMultiProbe _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),

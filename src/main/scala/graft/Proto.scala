@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.col
+
+/** Verify-protocol total orders, one entry per registered query.
+  *
+  * The operators themselves do NOT impose a global order: a total sort is
+  * test-protocol overhead, not operator semantics, and at warehouse scale
+  * a final ORDER BY is a RangePartitioning whose sampling pass executes
+  * the child plan twice (≈2 s of j4_order_wide's 3 s at sf0.1 was exactly
+  * this). [[Verify]] applies these orders — mirroring each oracle's ORDER
+  * BY clause, deterministic tiebreaks included — before dumping parquet,
+  * so the driver's DuckDB compare sees the same row order regardless of
+  * whether its hash is order-sensitive. [[Bench]] does not, so the
+  * benchmark measures the operator, not the protocol.
+  *
+  * Queries absent here carry a SEMANTIC order: top-k sort+limit outputs
+  * (`topk_orders`, `q3_shipping_priority`) are already totally ordered by
+  * construction.
+  */
+object Proto {
+  private def asc(names: String*): Seq[Column] = names.map(col)
+
+  val order: Map[String, Seq[Column]] = Map(
+    // gmall surface
+    "q1_pricing_summary" -> asc("l_returnflag", "l_linestatus"),
+    "j1_interval_join" -> asc("orderkey", "linenumber"),
+    "j3_dim_enrich" -> asc("orderkey"),
+    "j4_order_wide" -> asc("orderkey", "linenumber"),
+    "p11_coalesce_merge" -> asc("custkey"),
+    "q5_above_avg" -> asc("orderkey"),
+    "q6_cheapest_supplier" -> asc("partkey"),
+    "q7_nation_revenue" -> asc("region_name", "nation_name"),
+    "j5_semi_join" -> asc("custkey"),
+    "j6_anti_join" -> asc("custkey"),
+    "j7_asof_attribution" -> asc("purchase_id"),
+    "j8_asof_native" -> asc("purchase_id"),
+    "u1_tagged_union" -> asc("event_id"),
+    "p1_json_parse" -> asc("event_id"),
+    "p6_datetime_derive" -> asc("event_id"),
+    "st1_is_new_fix" -> asc("event_id"),
+    "st2_daily_uv" -> asc("user_id", "dt"),
+    "st3_bounce_detect" -> asc("event_id"),
+    "x1_log_split" -> asc("event_id", "branch", "item"),
+    "s4_cdc_normalize" -> asc("id"),
+    "j2_config_route" -> asc("event_id"),
+    "x2_cdc_route" -> asc("id"),
+    "p4_dynamic_prune" -> asc("event_id"),
+    "k2_dynamic_topic" -> asc("event_id"),
+    "dws_tumbling" -> asc("window_start", "event_type"),
+    "dws_sliding" -> asc("window_start"),
+    "dws_uv_per_hour" -> asc("window_start"),
+    "dws_uv_per_hour_approx" -> asc("window_start"),
+    "dws_keyword_count" -> Seq(col("n").desc, col("word")),
+    "dws_keyword_count_udtf" -> Seq(col("n").desc, col("word")),
+    "agg_rollup" -> asc("returnflag", "linestatus"),
+    "agg_cube" -> asc("etype", "day"),
+    "agg_grouping_sets" -> asc("returnflag", "linestatus"),
+    "agg_pivot" -> asc("priority"),
+    "agg_unpivot" -> asc("priority", "status_bucket"),
+    "agg_median" -> asc("event_type"),
+    "rank_top_per_brand" -> asc("brand", "rank"),
+    "window_running_total" -> asc("custkey", "orderkey"),
+    "window_lag_lead" -> asc("event_id"),
+    "window_range_frame" -> asc("event_id"),
+    "set_intersect" -> asc("user_id", "dt"),
+    "set_except" -> asc("user_id", "dt"),
+    "sessionize" -> asc("user_id", "session_no"),
+    "topk_orders_agg" -> Seq(col("totalprice").desc, col("orderkey")),
+    // LLM-pipeline surface
+    "text_token_counts" -> asc("doc_id"),
+    "text_quality" -> asc("doc_id"),
+    "text_langid" -> asc("doc_id"),
+    "text_fingerprint" -> asc("doc_id"),
+    "vocab_build" -> asc("token_id"),
+    "tokens_to_ids" -> asc("doc_id", "pos"),
+    "text_commonness" -> asc("doc_id"),
+    "text_repetition" -> asc("doc_id"),
+    "dedup_exact" -> asc("keep_doc_id"),
+    "dedup_minhash_sig" -> asc("doc_id", "j"),
+    "dedup_minhash_pairs" -> asc("a", "b"),
+    "dedup_simhash" -> asc("doc_id"),
+    "dedup_simhash_pairs" -> asc("a", "b"),
+    "dedup_ngram_jaccard" -> asc("a", "b"),
+    "dedup_embedding" -> asc("a", "b"),
+    "sim_bruteforce_topk" -> asc("query_id", "rank"),
+    "sim_lsh_buckets" -> asc("vec_id"),
+    "sim_lsh_topk" -> asc("query_id", "rank"),
+    "sim_lsh_topk_multiprobe" -> asc("query_id", "rank"),
+    "sim_ivf_topk" -> asc("query_id", "rank"),
+    "dedup_embedding_lsh" -> asc("a", "b"),
+    "dedup_embedding_lsh_multi" -> asc("a", "b"),
+    "mm_media_meta" -> asc("doc_id"),
+    "mm_decode_features" -> asc("doc_id"),
+    "mm_frame_sample" -> asc("doc_id", "frame_id"),
+    "pipeline_clean_corpus" -> asc("doc_id"))
+}

@@ -11,8 +11,13 @@ object Verify {
     val spark = Session.get("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // protocol total order (mirrors the oracle's ORDER BY) applied at
+      // the dump edge, not inside the operators — see [[Proto]]
+      try {
+        val df = fn(spark, sfDir)
+        Proto.order.get(name).map(c => df.orderBy(c: _*)).getOrElse(df)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

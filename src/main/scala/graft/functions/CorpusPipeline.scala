@@ -51,6 +51,5 @@ object CorpusPipeline {
     quality
       .join(exactKeep, Seq("doc_id"))
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .orderBy($"doc_id")
   }
 }

@@ -63,7 +63,6 @@ object Dedup {
       .groupBy($"fp")
       .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select($"keep_doc_id", $"n_copies")
-      .orderBy($"keep_doc_id")
   }
 
   // ---- MinHash + LSH ----------------------------------------------------
@@ -142,7 +141,6 @@ object Dedup {
           .cast("double") / lit(NumPerm.toDouble))
       .filter($"est_jaccard" >= 0.5)
       .select($"a", $"b", $"est_jaccard")
-      .orderBy($"a", $"b")
   }
 
   // ---- SimHash ----------------------------------------------------------
@@ -168,7 +166,6 @@ object Dedup {
       // pushing the predicate into a second kernel evaluation
       .select($"doc_id", explode(array(simhashFp(toks, SimBits))).as("simhash"))
       .filter($"simhash".isNotNull)
-      .orderBy($"doc_id")
   }
 
   /** SimHash near-dup pairs: block LSH (4 blocks of 12 bits — any pair
@@ -192,7 +189,6 @@ object Dedup {
       .withColumn("hamming", bit_count($"simhash".bitwiseXOR($"sim_b")).cast("bigint"))
       .filter($"hamming" <= 3)
       .select($"a", $"b", $"hamming")
-      .orderBy($"a", $"b")
   }
 
   // ---- n-gram Jaccard ---------------------------------------------------
@@ -236,7 +232,6 @@ object Dedup {
         ($"n_inter".cast("double") /
           ($"n_sh" + $"n_sh_b" - $"n_inter").cast("double")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
-      .orderBy($"a", $"b")
   }
 
   // ---- embedding near-dup ----------------------------------------------
@@ -286,6 +281,5 @@ object Dedup {
           ($"na".cast("double") * $"nb".cast("double")))
       .filter($"dot" > 0 && $"cos2" >= Cos2Threshold)
       .select($"a", $"b", $"cos2")
-      .orderBy($"a", $"b")
   }
 }

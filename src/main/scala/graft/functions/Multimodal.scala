@@ -70,7 +70,6 @@ object Multimodal {
     mediaTable(spark, dir)
       .select($"doc_id", $"modality",
         length($"payload").cast("bigint").as("n_bytes"), $"source")
-      .orderBy($"doc_id")
 
   /** Decode + feature-extract via mapPartitions: the batch-shaped decode
     * stage. Narrow (no shuffle); each partition streams through one
@@ -84,7 +83,6 @@ object Multimodal {
       .select($"doc_id", $"modality", $"payload").as[MediaRecord](recEnc)
     ds.mapPartitions(it => it.map(decoder.decode))(featEnc)
       .toDF()
-      .orderBy($"doc_id")
   }
 
   /** Frame sampling: explode the fake 1 KiB "frames" and keep every 4th —
@@ -100,5 +98,4 @@ object Multimodal {
       .select($"doc_id", $"modality",
         explode(sequence(lit(0L), expr("(n_bytes - 1) div 1024"))).as("frame_id"))
       .filter($"frame_id" % 4 === 0)
-      .orderBy($"doc_id", $"frame_id")
 }

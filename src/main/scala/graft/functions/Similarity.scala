@@ -55,7 +55,6 @@ object Similarity {
       .filter($"rank" <= TopK)
       .select($"query_id", $"rank".cast("bigint").as("rank"),
         $"vec_id".as("neighbor_id"), $"cosine")
-      .orderBy($"query_id", $"rank")
   }
 
   /** Bucket-id column: sign bits of NumPlanes integer-hyperplane
@@ -110,7 +109,6 @@ object Similarity {
           ($"na".cast("double") * $"nb".cast("double")))
       .filter($"dot" > 0 && $"cos2" >= Dedup.Cos2Threshold)
       .select($"a", $"b", $"cos2")
-      .orderBy($"a", $"b")
   }
 
   /** Number of independent LSH tables for the multi-table variant. */
@@ -154,7 +152,6 @@ object Similarity {
           ($"na".cast("double") * $"nb".cast("double")))
       .filter($"dot" > 0 && $"cos2" >= Dedup.Cos2Threshold)
       .select($"a", $"b", $"cos2")
-      .orderBy($"a", $"b")
   }
 
   /** Multi-probe ANN top-k: score within the query's bucket AND the
@@ -186,7 +183,6 @@ object Similarity {
       .filter($"rank" <= TopK)
       .select($"query_id", $"rank".cast("bigint").as("rank"),
         $"vec_id".as("neighbor_id"), $"cosine")
-      .orderBy($"query_id", $"rank")
   }
 
   /** Number of IVF cells and probed cells for [[ivfTopK]]. */
@@ -246,7 +242,6 @@ object Similarity {
       .filter($"rank" <= TopK)
       .select($"query_id", $"rank".cast("bigint").as("rank"),
         $"vec_id".as("neighbor_id"), $"cosine")
-      .orderBy($"query_id", $"rank")
   }
 
   /** ANN top-k via LSH: score only within the query vector's bucket.
@@ -271,6 +266,5 @@ object Similarity {
       .filter($"rank" <= TopK)
       .select($"query_id", $"rank".cast("bigint").as("rank"),
         $"vec_id".as("neighbor_id"), $"cosine")
-      .orderBy($"query_id", $"rank")
   }
 }

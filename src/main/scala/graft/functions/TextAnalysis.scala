@@ -33,7 +33,6 @@ object TextAnalysis {
         size(expr(s"regexp_extract_all(lower(text), '$piecePattern', 0)"))
           .cast("bigint").as("n_pieces"),
         length($"text").cast("bigint").as("n_chars"))
-      .orderBy($"doc_id")
 
   /** English-ish stopwords drawn from the corpus vocabulary. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -55,7 +54,6 @@ object TextAnalysis {
       .withColumn("quality",
         when($"n_tokens" >= 10 && $"stopword_ratio" > 0.0 && $"alpha_ratio" > 0.5,
           lit(1L)).otherwise(lit(0L)))
-      .orderBy($"doc_id")
   }
 
   /** Language-marker lists for the n-gram-profile-style language ID
@@ -87,7 +85,6 @@ object TextAnalysis {
       .join(best, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"cand_lang", lit("und")).as("pred_lang"),
         coalesce($"hits", lit(0L)).as("marker_hits"))
-      .orderBy($"doc_id")
   }
 
   /** Normalized content fingerprint: md5 of whitespace-collapsed
@@ -100,7 +97,6 @@ object TextAnalysis {
     documents(spark, dir)
       .select($"doc_id", md5(norm).as("fp_md5"),
         graft.plans.ArrayOps.md5Prefix60(norm).as("fp60"))
-      .orderBy($"doc_id")
   }
 
   /** Vocabulary size for [[vocabBuild]]. The corpus has only 31 distinct
@@ -124,7 +120,6 @@ object TextAnalysis {
     counts.withColumn("token_id", row_number().over(w).cast("bigint"))
       .filter($"token_id" <= VocabSize)
       .select($"token_id", $"token", $"freq")
-      .orderBy($"token_id")
   }
 
   /** Pretraining-prep: tokenize the corpus to vocabulary ids — one row
@@ -139,7 +134,6 @@ object TextAnalysis {
       .join(broadcast(vocab), Seq("token"), "left")
       .select($"doc_id", $"pos",
         coalesce($"token_id", lit(-1L)).as("token_id"))
-      .orderBy($"doc_id", $"pos")
   }
 
   /** Repetition ratio per doc: the share of the document taken by its
@@ -161,7 +155,6 @@ object TextAnalysis {
       .select($"doc_id", $"token".as("top_token"), $"freq".as("top_freq"),
         $"n_tokens",
         ($"freq".cast("double") / $"n_tokens".cast("double")).as("repetition_ratio"))
-      .orderBy($"doc_id")
   }
 
   /** Unigram commonness score per doc: sum of corpus-wide token
@@ -178,7 +171,6 @@ object TextAnalysis {
       .join(broadcast(freqs), Seq("token"))
       .groupBy($"doc_id")
       .agg(sum($"freq").as("commonness"), count(lit(1)).as("n_tokens"))
-      .orderBy($"doc_id")
   }
 
   /** Shared DuckDB fragment: the canonical tokenizer. */

@@ -33,7 +33,6 @@ object AnalyticsOps {
         count(lit(1)).as("n"),
         sum(dec($"l_quantity")).cast("double").as("sum_qty"))
       .select($"returnflag", $"linestatus", $"n", $"sum_qty")
-      .orderBy($"returnflag", $"linestatus")
 
   /** Explicit GROUPING SETS (beyond rollup/cube's fixed lattices): the
     * (flag, status), (status), () sets — NOT a rollup of (flag, status)
@@ -49,8 +48,7 @@ object AnalyticsOps {
         |  count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM li_gsets
-        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
-        |ORDER BY returnflag, linestatus""".stripMargin)
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin)
   }
 
   /** Pivot: order counts per priority × status — conditional-aggregation
@@ -65,7 +63,6 @@ object AnalyticsOps {
         coalesce($"O", lit(0L)).as("n_open"),
         coalesce($"F", lit(0L)).as("n_filled"),
         coalesce($"P", lit(0L)).as("n_pending"))
-      .orderBy($"priority")
 
   /** Unpivot (melt): the wide pivot report back to long form — one row
     * per (priority, status bucket). Narrow Expand-based operator, no
@@ -76,7 +73,6 @@ object AnalyticsOps {
       .unpivot(Array($"priority"),
         Array($"n_open", $"n_filled", $"n_pending"),
         "status_bucket", "n")
-      .orderBy($"priority", $"status_bucket")
 
   /** Exact per-group median (no approx sketch): the two middle elements
     * by (value, event_id) window rank, averaged. One shuffle on the
@@ -97,7 +93,6 @@ object AnalyticsOps {
       .groupBy($"event_type")
       .agg(avg($"value").as("median_value"), first($"cnt").as("n"))
       .select($"event_type", $"median_value", $"n")
-      .orderBy($"event_type")
   }
 
   /** lag/lead navigation: previous/next event id and the gap to the
@@ -114,7 +109,6 @@ object AnalyticsOps {
         lag($"event_id", 1).over(w).as("prev_event"),
         lead($"event_id", 1).over(w).as("next_event"),
         (unix_millis($"ts") - lag(unix_millis($"ts"), 1).over(w)).as("gap_ms"))
-      .orderBy($"event_id")
   }
 
   /** RANGE-frame windowed sum: per user, the exact value total over the
@@ -131,7 +125,6 @@ object AnalyticsOps {
       .select($"user_id", $"event_id", $"ts", $"value")
       .select($"user_id", $"event_id",
         sum(dec($"value")).over(w).cast("double").as("trailing_minute_value"))
-      .orderBy($"event_id")
   }
 
   /** Cube over (event_type, day): every dim combination. */
@@ -145,7 +138,6 @@ object AnalyticsOps {
         count(lit(1)).as("n"),
         sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select($"etype", $"day", $"n", $"sum_value")
-      .orderBy($"etype", $"day")
 
   /** Top-3 parts per brand by revenue: rank window, deterministic ties. */
   def topPerBrand(spark: SparkSession, dir: String): DataFrame = {
@@ -159,7 +151,6 @@ object AnalyticsOps {
     rev.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter($"rank" <= 3)
       .select($"p_brand".as("brand"), $"rank", $"p_partkey".as("partkey"), $"revenue")
-      .orderBy($"brand", $"rank")
   }
 
   /** Running total per customer over order dates — frame-bounded window
@@ -171,7 +162,6 @@ object AnalyticsOps {
     orders(spark, dir)
       .select($"o_custkey".as("custkey"), $"o_orderkey".as("orderkey"),
         sum(dec($"o_totalprice")).over(w).cast("double").as("running_total"))
-      .orderBy($"custkey", $"orderkey")
   }
 
   /** (user, day) pairs with a given activity — the set-op operand.
@@ -186,13 +176,11 @@ object AnalyticsOps {
   def setIntersect(spark: SparkSession, dir: String): DataFrame =
     userDays(spark, dir, "click")
       .intersect(userDays(spark, dir, "purchase"))
-      .orderBy($"user_id", $"dt")
 
   /** EXCEPT: user-days with a click but no purchase. */
   def setExcept(spark: SparkSession, dir: String): DataFrame =
     userDays(spark, dir, "click")
       .except(userDays(spark, dir, "purchase"))
-      .orderBy($"user_id", $"dt")
 
   /** Session gap: a new session starts after 30 min of inactivity. */
   val SessionGapSec = 1800L
@@ -215,7 +203,6 @@ object AnalyticsOps {
       .agg(min($"sec").as("session_start"), count(lit(1)).as("n_events"),
         (max($"sec") - min($"sec")).as("duration_sec"))
       .select($"user_id", $"session_no", $"session_start", $"n_events", $"duration_sec")
-      .orderBy($"user_id", $"session_no")
   }
 
   /** Global top-k: largest orders. Compiles to TakeOrderedAndProject —
@@ -241,7 +228,6 @@ object AnalyticsOps {
         $"o_orderkey", dec($"o_totalprice").cast("double"), 100).as("top"))
       .select(explode($"top").as("e"))
       .select($"e.id".as("orderkey"), $"e.score".as("totalprice"))
-      .orderBy($"totalprice".desc, $"orderkey")
 
   /** Shipping-priority style analytic join (classic TPC-H Q3 shape):
     * segment-filtered customers ⋈ orders ⋈ lineitem, revenue per order,

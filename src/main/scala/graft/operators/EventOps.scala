@@ -30,7 +30,6 @@ object EventOps {
       .select($"event_id",
         get_json_object($"props", "$.k").cast("bigint").as("k"))
       .withColumn("clean", $"k".isNotNull)
-      .orderBy($"event_id")
 
   /** P6/P7: datetime derivations (reference OrderWideApp.java:50-62
     * create_date/create_hour/create_ts; UniqueVisitApp.java:71 dt).
@@ -42,7 +41,6 @@ object EventOps {
         date_format($"ts", "yyyy-MM-dd").as("dt"),
         hour($"ts").cast("bigint").as("hr"),
         unix_timestamp($"ts").as("epoch_sec"))
-      .orderBy($"event_id")
 
   /** ST1: new/returning-visitor correction (reference
     * BaseLogApp.java:73-101: keyed ValueState flips is_new "1"→"0" after
@@ -55,7 +53,6 @@ object EventOps {
       .withColumn("rn", row_number().over(w))
       .select($"event_id", $"user_id",
         when($"rn" === 1, lit(1L)).otherwise(lit(0L)).as("is_new"))
-      .orderBy($"event_id")
   }
 
   /** ST2: daily unique-visitor dedup (reference UniqueVisitApp.java:53-102:
@@ -69,7 +66,6 @@ object EventOps {
       .withColumn("dt", date_format($"ts", "yyyy-MM-dd"))
       .groupBy($"user_id", $"dt")
       .agg(min($"event_id").as("first_event_id"), count(lit(1)).as("n_events"))
-      .orderBy($"user_id", $"dt")
 
   /** ST3: bounce detection, batch twin (reference UserJumpDetailApp
     * CEP: session-entry then another entry or silence within 10 s ⇒
@@ -92,7 +88,6 @@ object EventOps {
       .filter($"is_entry" &&
         ($"next_ts".isNull || unix_timestamp($"next_ts") - unix_timestamp($"ts") > 600))
       .select($"event_id", $"user_id")
-      .orderBy($"event_id")
   }
 
   /** X1/X4: multi-way split with explode (reference BaseLogApp.java:103-142
@@ -116,7 +111,6 @@ object EventOps {
         $"event_type".as("page_id"))
       .select($"event_id", lit("display").as("branch"), $"item", $"page_id")
     start.unionByName(page).unionByName(display)
-      .orderBy($"event_id", $"branch", $"item")
   }
 
   /** S4/P3: CDC envelope normalization + delete filter (reference
@@ -135,7 +129,6 @@ object EventOps {
       .filter($"type" =!= "delete")
       .select(lit("gmall2021").as("database"), lit("order_info").as("tableName"),
         $"o_orderkey".as("id"), $"type")
-      .orderBy($"id")
 
   /** X2/K2/K3 batch twin of the full CDC route (reference BaseDBLog +
     * TableProcessFunction): orders become change envelopes with an
@@ -169,7 +162,6 @@ object EventOps {
         map_filter($"after", (k, _) => array_contains(split($"sinkColumns", ","), k)))
       .select($"id", $"sinkType".as("sink_type"), $"sinkTable".as("topic"),
         to_json($"pruned").as("value"))
-      .orderBy($"id")
   }
 
   /** Routing config: (source_type, sink_type, sink_table) — the
@@ -198,7 +190,6 @@ object EventOps {
     val cfg = routeConfig(spark)
     e.join(broadcast(cfg), e("event_type") === cfg("source_type"))
       .select($"event_id", $"sink_type", $"sink_table".as("topic"))
-      .orderBy($"event_id")
   }
 
   /** P4: data-driven column pruning (reference
@@ -210,7 +201,7 @@ object EventOps {
   def dynamicPrune(spark: SparkSession, dir: String,
       sinkColumns: String = "event_id,event_type,user_id"): DataFrame = {
     val cols = sinkColumns.split(",").map(c => col(c.trim))
-    events(spark, dir).select(cols: _*).orderBy($"event_id")
+    events(spark, dir).select(cols: _*)
   }
 
   /** P9/K2: dynamic-topic sink projection (reference MyKafkaUtil.java:23-31
@@ -222,5 +213,4 @@ object EventOps {
       .select($"event_id",
         concat(lit("dwd_"), $"event_type").as("topic"),
         to_json(struct($"event_id", $"event_type", $"user_id")).as("value"))
-      .orderBy($"event_id")
 }

@@ -39,7 +39,6 @@ object RelationalOps {
         sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
         sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount"))).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
-      .orderBy($"l_returnflag", $"l_linestatus")
 
   /** Batch twin of the reference's stream-stream interval join
     * (OrderWideApp: orderInfo ⋈ orderDetail within ±5 s, reference
@@ -61,7 +60,6 @@ object RelationalOps {
         l("l_linenumber").cast("bigint").as("linenumber"),
         dec(l("l_extendedprice")).cast("double").as("price"),
         o("o_orderstatus").as("orderstatus"))
-      .orderBy($"orderkey", $"linenumber")
   }
 
   /** Dim-enrichment chain (reference DimAsyncFunction / OrderWideApp
@@ -82,7 +80,6 @@ object RelationalOps {
         c("c_name").as("cust_name"),
         n("n_name").as("nation_name"),
         r("r_name").as("region_name"))
-      .orderBy($"orderkey")
   }
 
   /** Full order-wide table: facts joined to every dimension (the completed
@@ -111,7 +108,6 @@ object RelationalOps {
         s("s_name").as("supp_name"),
         c("c_mktsegment").as("mktsegment"),
         n("n_name").as("cust_nation"))
-      .orderBy($"orderkey", $"linenumber")
   }
 
   /** Decorrelated "above my group's average" predicate — the scalar-
@@ -129,7 +125,6 @@ object RelationalOps {
       .filter(dec($"o_totalprice") * $"spend_cnt" > $"spend_sum")
       .select($"o_orderkey".as("orderkey"), $"o_custkey".as("custkey"),
         dec($"o_totalprice").cast("double").as("totalprice"))
-      .orderBy($"orderkey")
   }
 
   /** Argmin join (TPC-H Q2 shape without a partsupp table): per part,
@@ -147,7 +142,6 @@ object RelationalOps {
       .agg(min($"l_suppkey").as("suppkey"), first($"min_price").as("min_price"))
       .select($"l_partkey".as("partkey"), $"suppkey",
         $"min_price".cast("double").as("min_price"))
-      .orderBy($"partkey")
   }
 
   /** Local-supplier revenue by nation (TPC-H Q5 shape): the six-way
@@ -175,7 +169,6 @@ object RelationalOps {
       .agg(sum(dec(l("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(l("l_discount"))))
         .cast("double").as("revenue"),
         count(lit(1)).as("n_lineitems"))
-      .orderBy($"region_name", $"nation_name")
   }
 
   /** First-non-null merge after a full outer join — the relational form of
@@ -192,7 +185,6 @@ object RelationalOps {
         coalesce(c("c_name"), lit("unknown")).as("name"),
         coalesce(perCust("n_orders"), lit(0L)).as("n_orders"),
         coalesce(perCust("total_spent"), lit(0).cast("decimal(28,2)")).cast("double").as("total_spent"))
-      .orderBy($"custkey")
   }
 
   /** Left-semi join (EXISTS): customers that have at least one urgent
@@ -206,7 +198,6 @@ object RelationalOps {
     customer(spark, dir)
       .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
       .select($"c_custkey".as("custkey"), $"c_name".as("name"))
-      .orderBy($"custkey")
   }
 
   /** Left-anti join (NOT EXISTS): customers with no urgent orders —
@@ -220,7 +211,6 @@ object RelationalOps {
           .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"),
         $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey".as("custkey"), $"c_name".as("name"))
-      .orderBy($"custkey")
 
   /** As-of join: each purchase attributed to the user's most recent
     * preceding view (last-touch attribution). Implemented as
@@ -241,7 +231,6 @@ object RelationalOps {
       .filter($"event_type" === "purchase")
       .select($"event_id".as("purchase_id"), $"user_id",
         coalesce($"last_view_id", lit(-1L)).as("attributed_view_id"))
-      .orderBy($"purchase_id")
   }
 
   /** Same attribution via the engine's NATIVE as-of join operator
@@ -269,7 +258,6 @@ object RelationalOps {
         strict = true)
       .select($"event_id".as("purchase_id"), $"user_id",
         coalesce($"view_id", lit(-1L)).as("attributed_view_id"))
-      .orderBy($"purchase_id")
   }
 
   /** Union of two homogeneous branches with provenance tags (reference
@@ -281,6 +269,6 @@ object RelationalOps {
       .select($"event_id", lit("high").as("tag"))
     val errs = e.filter($"event_type" === "error" && $"value" < 150.0)
       .select($"event_id", lit("error").as("tag"))
-    high.union(errs).orderBy($"event_id")
+    high.union(errs)
   }
 }

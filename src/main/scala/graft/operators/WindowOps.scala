@@ -27,7 +27,6 @@ object WindowOps {
         sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
         $"event_type", $"n", $"sum_value")
-      .orderBy($"window_start", $"event_type")
 
   /** Sliding window (1 h size, 30 min slide): each event contributes to 2
     * windows. Spark's `window()` generator expands windows before
@@ -39,7 +38,6 @@ object WindowOps {
       .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
       .agg(count(lit(1)).as("n"))
       .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"), $"n")
-      .orderBy($"window_start")
 
   /** Exact unique visitors per hour — the DWS consumer of ST2's dedup.
     * `countDistinct` is a two-phase distinct aggregate (partial distinct
@@ -51,7 +49,6 @@ object WindowOps {
       .groupBy(window($"ts", "1 hour").as("w"))
       .agg(countDistinct($"user_id").as("uv"))
       .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"), $"uv")
-      .orderBy($"window_start")
 
   /** HLL variant of [[uvPerHour]] for extreme cardinalities — constant
     * memory per window, mergeable partials, no exact-distinct shuffle.
@@ -62,7 +59,6 @@ object WindowOps {
       .groupBy(window($"ts", "1 hour").as("w"))
       .agg(approx_count_distinct($"user_id").as("uv_approx"))
       .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"), $"uv_approx")
-      .orderBy($"window_start")
 
   /** Keyword tokenize → explode → count (the planned ikanalyzer keyword
     * job, reference pom.xml:179-183 + GmallConstant SEARCH/CLICK/CART/
@@ -75,7 +71,6 @@ object WindowOps {
       .filter(length($"word") > 0)
       .groupBy($"word")
       .agg(count(lit(1)).as("n"))
-      .orderBy($"n".desc, $"word")
 
   /** Same keyword job through the SQL-registered custom Generator
     * ([[org.apache.spark.sql.graftexpr.TokenizeExplode]]) — the
@@ -87,6 +82,5 @@ object WindowOps {
       .selectExpr("tokenize_explode(text) AS word")
       .groupBy($"word")
       .agg(count(lit(1)).as("n"))
-      .orderBy($"n".desc, $"word")
   }
 }
