@@ -143,7 +143,9 @@ object AnalyticsOps {
   def topPerBrand(spark: SparkSession, dir: String): DataFrame = {
     val l = lineitem(spark, dir)
     val p = part(spark, dir)
-    val rev = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    // part is un-hinted (grows with SF — see RelationalOps.orderWide);
+    // stats broadcast it at test scale, shuffle when genuinely large
+    val rev = l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy($"p_brand", $"p_partkey")
       .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
         .cast("double").as("revenue"))
@@ -237,8 +239,9 @@ object AnalyticsOps {
     val c = customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
     val o = orders(spark, dir)
     val l = lineitem(spark, dir)
+    // customer is un-hinted even segment-filtered: it scales with SF
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(l("l_orderkey"))
       .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
         .cast("double").as("revenue"))

@@ -9,12 +9,14 @@ import graft.Tables._
   * interval/range), full-outer coalesce merge, union.
   *
   * Scale notes (100 TB posture):
-  *  - Dim tables (region/nation/customer/supplier/part at warehouse scale:
-  *    the small side) are joined with explicit `broadcast()` hints so the
-  *    fact scan never shuffles for enrichment — mirrors the reference's
-  *    Redis-cached async dim lookup (reference
+  *  - BOUNDED dims (region 5, nation 25, supplier as the smallest scaling
+  *    dim) carry explicit `broadcast()` hints so the fact scan never
+  *    shuffles for their enrichment — mirrors the reference's Redis-cached
+  *    async dim lookup (reference
   *    gmall-realtime/.../app/function/DimAsyncFunction.java:46-82) which a
-  *    BroadcastHashJoin subsumes.
+  *    BroadcastHashJoin subsumes. SCALING dims (customer, part) are left
+  *    un-hinted: stats/AQE broadcast them while they fit and degrade to a
+  *    shuffle join when they don't — a forced broadcast would OOM at 100×.
   *  - Fact-fact joins (orders ⋈ lineitem) shuffle on the join key only;
   *    with AQE enabled skew is split at runtime.
   *  - Money arithmetic is done in DECIMAL so results are exactly
@@ -64,7 +66,7 @@ object RelationalOps {
 
   /** Dim-enrichment chain (reference DimAsyncFunction / OrderWideApp
     * intended joins, gmall-realtime/.../bean/OrderWide.java:40-53):
-    * customer → nation → region resolved via broadcast left joins, the
+    * customer → nation → region resolved via left joins — the
     * Spark-native replacement for per-event cached dim lookups.
     */
   def dimEnrich(spark: SparkSession, dir: String): DataFrame = {
@@ -72,7 +74,11 @@ object RelationalOps {
     val c = customer(spark, dir)
     val n = nation(spark, dir)
     val r = region(spark, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+    // customer is deliberately un-hinted: it grows with the fact tables
+    // (a multi-GB broadcast at warehouse scale); stats/AQE pick broadcast
+    // at test scale and fall back to shuffle when it is genuinely large.
+    // nation/region are bounded dims — hinted.
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
       .select(
@@ -84,8 +90,8 @@ object RelationalOps {
 
   /** Full order-wide table: facts joined to every dimension (the completed
     * version of the reference's unfinished OrderWideApp enrichment,
-    * OrderWide.java:40-53). Two fact tables shuffle on the order key; all
-    * four dims broadcast.
+    * OrderWide.java:40-53). Two fact tables shuffle on the order key;
+    * bounded dims broadcast by hint, scaling dims by stats only.
     */
   def orderWide(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir)
@@ -94,10 +100,15 @@ object RelationalOps {
     val s = supplier(spark, dir)
     val c = customer(spark, dir)
     val n = nation(spark, dir)
+    // part and customer are deliberately un-hinted: both grow with the
+    // fact tables (TPC-H: part = SF·200k, customer = SF·150k) and would
+    // OOM as forced broadcasts at 100×; stats/AQE still broadcast them
+    // at test scale. supplier (SF·10k, the smallest scaling dim, kept
+    // per the dim-star stance) and nation (bounded 25) stay hinted.
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
+      .join(p, l("l_partkey") === p("p_partkey"), "left")
       .join(broadcast(s), l("l_suppkey") === s("s_suppkey"), "left")
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(c, o("o_custkey") === c("c_custkey"), "left")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .select(
         l("l_orderkey").as("orderkey"),

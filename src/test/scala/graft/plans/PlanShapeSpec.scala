@@ -39,13 +39,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("minhash signatures are computed with ZERO shuffles before the sort") {
-    // one range exchange for the oracle-protocol total order; nothing else
-    assert(countShuffles(q("dedup_minhash_sig")) <= 1)
+  test("minhash signatures are computed with ZERO shuffles") {
+    // protocol sort now lives at the Verify edge — the operator itself
+    // must be a pure narrow pipeline
+    assert(countShuffles(q("dedup_minhash_sig")) == 0)
   }
 
   test("simhash fingerprints are narrow: no aggregation exchange") {
-    assert(countShuffles(q("dedup_simhash")) <= 1)
+    assert(countShuffles(q("dedup_simhash")) == 0)
   }
 
   test("text kernels run inside WholeStageCodegen") {
@@ -84,5 +85,17 @@ class PlanShapeSpec extends AnyFunSuite {
   test("native as-of join plans AsOfJoinExec with clustered+sorted children") {
     val plan = planString(q("j8_asof_native"))
     assert(plan.contains("AsOfJoin"), plan)
+  }
+
+  test("un-hinted scaling dims (customer, part) still broadcast via STATS at test scale") {
+    // orderWide no longer forces broadcast(part)/broadcast(customer); at
+    // sf0.001 file-size stats are far under the threshold, so Catalyst
+    // must pick BroadcastHashJoin for every dim join on its own — proving
+    // the plan adapts by size rather than by hint (at warehouse scale the
+    // same query degrades those two joins to shuffles instead of OOMing)
+    val plan = planString(q("j4_order_wide"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast dim joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
   }
 }
