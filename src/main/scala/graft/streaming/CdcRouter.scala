@@ -14,9 +14,10 @@ import graft.sources.GmallSchemas.TableProcess
   *
   * Spark shape: the config is a small DataFrame joined broadcast (the
   * reference's broadcast MapState, J2); re-reading it each micro-batch
-  * reproduces "config follows the stream". The dim store is a parquet
-  * directory per table, upserted in foreachBatch — at cluster scale this
-  * would be a transactional table format; the MERGE contract
+  * reproduces "config follows the stream". The dim store is a pk-hash-
+  * bucketed parquet directory per table, upserted in foreachBatch with
+  * per-batch cost proportional to the touched buckets only — the file-
+  * layout form of a transactional table format's MERGE; the contract
   * (latest-by-pk wins) is identical.
   */
 object CdcRouter {
@@ -52,10 +53,27 @@ object CdcRouter {
     (toKafka, toDim)
   }
 
-  /** K3/K4: dim-store MERGE — upsert rows into a parquet table keyed by
-    * the configured pk; creates the table on first write (the auto-DDL,
-    * TableProcessFunction.java:116-153). Latest write wins per key, the
-    * same contract as the reference's Phoenix `upsert into`.
+  /** Bucket count for the pk-hashed dim store. 16 keeps test stores
+    * inspectable; a warehouse deployment sizes this so one bucket's
+    * parquet fits a single task comfortably (thousands for multi-TB
+    * dims). Changing it requires rebuilding the store — the count is
+    * baked into the directory layout.
+    */
+  val DimStoreBuckets = 16
+
+  /** K3/K4: dim-store MERGE — upsert rows into a pk-hash-BUCKETED parquet
+    * table (`<table>/__bucket=N/`); creates the table on first write (the
+    * auto-DDL, TableProcessFunction.java:116-153; `sinkExtend` DDL
+    * suffixes are moot for parquet schema-on-write and ignored). Latest
+    * write wins per key, the same contract as the reference's Phoenix
+    * `upsert into`.
+    *
+    * Scale shape: a micro-batch reads and rewrites ONLY the buckets its
+    * keys hash into — per-batch cost is O(touched · store/buckets), not
+    * O(store) — and all moves go through the Hadoop `FileSystem` API, so
+    * the store lives on HDFS/S3A as readily as on local disk. (The
+    * reference's hottest sink: DimSinkFunction.java:26-81 upserts on
+    * every BaseDBLog record.)
     *
     * Within-batch ordering: `seq` must be a deterministic change-order
     * column (binlog offset / source timestamp) when same-pk changes can
@@ -64,47 +82,84 @@ object CdcRouter {
     * single-partition batches (tests/fixtures); real CDC feeds should
     * pass their offset column.
     *
-    * Crash safety: the new table is written to `.tmp`, the live table
-    * moved aside to `.old`, tmp renamed in, then `.old` dropped — at any
-    * crash point a complete table copy exists on disk (`.old` is the
-    * recovery source if the swap was interrupted); rename failures throw
-    * instead of silently losing the table.
+    * Crash safety: new bucket contents are staged under `.tmp`, then each
+    * touched bucket is swapped live→`.bak`, tmp→live, drop `.bak` — per-
+    * bucket atomicity via FS rename. A crash can leave SOME buckets on
+    * the new batch and others on the old, which is safe because the merge
+    * is idempotent: re-applying the same batch converges every bucket.
+    * An interrupted single-bucket swap is healed by the `.bak` recovery
+    * scan on the next merge; rename failures throw instead of silently
+    * losing data.
     */
   def mergeDim(spark: SparkSession, storeDir: String, sinkTable: String,
       pk: String, batch: DataFrame,
       seq: org.apache.spark.sql.Column = monotonically_increasing_id()): Unit = {
-    val path = s"$storeDir/$sinkTable"
-    // recover an interrupted swap: if the live table vanished mid-swap,
-    // the .old copy is the last complete table — restore it FIRST
-    val liveF = new java.io.File(path)
-    val oldF = new java.io.File(s"$path.old")
-    if (!liveF.exists() && oldF.exists() && !oldF.renameTo(liveF))
-      throw new java.io.IOException(s"dim-store recovery: cannot restore $oldF")
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$storeDir/$sinkTable")
+    val tmp = new Path(s"$storeDir/$sinkTable.tmp")
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    def bak(b: Path) = new Path(b.getParent, b.getName + ".bak")
+
+    // recovery scan: an interrupted swap leaves `__bucket=N.bak` — if the
+    // live bucket vanished mid-swap the .bak is its last complete copy
+    if (fs.exists(live)) fs.listStatus(live)
+      .filter(_.getPath.getName.endsWith(".bak")).foreach { st =>
+        val liveB = new Path(live,
+          st.getPath.getName.stripSuffix(".bak"))
+        if (!fs.exists(liveB)) {
+          if (!fs.rename(st.getPath, liveB))
+            throw new java.io.IOException(s"dim-store recovery: cannot restore ${st.getPath}")
+        } else fs.delete(st.getPath, true) // swap had completed
+      }
+
     val incoming = batch.select(
-      $"row".getItem(pk).as("__pk"), $"row", seq.as("__seq"))
+        $"row".getItem(pk).as("__pk"), $"row", seq.as("__seq"))
+      .withColumn("__bucket", pmod(hash($"__pk"), lit(DimStoreBuckets)))
+    // the touched-bucket list is bounded by DimStoreBuckets — a constant-
+    // size driver collect, independent of batch or store size
+    val touched = incoming.select($"__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+
     val merged =
-      if (new java.io.File(path).exists()) {
-        val existing = spark.read.parquet(path)
-          .select($"__pk", $"row", lit(Long.MinValue).as("__seq"))
+      if (fs.exists(live)) {
+        // partition pruning on __bucket: untouched buckets are never read
+        val existing = spark.read.parquet(live.toString)
+          .filter($"__bucket".isin(touched.map(Int.box): _*))
+          .select($"__pk", $"row", lit(Long.MinValue).as("__seq"), $"__bucket")
         existing.unionByName(incoming)
       } else incoming
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"__pk").orderBy($"__seq".desc)
     val latest = merged.withColumn("__rn", row_number().over(w))
-      .filter($"__rn" === 1).select($"__pk", $"row")
-    val tmp = new java.io.File(s"$path.tmp")
-    val old = new java.io.File(s"$path.old")
-    val live = new java.io.File(path)
-    latest.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-    if (live.exists() && !live.renameTo(old))
-      throw new java.io.IOException(s"dim-store swap: cannot move $live aside")
-    if (!tmp.renameTo(live)) {
-      // restore the previous table before failing
-      if (old.exists()) old.renameTo(live)
-      throw new java.io.IOException(s"dim-store swap: cannot activate $tmp")
+      .filter($"__rn" === 1).select($"__pk", $"row", $"__bucket")
+
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    latest.write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .parquet(tmp.toString)
+
+    if (!fs.exists(live)) {
+      // auto-DDL: first write activates the whole staged table at once
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"dim-store create: cannot activate $tmp")
+      return
     }
-    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    touched.foreach { b =>
+      val tmpB = new Path(tmp, s"__bucket=$b")
+      val liveB = new Path(live, s"__bucket=$b")
+      if (fs.exists(tmpB)) {
+        val bakB = bak(liveB)
+        if (fs.exists(bakB)) fs.delete(bakB, true)
+        if (fs.exists(liveB) && !fs.rename(liveB, bakB))
+          throw new java.io.IOException(s"dim-store swap: cannot move $liveB aside")
+        if (!fs.rename(tmpB, liveB)) {
+          if (fs.exists(bakB)) fs.rename(bakB, liveB) // restore before failing
+          throw new java.io.IOException(s"dim-store swap: cannot activate $tmpB")
+        }
+        if (fs.exists(bakB)) fs.delete(bakB, true)
+      }
+    }
+    fs.delete(tmp, true)
     ()
   }
 

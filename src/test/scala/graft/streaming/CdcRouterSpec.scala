@@ -55,6 +55,77 @@ class CdcRouterSpec extends AnyFunSuite {
     assert(toKafka.count() + toDim.count() === 4)
   }
 
+  import org.apache.spark.sql.functions.{hash, lit, pmod}
+
+  private def dimRow(id: String, name: String) = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    Seq(("dim_user_info", "id",
+      Map("id" -> id, "name" -> name))).toDF("sinkTable", "sinkPk", "row")
+  }
+
+  private def bucketOf(id: String): Int = {
+    import spark.implicits.{localSeqToDatasetHolder, newStringEncoder}
+    Seq(id).toDF("pk")
+      .select(pmod(hash($"pk"), lit(CdcRouter.DimStoreBuckets)))
+      .head().getInt(0)
+  }
+
+  /** (relative file name -> md5) for every data file under a dir. */
+  private def fileHashes(dir: java.io.File): Map[String, String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(dir).filter(_.getName.endsWith(".parquet")).map { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      f.getPath.stripPrefix(dir.getPath) -> md5.map("%02x".format(_)).mkString
+    }.toMap
+  }
+
+  test("bucketed MERGE rewrites only touched buckets (others byte-identical)") {
+    val dir = Files.createTempDirectory("dimstore").toString
+    // two pks guaranteed to land in different buckets
+    val idA = "7"
+    val idB = (8 to 200).map(_.toString).find(bucketOf(_) != bucketOf(idA)).get
+    CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow(idA, "alice"))
+    val bucketA = new java.io.File(s"$dir/dim_user_info/__bucket=${bucketOf(idA)}")
+    val before = fileHashes(bucketA)
+    assert(before.nonEmpty, "bucket dir for idA must exist after first merge")
+    CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow(idB, "bob"))
+    assert(fileHashes(bucketA) === before,
+      "merging a key of another bucket must not rewrite idA's bucket")
+    val dim = spark.read.parquet(s"$dir/dim_user_info")
+    assert(dim.count() === 2)
+    // and updating idA rewrites its bucket but leaves idB's alone
+    val bucketB = new java.io.File(s"$dir/dim_user_info/__bucket=${bucketOf(idB)}")
+    val beforeB = fileHashes(bucketB)
+    CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow(idA, "alice2"))
+    assert(fileHashes(bucketB) === beforeB)
+    assert(fileHashes(bucketA) !== before)
+    val names = spark.read.parquet(s"$dir/dim_user_info")
+      .select($"row".getItem("name")).as[String](Encoders.STRING)
+      .collect().toSet
+    assert(names === Set("alice2", "bob"))
+  }
+
+  test("interrupted bucket swap (.bak left, live missing) is healed on next merge") {
+    val dir = Files.createTempDirectory("dimstore").toString
+    val idA = "7"
+    val idB = (8 to 200).map(_.toString).find(bucketOf(_) != bucketOf(idA)).get
+    CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow(idA, "alice"))
+    CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow(idB, "bob"))
+    // simulate a crash between live->bak and tmp->live for idA's bucket
+    val bucketA = new java.io.File(s"$dir/dim_user_info/__bucket=${bucketOf(idA)}")
+    val bakA = new java.io.File(bucketA.getPath + ".bak")
+    assert(bucketA.renameTo(bakA))
+    // next merge (touching only idB's bucket) must first restore the .bak
+    CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow(idB, "bob2"))
+    assert(bucketA.exists() && !bakA.exists())
+    val names = spark.read.parquet(s"$dir/dim_user_info")
+      .select($"row".getItem("name")).as[String](Encoders.STRING)
+      .collect().toSet
+    assert(names === Set("alice", "bob2"))
+  }
+
   test("dim store MERGE: insert then update, latest wins; auto-creates table") {
     val dir = Files.createTempDirectory("dimstore").toString
     val (_, toDim) = CdcRouter.route(CdcRouter.parse(raw), config)
