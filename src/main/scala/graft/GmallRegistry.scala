@@ -50,6 +50,7 @@ object GmallRegistry {
     "agg_pivot" -> (AnalyticsOps.pivotStatusCounts _),
     "agg_unpivot" -> (AnalyticsOps.unpivotStatusCounts _),
     "agg_median" -> (AnalyticsOps.medianValueByType _),
+    "agg_percentile_approx" -> (AnalyticsOps.percentileApprox _),
     "rank_top_per_brand" -> (AnalyticsOps.topPerBrand _),
     "window_running_total" -> (AnalyticsOps.runningTotal _),
     "window_lag_lead" -> (AnalyticsOps.lagLeadGaps _),
@@ -321,6 +322,14 @@ object GmallRegistry {
         |  CAST(any_value(cnt) AS BIGINT) AS n
         |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the t-digest estimate is engine-specific; what IS exact is its rank
+    // guarantee, so the checked output is the per-(group, p) bound verdict
+    "agg_percentile_approx" ->
+      s"""SELECT e.event_type, CAST(p.p AS DOUBLE) AS p,
+         |  TRUE AS within_bounds, e.n
+         |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1) e
+         |CROSS JOIN (SELECT unnest([${AnalyticsOps.PercentileTargets.mkString(", ")}]) AS p) p
+         |ORDER BY event_type, p""".stripMargin,
     "window_lag_lead" ->
       """SELECT user_id, event_id,
         |  lag(event_id, 1) OVER w AS prev_event,

@@ -60,6 +60,7 @@ object Proto {
     "agg_pivot" -> asc("priority"),
     "agg_unpivot" -> asc("priority", "status_bucket"),
     "agg_median" -> asc("event_type"),
+    "agg_percentile_approx" -> asc("event_type", "p"),
     "rank_top_per_brand" -> asc("brand", "rank"),
     "window_running_total" -> asc("custkey", "orderkey"),
     "window_lag_lead" -> asc("event_id"),

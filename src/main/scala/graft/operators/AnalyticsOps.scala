@@ -95,6 +95,45 @@ object AnalyticsOps {
       .select($"event_type", $"median_value", $"n")
   }
 
+  /** Percentile targets / rank tolerance for [[percentileApprox]]. ε is
+    * deliberately loose (the δ=100 digest's real error is well under 1%)
+    * so the check never flakes on merge order.
+    */
+  val PercentileTargets: Seq[Double] = Seq(0.5, 0.9, 0.99)
+  val PercentileEps = 0.05
+
+  /** Approximate per-group percentiles via the engine's t-digest
+    * aggregate ([[org.apache.spark.sql.graftexpr.TDigestAgg]]) — the
+    * scale-out companion to the exact [[medianValueByType]]: one
+    * partial-agg pass, constant-size mergeable state per group, no
+    * per-group sort. The estimate itself is merge-order dependent, so
+    * the oracle-checked output is the rank-bound GUARANTEE: for each
+    * (group, p), count(value < q̂) ≤ (p+ε)·n and count(value ≤ q̂) ≥
+    * (p−ε)·n — a real assertion of sketch correctness that holds for
+    * any merge order. The validating join is test harness, not the
+    * operator: production consumers read the digest output directly.
+    */
+  def percentileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select($"event_type", $"value")
+    val sk = e.groupBy($"event_type")
+      .agg(org.apache.spark.sql.graftexpr.TDigestAgg
+          .quantiles($"value", PercentileTargets).as("qs"),
+        count(lit(1)).as("n"))
+    val q = sk.select($"event_type", $"n", posexplode($"qs"))
+      .select($"event_type", $"n",
+        element_at(typedlit(PercentileTargets), $"pos" + 1).as("p"),
+        $"col".as("qv"))
+    q.join(e.select($"event_type".as("et2"), $"value"), $"event_type" === $"et2")
+      .groupBy($"event_type", $"p", $"n", $"qv")
+      .agg(
+        sum(when($"value" < $"qv", 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when($"value" <= $"qv", 1L).otherwise(0L)).as("cnt_le"))
+      .select($"event_type", $"p",
+        ($"cnt_lt" <= ($"p" + PercentileEps) * $"n" &&
+          $"cnt_le" >= ($"p" - PercentileEps) * $"n").as("within_bounds"),
+        $"n")
+  }
+
   /** lag/lead navigation: previous/next event id and the gap to the
     * previous event per user — the session-stitching primitives.
     * Deterministic: the window orders by (ts, event_id) and event_id is
