@@ -43,7 +43,8 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftOrder: Seq[Expression],
     rightOrder: Seq[Expression],
-    strict: Boolean) extends BinaryNode {
+    strict: Boolean,
+    tolerance: Option[Long]) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -62,8 +63,8 @@ case class AsOfJoin(
 /** Plans [[AsOfJoin]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lo, ro, strict) =>
-      AsOfJoinExec(lk, rk, lo, ro, strict, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lo, ro, strict, tol) =>
+      AsOfJoinExec(lk, rk, lo, ro, strict, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -78,6 +79,7 @@ case class AsOfJoinExec(
     leftOrder: Seq[Expression],
     rightOrder: Seq[Expression],
     strict: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -96,10 +98,20 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys ++ leftOrder).map(SortOrder(_, Ascending))
 
+  // tolerance bounds the lookback on the PRIMARY order column, which
+  // must therefore be integral (epoch millis/seconds, a sequence number)
+  tolerance.foreach { t =>
+    require(t >= 0, s"as-of tolerance must be >= 0, got $t")
+    require(leftOrder.headOption.exists(_.dataType == org.apache.spark.sql.types.LongType),
+      s"as-of tolerance needs a LongType primary order column, got " +
+        leftOrder.headOption.map(_.dataType).orNull)
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
     val strictCmp = strict
+    val tol = tolerance
     val lk = leftKeys
     val rk = rightKeys
     val lo = leftOrder
@@ -121,8 +133,11 @@ case class AsOfJoinExec(
       new Iterator[InternalRow] {
         // candidate: last right row seen whose (key, ord) passed the
         // bound for the PREVIOUS left rows; re-validated per left row
+        // (key equality AND, under a tolerance, recency — the candidate
+        // can EXPIRE as the left ordering column advances)
         private var candidate: InternalRow = _
         private var candidateKey: InternalRow = _
+        private var candidateOrd: InternalRow = _
         private var rHead: InternalRow = _
         private var rHeadKey: InternalRow = _
         private var rHeadOrd: InternalRow = _
@@ -152,11 +167,17 @@ case class AsOfJoinExec(
             if (within) {
               candidate = rHead.copy()
               candidateKey = rHeadKey
+              candidateOrd = rHeadOrd
               advanceRight()
               continue = rHead != null
             } else continue = false
           }
-          val matched = candidate != null && keyOrdering.compare(candidateKey, lKey) == 0
+          val matched = candidate != null &&
+            keyOrdering.compare(candidateKey, lKey) == 0 &&
+            tol.forall { t =>
+              !lOrd.isNullAt(0) && !candidateOrd.isNullAt(0) &&
+                lOrd.getLong(0) - candidateOrd.getLong(0) <= t
+            }
           outProj(joined(lRow, if (matched) candidate else nullRight))
         }
       }
@@ -175,11 +196,18 @@ object AsOf {
     * Key/order columns are named per side; use distinct output column
     * names across the two sides. The right side is re-aliased internally
     * so self-joins (both sides derived from the same table) are safe.
+    *
+    * pandas `merge_asof(direction="backward")` mapping:
+    * `allowExactMatches=false` ⇔ `strict=true`; `tolerance` is the max
+    * lookback on the PRIMARY order column (`left.ord0 − right.ord0 ≤
+    * tolerance`, so the column must be integral — epoch millis, a
+    * sequence number): a candidate older than the tolerance yields the
+    * unmatched (null right) row, exactly pandas' behavior.
     */
   def join(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftOrder: Seq[String], rightOrder: Seq[String],
-      strict: Boolean): DataFrame = {
+      strict: Boolean, tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     // fresh exprIds on the right side (Alias always mints new ids) so a
     // self-join can't produce ambiguous attribute references
@@ -193,11 +221,11 @@ object AsOf {
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       AsOfJoin(lPlan, rPlan,
         attrs(lPlan, leftKeys), attrs(rPlan, rightKeys),
-        attrs(lPlan, leftOrder), attrs(rPlan, rightOrder), strict))
+        attrs(lPlan, leftOrder), attrs(rPlan, rightOrder), strict, tolerance))
   }
 
   /** Same-name convenience overload. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       order: Seq[String], strict: Boolean): DataFrame =
-    join(left, right, keys, keys, order, order, strict)
+    join(left, right, keys, keys, order, order, strict, None)
 }

@@ -81,6 +81,55 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("tolerance: candidates older than the lookback yield unmatched rows") {
+    val m = AsOf.join(trades, quotes,
+        leftKeys = Seq("sym"), rightKeys = Seq("qsym"),
+        leftOrder = Seq("t"), rightOrder = Seq("qt"),
+        strict = false, tolerance = Some(3L))
+      .select($"trade_id", $"quote_id")
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(m(1L) == null) // t=10, last quote at 5: gap 5 > 3
+    assert(m(2L) == 101L) // t=20, quote at 20: gap 0
+    assert(m(4L) == null)
+  }
+
+  test("tolerance expires a candidate as the left side advances") {
+    val l = Seq((1L, "k", 10L), (2L, "k", 50L)).toDF("lid", "k", "t")
+    val r = Seq((10L, "k", 9L)).toDF("rid", "rk", "rt")
+    val m = AsOf.join(l, r, Seq("k"), Seq("rk"), Seq("t"), Seq("rt"),
+        strict = false, tolerance = Some(20L))
+      .select($"lid", $"rid").collect().map(x => x.getLong(0) -> x.get(1)).toMap
+    assert(m(1L) == 10L) // gap 1 <= 20
+    assert(m(2L) == null) // same candidate, gap 41 > 20: expired
+  }
+
+  test("tolerance=0 with allowExactMatches (strict=false) keeps only exact hits") {
+    val m = AsOf.join(trades, quotes,
+        leftKeys = Seq("sym"), rightKeys = Seq("qsym"),
+        leftOrder = Seq("t"), rightOrder = Seq("qt"),
+        strict = false, tolerance = Some(0L))
+      .select($"trade_id", $"quote_id")
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(m(2L) == 101L) // exactly at 20
+    assert(m(1L) == null)
+    // and with strict=true (allowExactMatches=false) even that is gone
+    val s = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"),
+        Seq("t"), Seq("qt"), strict = true, tolerance = Some(0L))
+      .select($"trade_id", $"quote_id")
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(s(2L) == null)
+  }
+
+  test("tolerance on a non-long primary order column is rejected") {
+    val l = Seq((1L, "k", 1.5)).toDF("lid", "k", "t")
+    val r = Seq((10L, "k", 1.0)).toDF("rid", "rk", "rt")
+    val ex = intercept[Exception] {
+      AsOf.join(l, r, Seq("k"), Seq("rk"), Seq("t"), Seq("rt"),
+        strict = false, tolerance = Some(1L)).collect()
+    }
+    assert(ex.getMessage.contains("LongType"), ex.getMessage)
+  }
+
   test("physical plan uses AsOfJoinExec with one shuffle per side") {
     val df = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"),
       Seq("t"), Seq("qt"), strict = false)
