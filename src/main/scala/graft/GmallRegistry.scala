@@ -35,13 +35,15 @@ object GmallRegistry {
     "x1_log_split" -> (EventOps.logSplit _),
     "s4_cdc_normalize" -> (EventOps.cdcNormalize _),
     "j2_config_route" -> (EventOps.configRoute _),
+    "j9_salted_skew_join" -> (EventOps.saltedRoute _),
     "x2_cdc_route" -> (EventOps.cdcRoute _),
     "p4_dynamic_prune" -> ((s: SparkSession, d: String) => EventOps.dynamicPrune(s, d)),
     "k2_dynamic_topic" -> (EventOps.dynamicTopic _),
     "dws_tumbling" -> (WindowOps.tumbling _),
     "dws_sliding" -> (WindowOps.sliding _),
     "dws_uv_per_hour" -> (WindowOps.uvPerHour _),
-    "dws_uv_per_hour_approx" -> (WindowOps.uvPerHourApprox _),
+    "dws_uv_per_hour_approx" -> ((s: SparkSession, d: String) =>
+      WindowOps.uvPerHourApprox(s, d)),
     "dws_keyword_count" -> (WindowOps.keywordCount _),
     "dws_keyword_count_udtf" -> (WindowOps.keywordCountUdtf _),
     "agg_rollup" -> (AnalyticsOps.rollupSummary _),
@@ -235,6 +237,15 @@ object GmallRegistry {
         |FROM orders WHERE o_orderstatus IN ('O', 'F')
         |ORDER BY id""".stripMargin,
     "j2_config_route" ->
+      """SELECT e.event_id, cfg.sink_type, cfg.sink_table AS topic
+        |FROM events e
+        |JOIN (VALUES ('click','kafka','dwd_click'), ('view','kafka','dwd_view'),
+        |             ('purchase','hbase','dim_purchase'), ('signup','hbase','dim_signup'))
+        |  AS cfg(source_type, sink_type, sink_table)
+        |  ON e.event_type = cfg.source_type
+        |ORDER BY e.event_id""".stripMargin,
+    // the salted two-phase join must produce exactly the unsalted answer
+    "j9_salted_skew_join" ->
       """SELECT e.event_id, cfg.sink_type, cfg.sink_table AS topic
         |FROM events e
         |JOIN (VALUES ('click','kafka','dwd_click'), ('view','kafka','dwd_view'),

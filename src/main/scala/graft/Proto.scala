@@ -45,6 +45,7 @@ object Proto {
     "x1_log_split" -> asc("event_id", "branch", "item"),
     "s4_cdc_normalize" -> asc("id"),
     "j2_config_route" -> asc("event_id"),
+    "j9_salted_skew_join" -> asc("event_id"),
     "x2_cdc_route" -> asc("id"),
     "p4_dynamic_prune" -> asc("event_id"),
     "k2_dynamic_topic" -> asc("event_id"),

@@ -192,6 +192,24 @@ object EventOps {
       .select($"event_id", $"sink_type", $"sink_table".as("topic"))
   }
 
+  /** J2 in its SKEWED form: the same config-route join, via
+    * [[SkewOps.saltedJoin]] — the fallback for when the dim side cannot
+    * broadcast and the stream key is hot. `event_type` has 5 distinct
+    * values, so an unsalted shuffle join lands each type's entire
+    * volume on ONE reducer regardless of cluster size; the salt spreads
+    * every type over 8 sub-keys. (AQE's OptimizeSkewedJoin also
+    * mitigates this at runtime, but only for joins it planned itself
+    * and only within a batch — the salt is the plan-level guarantee.)
+    * Same output contract and oracle as `j2_config_route`.
+    */
+  def saltedRoute(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select($"event_id", $"event_type")
+    val cfg = routeConfig(spark).withColumnRenamed("source_type", "event_type")
+    SkewOps.saltedJoin(e, cfg, "event_type", buckets = 8,
+        bigSaltSource = $"event_id")
+      .select($"event_id", $"sink_type", $"sink_table".as("topic"))
+  }
+
   /** P4: data-driven column pruning (reference
     * TableProcessFunction.java:183-195 keeps only config-listed keys).
     * The projection is built at plan time from the config string — the

@@ -36,15 +36,22 @@ object SkewOps {
       .agg(sum($"__partial").as("total"), sum($"__pn").as("n"))
 
   /** Salted join: the big (skewed) side gets a salt from stable columns;
-    * the small side is exploded once per salt value, then a plain
-    * equi-join on (key, salt). Output = the unsalted join, but no
-    * reducer sees more than ~1/buckets of any hot key.
+    * the small side is exploded once per salt value, then an equi-join
+    * on (key, salt). Output = the unsalted join, but no reducer sees
+    * more than ~1/buckets of any hot key.
+    *
+    * The shuffle_hash hint pins the shuffled plan: salting presupposes
+    * the small side cannot broadcast (if it could, you would broadcast
+    * and skip the salt entirely), and without the hint Catalyst would
+    * broadcast the exploded side at test scale, silently testing a
+    * different operator than the one that runs at 100 TB.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       buckets: Int, bigSaltSource: Column): DataFrame = {
     val saltedBig = big.withColumn("__salt", salt(buckets, bigSaltSource))
     val explodedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
-    saltedBig.join(explodedSmall, Seq(key, "__salt")).drop("__salt")
+    saltedBig.join(explodedSmall.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
   }
 }

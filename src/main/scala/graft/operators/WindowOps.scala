@@ -52,12 +52,19 @@ object WindowOps {
 
   /** HLL variant of [[uvPerHour]] for extreme cardinalities — constant
     * memory per window, mergeable partials, no exact-distinct shuffle.
-    * Sketch contents are engine-specific → rows-only correctness check.
+    * Sketch contents are engine-specific → rows-only correctness check
+    * plus a ScalaTest bound against the exact operator (WindowOpsSpec:
+    * every window within 5%). rsd 0.01 ⇒ ~10 KB of registers per
+    * window — still constant and mergeable, but near-exact at the
+    * small per-window cardinalities where the default 0.05 shows ~20%
+    * quantization error; raise rsd if windows × keys make sketch
+    * memory the binding constraint.
     */
-  def uvPerHourApprox(spark: SparkSession, dir: String): DataFrame =
+  def uvPerHourApprox(spark: SparkSession, dir: String,
+      rsd: Double = 0.01): DataFrame =
     events(spark, dir)
       .groupBy(window($"ts", "1 hour").as("w"))
-      .agg(approx_count_distinct($"user_id").as("uv_approx"))
+      .agg(approx_count_distinct($"user_id", rsd).as("uv_approx"))
       .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"), $"uv_approx")
 
   /** Keyword tokenize → explode → count (the planned ikanalyzer keyword

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Batch DWS windows: the HLL UV variant was the one registry entry with
+  * only a rows-only oracle check (sketch contents are engine-specific) —
+  * this spec closes that gap by bounding it against the exact operator.
+  */
+class WindowOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("HLL uv per hour is within 5% of exact uv in EVERY window") {
+    val exact = WindowOps.uvPerHour(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = WindowOps.uvPerHourApprox(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet, "window sets must agree")
+    assert(exact.nonEmpty)
+    exact.foreach { case (w, uv) =>
+      val est = approx(w)
+      // approx_count_distinct default rsd = 0.05; HLL++ bias correction
+      // keeps low-cardinality windows much tighter than that
+      assert(math.abs(est - uv).toDouble / uv <= 0.05,
+        s"window $w: exact=$uv approx=$est")
+    }
+  }
+}

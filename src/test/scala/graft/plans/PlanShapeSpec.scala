@@ -87,6 +87,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("AsOfJoin"), plan)
   }
 
+  test("salted skew join: shuffled two-phase shape, small side exploded not broadcast") {
+    val plan = planString(q("j9_salted_skew_join"))
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    // salt expansion of the small side survives into the physical plan
+    assert(plan.contains("Generate explode"), plan)
+  }
+
   test("un-hinted scaling dims (customer, part) still broadcast via STATS at test scale") {
     // orderWide no longer forces broadcast(part)/broadcast(customer); at
     // sf0.001 file-size stats are far under the threshold, so Catalyst
