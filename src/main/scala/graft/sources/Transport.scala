@@ -61,21 +61,25 @@ class FileTransport(root: String) extends Transport {
   }
 }
 
-/** Kafka transport (connector jar required at runtime). */
+/** Kafka transport (connector jar required at runtime; this container
+  * ships neither the connector nor a broker, so only the option
+  * contracts — [[Transport.kafkaConsumerOptions]] /
+  * [[Transport.kafkaProducerOptions]], unit-tested — and the delivery-
+  * semantics helper [[Transport.dedupedByKey]] are exercised here; the
+  * `.load()`/`.start()` calls resolve the DataSource only when
+  * spark-sql-kafka is on the classpath).
+  */
 class KafkaTransport(brokers: String, groupId: String = "graft") extends Transport {
   override def readStream(spark: SparkSession, topic: String): DataFrame =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("kafka.group.id", groupId)
-      .option("startingOffsets", "latest")
+      .options(Transport.kafkaConsumerOptions(brokers, groupId, topic))
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
 
   override def read(spark: SparkSession, topic: String): DataFrame =
     spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
+      .options(Transport.kafkaConsumerOptions(brokers, groupId, topic,
+        startingOffsets = "earliest"))
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
 
@@ -83,8 +87,47 @@ class KafkaTransport(brokers: String, groupId: String = "graft") extends Transpo
       checkpoint: String): StreamingQuery = {
     // kafka sink routes by the `topic` column when no fixed topic is set
     val w: DataStreamWriter[Row] = df.writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
+      .options(Transport.kafkaProducerOptions(brokers))
       .option("checkpointLocation", checkpoint)
     topic.fold(w)(t => w.option("topic", t)).start()
   }
+}
+
+object Transport {
+  /** Consumer options for the Spark Kafka source (mirrors the reference
+    * consumer config, MyKafkaUtil.java:17-27: brokers + topic + group).
+    * Pure so the contract is testable without a broker.
+    */
+  def kafkaConsumerOptions(brokers: String, groupId: String, topic: String,
+      startingOffsets: String = "latest"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> brokers,
+    "subscribe" -> topic,
+    "kafka.group.id" -> groupId,
+    "startingOffsets" -> startingOffsets,
+    // bound per-batch reads so one huge backlog cannot OOM a micro-batch
+    "maxOffsetsPerTrigger" -> (1000000L).toString)
+
+  /** Producer options for the Spark Kafka sink. Delivery is
+    * at-least-once per micro-batch (checkpointed offsets + retrying
+    * producer); the reference's transactional EXACTLY_ONCE
+    * (MyKafkaUtil.java:29) has no Spark-sink equivalent — instead,
+    * consumers get effectively-once via [[dedupedByKey]] downstream.
+    */
+  def kafkaProducerOptions(brokers: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> brokers,
+    // idempotent producer: broker-side dedup of in-flight retries
+    "kafka.enable.idempotence" -> "true",
+    "kafka.acks" -> "all")
+
+  /** The idempotent-consumer half of exactly-once over an at-least-once
+    * transport: keyed dedup within a watermark. A replayed micro-batch
+    * (sink crash after publish, before checkpoint commit) re-delivers
+    * records with the same delivery key; dropping duplicates within the
+    * replay horizon makes the downstream view effectively-once. State is
+    * bounded: one key per record, evicted when the watermark passes.
+    */
+  def dedupedByKey(df: DataFrame, keyCol: String, eventTimeCol: String,
+      replayHorizon: String): DataFrame =
+    df.withWatermark(eventTimeCol, replayHorizon)
+      .dropDuplicatesWithinWatermark(keyCol)
 }

@@ -10,6 +10,43 @@ class TransportSpec extends AnyFunSuite {
   import graft.ColStr
   import org.apache.spark.sql.functions._
 
+  test("kafka option contracts: consumer subscribes topic+group, producer idempotent") {
+    val c = Transport.kafkaConsumerOptions("b1:9092,b2:9092", "g7", "dwd_page")
+    assert(c("kafka.bootstrap.servers") === "b1:9092,b2:9092")
+    assert(c("subscribe") === "dwd_page")
+    assert(c("kafka.group.id") === "g7")
+    assert(c("startingOffsets") === "latest")
+    assert(c.contains("maxOffsetsPerTrigger"))
+    val batch = Transport.kafkaConsumerOptions("b", "g", "t",
+      startingOffsets = "earliest")
+    assert(batch("startingOffsets") === "earliest")
+    val p = Transport.kafkaProducerOptions("b1:9092")
+    assert(p("kafka.enable.idempotence") === "true")
+    assert(p("kafka.acks") === "all")
+  }
+
+  test("dedupedByKey drops replayed deliveries within the horizon (effectively-once)") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val enc = Encoders.product[(String, java.sql.Timestamp)]
+    val ms = MemoryStream[(String, java.sql.Timestamp)](enc, spark)
+    val in = ms.toDS().toDF("delivery_key", "event_time")
+    val out = Transport.dedupedByKey(in, "delivery_key", "event_time", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_once")
+      .outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(1700000000000L)
+      ms.addData(("k1", t0), ("k2", t0))
+      q.processAllAvailable()
+      // replay: the same micro-batch is delivered again plus one new key
+      ms.addData(("k1", t0), ("k2", t0), ("k3", t0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_once").select($"delivery_key")
+        .collect().map(_.getString(0)).toSeq
+      assert(got.sorted === Seq("k1", "k2", "k3"))
+    } finally q.stop()
+  }
+
   test("dynamic-topic writeStream fans records out per topic column") {
     val root = Files.createTempDirectory("transport").toString
     val t = new FileTransport(root)

@@ -57,6 +57,33 @@ class OrderWidePipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval-join buffered state survives query restart from checkpoint") {
+    val work = java.nio.file.Files.createTempDirectory("ow-restart").toString
+    val iEnc = Encoders.product[OrderInfo]
+    val dEnc = Encoders.product[OrderDetail]
+    val msI = MemoryStream[OrderInfo](iEnc, spark)
+    val msD = MemoryStream[OrderDetail](dEnc, spark)
+    val out = OrderWidePipeline.intervalJoinStreaming(msI.toDS(), msD.toDS())
+    def start() = out.writeStream.outputMode("append")
+      .format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt").start()
+
+    val q1 = start()
+    msI.addData(info(1L, t0)) // order arrives; its detail has not
+    q1.processAllAvailable(); q1.stop()
+
+    val q2 = start() // fresh query instance, same checkpoint
+    msD.addData(detail(11L, 1L, t0 + 3000)) // within +5s of the order
+    q2.processAllAvailable(); q2.stop()
+
+    // the join can only emit if the buffered order-info row was
+    // recovered from the state store across the restart
+    val got = spark.read.parquet(s"$work/out")
+      .select($"detail_id", $"order_id_i")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((11L, 1L)))
+  }
+
   test("enrichment: six-dim chain, missing key stays null (left join)") {
     val wide = OrderWidePipeline.intervalJoinBatch(
       spark.createDataFrame(infos), spark.createDataFrame(details))
