@@ -106,8 +106,15 @@ object EventOps {
     val page = e.filter($"event_type" =!= "signup")
       .select($"event_id", lit("page").as("branch"),
         lit(null).cast("bigint").as("item"), lit(null).cast("string").as("page_id"))
-    val display = e.filter($"event_type" =!= "signup" && $"k" % 4 >= 1)
-      .select($"event_id", explode(sequence(lit(1L), $"k" % 4)).as("item"),
+    // the k % 4 >= 1 predicate lives INSIDE the generator (CASE → null →
+    // explode emits nothing): as a separate filter it would be pushed
+    // into the scan and re-evaluate the JSON parse once in the filter
+    // and again in the projection (sequence(1, 0) is DESCENDING in
+    // Spark, so the zero case cannot be left to an empty sequence)
+    val display = e.filter($"event_type" =!= "signup")
+      .select($"event_id",
+        explode(expr(
+          "CASE WHEN k % 4 >= 1 THEN sequence(CAST(1 AS BIGINT), k % 4) END")).as("item"),
         $"event_type".as("page_id"))
       .select($"event_id", lit("display").as("branch"), $"item", $"page_id")
     start.unionByName(page).unionByName(display)
