@@ -47,7 +47,11 @@ object LlmRegistry {
     "mm_decode_features" -> ((s: SparkSession, d: String) =>
       Multimodal.decodeFeatures(s, d)),
     "mm_frame_sample" -> (Multimodal.frameSample _),
-    "pipeline_clean_corpus" -> (CorpusPipeline.cleanCorpus _))
+    "pipeline_clean_corpus" -> (CorpusPipeline.cleanCorpus _),
+    "sample_uniform_k" -> (Sampling.uniformK _),
+    "sample_stratified" -> (Sampling.stratified _),
+    "pipeline_mix_sources" -> (Sampling.mixSources _),
+    "pipeline_chunk_tokens" -> (Sampling.chunkTokens _))
 
   // ---- shared SQL fragments --------------------------------------------
 
@@ -64,6 +68,18 @@ object LlmRegistry {
     (0 until Dedup.SimBits).map(i => 1L << i).mkString("[", ", ", "]")
   private val markerValues: String = TextAnalysis.langMarkers
     .map { case (l, m) => s"('$l','$m')" }.mkString(", ")
+
+  private val tokensToIdsBody =
+    s"""WITH counts AS (SELECT tok AS token, count(*) AS freq
+       |  FROM (SELECT unnest($toks) AS tok FROM documents) t GROUP BY 1),
+       |vocab AS (SELECT token,
+       |  CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
+       |  FROM counts QUALIFY token_id <= ${TextAnalysis.VocabSize}),
+       |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i + 1] AS token
+       |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+       |        FROM (SELECT doc_id, $toks AS toks FROM documents) d) e)
+       |SELECT p.doc_id, p.pos, coalesce(v.token_id, -1) AS token_id
+       |FROM pos p LEFT JOIN vocab v USING (token)""".stripMargin
 
   private val minhashCtes =
     s"""WITH sh AS (${Dedup.sqlShingles}),
@@ -159,18 +175,13 @@ object LlmRegistry {
          |  token, freq FROM counts)
          |SELECT token_id, token, freq FROM ranked
          |WHERE token_id <= ${TextAnalysis.VocabSize} ORDER BY token_id""".stripMargin,
-    "tokens_to_ids" ->
-      s"""WITH counts AS (SELECT tok AS token, count(*) AS freq
-         |  FROM (SELECT unnest($toks) AS tok FROM documents) t GROUP BY 1),
-         |vocab AS (SELECT token,
-         |  CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
-         |  FROM counts QUALIFY token_id <= ${TextAnalysis.VocabSize}),
-         |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i + 1] AS token
-         |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
-         |        FROM (SELECT doc_id, $toks AS toks FROM documents) d) e)
-         |SELECT p.doc_id, p.pos, coalesce(v.token_id, -1) AS token_id
-         |FROM pos p LEFT JOIN vocab v USING (token)
-         |ORDER BY doc_id, pos""".stripMargin,
+    "tokens_to_ids" -> s"$tokensToIdsBody\nORDER BY doc_id, pos",
+    // the chunker nests the same token-id pipeline — content checksum
+    // included so the oracle checks packed payloads, not just counts
+    "pipeline_chunk_tokens" -> Sampling.sqlChunkTokens(tokensToIdsBody),
+    "sample_uniform_k" -> Sampling.sqlUniformK,
+    "sample_stratified" -> Sampling.sqlStratified,
+    "pipeline_mix_sources" -> Sampling.sqlMixSources,
     "text_commonness" ->
       s"""WITH counts AS (SELECT tok AS token, count(*) AS freq
          |  FROM (SELECT unnest($toks) AS tok FROM documents) t GROUP BY 1),

@@ -96,5 +96,10 @@ object Proto {
     "mm_media_meta" -> asc("doc_id"),
     "mm_decode_features" -> asc("doc_id"),
     "mm_frame_sample" -> asc("doc_id", "frame_id"),
-    "pipeline_clean_corpus" -> asc("doc_id"))
+    "pipeline_clean_corpus" -> asc("doc_id"),
+    // sample_uniform_k is absent: its TakeOrdered output is already
+    // totally ordered by (priority, doc_id)
+    "sample_stratified" -> asc("event_id"),
+    "pipeline_mix_sources" -> asc("doc_id"),
+    "pipeline_chunk_tokens" -> asc("doc_id", "chunk_id"))
 }

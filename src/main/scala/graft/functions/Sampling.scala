@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import graft.Tables._
+
+/** Sampling / mixing / packing operators for a training-data pipeline:
+  * deterministic uniform sampling, per-class stratified sampling,
+  * weighted corpus mixing, and context-window chunking.
+  *
+  * All randomness is HASH-derived (md5-prefix60 of a salted record id),
+  * never `rand()`: the sample is a pure function of the data, so it is
+  * reproducible across runs, engines (the DuckDB oracle draws the same
+  * sample), partitionings, and retries — the property a training-data
+  * pipeline needs for auditability ("which documents were in the mix
+  * for run X?"). Each operator salts the hash differently so samples
+  * are independent across operators.
+  *
+  * Scale shape: every operator is a narrow filter or a TakeOrdered —
+  * no shuffle except bottom-k's k-row-per-partition merge and the
+  * chunk aggregation's single hash shuffle.
+  */
+object Sampling {
+
+  /** Uniform sample size for [[uniformK]]. */
+  val UniformK = 100
+
+  /** Salted 60-bit sampling priority of a record id. */
+  private def priority(salt: String, id: Column): Column =
+    Hashing.md5Prefix60(concat(lit(salt), id.cast("string")))
+
+  private def sqlPriority(salt: String, idExpr: String): String =
+    Hashing.sqlMd5Prefix60(s"'$salt' || CAST($idExpr AS VARCHAR)")
+
+  /** Deterministic uniform k-sample of the corpus: the k documents with
+    * the smallest salted hash — "bottom-k by hash", the classic
+    * order-statistics sample. Equivalent to a uniform draw (the hash is
+    * uniform on [0, 2^60)), but stable: adding documents only evicts
+    * the displaced ones. Compiles to TakeOrderedAndProject:
+    * per-partition k-row heaps, k rows to the driver, no full sort.
+    */
+  def uniformK(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select($"doc_id", priority("sample:", $"doc_id").as("priority"))
+      .orderBy($"priority", $"doc_id")
+      .limit(UniformK)
+
+  /** DuckDB twin of [[uniformK]]. */
+  def sqlUniformK: String =
+    s"""SELECT doc_id, ${sqlPriority("sample:", "doc_id")} AS priority
+       |FROM documents
+       |ORDER BY priority, doc_id LIMIT $UniformK""".stripMargin
+
+  /** Per-class keep rates (percent) for [[stratified]] — the class-
+    * rebalancing shape: downsample the abundant classes, keep all of
+    * the rare/valuable ones.
+    */
+  val StratifiedRates: Map[String, Int] = Map(
+    "click" -> 5, "view" -> 10, "signup" -> 50,
+    "purchase" -> 100, "error" -> 100)
+
+  /** Rate for classes absent from [[StratifiedRates]]. */
+  val DefaultRate = 25
+
+  private def rateCase(rates: Map[String, Int], keyCol: Column): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(lit(DefaultRate)) {
+      case (acc, (k, r)) => when(keyCol === k, lit(r)).otherwise(acc)
+    }
+
+  private def sqlRateCase(rates: Map[String, Int], keyExpr: String): String =
+    rates.toSeq.sortBy(_._1)
+      .map { case (k, r) => s"WHEN $keyExpr = '$k' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+
+  /** Stratified sample of events: keep a record iff its salted hash mod
+    * 100 falls under its class's rate. One narrow filter — the rate
+    * lookup is a codegen'd CASE, no join, no shuffle; each class's
+    * sample is an independent uniform draw at its own rate.
+    */
+  def stratified(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select($"event_id", $"event_type")
+      .filter(pmod(priority("strat:", $"event_id"), lit(100)) <
+        rateCase(StratifiedRates, $"event_type"))
+
+  /** DuckDB twin of [[stratified]]. */
+  def sqlStratified: String =
+    s"""SELECT event_id, event_type FROM events
+       |WHERE ${sqlPriority("strat:", "event_id")} % 100 <
+       |  ${sqlRateCase(StratifiedRates, "event_type")}
+       |ORDER BY event_id""".stripMargin
+
+  /** Per-source mixing weights (percent) for [[mixSources]] — the
+    * corpus-mixing shape of pretraining data recipes (N% of web, M% of
+    * code, ...): cycle four weight tiers over the synthetic sources.
+    */
+  val SourceWeights: Map[String, Int] =
+    (0 until 20).map(i => s"src$i" -> Seq(20, 40, 60, 100)(i % 4)).toMap
+
+  /** Weighted corpus mix: keep each document iff its salted hash mod
+    * 100 falls under its source's weight — a deterministic Bernoulli
+    * draw per document at the source's rate. Narrow filter, no join
+    * (weights inline as a CASE over the map), no shuffle.
+    */
+  def mixSources(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select($"doc_id", $"source")
+      .filter(pmod(priority("mix:", $"doc_id"), lit(100)) <
+        rateCase(SourceWeights, $"source"))
+
+  /** DuckDB twin of [[mixSources]]. */
+  def sqlMixSources: String =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${sqlPriority("mix:", "doc_id")} % 100 <
+       |  ${sqlRateCase(SourceWeights, "source")}
+       |ORDER BY doc_id""".stripMargin
+
+  /** Context-window length (token positions per chunk). */
+  val ChunkLen = 128
+
+  /** Context-window chunking: split each document's token-id stream
+    * ([[TextAnalysis.tokensToIds]]) into fixed-length windows —
+    * the document→training-sample shape of pretraining prep. Per
+    * chunk: token count, position bounds, and an exact integer
+    * checksum (Σ token_id · in-chunk position) standing in for the
+    * packed payload so the oracle checks content, not just counts.
+    * One hash shuffle on (doc, chunk); the token stream itself stays
+    * narrow.
+    */
+  def chunkTokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokensToIds(spark, dir)
+      .withColumn("chunk_id", expr(s"pos div $ChunkLen"))
+      .groupBy($"doc_id", $"chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        min($"pos").as("first_pos"), max($"pos").as("last_pos"),
+        sum($"token_id" * (pmod($"pos", lit(ChunkLen)) + 1)).as("checksum"))
+
+  /** DuckDB twin of [[chunkTokens]] (token CTEs shared with the
+    * tokens_to_ids oracle).
+    */
+  def sqlChunkTokens(tokensToIdsBody: String): String =
+    s"""WITH ids AS ($tokensToIdsBody)
+       |SELECT doc_id, pos // $ChunkLen AS chunk_id, count(*) AS n_tokens,
+       |  min(pos) AS first_pos, max(pos) AS last_pos,
+       |  CAST(sum(token_id * (pos % $ChunkLen + 1)) AS BIGINT) AS checksum
+       |FROM ids GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin
+}

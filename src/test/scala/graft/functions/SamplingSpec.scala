@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Sampling/mixing/chunking: determinism under repartitioning, achieved
+  * rates near targets, and chunk-shape invariants.
+  */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("uniform k-sample is a pure function of the data (stable under repartition)") {
+    val a = Sampling.uniformK(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // recompute over a differently-partitioned scan: same sample
+    val docs = graft.Tables.documents(spark, dir).repartition(7)
+    val b = docs
+      .select($"doc_id",
+        Hashing.md5Prefix60(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("sample:"),
+            $"doc_id".cast("string"))).as("priority"))
+      .orderBy($"priority", $"doc_id").limit(Sampling.UniformK)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size === Sampling.UniformK)
+    assert(a === b)
+  }
+
+  test("stratified sample hits each class rate within 3 points") {
+    val totals = graft.Tables.events(spark, dir)
+      .groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.stratified(spark, dir)
+      .groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Sampling.StratifiedRates.foreach { case (cls, rate) =>
+      val achieved = 100.0 * kept.getOrElse(cls, 0L) / totals(cls)
+      assert(math.abs(achieved - rate) <= 3.0,
+        s"$cls: target $rate%, achieved $achieved%")
+      if (rate == 100) assert(kept(cls) === totals(cls), s"$cls must keep all")
+    }
+  }
+
+  test("source mix keeps each source at its weight (exact Bernoulli on 25 docs each)") {
+    val kept = Sampling.mixSources(spark, dir)
+      .groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 100%-weight sources must be complete; all others strictly partial
+    Sampling.SourceWeights.foreach { case (src, w) =>
+      val n = kept.getOrElse(src, 0L)
+      if (w == 100) assert(n === 25L, s"$src at weight 100 kept $n/25")
+      else assert(n < 25L, s"$src at weight $w kept all 25")
+    }
+  }
+
+  test("chunks are ChunkLen-aligned, counts match the token stream") {
+    val chunks = Sampling.chunkTokens(spark, dir).collect()
+    chunks.foreach { r =>
+      val (chunk, n, first, last) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n <= Sampling.ChunkLen)
+      assert(first >= chunk * Sampling.ChunkLen)
+      assert(last < (chunk + 1) * Sampling.ChunkLen)
+      assert(last - first + 1 === n, "positions within a doc are dense")
+    }
+    val totalFromChunks = chunks.map(_.getLong(2)).sum
+    val totalTokens = TextAnalysis.tokensToIds(spark, dir).count()
+    assert(totalFromChunks === totalTokens)
+  }
+}
