@@ -49,6 +49,25 @@ object WindowedAggs {
       .agg(count(lit(1)).as("n"))
       .select($"w.start".as("window_start"), $"keyword", $"n")
 
+  /** Streaming windowed quantiles via the engine's t-digest aggregate
+    * ([[org.apache.spark.sql.graftexpr.TDigestAgg]]): per-window value
+    * percentiles (latency/size/score distributions) with constant state
+    * per open window — the sketch is the aggregation buffer, merged
+    * across micro-batches by the ObjectHashAggregate path, finalized
+    * when the watermark closes the window. The streaming shape exact
+    * quantiles cannot take (they would need every value retained per
+    * window).
+    */
+  def valueQuantilesPerWindow(events: DataFrame,
+      percentiles: Seq[Double]): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis($"ts"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window($"event_time", "1 hour").as("w"))
+      .agg(org.apache.spark.sql.graftexpr.TDigestAgg
+        .quantiles($"value", percentiles).as("qs"))
+      .select($"w.start".as("window_start"), $"qs")
+
   /** Session windows with a 30-min gap — Spark's native session_window
     * generalizes the batch gaps-and-islands form; state per open session,
     * closed by the watermark.

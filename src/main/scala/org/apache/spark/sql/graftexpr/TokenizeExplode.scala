@@ -70,6 +70,15 @@ object GraftFunctions {
       s"$fn expects a literal INT parameter, got $other")
   }
 
+  // SQL numeric literals arrive as int (1), double, or decimal (0.5)
+  private def litDouble(e: Expression, fn: String): Double = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toDouble
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects literal numeric percentiles, got $other")
+  }
+
   /** (name, arity check + construction) for every scalar expression. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "md5_prefix60" -> { exprs =>
@@ -91,6 +100,17 @@ object GraftFunctions {
     "long_array_dot" -> { exprs =>
       require(exprs.length == 2, s"long_array_dot expects 2 arguments, got ${exprs.length}")
       LongArrayDot(exprs.head, exprs(1))
+    },
+    // aggregates: the analyzer wraps a bare AggregateFunction returned
+    // from a registry builder in its AggregateExpression
+    "top_k_ids" -> { exprs =>
+      require(exprs.length == 3, s"top_k_ids expects 3 arguments, got ${exprs.length}")
+      TopKAgg(exprs.head, exprs(1), litInt(exprs(2), "top_k_ids"))
+    },
+    "tdigest_quantiles" -> { exprs =>
+      require(exprs.length >= 2,
+        s"tdigest_quantiles expects (value, p, ...), got ${exprs.length} arguments")
+      TDigestAgg(exprs.head, exprs.tail.map(litDouble(_, "tdigest_quantiles")), 100.0)
     })
 
   /** Runtime registration of the full engine SQL surface (idempotent). */

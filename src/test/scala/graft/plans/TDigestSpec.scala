@@ -65,6 +65,27 @@ class TDigestSpec extends AnyFunSuite {
     assert(d.size <= 120, s"digest did not compress: ${d.size} centroids")
   }
 
+  test("SQL surface: tdigest_quantiles and top_k_ids registered as aggregates") {
+    (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .createOrReplaceTempView("sqlagg_probe")
+    val qs = spark.sql(
+      "SELECT tdigest_quantiles(v, 0.5, 0.99) FROM sqlagg_probe")
+      .head().getSeq[Double](0)
+    assert(math.abs(qs(0) - 500.0) <= 15.0, s"p50=${qs(0)}")
+    assert(math.abs(qs(1) - 990.0) <= 15.0, s"p99=${qs(1)}")
+    val top = spark.sql(
+      "SELECT top_k_ids(id, v, 3) FROM sqlagg_probe")
+      .head().getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0))
+    assert(top === Seq(1000L, 999L, 998L))
+    // per-group SQL use
+    val grouped = spark.sql(
+      """SELECT id % 2 AS g, tdigest_quantiles(v, 0.5)[0] AS med
+        |FROM sqlagg_probe GROUP BY 1 ORDER BY g""".stripMargin)
+      .collect().map(_.getDouble(1))
+    assert(grouped.length === 2)
+    grouped.foreach(m => assert(math.abs(m - 500.0) <= 20.0, s"group median $m"))
+  }
+
   test("all-null input evaluates to null, not a crash") {
     val df = Seq[Option[Double]](None, None).toDF("v")
     val row = df.agg(TDigestAgg.quantiles($"v", Seq(0.5)).as("qs")).head()

@@ -15,6 +15,7 @@ class WindowedAggsSpec extends AnyFunSuite {
 
   case class E(user_id: Long, event_type: String, ts: Long)
   case class P(item: String, ts: Long)
+  case class V(value: Double, ts: Long)
   implicit lazy val enc = Encoders.product[E]
   val h0 = 1700000000000L - (1700000000000L % 3600000L) // hour-aligned base
 
@@ -35,6 +36,30 @@ class WindowedAggsSpec extends AnyFunSuite {
         .select($"event_type", $"n").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSet
       assert(got === Set(("click", 2L), ("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("windowed t-digest quantiles finalize with the watermark, digest merged across batches") {
+    implicit val vEnc: org.apache.spark.sql.Encoder[V] = Encoders.product[V]
+    val ms = MemoryStream[V](vEnc, spark)
+    val out = WindowedAggs.valueQuantilesPerWindow(ms.toDF(), Seq(0.5, 0.9))
+    val q = out.writeStream.format("memory").queryName("quant_out")
+      .outputMode("append").start()
+    try {
+      // values 1..100 split across two micro-batches of the SAME window:
+      // the emitted digest must merge both batches' partial sketches
+      ms.addData((1 to 50).map(i => V(i.toDouble, h0 + i * 1000L)): _*)
+      q.processAllAvailable()
+      ms.addData((51 to 100).map(i => V(i.toDouble, h0 + i * 1000L)): _*)
+      q.processAllAvailable()
+      assert(spark.table("quant_out").count() === 0) // window still open
+      ms.addData(V(0.0, h0 + 3 * 3600000L)) // advance watermark 3h
+      q.processAllAvailable()
+      val rows = spark.table("quant_out").collect()
+      assert(rows.length === 1)
+      val qs = rows.head.getSeq[Double](1)
+      assert(math.abs(qs(0) - 50.0) <= 3.0, s"p50=${qs(0)}")
+      assert(math.abs(qs(1) - 90.0) <= 3.0, s"p90=${qs(1)}")
     } finally q.stop()
   }
 
