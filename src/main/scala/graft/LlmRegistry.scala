@@ -48,6 +48,7 @@ object LlmRegistry {
       Multimodal.decodeFeatures(s, d)),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "pipeline_clean_corpus" -> (CorpusPipeline.cleanCorpus _),
+    "pipeline_decontaminate" -> (CorpusPipeline.decontaminate _),
     "sample_uniform_k" -> (Sampling.uniformK _),
     "sample_stratified" -> (Sampling.stratified _),
     "pipeline_mix_sources" -> (Sampling.mixSources _),
@@ -179,6 +180,7 @@ object LlmRegistry {
     // the chunker nests the same token-id pipeline — content checksum
     // included so the oracle checks packed payloads, not just counts
     "pipeline_chunk_tokens" -> Sampling.sqlChunkTokens(tokensToIdsBody),
+    "pipeline_decontaminate" -> CorpusPipeline.sqlDecontaminate,
     "sample_uniform_k" -> Sampling.sqlUniformK,
     "sample_stratified" -> Sampling.sqlStratified,
     "pipeline_mix_sources" -> Sampling.sqlMixSources,

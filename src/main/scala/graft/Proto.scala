@@ -99,6 +99,7 @@ object Proto {
     "pipeline_clean_corpus" -> asc("doc_id"),
     // sample_uniform_k is absent: its TakeOrdered output is already
     // totally ordered by (priority, doc_id)
+    "pipeline_decontaminate" -> asc("doc_id"),
     "sample_stratified" -> asc("event_id"),
     "pipeline_mix_sources" -> asc("doc_id"),
     "pipeline_chunk_tokens" -> asc("doc_id", "chunk_id"))

@@ -41,6 +41,46 @@ object CorpusPipeline {
       .dropDuplicatesWithinWatermark("fp")
       .select($"doc_id", $"fp", $"event_time")
 
+  /** Size of the stand-in benchmark set for [[decontaminate]]: the
+    * lowest doc_ids play the role of an eval benchmark.
+    */
+  val BenchSetSize = 20
+
+  /** Train/eval decontamination: flag training documents sharing at
+    * least one word shingle with a benchmark document — the standard
+    * n-gram contamination sweep run before pretraining (13-grams in
+    * production; this corpus's documents are short, so the engine's
+    * 3-word shingles stand in — the pipeline shape is identical).
+    *
+    * Scale shape: the benchmark side is BOUNDED (an eval suite, not a
+    * corpus), so its shingle set broadcasts — the training corpus
+    * stays narrow (shingle explode, broadcast probe, one groupBy on
+    * doc_id); nothing all-pairs, no corpus shuffle on the shingle key.
+    * Output per contaminated doc: the lowest colliding benchmark doc
+    * and the (train-shingle, bench-doc) collision count.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(spark, dir)
+    val bench = sh.filter($"doc_id" < BenchSetSize)
+      .select($"doc_id".as("bench_id"), $"shingle")
+    val train = sh.filter($"doc_id" >= BenchSetSize)
+    train.join(broadcast(bench), Seq("shingle"))
+      .groupBy($"doc_id")
+      .agg(min($"bench_id").as("first_bench_hit"),
+        count(lit(1)).as("n_shared"))
+  }
+
+  /** DuckDB twin of [[decontaminate]]. */
+  def sqlDecontaminate: String =
+    s"""WITH sh AS (${Dedup.sqlShingles}),
+       |bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+       |  WHERE doc_id < $BenchSetSize),
+       |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= $BenchSetSize)
+       |SELECT t.doc_id, min(b.bench_id) AS first_bench_hit,
+       |  count(*) AS n_shared
+       |FROM train t JOIN bench b USING (shingle)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextAnalysis.qualityScore(spark, dir)
       .filter($"quality" === 1L).select($"doc_id")

@@ -178,7 +178,17 @@ object AnalyticsOps {
         sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select($"etype", $"day", $"n", $"sum_value")
 
-  /** Top-3 parts per brand by revenue: rank window, deterministic ties. */
+  /** Top-3 parts per brand by revenue, via the engine's bounded-heap
+    * aggregate ([[org.apache.spark.sql.graftexpr.TopKAgg]]) rather than
+    * a rank window: the window form sorts EVERY (brand, part) row
+    * inside its partition to keep 3, while the heap aggregate partial-
+    * aggregates map-side — each task holds one 3-row heap per brand and
+    * the shuffle carries heaps, not parts. Ranks are recovered from the
+    * heap's (score desc, id asc) output order, the same deterministic
+    * tie-break as the window form. (The rank-window surface itself is
+    * exercised by window_running_total / window_lag_lead /
+    * window_range_frame.)
+    */
   def topPerBrand(spark: SparkSession, dir: String): DataFrame = {
     val l = lineitem(spark, dir)
     val p = part(spark, dir)
@@ -188,10 +198,12 @@ object AnalyticsOps {
       .groupBy($"p_brand", $"p_partkey")
       .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
         .cast("double").as("revenue"))
-    val w = Window.partitionBy($"p_brand").orderBy($"revenue".desc, $"p_partkey")
-    rev.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter($"rank" <= 3)
-      .select($"p_brand".as("brand"), $"rank", $"p_partkey".as("partkey"), $"revenue")
+    rev.groupBy($"p_brand")
+      .agg(org.apache.spark.sql.graftexpr.TopKAgg
+        .topKIds($"p_partkey", $"revenue", 3).as("top"))
+      .select($"p_brand".as("brand"), posexplode($"top"))
+      .select($"brand", ($"pos" + 1).cast("bigint").as("rank"),
+        $"col.id".as("partkey"), $"col.score".as("revenue"))
   }
 
   /** Running total per customer over order dates — frame-bounded window
