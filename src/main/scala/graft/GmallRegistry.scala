@@ -338,7 +338,8 @@ object GmallRegistry {
     "agg_percentile_approx" ->
       s"""SELECT e.event_type, CAST(p.p AS DOUBLE) AS p,
          |  TRUE AS within_bounds, e.n
-         |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1) e
+         |FROM (SELECT event_type, count(value) AS n FROM events
+         |      GROUP BY 1 HAVING count(value) > 0) e
          |CROSS JOIN (SELECT unnest([${AnalyticsOps.PercentileTargets.mkString(", ")}]) AS p) p
          |ORDER BY event_type, p""".stripMargin,
     "window_lag_lead" ->

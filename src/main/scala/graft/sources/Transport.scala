@@ -79,7 +79,7 @@ class KafkaTransport(brokers: String, groupId: String = "graft") extends Transpo
   override def read(spark: SparkSession, topic: String): DataFrame =
     spark.read.format("kafka")
       .options(Transport.kafkaConsumerOptions(brokers, groupId, topic,
-        startingOffsets = "earliest"))
+        startingOffsets = "earliest", maxOffsetsPerTrigger = None))
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
 
@@ -99,13 +99,17 @@ object Transport {
     * Pure so the contract is testable without a broker.
     */
   def kafkaConsumerOptions(brokers: String, groupId: String, topic: String,
-      startingOffsets: String = "latest"): Map[String, String] = Map(
-    "kafka.bootstrap.servers" -> brokers,
-    "subscribe" -> topic,
-    "kafka.group.id" -> groupId,
-    "startingOffsets" -> startingOffsets,
-    // bound per-batch reads so one huge backlog cannot OOM a micro-batch
-    "maxOffsetsPerTrigger" -> (1000000L).toString)
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = Some(1000000L)): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      "kafka.group.id" -> groupId,
+      "startingOffsets" -> startingOffsets) ++
+      // bound per-micro-batch reads so one huge backlog cannot OOM a
+      // trigger — a STREAMING-only option (the batch source ignores it,
+      // so the batch read path below does not pass it)
+      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
 
   /** Producer options for the Spark Kafka sink. Delivery is
     * at-least-once per micro-batch (checkpointed offsets + retrying

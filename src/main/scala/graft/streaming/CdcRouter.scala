@@ -82,14 +82,21 @@ object CdcRouter {
     * single-partition batches (tests/fixtures); real CDC feeds should
     * pass their offset column.
     *
-    * Crash safety: new bucket contents are staged under `.tmp`, then each
-    * touched bucket is swapped live→`.bak`, tmp→live, drop `.bak` — per-
-    * bucket atomicity via FS rename. A crash can leave SOME buckets on
-    * the new batch and others on the old, which is safe because the merge
-    * is idempotent: re-applying the same batch converges every bucket.
-    * An interrupted single-bucket swap is healed by the `.bak` recovery
-    * scan on the next merge; rename failures throw instead of silently
-    * losing data.
+    * Crash safety: new bucket contents are staged under `<table>.tmp`,
+    * then each touched bucket is swapped live→`<table>.bak/__bucket=N`,
+    * tmp→live, drop the backup — per-bucket atomicity via FS rename.
+    * Both staging dirs are SIBLINGS of the table, never inside it, so a
+    * reader of the table path cannot observe duplicate rows or a
+    * polluted partition column mid-swap or after a crash. A crash can
+    * leave SOME buckets on the new batch and others on the old, which
+    * is safe because the merge is idempotent: re-applying the same
+    * batch converges every bucket. An interrupted single-bucket swap is
+    * healed by the backup recovery scan on the next merge; rename
+    * failures throw instead of silently losing data.
+    *
+    * Layout: bucketed (`__bucket=N` partition dirs) — a store written
+    * by the pre-bucketing layout (flat parquet) is detected and
+    * rejected with a rebuild message rather than failing obscurely.
     */
   def mergeDim(spark: SparkSession, storeDir: String, sinkTable: String,
       pk: String, batch: DataFrame,
@@ -97,20 +104,28 @@ object CdcRouter {
     import org.apache.hadoop.fs.Path
     val live = new Path(s"$storeDir/$sinkTable")
     val tmp = new Path(s"$storeDir/$sinkTable.tmp")
+    // backups live in a SIBLING dir, never inside the table: readers of
+    // the table path must not see a half-swapped bucket twice (stale +
+    // new rows) or partition inference unioning "N" with "N.bak"
+    val bakRoot = new Path(s"$storeDir/$sinkTable.bak")
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    def bak(b: Path) = new Path(b.getParent, b.getName + ".bak")
 
-    // recovery scan: an interrupted swap leaves `__bucket=N.bak` — if the
-    // live bucket vanished mid-swap the .bak is its last complete copy
-    if (fs.exists(live)) fs.listStatus(live)
-      .filter(_.getPath.getName.endsWith(".bak")).foreach { st =>
-        val liveB = new Path(live,
-          st.getPath.getName.stripSuffix(".bak"))
-        if (!fs.exists(liveB)) {
-          if (!fs.rename(st.getPath, liveB))
-            throw new java.io.IOException(s"dim-store recovery: cannot restore ${st.getPath}")
-        } else fs.delete(st.getPath, true) // swap had completed
-      }
+    // recovery scan: an interrupted swap leaves <table>.bak/__bucket=N —
+    // if the live bucket vanished mid-swap the backup is its last
+    // complete copy; otherwise the swap completed and the backup drops
+    if (fs.exists(bakRoot)) fs.listStatus(bakRoot).foreach { st =>
+      val liveB = new Path(live, st.getPath.getName)
+      if (!fs.exists(liveB)) {
+        if (!fs.rename(st.getPath, liveB))
+          throw new java.io.IOException(s"dim-store recovery: cannot restore ${st.getPath}")
+      } else fs.delete(st.getPath, true)
+    }
+
+    if (fs.exists(live) &&
+        !fs.listStatus(live).exists(_.getPath.getName.startsWith("__bucket=")))
+      throw new IllegalStateException(
+        s"dim store $live uses the pre-bucketed flat layout; rebuild the " +
+          "store (bucket layout is baked into the directory structure)")
 
     val incoming = batch.select(
         $"row".getItem(pk).as("__pk"), $"row", seq.as("__seq"))
@@ -135,7 +150,11 @@ object CdcRouter {
       .filter($"__rn" === 1).select($"__pk", $"row", $"__bucket")
 
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    latest.write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+    // one task — and so one parquet file — per bucket: without this,
+    // every task holding rows for a bucket writes its own fragment and
+    // the store accumulates small files; buckets are sized to a task
+    latest.repartition($"__bucket")
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
       .parquet(tmp.toString)
 
     if (!fs.exists(live)) {
@@ -144,11 +163,12 @@ object CdcRouter {
         throw new java.io.IOException(s"dim-store create: cannot activate $tmp")
       return
     }
+    fs.mkdirs(bakRoot)
     touched.foreach { b =>
       val tmpB = new Path(tmp, s"__bucket=$b")
       val liveB = new Path(live, s"__bucket=$b")
       if (fs.exists(tmpB)) {
-        val bakB = bak(liveB)
+        val bakB = new Path(bakRoot, s"__bucket=$b")
         if (fs.exists(bakB)) fs.delete(bakB, true)
         if (fs.exists(liveB) && !fs.rename(liveB, bakB))
           throw new java.io.IOException(s"dim-store swap: cannot move $liveB aside")
@@ -160,6 +180,7 @@ object CdcRouter {
       }
     }
     fs.delete(tmp, true)
+    fs.delete(bakRoot, true)
     ()
   }
 

@@ -175,8 +175,13 @@ case class AsOfJoinExec(
           val matched = candidate != null &&
             keyOrdering.compare(candidateKey, lKey) == 0 &&
             tol.forall { t =>
-              !lOrd.isNullAt(0) && !candidateOrd.isNullAt(0) &&
-                lOrd.getLong(0) - candidateOrd.getLong(0) <= t
+              // candidate ord <= left ord by the merge invariant, so the
+              // true gap is >= 0; a wrapped (negative) difference means
+              // it exceeded Long range — farther than any tolerance
+              !lOrd.isNullAt(0) && !candidateOrd.isNullAt(0) && {
+                val gap = lOrd.getLong(0) - candidateOrd.getLong(0)
+                gap >= 0 && gap <= t
+              }
             }
           outProj(joined(lRow, if (matched) candidate else nullRight))
         }

@@ -114,8 +114,10 @@ class CdcRouterSpec extends AnyFunSuite {
     CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow(idA, "alice"))
     CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow(idB, "bob"))
     // simulate a crash between live->bak and tmp->live for idA's bucket
+    // (backups live in the SIBLING <table>.bak dir, outside the read path)
     val bucketA = new java.io.File(s"$dir/dim_user_info/__bucket=${bucketOf(idA)}")
-    val bakA = new java.io.File(bucketA.getPath + ".bak")
+    val bakA = new java.io.File(s"$dir/dim_user_info.bak/__bucket=${bucketOf(idA)}")
+    bakA.getParentFile.mkdirs()
     assert(bucketA.renameTo(bakA))
     // next merge (touching only idB's bucket) must first restore the .bak
     CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow(idB, "bob2"))
@@ -124,6 +126,30 @@ class CdcRouterSpec extends AnyFunSuite {
       .select($"row".getItem("name")).as[String](Encoders.STRING)
       .collect().toSet
     assert(names === Set("alice", "bob2"))
+  }
+
+  test("a mid-swap backup never makes the table readable with duplicates") {
+    val dir = Files.createTempDirectory("dimstore").toString
+    CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow("7", "alice"))
+    CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow("7", "alice2"))
+    // backups are staged OUTSIDE the table dir, so even if one were left
+    // behind, reading the table sees exactly one row per pk and __bucket
+    // stays integer-typed
+    val dim = spark.read.parquet(s"$dir/dim_user_info")
+    assert(dim.count() === 1)
+    assert(!new java.io.File(s"$dir/dim_user_info").listFiles()
+      .exists(_.getName.endsWith(".bak")))
+  }
+
+  test("pre-bucketed flat store layout is rejected with a rebuild message") {
+    val dir = Files.createTempDirectory("dimstore").toString
+    // fabricate a legacy flat store: parquet files, no __bucket= dirs
+    dimRow("7", "alice").select($"row".getItem("id").as("__pk"), $"row")
+      .write.parquet(s"$dir/dim_user_info")
+    val ex = intercept[IllegalStateException] {
+      CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow("8", "bob"))
+    }
+    assert(ex.getMessage.contains("rebuild"), ex.getMessage)
   }
 
   test("dim store MERGE: insert then update, latest wins; auto-creates table") {
