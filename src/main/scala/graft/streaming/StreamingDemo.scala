@@ -134,7 +134,18 @@ object StreamingDemo {
       .format("parquet").option("path", s"$work/out/corpus_near_dups")
       .option("checkpointLocation", s"$work/ckpt/neardup").start()
 
-    val queries = Seq(logQ, isNewQ, dbQ, bounceQ, kwQ, dupQ)
+    // ---- 6. DWS serving store (the ClickHouse-sink role) --------------
+    // update-mode hourly page counts maintained as a queryable bucketed
+    // table: the ADS-facing layer the reference configured but never built
+    val pageHours = events.filter($"page".isNotNull)
+      .select($"page.page_id".as("page_id"), $"ts")
+    val dwsQ = DwsSink.maintain(
+      WindowedAggs.tumblingCounts(pageHours, Seq("page_id")),
+      s"$work/out/dws_store", "dws_page_hourly",
+      keyCols = Seq("window_start", "page_id"),
+      checkpoint = s"$work/ckpt/dws_store")
+
+    val queries = Seq(logQ, isNewQ, dbQ, bounceQ, kwQ, dupQ, dwsQ)
     queries.foreach(_.processAllAvailable())
     // append-mode windows finalize only when the watermark passes: feed
     // two late batches (the watermark computed from batch N applies to
@@ -153,7 +164,8 @@ object StreamingDemo {
     println(s"demo-out work=$work")
     Seq("dwd_start_log", "dwd_page_log", "dwd_display_log",
       "dwd_is_new_fixed", "kafka_shaped", "dim_store/dim_user_info",
-      "dwm_user_jump", "dws_keyword", "corpus_near_dups").foreach { p =>
+      "dwm_user_jump", "dws_keyword", "corpus_near_dups",
+      "dws_store/dws_page_hourly").foreach { p =>
       println(f"demo-out ${p}%-28s rows=${count(s"$work/out/$p")}")
     }
     println("demo-out dim_user_info row: " +

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** DWS serving store: update-mode windowed counts maintained in the
+  * bucketed table; later re-emissions of a window supersede earlier
+  * partials, and the store is readable between batches.
+  */
+class DwsSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  case class E(user_id: Long, event_type: String, ts: Long)
+  implicit lazy val enc = Encoders.product[E]
+  val h0 = 1700000000000L - (1700000000000L % 3600000L)
+
+  test("windowed counts land in the store; re-emitted windows supersede partials") {
+    val work = java.nio.file.Files.createTempDirectory("dws-sink").toString
+    val ms = MemoryStream[E](enc, spark)
+    val agg = WindowedAggs.tumblingCounts(ms.toDF(), Seq("event_type"))
+    val q = DwsSink.maintain(agg, s"$work/store", "dws_hourly",
+      keyCols = Seq("window_start", "event_type"), checkpoint = s"$work/ckpt")
+    try {
+      ms.addData(E(1, "click", h0 + 1000), E(2, "click", h0 + 2000))
+      q.processAllAvailable()
+      def counts(): Map[String, Long] =
+        DwsSink.read(spark, s"$work/store", "dws_hourly", Seq("event_type", "n"))
+          .collect().map(r => r.getString(0) -> r.getString(1).toLong).toMap
+      // update mode: the partial count is already queryable
+      assert(counts() === Map("click" -> 2L))
+      // same window grows + a second dim appears: the click row must be
+      // SUPERSEDED (one row per key, latest value), not duplicated
+      ms.addData(E(3, "click", h0 + 3000), E(4, "view", h0 + 4000))
+      q.processAllAvailable()
+      assert(counts() === Map("click" -> 3L, "view" -> 1L))
+      val rows = DwsSink.read(spark, s"$work/store", "dws_hourly",
+        Seq("window_start", "event_type", "n"))
+      assert(rows.count() === 2, "exactly one row per (window, dim) key")
+    } finally q.stop()
+  }
+}
