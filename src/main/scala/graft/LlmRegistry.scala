@@ -42,6 +42,7 @@ object LlmRegistry {
     "sim_lsh_topk_multiprobe" -> (Similarity.lshTopKMultiProbe _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
     "dedup_embedding_lsh" -> (Similarity.lshNearDupPairs _),
+    "embed_int8" -> (Similarity.int8Quantize _),
     "dedup_embedding_lsh_multi" -> (Similarity.lshNearDupPairsMulti _),
     "mm_media_meta" -> (Multimodal.mediaMeta _),
     "mm_decode_features" -> ((s: SparkSession, d: String) =>
@@ -349,6 +350,22 @@ object LlmRegistry {
          |  AND (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
          |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= ${Dedup.Cos2Threshold}
          |ORDER BY a, b""".stripMargin,
+    // int8 quantization: Spark `div` and DuckDB `//` both truncate
+    // toward zero on integers, so the two sides agree bit-for-bit
+    "embed_int8" ->
+      s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+         |mm AS (SELECT vec_id, q,
+         |  CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT) AS m FROM qz),
+         |v AS (SELECT vec_id, m,
+         |  CASE WHEN m = 0 THEN list_transform(q, x -> CAST(0 AS BIGINT))
+         |       ELSE list_transform(q, x -> CAST((x * 127) // m AS BIGINT)) END AS v
+         |  FROM mm)
+         |SELECT vec_id, m AS scale,
+         |  CAST(list_sum(list_transform(list_zip(v, range(1, len(v) + 1)),
+         |    p -> p[1] * CAST(p[2] AS BIGINT))) AS BIGINT) AS checksum,
+         |  CAST(list_min(v) AS BIGINT) AS v_min,
+         |  CAST(list_max(v) AS BIGINT) AS v_max
+         |FROM v ORDER BY vec_id""".stripMargin,
     "mm_media_meta" ->
       s"""SELECT doc_id, $modality AS modality,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, source

@@ -92,6 +92,7 @@ object Proto {
     "sim_lsh_topk_multiprobe" -> asc("query_id", "rank"),
     "sim_ivf_topk" -> asc("query_id", "rank"),
     "dedup_embedding_lsh" -> asc("a", "b"),
+    "embed_int8" -> asc("vec_id"),
     "dedup_embedding_lsh_multi" -> asc("a", "b"),
     "mm_media_meta" -> asc("doc_id"),
     "mm_decode_features" -> asc("doc_id"),

@@ -267,4 +267,29 @@ object Similarity {
       .select($"query_id", $"rank".cast("bigint").as("rank"),
         $"vec_id".as("neighbor_id"), $"cosine")
   }
+
+  /** Per-vector int8 scalar quantization — the vector-compression step
+    * of a serving/index pipeline (4× smaller than float32, 8× smaller
+    * than the int64 working form): v_i = trunc(q_i · 127 / max|q|),
+    * computed entirely in exact integer arithmetic (Spark `div` and
+    * DuckDB `//` both truncate toward zero on integers) so the oracle
+    * checks the quantized payload bit-for-bit through an order-weighted
+    * checksum. Narrow per-row transform: no shuffle, no UDF, all
+    * higher-order functions inside codegen.
+    */
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame =
+    Dedup.quantized(spark, dir).select($"vec_id", $"q")
+      .withColumn("m",
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("v", expr(
+        """transform(q, x -> CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+          |  ELSE (x * 127) div m END)""".stripMargin))
+      .select($"vec_id", $"m".as("scale"),
+        expr(
+          """aggregate(
+            |  zip_with(v, sequence(CAST(1 AS BIGINT), CAST(size(v) AS BIGINT)),
+            |    (a, b) -> a * b),
+            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("checksum"),
+        expr("aggregate(v, CAST(127 AS BIGINT), (acc, x) -> least(acc, x))").as("v_min"),
+        expr("aggregate(v, CAST(-127 AS BIGINT), (acc, x) -> greatest(acc, x))").as("v_max"))
 }
