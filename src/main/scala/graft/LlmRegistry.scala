@@ -30,6 +30,7 @@ object LlmRegistry {
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
+    "dedup_clusters" -> (Dedup.minhashClusters _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
@@ -227,6 +228,29 @@ object LlmRegistry {
          |SELECT a, b, CAST(eq AS DOUBLE) / ${Dedup.NumPerm}.0 AS est_jaccard
          |FROM pairs WHERE CAST(eq AS DOUBLE) / ${Dedup.NumPerm}.0 >= 0.5
          |ORDER BY a, b""".stripMargin,
+    // connected components via transitive closure (WITH RECURSIVE + UNION
+    // dedup guarantees termination); cluster id = min reachable doc
+    "dedup_clusters" ->
+      s"""${minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,
+         |  string_agg(mh, '_' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id),
+         |dup AS (SELECT c.a, c.b FROM cand c
+         |  JOIN mh x ON x.doc_id = c.a
+         |  JOIN mh y ON y.doc_id = c.b AND y.j = x.j
+         |  GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+         |    >= ${Dedup.NumPerm} * 0.5),
+         |edges AS (SELECT a, b FROM dup UNION ALL SELECT b, a FROM dup),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.a AS id, q.r FROM edges e JOIN reach q ON q.id = e.b)
+         |SELECT id AS doc_id, min(r) AS cluster_id,
+         |  id = min(r) AS keeper
+         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""$simhashCtes
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,

@@ -82,6 +82,7 @@ object Proto {
     "dedup_exact" -> asc("keep_doc_id"),
     "dedup_minhash_sig" -> asc("doc_id", "j"),
     "dedup_minhash_pairs" -> asc("a", "b"),
+    "dedup_clusters" -> asc("doc_id"),
     "dedup_simhash" -> asc("doc_id"),
     "dedup_simhash_pairs" -> asc("a", "b"),
     "dedup_ngram_jaccard" -> asc("a", "b"),

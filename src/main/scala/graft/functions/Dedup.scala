@@ -143,6 +143,56 @@ object Dedup {
       .select($"a", $"b", $"est_jaccard")
   }
 
+  /** Iteration cap for [[minhashClusters]] — label propagation needs at
+    * most graph-diameter rounds; near-dup components are shallow (docs
+    * similar to a common template), so hitting this cap indicates a
+    * pathological chain and the loop stops rather than spinning.
+    */
+  val MaxClusterIters = 20
+
+  /** Near-dup CLUSTER resolution — the step after pair generation that
+    * large-scale dedup actually keys on: connected components over the
+    * [[minhashPairs]] graph, every document labeled with its component's
+    * minimum doc_id (`cluster_id`) and a `keeper` flag (the canonical
+    * doc to retain). Pairs alone under-delete: A~B and B~C with A≁C must
+    * still collapse to one kept document.
+    *
+    * Algorithm: distributed min-label propagation to fixpoint — each
+    * round every node takes the min of its own label and its neighbors'
+    * (one shuffle join + aggregate per round), converging in
+    * graph-diameter rounds like the classic iterative-MapReduce /
+    * Pregel formulation. The driver only orchestrates rounds (a
+    * converged? check per round); labels stay distributed, and
+    * `localCheckpoint` cuts the growing lineage each round so round N
+    * does not replan rounds 1..N-1.
+    */
+  def minhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select($"a", $"b")
+    val edges = pairs.union(pairs.select($"b".as("a"), $"a".as("b")))
+      .localCheckpoint(true)
+    var labels = documents(spark, dir).select($"doc_id")
+      .withColumn("label", $"doc_id").localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < MaxClusterIters) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("nbr"), $"label".as("nbr_label")),
+          $"b" === $"nbr")
+        .groupBy($"a").agg(min($"nbr_label").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, $"doc_id" === $"a", "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nbr_min", $"label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter($"label" =!= $"old").isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select($"doc_id", $"label".as("cluster_id"),
+      ($"doc_id" === $"label").as("keeper"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   val SimBits = 48

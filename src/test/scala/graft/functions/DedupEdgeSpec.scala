@@ -11,6 +11,27 @@ class DedupEdgeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import graft.ColStr
 
+  test("cluster labels are consistent: pairs co-clustered, cluster_id = component min") {
+    val dir = "/root/testdata/sf0.01"
+    val clusters = Dedup.minhashClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashPairs(spark, dir)
+      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must produce near-dup pairs")
+    // every near-dup pair lands in one cluster (incl. transitive chains)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // a cluster's id is the min doc_id among its members, and that
+    // member is the keeper
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+    }
+    val keepers = Dedup.minhashClusters(spark, dir)
+      .filter($"keeper").count()
+    assert(keepers === clusters.values.toSet.size)
+  }
+
   test("docs with fewer than 3 tokens produce zero shingles") {
     val docs = spark.createDataFrame(Seq(
       (1L, "foo bar"), (2L, "foo"), (3L, ""), (4L, "a b c d")))
