@@ -143,12 +143,14 @@ object Dedup {
       .select($"a", $"b", $"est_jaccard")
   }
 
-  /** Iteration cap for [[minhashClusters]] — label propagation needs at
-    * most graph-diameter rounds; near-dup components are shallow (docs
-    * similar to a common template), so hitting this cap indicates a
-    * pathological chain and the loop stops rather than spinning.
+  /** Iteration cap for [[minhashClusters]]. Each round combines a
+    * neighbor-min step with a pointer-jumping contraction
+    * (label ← label(label)), so convergence needs O(log diameter)
+    * rounds — 32 covers components of astronomically long chains; the
+    * cap exists only to turn a logic bug into a loud failure instead of
+    * an infinite loop.
     */
-  val MaxClusterIters = 20
+  val MaxClusterIters = 32
 
   /** Near-dup CLUSTER resolution — the step after pair generation that
     * large-scale dedup actually keys on: connected components over the
@@ -157,14 +159,16 @@ object Dedup {
     * doc to retain). Pairs alone under-delete: A~B and B~C with A≁C must
     * still collapse to one kept document.
     *
-    * Algorithm: distributed min-label propagation to fixpoint — each
-    * round every node takes the min of its own label and its neighbors'
-    * (one shuffle join + aggregate per round), converging in
-    * graph-diameter rounds like the classic iterative-MapReduce /
-    * Pregel formulation. The driver only orchestrates rounds (a
-    * converged? check per round); labels stay distributed, and
+    * Algorithm: distributed min-label propagation with pointer jumping —
+    * each round every node takes the min of its own label, its
+    * neighbors' labels (one shuffle join + aggregate), and its LABEL's
+    * label (a second join: the path-halving step that turns linear
+    * chains into O(log n) convergence). The driver only orchestrates
+    * rounds (a converged? check per round); labels stay distributed, and
     * `localCheckpoint` cuts the growing lineage each round so round N
-    * does not replan rounds 1..N-1.
+    * does not replan rounds 1..N-1. Non-convergence within
+    * [[MaxClusterIters]] throws rather than returning a silently
+    * inconsistent clustering (duplicate keepers).
     */
   def minhashClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir).select($"a", $"b")
@@ -179,16 +183,26 @@ object Dedup {
         .join(labels.select($"doc_id".as("nbr"), $"label".as("nbr_label")),
           $"b" === $"nbr")
         .groupBy($"a").agg(min($"nbr_label").as("nbr_min"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin, $"doc_id" === $"a", "left")
         .select($"doc_id",
           least($"label", coalesce($"nbr_min", $"label")).as("label"))
+      // pointer jumping: follow one's label to ITS label — path halving
+      val next = stepped
+        .join(stepped.select($"doc_id".as("l2"), $"label".as("label2")),
+          $"label" === $"l2", "left")
+        .select($"doc_id",
+          least($"label", coalesce($"label2", $"label")).as("label"))
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter($"label" =!= $"old").isEmpty
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"minhashClusters did not converge in $MaxClusterIters rounds — " +
+          "with pointer jumping this indicates a bug, not a long chain")
     labels.select($"doc_id", $"label".as("cluster_id"),
       ($"doc_id" === $"label").as("keeper"))
   }

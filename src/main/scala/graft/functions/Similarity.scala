@@ -290,6 +290,8 @@ object Similarity {
             |  zip_with(v, sequence(CAST(1 AS BIGINT), CAST(size(v) AS BIGINT)),
             |    (a, b) -> a * b),
             |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("checksum"),
-        expr("aggregate(v, CAST(127 AS BIGINT), (acc, x) -> least(acc, x))").as("v_min"),
-        expr("aggregate(v, CAST(-127 AS BIGINT), (acc, x) -> greatest(acc, x))").as("v_max"))
+        // array_min/max (not seeded folds): NULL on an empty vector,
+        // matching the oracle's list_min/list_max exactly
+        array_min($"v").as("v_min"),
+        array_max($"v").as("v_max"))
 }

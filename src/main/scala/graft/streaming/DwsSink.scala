@@ -33,16 +33,24 @@ object DwsSink {
     agg.writeStream.outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val rows = batch.select(
-            map((cols.flatMap(c => Seq(lit(c), col(c).cast("string"))) ++
-              Seq(lit("__key"),
-                concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)))
-              : _*).as("row"))
-          CdcRouter.mergeDim(batch.sparkSession, storeDir, table,
-            pk = "__key", batch = rows, seq = lit(batchId))
-        }
-        ()
+        // persist: this foreachBatch runs THREE actions over the stateful
+        // aggregation output (emptiness check, mergeDim's touched-bucket
+        // collect, the merge write) — without it each re-executes the plan
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            // __key = JSON of the key tuple: injective under nulls and
+            // separator characters in values (concat_ws would drop nulls
+            // and let embedded separators collide distinct keys)
+            val rows = b.select(
+              map((cols.flatMap(c => Seq(lit(c), col(c).cast("string"))) ++
+                Seq(lit("__key"),
+                  to_json(struct(keyCols.map(c => col(c).cast("string").as(c)): _*))))
+                : _*).as("row"))
+            CdcRouter.mergeDim(b.sparkSession, storeDir, table,
+              pk = "__key", batch = rows, seq = lit(batchId))
+          }
+        } finally { b.unpersist(); () }
       }.start()
   }
 

@@ -136,11 +136,11 @@ object StreamingDemo {
 
     // ---- 6. DWS serving store (the ClickHouse-sink role) --------------
     // update-mode hourly page counts maintained as a queryable bucketed
-    // table: the ADS-facing layer the reference configured but never built
-    val pageHours = events.filter($"page".isNotNull)
-      .select($"page.page_id".as("page_id"), $"ts")
+    // table: the ADS-facing layer the reference configured but never
+    // built. Projects from the SAME typed page frame stage 3 built.
     val dwsQ = DwsSink.maintain(
-      WindowedAggs.tumblingCounts(pageHours, Seq("page_id")),
+      WindowedAggs.tumblingCounts(
+        pages.toDF().select($"page_id", $"ts"), Seq("page_id")),
       s"$work/out/dws_store", "dws_page_hourly",
       keyCols = Seq("window_start", "page_id"),
       checkpoint = s"$work/ckpt/dws_store")

@@ -13,8 +13,8 @@ class DedupEdgeSpec extends AnyFunSuite {
 
   test("cluster labels are consistent: pairs co-clustered, cluster_id = component min") {
     val dir = "/root/testdata/sf0.01"
-    val clusters = Dedup.minhashClusters(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Dedup.minhashClusters(spark, dir).collect()
+    val clusters = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairs = Dedup.minhashPairs(spark, dir)
       .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty, "fixture must produce near-dup pairs")
@@ -27,8 +27,7 @@ class DedupEdgeSpec extends AnyFunSuite {
     clusters.groupBy(_._2).foreach { case (cid, members) =>
       assert(members.keys.min === cid)
     }
-    val keepers = Dedup.minhashClusters(spark, dir)
-      .filter($"keeper").count()
+    val keepers = rows.count(_.getBoolean(2))
     assert(keepers === clusters.values.toSet.size)
   }
 

@@ -17,6 +17,22 @@ class DwsSinkSpec extends AnyFunSuite {
   implicit lazy val enc = Encoders.product[E]
   val h0 = 1700000000000L - (1700000000000L % 3600000L)
 
+  test("store keys are injective under separator characters in dim values") {
+    val work = java.nio.file.Files.createTempDirectory("dws-keys").toString
+    val ms = MemoryStream[E](enc, spark)
+    val agg = WindowedAggs.tumblingCounts(ms.toDF(), Seq("event_type"))
+    val q = DwsSink.maintain(agg, s"$work/store", "t",
+      keyCols = Seq("window_start", "event_type"), checkpoint = s"$work/ckpt")
+    try {
+      // dim values crafted to collide under naive 'a|b' concatenation
+      ms.addData(E(1, "a|b", h0 + 1000), E(2, "a", h0 + 2000))
+      q.processAllAvailable()
+      val rows = DwsSink.read(spark, s"$work/store", "t",
+        Seq("event_type", "n")).collect()
+      assert(rows.length === 2, "distinct keys must not merge")
+    } finally q.stop()
+  }
+
   test("windowed counts land in the store; re-emitted windows supersede partials") {
     val work = java.nio.file.Files.createTempDirectory("dws-sink").toString
     val ms = MemoryStream[E](enc, spark)
