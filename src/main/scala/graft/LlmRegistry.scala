@@ -40,6 +40,7 @@ object LlmRegistry {
       Similarity.lshBuckets(s, d)
         .selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "bucket")),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
+    "sim_lsh_recall" -> (Similarity.lshRecall _),
     "sim_lsh_topk_multiprobe" -> (Similarity.lshTopKMultiProbe _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
     "dedup_embedding_lsh" -> (Similarity.lshNearDupPairs _),
@@ -54,6 +55,7 @@ object LlmRegistry {
     "sample_uniform_k" -> (Sampling.uniformK _),
     "sample_stratified" -> (Sampling.stratified _),
     "pipeline_mix_sources" -> (Sampling.mixSources _),
+    "pipeline_source_quota" -> (Sampling.sourceQuota _),
     "pipeline_chunk_tokens" -> (Sampling.chunkTokens _))
 
   // ---- shared SQL fragments --------------------------------------------
@@ -186,6 +188,7 @@ object LlmRegistry {
     "sample_uniform_k" -> Sampling.sqlUniformK,
     "sample_stratified" -> Sampling.sqlStratified,
     "pipeline_mix_sources" -> Sampling.sqlMixSources,
+    "pipeline_source_quota" -> Sampling.sqlSourceQuota,
     "text_commonness" ->
       s"""WITH counts AS (SELECT tok AS token, count(*) AS freq
          |  FROM (SELECT unnest($toks) AS tok FROM documents) t GROUP BY 1),
@@ -298,6 +301,17 @@ object LlmRegistry {
          |SELECT vec_id, CAST(label AS BIGINT) AS label, $bucketExpr AS bucket
          |FROM qz ORDER BY vec_id""".stripMargin,
     "sim_lsh_topk" -> topkSql(bucketJoin = true),
+    // recall@k of the LSH path vs the exact baseline — both CTEs are the
+    // very queries checked above, so the recall values are deterministic
+    "sim_lsh_recall" ->
+      s"""WITH brute AS (${topkSql(bucketJoin = false)}),
+         |lshq AS (${topkSql(bucketJoin = true)})
+         |SELECT b.query_id,
+         |  CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / ${Similarity.TopK} AS recall_at_k
+         |FROM brute b LEFT JOIN lshq l
+         |  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+         |GROUP BY 1 ORDER BY b.query_id""".stripMargin,
     "sim_lsh_topk_multiprobe" ->
       s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
          |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),

@@ -90,6 +90,7 @@ object Proto {
     "sim_bruteforce_topk" -> asc("query_id", "rank"),
     "sim_lsh_buckets" -> asc("vec_id"),
     "sim_lsh_topk" -> asc("query_id", "rank"),
+    "sim_lsh_recall" -> asc("query_id"),
     "sim_lsh_topk_multiprobe" -> asc("query_id", "rank"),
     "sim_ivf_topk" -> asc("query_id", "rank"),
     "dedup_embedding_lsh" -> asc("a", "b"),
@@ -104,5 +105,6 @@ object Proto {
     "pipeline_decontaminate" -> asc("doc_id"),
     "sample_stratified" -> asc("event_id"),
     "pipeline_mix_sources" -> asc("doc_id"),
+    "pipeline_source_quota" -> asc("doc_id"),
     "pipeline_chunk_tokens" -> asc("doc_id", "chunk_id"))
 }

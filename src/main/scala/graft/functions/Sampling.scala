@@ -116,6 +116,39 @@ object Sampling {
        |  ${sqlRateCase(SourceWeights, "source")}
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source document cap for [[sourceQuota]]. */
+  val QuotaPerSource = 15
+
+  /** Per-source quota: keep at most [[QuotaPerSource]] documents per
+    * source, chosen by salted-hash order — the CAP form of corpus
+    * mixing (absolute budgets rather than [[mixSources]]' rates), e.g.
+    * "no more than N documents from any single domain". Deterministic
+    * like the other samplers: the quota winners are a pure function of
+    * the data. One shuffle on the source key; within a group the
+    * rank is a window sort, which at extreme per-source cardinality
+    * would be replaced by a per-group bottom-k heap aggregate — the
+    * window form is the semantics reference.
+    */
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"qpriority", $"doc_id")
+    documents(spark, dir)
+      .select($"doc_id", $"source",
+        priority("quota:", $"doc_id").as("qpriority"))
+      .withColumn("qrank", row_number().over(w).cast("bigint"))
+      .filter($"qrank" <= QuotaPerSource)
+      .select($"doc_id", $"source", $"qrank")
+  }
+
+  /** DuckDB twin of [[sourceQuota]]. */
+  def sqlSourceQuota: String =
+    s"""WITH r AS (SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY ${sqlPriority("quota:", "doc_id")}, doc_id) AS BIGINT) AS qrank
+       |  FROM documents)
+       |SELECT doc_id, source, qrank FROM r
+       |WHERE qrank <= $QuotaPerSource ORDER BY doc_id""".stripMargin
+
   /** Context-window length (token positions per chunk). */
   val ChunkLen = 128
 

@@ -294,4 +294,23 @@ object Similarity {
         // matching the oracle's list_min/list_max exactly
         array_min($"v").as("v_min"),
         array_max($"v").as("v_max"))
+
+  /** Recall@k of the LSH ANN path against the exact brute-force
+    * baseline — the measurement a production ANN deployment tracks to
+    * size its bucket/probe parameters. Per query: |LSH∩exact| / k as an
+    * exact BIGINT/BIGINT double. Fully deterministic (both paths are),
+    * so the oracle checks the recall VALUES, not just shapes.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, dir)
+      .select($"query_id", $"neighbor_id")
+    val approx = lshTopK(spark, dir)
+      .select($"query_id".as("a_query_id"), $"neighbor_id".as("a_neighbor_id"))
+    exact.join(approx,
+        $"query_id" === $"a_query_id" && $"neighbor_id" === $"a_neighbor_id",
+        "left")
+      .groupBy($"query_id")
+      .agg((sum(when($"a_neighbor_id".isNotNull, 1L).otherwise(0L))
+        .cast("double") / lit(TopK.toDouble)).as("recall_at_k"))
+  }
 }
