@@ -25,4 +25,16 @@ class QueriesSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("Proto order keys and query keys agree (modulo semantically-ordered queries)") {
+    val dangling = Proto.order.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"Proto entry without query: $dangling")
+    // these end in a sort+limit (or TakeOrdered) — already totally ordered
+    val semanticallyOrdered =
+      Set("topk_orders", "q3_shipping_priority", "sample_uniform_k")
+    val unsorted = SparkEntry.queries.keySet -- Proto.order.keySet --
+      semanticallyOrdered
+    assert(unsorted.isEmpty,
+      s"query without a Verify-protocol order: $unsorted")
+  }
 }

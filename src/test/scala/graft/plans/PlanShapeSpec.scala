@@ -87,6 +87,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("AsOfJoin"), plan)
   }
 
+  test("sampling filters and int8 quantization are pure narrow plans (zero shuffles)") {
+    // hash-deterministic sampling/mixing and vector quantization must
+    // stay embarrassingly parallel — a shuffle here would be a bug
+    assert(countShuffles(q("sample_stratified")) == 0)
+    assert(countShuffles(q("pipeline_mix_sources")) == 0)
+    assert(countShuffles(q("embed_int8")) == 0)
+  }
+
   test("salted skew join: shuffled two-phase shape, small side exploded not broadcast") {
     val plan = planString(q("j9_salted_skew_join"))
     assert(plan.contains("ShuffledHashJoin"), plan)
