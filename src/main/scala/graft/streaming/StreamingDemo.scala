@@ -145,7 +145,73 @@ object StreamingDemo {
       keyCols = Seq("window_start", "page_id"),
       checkpoint = s"$work/ckpt/dws_store")
 
-    val queries = Seq(logQ, isNewQ, dbQ, bounceQ, kwQ, dupQ, dwsQ)
+    // ---- 7. OrderWideApp end-to-end ------------------------------------
+    // the reference's flagship DWM app: order_info ⋈ order_detail within
+    // ±5 s event time, then enrichment — here against the LIVE dim store
+    // stage 2 maintains, re-read per micro-batch (dims follow the stream
+    // exactly like the routing config does). Fixtures arrive in a later
+    // round, after the dim store exists.
+    val orderDir = s"$work/in/ods_order"
+    Files.createDirectories(Paths.get(orderDir))
+    import graft.sources.GmallSchemas.{OrderDetail, OrderInfo}
+    val orderCdc = CdcRouter.parse(transport.readStream(spark, "ods_order"))
+    def a(c: String) = $"after".getItem(c)
+    val infoTyped = OrderWidePipeline.deriveOrderInfoTimes(
+      orderCdc.filter($"tableName" === "order_info").select(
+        a("id").cast("long").as("id"),
+        a("province_id").cast("long").as("province_id"),
+        a("order_status").as("order_status"),
+        a("user_id").cast("long").as("user_id"),
+        a("total_amount").cast("decimal(38,18)").as("total_amount"),
+        lit(null).cast("decimal(38,18)").as("activity_reduce_amount"),
+        lit(null).cast("decimal(38,18)").as("coupon_reduce_amount"),
+        lit(null).cast("decimal(38,18)").as("original_total_amount"),
+        lit(null).cast("decimal(38,18)").as("feight_fee"),
+        lit(null).cast("string").as("expire_time"),
+        a("create_time").as("create_time"),
+        lit(null).cast("string").as("operate_time")))
+      .as[OrderInfo](Encoders.product[OrderInfo])
+    val detailTyped = OrderWidePipeline.deriveOrderDetailTimes(
+      orderCdc.filter($"tableName" === "order_detail").select(
+        a("id").cast("long").as("id"),
+        a("order_id").cast("long").as("order_id"),
+        a("sku_id").cast("long").as("sku_id"),
+        a("sku_num").cast("long").as("sku_num"),
+        a("order_price").cast("decimal(38,18)").as("order_price"),
+        a("split_total_amount").cast("decimal(38,18)").as("split_total_amount"),
+        lit(null).cast("decimal(38,18)").as("split_activity_amount"),
+        lit(null).cast("decimal(38,18)").as("split_coupon_amount"),
+        a("sku_name").as("sku_name"),
+        a("create_time").as("create_time")))
+      .as[OrderDetail](Encoders.product[OrderDetail])
+    val owQ = OrderWidePipeline
+      .intervalJoinStreaming(infoTyped, detailTyped)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val dims = Seq("dim_user_info")
+            .filter(t => new java.io.File(s"$work/out/dim_store/$t").exists())
+            .map(t => t -> spark.read.parquet(s"$work/out/dim_store/$t"))
+            .toMap
+          OrderWidePipeline.enrich(batch, dims)
+            .write.mode("append").parquet(s"$work/out/dwm_order_wide")
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt/orderwide").start()
+
+    val queries = Seq(logQ, isNewQ, dbQ, bounceQ, kwQ, dupQ, dwsQ, owQ)
+    queries.foreach(_.processAllAvailable())
+    // the dim store now exists (stage 2 ran): feed the order streams,
+    // user 7 joins the alice2 dim row written-and-superseded above
+    Files.writeString(Paths.get(s"$orderDir/batch0.jsonl"), Seq(
+      env("order_info", "insert",
+        """{"id":"101","province_id":"17","order_status":"1001","user_id":"7","total_amount":"299.00","create_time":"2026-08-12 10:15:30"}"""),
+      env("order_detail", "insert",
+        """{"id":"1001","order_id":"101","sku_id":"5","sku_num":"2","order_price":"149.50","split_total_amount":"299.00","sku_name":"widget","create_time":"2026-08-12 10:15:31"}"""),
+      env("order_detail", "insert",
+        """{"id":"1002","order_id":"101","sku_id":"6","sku_num":"1","order_price":"0.00","split_total_amount":"0.00","sku_name":"gadget","create_time":"2026-08-12 10:25:00"}""") // >5s: dropped
+      ).mkString("\n"))
     queries.foreach(_.processAllAvailable())
     // append-mode windows finalize only when the watermark passes: feed
     // two late batches (the watermark computed from batch N applies to
@@ -165,9 +231,13 @@ object StreamingDemo {
     Seq("dwd_start_log", "dwd_page_log", "dwd_display_log",
       "dwd_is_new_fixed", "kafka_shaped", "dim_store/dim_user_info",
       "dwm_user_jump", "dws_keyword", "corpus_near_dups",
-      "dws_store/dws_page_hourly").foreach { p =>
+      "dws_store/dws_page_hourly", "dwm_order_wide").foreach { p =>
       println(f"demo-out ${p}%-28s rows=${count(s"$work/out/$p")}")
     }
+    println("demo-out order_wide enriched: " +
+      spark.read.parquet(s"$work/out/dwm_order_wide")
+        .selectExpr("detail_id", "order_id", "user_gender", "user_age")
+        .collect().mkString(","))
     println("demo-out dim_user_info row: " +
       spark.read.parquet(s"$work/out/dim_store/dim_user_info")
         .selectExpr("__pk", "row['name']").collect().mkString(","))
