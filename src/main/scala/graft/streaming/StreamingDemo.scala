@@ -203,8 +203,12 @@ object StreamingDemo {
     val queries = Seq(logQ, isNewQ, dbQ, bounceQ, kwQ, dupQ, dwsQ, owQ)
     queries.foreach(_.processAllAvailable())
     // the dim store now exists (stage 2 ran): feed the order streams,
-    // user 7 joins the alice2 dim row written-and-superseded above
-    Files.writeString(Paths.get(s"$orderDir/batch0.jsonl"), Seq(
+    // user 7 joins the alice2 dim row written-and-superseded above.
+    // Write-then-rename: owQ is already polling this directory, and a
+    // partially-written file would be read empty and marked seen forever
+    // temp file on the SAME filesystem (sibling dir) so the move is atomic
+    val orderTmp = Files.createTempFile(Paths.get(s"$work/in"), "orders", ".tmp")
+    Files.writeString(orderTmp, Seq(
       env("order_info", "insert",
         """{"id":"101","province_id":"17","order_status":"1001","user_id":"7","total_amount":"299.00","create_time":"2026-08-12 10:15:30"}"""),
       env("order_detail", "insert",
@@ -212,6 +216,8 @@ object StreamingDemo {
       env("order_detail", "insert",
         """{"id":"1002","order_id":"101","sku_id":"6","sku_num":"1","order_price":"0.00","split_total_amount":"0.00","sku_name":"gadget","create_time":"2026-08-12 10:25:00"}""") // >5s: dropped
       ).mkString("\n"))
+    Files.move(orderTmp, Paths.get(s"$orderDir/batch0.jsonl"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     queries.foreach(_.processAllAvailable())
     // append-mode windows finalize only when the watermark passes: feed
     // two late batches (the watermark computed from batch N applies to

@@ -20,10 +20,18 @@ class PlanShapeSpec extends AnyFunSuite {
   private def planString(df: DataFrame): String = {
     df.queryExecution.executedPlan.toString
   }
-  private def countShuffles(df: DataFrame): Int =
-    df.queryExecution.executedPlan.collect {
-      case s: ShuffleExchangeExec => s
-    }.size
+  private def countShuffles(df: DataFrame): Int = {
+    // unwrap AQE first: a plan CONTAINING an exchange gets wrapped in
+    // AdaptiveSparkPlanExec, which is a LeafExecNode — collecting on the
+    // outer plan would return 0 exactly when a shuffle regression
+    // appears, making the zero-shuffle assertions vacuous
+    val plan = df.queryExecution.executedPlan
+    val inner = plan.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(plan)
+    inner.collect { case s: ShuffleExchangeExec => s }.size
+  }
 
   test("q1 pricing summary: scan reads only the five needed lineitem columns") {
     val scan = planString(q("q1_pricing_summary"))
