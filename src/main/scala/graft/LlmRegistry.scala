@@ -56,6 +56,7 @@ object LlmRegistry {
     "sample_stratified" -> (Sampling.stratified _),
     "pipeline_mix_sources" -> (Sampling.mixSources _),
     "pipeline_source_quota" -> (Sampling.sourceQuota _),
+    "pipeline_source_quota_agg" -> (Sampling.sourceQuotaHeap _),
     "pipeline_chunk_tokens" -> (Sampling.chunkTokens _))
 
   // ---- shared SQL fragments --------------------------------------------
@@ -189,6 +190,8 @@ object LlmRegistry {
     "sample_stratified" -> Sampling.sqlStratified,
     "pipeline_mix_sources" -> Sampling.sqlMixSources,
     "pipeline_source_quota" -> Sampling.sqlSourceQuota,
+    // heap form keeps the window form's exact contract → same oracle
+    "pipeline_source_quota_agg" -> Sampling.sqlSourceQuota,
     "text_commonness" ->
       s"""WITH counts AS (SELECT tok AS token, count(*) AS freq
          |  FROM (SELECT unnest($toks) AS tok FROM documents) t GROUP BY 1),

@@ -106,5 +106,6 @@ object Proto {
     "sample_stratified" -> asc("event_id"),
     "pipeline_mix_sources" -> asc("doc_id"),
     "pipeline_source_quota" -> asc("doc_id"),
+    "pipeline_source_quota_agg" -> asc("doc_id"),
     "pipeline_chunk_tokens" -> asc("doc_id", "chunk_id"))
 }

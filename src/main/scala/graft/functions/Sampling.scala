@@ -149,6 +149,28 @@ object Sampling {
        |SELECT doc_id, source, qrank FROM r
        |WHERE qrank <= $QuotaPerSource ORDER BY doc_id""".stripMargin
 
+  /** [[sourceQuota]] via the engine's bottom-k heap aggregate
+    * ([[org.apache.spark.sql.graftexpr.BottomKAgg]]) — the scale path
+    * the window form's scaladoc promises: each task keeps a k-row heap
+    * per source, the shuffle carries heaps instead of every document
+    * sorted inside its source partition, so a source with a billion
+    * documents costs the same network as one with a thousand. Exact
+    * LONG keys (the 60-bit hash priority exceeds double's 2⁵³ integer
+    * precision, so a double-scored heap would round ties differently)
+    * make the output identical to the window form — both share one
+    * oracle. Ranks recover from the heap's (key asc, id asc) order.
+    */
+  def sourceQuotaHeap(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select($"doc_id", $"source",
+        priority("quota:", $"doc_id").as("qpriority"))
+      .groupBy($"source")
+      .agg(org.apache.spark.sql.graftexpr.BottomKAgg
+        .bottomKIds($"doc_id", $"qpriority", QuotaPerSource).as("keep"))
+      .select($"source", posexplode($"keep"))
+      .select($"col.id".as("doc_id"), $"source",
+        ($"pos" + 1).cast("bigint").as("qrank"))
+
   /** Context-window length (token positions per chunk). */
   val ChunkLen = 128
 

@@ -107,6 +107,10 @@ object GraftFunctions {
       require(exprs.length == 3, s"top_k_ids expects 3 arguments, got ${exprs.length}")
       TopKAgg(exprs.head, exprs(1), litInt(exprs(2), "top_k_ids"))
     },
+    "bottom_k_ids" -> { exprs =>
+      require(exprs.length == 3, s"bottom_k_ids expects 3 arguments, got ${exprs.length}")
+      BottomKAgg(exprs.head, exprs(1), litInt(exprs(2), "bottom_k_ids"))
+    },
     "tdigest_quantiles" -> { exprs =>
       require(exprs.length >= 2,
         s"tdigest_quantiles expects (value, p, ...), got ${exprs.length} arguments")
