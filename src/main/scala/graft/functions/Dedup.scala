@@ -183,10 +183,14 @@ object Dedup {
         .join(labels.select($"doc_id".as("nbr"), $"label".as("nbr_label")),
           $"b" === $"nbr")
         .groupBy($"a").agg(min($"nbr_label").as("nbr_min"))
+      // materialized before the self-join below, which references it on
+      // BOTH sides — without this the neighbor-min shuffle join runs
+      // twice per round
       val stepped = labels
         .join(nbrMin, $"doc_id" === $"a", "left")
         .select($"doc_id",
           least($"label", coalesce($"nbr_min", $"label")).as("label"))
+        .localCheckpoint(true)
       // pointer jumping: follow one's label to ITS label — path halving
       val next = stepped
         .join(stepped.select($"doc_id".as("l2"), $"label".as("label2")),

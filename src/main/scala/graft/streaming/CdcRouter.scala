@@ -61,6 +61,31 @@ object CdcRouter {
     */
   val DimStoreBuckets = 16
 
+  /** Marker file persisting the bucket count a store was created with.
+    * Underscore-prefixed so parquet readers skip it. Validated on every
+    * merge: a store written under a different `DimStoreBuckets` would
+    * otherwise be silently read with the wrong `pmod(hash, N)` routing —
+    * the same pk's old row in one bucket and its update in another.
+    */
+  private val BucketMarker = "_bucket_count"
+
+  private def writeBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, BucketMarker), true)
+    try out.write(DimStoreBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, BucketMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
   /** K3/K4: dim-store MERGE — upsert rows into a pk-hash-BUCKETED parquet
     * table (`<table>/__bucket=N/`); creates the table on first write (the
     * auto-DDL, TableProcessFunction.java:116-153; `sinkExtend` DDL
@@ -96,7 +121,18 @@ object CdcRouter {
     *
     * Layout: bucketed (`__bucket=N` partition dirs) — a store written
     * by the pre-bucketing layout (flat parquet) is detected and
-    * rejected with a rebuild message rather than failing obscurely.
+    * rejected with a rebuild message rather than failing obscurely, and
+    * the bucket count is persisted in a `_bucket_count` marker on create
+    * and validated on every merge, so a store built under a different
+    * [[DimStoreBuckets]] fails loudly instead of mis-routing pks.
+    *
+    * Concurrency: SINGLE WRITER per table. The fixed `.tmp`/`.bak`
+    * staging paths and the backup recovery scan assume exactly one
+    * merger per table directory — the standard streaming-sink contract
+    * (one query owns one sink path). Two concurrent merges would delete
+    * each other's staging dirs mid-swap; callers fanning out per-table
+    * merges (e.g. [[sinkDims]]) must serialize per table, as a
+    * foreachBatch body naturally does.
     */
   def mergeDim(spark: SparkSession, storeDir: String, sinkTable: String,
       pk: String, batch: DataFrame,
@@ -121,11 +157,25 @@ object CdcRouter {
       } else fs.delete(st.getPath, true)
     }
 
-    if (fs.exists(live) &&
-        !fs.listStatus(live).exists(_.getPath.getName.startsWith("__bucket=")))
-      throw new IllegalStateException(
-        s"dim store $live uses the pre-bucketed flat layout; rebuild the " +
-          "store (bucket layout is baked into the directory structure)")
+    if (fs.exists(live)) {
+      if (!fs.listStatus(live).exists(_.getPath.getName.startsWith("__bucket=")))
+        throw new IllegalStateException(
+          s"dim store $live uses the pre-bucketed flat layout; rebuild the " +
+            "store (bucket layout is baked into the directory structure)")
+      readBucketMarker(fs, live) match {
+        case Some(n) if n != DimStoreBuckets =>
+          throw new IllegalStateException(
+            s"dim store $live was created with $n buckets but this build " +
+              s"routes with $DimStoreBuckets; rebuild the store (bucket " +
+              "count is baked into the directory layout)")
+        case None =>
+          throw new IllegalStateException(
+            s"dim store $live has no $BucketMarker marker; rebuild the " +
+              "store (stores without a persisted bucket count cannot be " +
+              "safely merged into)")
+        case _ => ()
+      }
+    }
 
     val incoming = batch.select(
         $"row".getItem(pk).as("__pk"), $"row", seq.as("__seq"))
@@ -158,7 +208,9 @@ object CdcRouter {
       .parquet(tmp.toString)
 
     if (!fs.exists(live)) {
-      // auto-DDL: first write activates the whole staged table at once
+      // auto-DDL: first write activates the whole staged table at once,
+      // marker included — readers never see a store without its count
+      writeBucketMarker(fs, tmp)
       if (!fs.rename(tmp, live))
         throw new java.io.IOException(s"dim-store create: cannot activate $tmp")
       return

@@ -223,7 +223,11 @@ object TDigestAgg {
         prevMean = means(i)
         i += 1
       }
-      max
+      // top tail: mirror the i == 0 case — interpolate between the last
+      // centroid's midpoint and the exact max rather than snapping to
+      // max, so upper-tail quantiles are not biased to the observed max
+      val frac = if (w == prevMid) 1.0 else (target - prevMid) / (w - prevMid)
+      math.min(max, math.max(min, prevMean + frac * (max - prevMean)))
     }
   }
 

@@ -152,6 +152,30 @@ class CdcRouterSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("rebuild"), ex.getMessage)
   }
 
+  test("bucket-count mismatch is rejected loudly (marker persisted on create)") {
+    val dir = Files.createTempDirectory("dimstore").toString
+    CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow("7", "alice"))
+    val marker = new java.io.File(s"$dir/dim_user_info/_bucket_count")
+    assert(marker.exists(), "create must persist the bucket count")
+    assert(new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .trim === CdcRouter.DimStoreBuckets.toString)
+    // a store written under a different bucket count must refuse the merge
+    // (drop the local-FS checksum sidecar too — a real foreign store's
+    // marker would carry its own consistent crc)
+    java.nio.file.Files.write(marker.toPath, "8".getBytes("UTF-8"))
+    new java.io.File(marker.getParentFile, "._bucket_count.crc").delete()
+    val ex = intercept[IllegalStateException] {
+      CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow("8", "bob"))
+    }
+    assert(ex.getMessage.contains("8 buckets"), ex.getMessage)
+    // ...and a bucketed store with no marker at all is equally rejected
+    java.nio.file.Files.delete(marker.toPath)
+    val ex2 = intercept[IllegalStateException] {
+      CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow("8", "bob"))
+    }
+    assert(ex2.getMessage.contains("_bucket_count"), ex2.getMessage)
+  }
+
   test("dim store MERGE: insert then update, latest wins; auto-creates table") {
     val dir = Files.createTempDirectory("dimstore").toString
     val (_, toDim) = CdcRouter.route(CdcRouter.parse(raw), config)
