@@ -36,6 +36,8 @@ object GmallRegistry {
     "s4_cdc_normalize" -> (EventOps.cdcNormalize _),
     "j2_config_route" -> (EventOps.configRoute _),
     "j9_salted_skew_join" -> (EventOps.saltedRoute _),
+    "j10_bloom_prefilter" -> (RelationalOps.bloomPrefilterJoin _),
+    "agg_salted_sum" -> (EventOps.saltedTypeTotals _),
     "x2_cdc_route" -> (EventOps.cdcRoute _),
     "p4_dynamic_prune" -> ((s: SparkSession, d: String) => EventOps.dynamicPrune(s, d)),
     "k2_dynamic_topic" -> (EventOps.dynamicTopic _),
@@ -253,6 +255,24 @@ object GmallRegistry {
         |  AS cfg(source_type, sink_type, sink_table)
         |  ON e.event_type = cfg.source_type
         |ORDER BY e.event_id""".stripMargin,
+    // salting is an execution-layout change, not a semantic one: the
+    // oracle is the plain unsalted GROUP BY
+    "agg_salted_sum" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bloom prefilter is transparent (no false negatives + exact
+    // join after), so the oracle is the PLAIN join
+    "j10_bloom_prefilter" ->
+      """SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS line_count
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x2_cdc_route" ->
       """WITH cdc AS (
         |  SELECT o_orderkey AS id,

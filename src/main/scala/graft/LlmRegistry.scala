@@ -43,6 +43,8 @@ object LlmRegistry {
     "sim_lsh_recall" -> (Similarity.lshRecall _),
     "sim_lsh_topk_multiprobe" -> (Similarity.lshTopKMultiProbe _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
+    "sim_multiprobe_recall" -> (Similarity.multiProbeRecall _),
+    "sim_ivf_recall" -> (Similarity.ivfRecall _),
     "dedup_embedding_lsh" -> (Similarity.lshNearDupPairs _),
     "embed_int8" -> (Similarity.int8Quantize _),
     "dedup_embedding_lsh_multi" -> (Similarity.lshNearDupPairsMulti _),
@@ -134,6 +136,65 @@ object LlmRegistry {
        |  FROM scored)
        |SELECT * FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
   }
+
+  private val multiprobeTopkSql: String =
+    s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),
+       |b AS (SELECT vec_id, q, norm, $bucketExpr AS bucket FROM n),
+       |qs AS (SELECT vec_id AS query_id, q AS qv, norm AS qnorm, bucket
+       |  FROM b WHERE vec_id < ${Similarity.NumQueries}),
+       |probes AS (SELECT query_id, qv, qnorm,
+       |    unnest([bucket] || list_transform(range(${Similarity.NumPlanes}),
+       |      p -> xor(bucket, 1::BIGINT << CAST(p AS INT)))) AS probe
+       |  FROM qs),
+       |scored AS (SELECT p.query_id, c.vec_id,
+       |    CAST(${listDot("c.q", "p.qv")} AS DOUBLE) /
+       |      sqrt(CAST(c.norm AS DOUBLE) * CAST(p.qnorm AS DOUBLE)) AS cosine
+       |  FROM b c JOIN probes p ON c.bucket = p.probe AND c.vec_id <> p.query_id),
+       |ranked AS (SELECT query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
+       |    vec_id AS neighbor_id, cosine
+       |  FROM scored)
+       |SELECT * FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
+
+  private val ivfTopkSql: String =
+    s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),
+       |cents AS (SELECT vec_id AS cent_id, q AS cv, norm AS cnorm2
+       |  FROM n WHERE vec_id < ${Similarity.NumCells}),
+       |asg0 AS (SELECT n.vec_id, n.q, n.norm, c.cent_id,
+       |    c.cnorm2 - 2 * ${listDot("n.q", "c.cv")} AS s
+       |  FROM n CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, q, norm, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cent_id) AS rn
+       |  FROM asg0),
+       |corpus AS (SELECT vec_id, q, norm, cent_id AS cell FROM asg WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, q AS qv, norm AS qnorm, cent_id AS probe_cell
+       |  FROM asg WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.NProbe}),
+       |scored AS (SELECT p.query_id, c.vec_id,
+       |    CAST(${listDot("c.q", "p.qv")} AS DOUBLE) /
+       |      sqrt(CAST(c.norm AS DOUBLE) * CAST(p.qnorm AS DOUBLE)) AS cosine
+       |  FROM corpus c JOIN probes p ON c.cell = p.probe_cell AND c.vec_id <> p.query_id),
+       |ranked AS (SELECT query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
+       |    vec_id AS neighbor_id, cosine
+       |  FROM scored)
+       |SELECT * FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@k of an approximate top-k CTE body vs the brute-force
+    * baseline — the same composition for every ANN variant, so adding a
+    * variant costs one line. Both sides are the exact queries checked
+    * individually above, so the recall VALUES are deterministic.
+    */
+  private def recallSql(approxSql: String): String =
+    s"""WITH brute AS (${topkSql(bucketJoin = false)}),
+       |approx AS ($approxSql)
+       |SELECT b.query_id,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / ${Similarity.TopK} AS recall_at_k
+       |FROM brute b LEFT JOIN approx a
+       |  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+       |GROUP BY 1 ORDER BY b.query_id""".stripMargin
 
   // ---- oracle SQL -------------------------------------------------------
 
@@ -304,59 +365,11 @@ object LlmRegistry {
          |SELECT vec_id, CAST(label AS BIGINT) AS label, $bucketExpr AS bucket
          |FROM qz ORDER BY vec_id""".stripMargin,
     "sim_lsh_topk" -> topkSql(bucketJoin = true),
-    // recall@k of the LSH path vs the exact baseline — both CTEs are the
-    // very queries checked above, so the recall values are deterministic
-    "sim_lsh_recall" ->
-      s"""WITH brute AS (${topkSql(bucketJoin = false)}),
-         |lshq AS (${topkSql(bucketJoin = true)})
-         |SELECT b.query_id,
-         |  CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / ${Similarity.TopK} AS recall_at_k
-         |FROM brute b LEFT JOIN lshq l
-         |  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
-         |GROUP BY 1 ORDER BY b.query_id""".stripMargin,
-    "sim_lsh_topk_multiprobe" ->
-      s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
-         |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),
-         |b AS (SELECT vec_id, q, norm, $bucketExpr AS bucket FROM n),
-         |qs AS (SELECT vec_id AS query_id, q AS qv, norm AS qnorm, bucket
-         |  FROM b WHERE vec_id < ${Similarity.NumQueries}),
-         |probes AS (SELECT query_id, qv, qnorm,
-         |    unnest([bucket] || list_transform(range(${Similarity.NumPlanes}),
-         |      p -> xor(bucket, 1::BIGINT << CAST(p AS INT)))) AS probe
-         |  FROM qs),
-         |scored AS (SELECT p.query_id, c.vec_id,
-         |    CAST(${listDot("c.q", "p.qv")} AS DOUBLE) /
-         |      sqrt(CAST(c.norm AS DOUBLE) * CAST(p.qnorm AS DOUBLE)) AS cosine
-         |  FROM b c JOIN probes p ON c.bucket = p.probe AND c.vec_id <> p.query_id),
-         |ranked AS (SELECT query_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
-         |    vec_id AS neighbor_id, cosine
-         |  FROM scored)
-         |SELECT * FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin,
-    "sim_ivf_topk" ->
-      s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
-         |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),
-         |cents AS (SELECT vec_id AS cent_id, q AS cv, norm AS cnorm2
-         |  FROM n WHERE vec_id < ${Similarity.NumCells}),
-         |asg0 AS (SELECT n.vec_id, n.q, n.norm, c.cent_id,
-         |    c.cnorm2 - 2 * ${listDot("n.q", "c.cv")} AS s
-         |  FROM n CROSS JOIN cents c),
-         |asg AS (SELECT vec_id, q, norm, cent_id,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cent_id) AS rn
-         |  FROM asg0),
-         |corpus AS (SELECT vec_id, q, norm, cent_id AS cell FROM asg WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, q AS qv, norm AS qnorm, cent_id AS probe_cell
-         |  FROM asg WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.NProbe}),
-         |scored AS (SELECT p.query_id, c.vec_id,
-         |    CAST(${listDot("c.q", "p.qv")} AS DOUBLE) /
-         |      sqrt(CAST(c.norm AS DOUBLE) * CAST(p.qnorm AS DOUBLE)) AS cosine
-         |  FROM corpus c JOIN probes p ON c.cell = p.probe_cell AND c.vec_id <> p.query_id),
-         |ranked AS (SELECT query_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
-         |    vec_id AS neighbor_id, cosine
-         |  FROM scored)
-         |SELECT * FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin,
+    "sim_lsh_recall" -> recallSql(topkSql(bucketJoin = true)),
+    "sim_lsh_topk_multiprobe" -> multiprobeTopkSql,
+    "sim_ivf_topk" -> ivfTopkSql,
+    "sim_multiprobe_recall" -> recallSql(multiprobeTopkSql),
+    "sim_ivf_recall" -> recallSql(ivfTopkSql),
     "dedup_embedding_lsh_multi" ->
       s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
          |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),

@@ -46,6 +46,8 @@ object Proto {
     "s4_cdc_normalize" -> asc("id"),
     "j2_config_route" -> asc("event_id"),
     "j9_salted_skew_join" -> asc("event_id"),
+    "j10_bloom_prefilter" -> asc("order_month"),
+    "agg_salted_sum" -> asc("event_type"),
     "x2_cdc_route" -> asc("id"),
     "p4_dynamic_prune" -> asc("event_id"),
     "k2_dynamic_topic" -> asc("event_id"),
@@ -93,6 +95,8 @@ object Proto {
     "sim_lsh_recall" -> asc("query_id"),
     "sim_lsh_topk_multiprobe" -> asc("query_id", "rank"),
     "sim_ivf_topk" -> asc("query_id", "rank"),
+    "sim_multiprobe_recall" -> asc("query_id"),
+    "sim_ivf_recall" -> asc("query_id"),
     "dedup_embedding_lsh" -> asc("a", "b"),
     "embed_int8" -> asc("vec_id"),
     "dedup_embedding_lsh_multi" -> asc("a", "b"),

@@ -7,10 +7,16 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional extra args: run only these queries (local iteration aid;
+    // the driver always passes exactly (sfDir, outDir))
+    val subset = args.drop(2).toSet
     val spark = Session.get("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => subset.isEmpty || subset(name) }
+      .foreach { case (name, fn) =>
       // protocol total order (mirrors the oracle's ORDER BY) applied at
       // the dump edge, not inside the operators — see [[Proto]]
       try {

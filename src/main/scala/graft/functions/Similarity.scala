@@ -301,10 +301,25 @@ object Similarity {
     * exact BIGINT/BIGINT double. Fully deterministic (both paths are),
     * so the oracle checks the recall VALUES, not just shapes.
     */
-  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+  def lshRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstBrute(spark, dir, lshTopK(spark, dir))
+
+  /** Recall@k of the multi-probe LSH variant — probing Hamming-1
+    * neighbor buckets should strictly dominate single-bucket recall at
+    * the same table count (asserted in SimilaritySpec).
+    */
+  def multiProbeRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstBrute(spark, dir, lshTopKMultiProbe(spark, dir))
+
+  /** Recall@k of the IVF path — the nprobe-cells tradeoff measurement. */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstBrute(spark, dir, ivfTopK(spark, dir))
+
+  private def recallAgainstBrute(spark: SparkSession, dir: String,
+      approxTopK: DataFrame): DataFrame = {
     val exact = bruteForceTopK(spark, dir)
       .select($"query_id", $"neighbor_id")
-    val approx = lshTopK(spark, dir)
+    val approx = approxTopK
       .select($"query_id".as("a_query_id"), $"neighbor_id".as("a_neighbor_id"))
     exact.join(approx,
         $"query_id" === $"a_query_id" && $"neighbor_id" === $"a_neighbor_id",

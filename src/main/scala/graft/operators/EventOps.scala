@@ -217,6 +217,18 @@ object EventOps {
       .select($"event_id", $"sink_type", $"sink_table".as("topic"))
   }
 
+  /** Salted AGGREGATION twin of [[saltedRoute]]: per-type value totals
+    * over the 5-hot-key `event_type` column via [[SkewOps.saltedSum]]'s
+    * two-level shape — partial sums on (key, salt) cap any reducer's
+    * share of a hot key at 1/buckets, the final reduce sees `buckets`
+    * rows per key. Decimal partials keep the double output exact, so
+    * the oracle (the plain unsalted GROUP BY) value-matches.
+    */
+  def saltedTypeTotals(spark: SparkSession, dir: String): DataFrame =
+    SkewOps.saltedSum(events(spark, dir), "event_type",
+        $"value".cast("decimal(18,2)"), buckets = 8, saltSource = $"event_id")
+      .select($"event_type", $"total".cast("double").as("total"), $"n")
+
   /** P4: data-driven column pruning (reference
     * TableProcessFunction.java:183-195 keeps only config-listed keys).
     * The projection is built at plan time from the config string — the

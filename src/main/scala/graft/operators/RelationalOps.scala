@@ -271,6 +271,44 @@ object RelationalOps {
         coalesce($"view_id", lit(-1L)).as("attributed_view_id"))
   }
 
+  /** J10: Bloom-prefiltered fact join — the explicit runtime-filter
+    * pattern (see [[org.apache.spark.sql.graftexpr.GraftBloom]]).
+    * Revenue of lineitems belonging to URGENT orders, by order month:
+    * the filtered orders' keys aggregate into one ~32 KB bloom blob
+    * which broadcasts to the lineitem scan, where the codegen'd
+    * `bloom_might_contain` probe drops ~4/5 of the fact rows BEFORE the
+    * join's shuffle. No false negatives → the exact join afterwards
+    * makes the result identical to the plain join (the oracle); false
+    * positives (~1-2% at these sizings) only ship extra bytes.
+    *
+    * Sizing: 2^18 bits / 6 hashes ≈ 1% fpp up to ~30k keys (bits/n ≥ 9).
+    * A deployment sizes numBits to the small side's key cardinality
+    * (~10 bits/key for 1% fpp) — the blob stays kilobytes-to-megabytes
+    * while the savings scale with the FACT side.
+    */
+  def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftexpr.GraftBloom
+    val urgent = orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderdate")
+    val bloom = urgent.agg(
+      GraftBloom.build($"o_orderkey", numBits = 1 << 18, numHashes = 6).as("__bloom"))
+    val li = lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val prefiltered = li
+      .crossJoin(broadcast(bloom)) // 1-row blob rides the broadcast
+      .filter(GraftBloom.mightContain($"__bloom", $"l_orderkey"))
+      .drop("__bloom")
+    prefiltered
+      .join(urgent, $"l_orderkey" === $"o_orderkey")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("order_month"))
+      .agg(
+        sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+  }
+
   /** Union of two homogeneous branches with provenance tags (reference
     * UserJumpDetailApp.java:115 unions match + timeout streams).
     */

@@ -101,8 +101,19 @@ object GraftFunctions {
       require(exprs.length == 2, s"long_array_dot expects 2 arguments, got ${exprs.length}")
       LongArrayDot(exprs.head, exprs(1))
     },
+    "bloom_might_contain" -> { exprs =>
+      require(exprs.length == 2,
+        s"bloom_might_contain expects 2 arguments, got ${exprs.length}")
+      BloomMightContain(exprs.head, exprs(1))
+    },
     // aggregates: the analyzer wraps a bare AggregateFunction returned
     // from a registry builder in its AggregateExpression
+    "bloom_build" -> { exprs =>
+      require(exprs.length == 3,
+        s"bloom_build expects (key, numBits, numHashes), got ${exprs.length} arguments")
+      BloomBuildAgg(exprs.head, litInt(exprs(1), "bloom_build"),
+        litInt(exprs(2), "bloom_build"))
+    },
     "top_k_ids" -> { exprs =>
       require(exprs.length == 3, s"top_k_ids expects 3 arguments, got ${exprs.length}")
       TopKAgg(exprs.head, exprs(1), litInt(exprs(2), "top_k_ids"))

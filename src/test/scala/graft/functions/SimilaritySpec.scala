@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** ANN recall relationships the oracle can't express as a single-query
+  * check: multi-probe must dominate single-probe recall (it probes a
+  * strict superset of buckets), and recalls stay in [0, 1].
+  */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
+    df.agg(avg($"recall_at_k")).head().getDouble(0)
+
+  test("multi-probe recall dominates single-probe recall per query") {
+    val single = Similarity.lshRecall(spark, dir)
+      .withColumnRenamed("recall_at_k", "r1")
+    val multi = Similarity.multiProbeRecall(spark, dir)
+      .withColumnRenamed("recall_at_k", "rm")
+    val joined = single.join(multi, "query_id")
+    assert(joined.filter($"rm" < $"r1").isEmpty,
+      "probing Hamming-1 neighbor buckets can only ADD candidates, so " +
+        "per-query recall must not drop")
+    assert(meanRecall(Similarity.multiProbeRecall(spark, dir)) >=
+      meanRecall(Similarity.lshRecall(spark, dir)))
+  }
+
+  test("all recall variants produce values in [0,1] for every query") {
+    Seq(Similarity.lshRecall(spark, dir),
+        Similarity.multiProbeRecall(spark, dir),
+        Similarity.ivfRecall(spark, dir)).foreach { df =>
+      assert(df.filter($"recall_at_k" < 0.0 || $"recall_at_k" > 1.0).isEmpty)
+      assert(df.count() === Similarity.NumQueries.toLong)
+    }
+  }
+}
