@@ -23,6 +23,7 @@ object LlmRegistry {
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_pii_redact" -> (TextAnalysis.piiRedact _),
     "vocab_build" -> (TextAnalysis.vocabBuild _),
     "tokens_to_ids" -> (TextAnalysis.tokensToIds _),
     "text_commonness" -> (TextAnalysis.commonness _),
@@ -235,6 +236,17 @@ object LlmRegistry {
       s"""SELECT doc_id, md5($normText) AS fp_md5,
          |  ${sqlMd5Prefix60(normText)} AS fp60
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // counts + redacted-text fingerprint from the SAME PiiPatterns
+    // constants (Java regex and RE2 agree on this dialect subset)
+    "text_pii_redact" ->
+      s"""WITH seeded AS (SELECT doc_id, ${TextAnalysis.sqlPiiSeededText} AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |${TextAnalysis.PiiPatterns.map { case (kind, pat, _) =>
+             s"  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$kind," }
+           .mkString("\n")}
+         |  ${sqlMd5Prefix60(TextAnalysis.sqlRedactPii("text"))} AS redacted_fp60
+         |FROM seeded ORDER BY doc_id""".stripMargin,
     "vocab_build" ->
       s"""WITH counts AS (SELECT tok AS token, count(*) AS freq
          |  FROM (SELECT unnest($toks) AS tok FROM documents) t GROUP BY 1),

@@ -96,6 +96,7 @@ object Proto {
     "sim_lsh_topk_multiprobe" -> asc("query_id", "rank"),
     "sim_ivf_topk" -> asc("query_id", "rank"),
     "sim_multiprobe_recall" -> asc("query_id"),
+    "text_pii_redact" -> asc("doc_id"),
     "sim_ivf_recall" -> asc("query_id"),
     "dedup_embedding_lsh" -> asc("a", "b"),
     "embed_int8" -> asc("vec_id"),

@@ -176,4 +176,65 @@ object TextAnalysis {
   /** Shared DuckDB fragment: the canonical tokenizer. */
   def sqlTokens(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), x -> length(x) > 0)"
+
+  // ---- PII redaction ----------------------------------------------------
+
+  /** PII patterns, ordered: email first (its domain would otherwise be
+    * chewed up by the IP pattern's digit runs), then phone, then IPv4.
+    * Written in the common Java-regex/RE2 dialect — character classes,
+    * bounded repetition, ASCII `\b` — so Spark (java.util.regex) and the
+    * DuckDB oracle (RE2) match identically; no lookarounds or
+    * backreferences (RE2 has none).
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "[EMAIL]"),
+    ("phone", """\b\d{3}[-.]\d{3}[-.]\d{4}\b""", "[PHONE]"),
+    ("ip", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "[IP]"))
+
+  /** Redact PII from a text column: each pattern's matches are counted,
+    * then replaced (all occurrences) in [[PiiPatterns]] order. A NARROW
+    * per-row transform — at 100 TB this is a pure map stage fused into
+    * the scan, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-kind match counts for audit metrics (before redaction). */
+  def piiCounts(text: Column): Seq[Column] =
+    PiiPatterns.map { case (kind, pat, _) =>
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long").as(s"n_$kind")
+    }
+
+  /** The corpus text carries no digits, so the redaction demo grafts
+    * deterministic pseudo-PII derived from doc_id onto each document —
+    * the oracle builds the identical string — then redacts and reports
+    * per-kind counts plus the 60-bit fingerprint of the redacted text
+    * (value-checking the full replacement output without shipping it).
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val seeded = documents(spark, dir).select($"doc_id",
+      concat($"text",
+        lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com or 555-"),
+        lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+        lit("-0199 from 10."), ($"doc_id" % 256).cast("string"),
+        lit(".0.7")).as("text"))
+    seeded.select(
+      ($"doc_id" +: piiCounts($"text")) :+
+        Hashing.md5Prefix60(redactPii($"text")).as("redacted_fp60"): _*)
+  }
+
+  /** DuckDB twin of [[piiRedact]]'s seeded text. */
+  def sqlPiiSeededText: String =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |  '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+      |  '-0199 from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'""".stripMargin
+
+  /** DuckDB twin of [[redactPii]] over an expression. */
+  def sqlRedactPii(expr: String): String =
+    PiiPatterns.foldLeft(expr) { case (e, (_, pat, repl)) =>
+      s"regexp_replace($e, '$pat', '$repl', 'g')"
+    }
 }
