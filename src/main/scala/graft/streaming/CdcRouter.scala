@@ -81,8 +81,15 @@ object CdcRouter {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
+      val raw =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      // A corrupt/truncated marker is the same operational state as a
+      // missing one: the persisted bucket count is unknowable → rebuild.
+      Some(raw.toIntOption.getOrElse(throw new IllegalStateException(
+        s"dim store marker $p is unreadable (contents: '$raw'); rebuild " +
+          "the store (stores without a valid persisted bucket count " +
+          "cannot be safely merged into)")))
     }
   }
 

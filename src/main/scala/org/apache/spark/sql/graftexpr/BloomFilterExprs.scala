@@ -55,9 +55,23 @@ object GraftBloom {
     (((h1 + i * h2) >>> 1) % numBits).toInt
   }
 
+  /** Reject blobs that cannot have come from [[BloomBuildAgg]] with a
+    * named error instead of an index crash — `bloom_might_contain` is
+    * SQL-registered, so arbitrary BINARY values can reach this.
+    */
+  private def checkBlob(blob: Array[Byte], k: Int): Unit =
+    if (blob.length < 5 || k < 1 || k > 16)
+      throw new IllegalArgumentException(
+        "bloom_might_contain: malformed bloom blob (expected >=5 bytes with " +
+          s"a hash count in [1,16]; got ${blob.length} bytes, k=$k) — " +
+          "build the filter with bloom_build")
+
   def contains(blob: Array[Byte], value: Long): Boolean = {
-    val k = ((blob(0) & 0xff) << 24) | ((blob(1) & 0xff) << 16) |
-      ((blob(2) & 0xff) << 8) | (blob(3) & 0xff)
+    val k =
+      if (blob.length < 4) -1
+      else ((blob(0) & 0xff) << 24) | ((blob(1) & 0xff) << 16) |
+        ((blob(2) & 0xff) << 8) | (blob(3) & 0xff)
+    checkBlob(blob, k)
     val numBits = (blob.length - 4) * 8
     var i = 0
     while (i < k) {
@@ -93,8 +107,11 @@ object GraftBloom {
   }
 
   def fromBlob(blob: Array[Byte]): Buffer = {
-    val k = ((blob(0) & 0xff) << 24) | ((blob(1) & 0xff) << 16) |
-      ((blob(2) & 0xff) << 8) | (blob(3) & 0xff)
+    val k =
+      if (blob.length < 4) -1
+      else ((blob(0) & 0xff) << 24) | ((blob(1) & 0xff) << 16) |
+        ((blob(2) & 0xff) << 8) | (blob(3) & 0xff)
+    checkBlob(blob, k)
     val bits = new Array[Byte](blob.length - 4)
     System.arraycopy(blob, 4, bits, 0, bits.length)
     new Buffer(k, bits)
@@ -178,7 +195,10 @@ case class BloomMightContain(bloomExpr: Expression, keyExpr: Expression)
     GraftBloom.contains(blob.asInstanceOf[Array[Byte]], key.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bloomCls = GraftBloom.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // The mirror class (name without '$') exposes static forwarders; the
+    // MODULE$ field lives only on the module class. Call the forwarder —
+    // `GraftBloom.MODULE$` does not compile under Janino.
+    val bloomCls = GraftBloom.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, (blob, key) =>
       s"${ev.value} = $bloomCls.contains($blob, $key);")
   }

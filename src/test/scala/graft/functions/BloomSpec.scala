@@ -64,6 +64,36 @@ class BloomSpec extends AnyFunSuite {
     assert(n === 100L)
   }
 
+  test("probe codegen actually compiles (no silent interpreted fallback)") {
+    import spark.implicits.{localSeqToDatasetHolder, newLongEncoder}
+    // With fallback disabled, a Janino compile error in the generated
+    // stage fails the query instead of quietly degrading — this is the
+    // regression test for the MODULE$-vs-static-forwarder codegen bug.
+    val blob = (1L to 64L).toDF("k")
+      .agg(GraftBloom.build($"k", 8192, 5)).head().getAs[Array[Byte]](0)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = (1L to 64L).toDF("k")
+        .filter(GraftBloom.mightContain(lit(blob), $"k")).count()
+      assert(n === 64L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("malformed blobs raise a named error, not an index crash") {
+    for (bad <- Seq(Array.empty[Byte], Array[Byte](1, 2, 3), Array[Byte](0, 0, 0, 5))) {
+      val e = intercept[IllegalArgumentException](GraftBloom.contains(bad, 42L))
+      assert(e.getMessage.contains("bloom_might_contain"))
+      intercept[IllegalArgumentException](GraftBloom.fromBlob(bad))
+    }
+    // k outside [1,16] (e.g. a random binary that happens to be long)
+    val badK = Array.fill[Byte](20)(0x7f.toByte)
+    intercept[IllegalArgumentException](GraftBloom.contains(badK, 42L))
+  }
+
   test("j10: prefiltered join result equals the plain join; prefilter prunes rows") {
     val dir = "/root/testdata/sf0.001"
     val plain = {

@@ -168,6 +168,14 @@ class CdcRouterSpec extends AnyFunSuite {
       CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow("8", "bob"))
     }
     assert(ex.getMessage.contains("8 buckets"), ex.getMessage)
+    // ...a corrupted/truncated marker maps to the same loud rebuild
+    // error, not a bare NumberFormatException
+    java.nio.file.Files.write(marker.toPath, "16 bu ".getBytes("UTF-8"))
+    new java.io.File(marker.getParentFile, "._bucket_count.crc").delete()
+    val exCorrupt = intercept[IllegalStateException] {
+      CdcRouter.mergeDim(spark, dir, "dim_user_info", "id", dimRow("8", "bob"))
+    }
+    assert(exCorrupt.getMessage.contains("rebuild"), exCorrupt.getMessage)
     // ...and a bucketed store with no marker at all is equally rejected
     java.nio.file.Files.delete(marker.toPath)
     val ex2 = intercept[IllegalStateException] {
