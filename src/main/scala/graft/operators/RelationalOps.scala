@@ -285,6 +285,12 @@ object RelationalOps {
     * A deployment sizes numBits to the small side's key cardinality
     * (~10 bits/key for 1% fpp) — the blob stays kilobytes-to-megabytes
     * while the savings scale with the FACT side.
+    *
+    * The blob binds to the probe as a SCALAR SUBQUERY (evaluated once,
+    * inlined as a constant — see [[GraftBloom.mightContainScalar]]), NOT
+    * by joining the blob row onto the fact table: a joined blob is
+    * re-copied out of every probed row's UnsafeRow, which costs more
+    * than the shuffle the prefilter saves.
     */
   def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftexpr.GraftBloom
@@ -296,9 +302,7 @@ object RelationalOps {
     val li = lineitem(spark, dir)
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
     val prefiltered = li
-      .crossJoin(broadcast(bloom)) // 1-row blob rides the broadcast
-      .filter(GraftBloom.mightContain($"__bloom", $"l_orderkey"))
-      .drop("__bloom")
+      .filter(GraftBloom.mightContainScalar(bloom, $"l_orderkey"))
     prefiltered
       .join(urgent, $"l_orderkey" === $"o_orderkey")
       .groupBy(date_format($"o_orderdate", "yyyy-MM").as("order_month"))

@@ -1,8 +1,8 @@
 package org.apache.spark.sql.graftexpr
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ScalarSubquery}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -127,6 +127,22 @@ object GraftBloom {
   def mightContain(bloom: Column, key: Column): Column =
     ExpressionUtils.column(BloomMightContain(
       ExpressionUtils.expression(bloom), ExpressionUtils.expression(key)))
+
+  /** Probe against the single blob `bloomDf` produces (one row, one
+    * BINARY column), bound via a SCALAR SUBQUERY — the runtime-filter
+    * shape Spark's own `InjectRuntimeFilter` plans. The subquery
+    * executes once and its result is inlined as a constant reference in
+    * the probing stage, so the blob is materialized once per executor.
+    * Joining the blob in instead (`crossJoin(broadcast(blobDf))`) puts
+    * the bytes INSIDE every probed row, and each row's `getBinary` then
+    * copies the full blob out of the UnsafeRow — ~20 GB of memcpy per
+    * 600k probed rows at 32 KB blobs, which benchmarked 8× slower than
+    * the plain un-prefiltered join it was meant to beat.
+    */
+  def mightContainScalar(bloomDf: DataFrame, key: Column): Column =
+    ExpressionUtils.column(BloomMightContain(
+      ScalarSubquery(bloomDf.queryExecution.analyzed),
+      ExpressionUtils.expression(key)))
 }
 
 /** `bloom_build(key, numBits, numHashes)` — see [[GraftBloom]]. */

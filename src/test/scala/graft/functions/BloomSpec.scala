@@ -106,13 +106,26 @@ class BloomSpec extends AnyFunSuite {
       .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
     val bloom = urgent.agg(GraftBloom.build($"o_orderkey", 1 << 18, 6).as("b"))
     val pre = graft.Tables.lineitem(spark, dir)
-      .crossJoin(broadcast(bloom))
-      .filter(GraftBloom.mightContain($"b", $"l_orderkey"))
+      .filter(GraftBloom.mightContainScalar(bloom, $"l_orderkey"))
     val total = graft.Tables.lineitem(spark, dir).count()
     val preCount = pre.count()
     assert(preCount < total * 3 / 5,
       s"prefilter kept $preCount of $total rows — not pruning (1/5 of orders are urgent)")
-    val joined = pre.drop("b").join(urgent, $"l_orderkey" === $"o_orderkey").count()
+    val joined = pre.join(urgent, $"l_orderkey" === $"o_orderkey").count()
     assert(joined === plain, "bloom prefilter must be transparent to the exact join")
+  }
+
+  test("scalar-subquery binding plans no join for the blob") {
+    val dir = "/root/testdata/sf0.001"
+    val urgent = graft.Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val bloom = urgent.agg(GraftBloom.build($"o_orderkey", 1 << 14, 5).as("b"))
+    val pre = graft.Tables.lineitem(spark, dir)
+      .filter(GraftBloom.mightContainScalar(bloom, $"l_orderkey"))
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"blob must bind as a scalar subquery, not a join:\n$plan")
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      s"expected a subquery binding in:\n$plan")
   }
 }
