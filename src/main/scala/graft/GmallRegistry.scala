@@ -37,6 +37,7 @@ object GmallRegistry {
     "j2_config_route" -> (EventOps.configRoute _),
     "j9_salted_skew_join" -> (EventOps.saltedRoute _),
     "j10_bloom_prefilter" -> (RelationalOps.bloomPrefilterJoin _),
+    "j11_range_join" -> (RelationalOps.rangeJoinShipments _),
     "agg_salted_sum" -> (EventOps.saltedTypeTotals _),
     "x2_cdc_route" -> (EventOps.cdcRoute _),
     "p4_dynamic_prune" -> ((s: SparkSession, d: String) => EventOps.dynamicPrune(s, d)),
@@ -272,6 +273,14 @@ object GmallRegistry {
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the binned range join is exact (bin candidate ⊇ matches, exact
+    // predicate re-checked), so the oracle is the naive theta join
+    "j11_range_join" ->
+      """SELECT o.o_orderkey, count(*) AS n_shipments
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x2_cdc_route" ->
       """WITH cdc AS (

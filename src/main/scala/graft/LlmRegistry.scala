@@ -60,7 +60,8 @@ object LlmRegistry {
     "pipeline_mix_sources" -> (Sampling.mixSources _),
     "pipeline_source_quota" -> (Sampling.sourceQuota _),
     "pipeline_source_quota_agg" -> (Sampling.sourceQuotaHeap _),
-    "pipeline_chunk_tokens" -> (Sampling.chunkTokens _))
+    "pipeline_chunk_tokens" -> (Sampling.chunkTokens _),
+    "pipeline_pack_sequences" -> (Sampling.packSequences _))
 
   // ---- shared SQL fragments --------------------------------------------
 
@@ -258,6 +259,7 @@ object LlmRegistry {
     // the chunker nests the same token-id pipeline — content checksum
     // included so the oracle checks packed payloads, not just counts
     "pipeline_chunk_tokens" -> Sampling.sqlChunkTokens(tokensToIdsBody),
+    "pipeline_pack_sequences" -> Sampling.sqlPackSequences,
     "pipeline_decontaminate" -> CorpusPipeline.sqlDecontaminate,
     "sample_uniform_k" -> Sampling.sqlUniformK,
     "sample_stratified" -> Sampling.sqlStratified,

@@ -47,6 +47,7 @@ object Proto {
     "j2_config_route" -> asc("event_id"),
     "j9_salted_skew_join" -> asc("event_id"),
     "j10_bloom_prefilter" -> asc("order_month"),
+    "j11_range_join" -> asc("o_orderkey"),
     "agg_salted_sum" -> asc("event_type"),
     "x2_cdc_route" -> asc("id"),
     "p4_dynamic_prune" -> asc("event_id"),
@@ -112,5 +113,6 @@ object Proto {
     "pipeline_mix_sources" -> asc("doc_id"),
     "pipeline_source_quota" -> asc("doc_id"),
     "pipeline_source_quota_agg" -> asc("doc_id"),
-    "pipeline_chunk_tokens" -> asc("doc_id", "chunk_id"))
+    "pipeline_chunk_tokens" -> asc("doc_id", "chunk_id"),
+    "pipeline_pack_sequences" -> asc("doc_id"))
 }

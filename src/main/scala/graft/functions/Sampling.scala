@@ -200,4 +200,57 @@ object Sampling {
        |  min(pos) AS first_pos, max(pos) AS last_pos,
        |  CAST(sum(token_id * (pos % $ChunkLen + 1)) AS BIGINT) AS checksum
        |FROM ids GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Pack length (token positions per packed training sequence). */
+  val PackLen = 256
+
+  /** Sequence PACKING (concat-and-chunk): lay each source's documents
+    * end-to-end in doc_id order and cut the concatenated token stream
+    * into [[PackLen]]-token packs — the step that turns a cleaned
+    * corpus into fixed-length training sequences with no padding waste.
+    * Per document: the pack its first token lands in, the offset inside
+    * that pack, and how many packs it spans (documents cross pack
+    * boundaries; 0-token documents span none).
+    *
+    * Scale shape: the running token total is a window sum PARTITIONED BY
+    * source — packing parallelizes across sources (each source's packs
+    * are independent, which is also what keeps a pack single-domain).
+    * The sequential dependency INSIDE a source is inherent to packing;
+    * a source too large for one partition would move to the two-phase
+    * scan form (per-partition subtotals broadcast back as offsets) with
+    * identical output.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(TextAnalysis.tokens($"text")).cast("bigint").as("n_tokens"))
+      .withColumn("tok_end", sum($"n_tokens").over(w))
+      .withColumn("tok_start", $"tok_end" - $"n_tokens")
+      .select($"doc_id", $"source", $"n_tokens",
+        expr(s"tok_start div $PackLen").as("start_pack"),
+        pmod($"tok_start", lit(PackLen.toLong)).as("start_offset"),
+        when($"n_tokens" === 0L, lit(0L))
+          .otherwise(expr(s"(tok_end - 1) div $PackLen") -
+            expr(s"tok_start div $PackLen") + lit(1L)).as("n_packs"))
+  }
+
+  /** DuckDB twin of [[packSequences]] (integer-exact: `//` truncates
+    * like Spark's `div` — all operands non-negative here).
+    */
+  def sqlPackSequences: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(${TextAnalysis.sqlTokens("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS tok_end
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST((tok_end - n_tokens) // $PackLen AS BIGINT) AS start_pack,
+       |  CAST((tok_end - n_tokens) % $PackLen AS BIGINT) AS start_offset,
+       |  CAST(CASE WHEN n_tokens = 0 THEN 0
+       |    ELSE (tok_end - 1) // $PackLen - (tok_end - n_tokens) // $PackLen + 1
+       |  END AS BIGINT) AS n_packs
+       |FROM c ORDER BY doc_id""".stripMargin
 }

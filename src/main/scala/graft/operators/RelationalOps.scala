@@ -313,6 +313,51 @@ object RelationalOps {
         count(lit(1)).as("line_count"))
   }
 
+  /** Keyless range join (interval stabbing) via time BINNING — the
+    * scale-out plan for "point falls inside interval" predicates with no
+    * equi key. Catalyst can only plan a pure range predicate as a
+    * nested-loop/cartesian join — O(|intervals|·|points|), which is the
+    * canonical 100 TB cliff. Binning converts it to an equi join:
+    * intervals explode into the fixed-width time bins they overlap
+    * (≤ ceil(span/width)+1 rows each), points map to their single bin,
+    * the join runs hash-partitioned on the bin key, and the exact
+    * range predicate re-checks each candidate. Each (interval, point)
+    * pair meets in exactly one bin — the point's — so no dedup is
+    * needed. Bin width tunes fan-out vs selectivity: ~the typical
+    * interval span is the usual sweet spot (≤2 bins per interval).
+    *
+    * Output columns = interval columns ++ point columns (callers
+    * disambiguate names beforehand).
+    */
+  def rangeBinJoin(intervals: DataFrame, lo: String, hi: String,
+      points: DataFrame, pt: String, binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    def bin(c: Column): Column = floor(unix_timestamp(c) / binSeconds).cast("long")
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(bin(col(lo)), bin(col(hi)))))
+    val pts = points.withColumn("__bin", bin(col(pt)))
+    iv.join(pts, "__bin")
+      .filter(col(pt) >= col(lo) && col(pt) <= col(hi))
+      .drop("__bin")
+  }
+
+  /** J11: shipments observed within a week of each order's date — a
+    * keyless interval-stabbing query over [[rangeBinJoin]] (every
+    * lineitem ship date in the market, not just the order's own lines,
+    * so there is genuinely no join key). 7-day bins match the 7-day
+    * window: each interval explodes into exactly 2 bins.
+    */
+  def rangeJoinShipments(spark: SparkSession, dir: String): DataFrame = {
+    val iv = orders(spark, dir).select(
+      $"o_orderkey",
+      $"o_orderdate".as("win_lo"),
+      ($"o_orderdate" + expr("INTERVAL 7 DAYS")).as("win_hi"))
+    val pts = lineitem(spark, dir).select($"l_shipdate")
+    rangeBinJoin(iv, "win_lo", "win_hi", pts, "l_shipdate", 7L * 86400)
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_shipments"))
+  }
+
   /** Union of two homogeneous branches with provenance tags (reference
     * UserJumpDetailApp.java:115 unions match + timeout streams).
     */
