@@ -47,6 +47,8 @@ object GmallRegistry {
     "dws_uv_per_hour" -> (WindowOps.uvPerHour _),
     "dws_uv_per_hour_approx" -> ((s: SparkSession, d: String) =>
       WindowOps.uvPerHourApprox(s, d)),
+    "dws_uv_sketch_rollup" -> ((s: SparkSession, d: String) =>
+      WindowOps.uvSketchRollup(s, d)),
     "dws_keyword_count" -> (WindowOps.keywordCount _),
     "dws_keyword_count_udtf" -> (WindowOps.keywordCountUdtf _),
     "agg_rollup" -> (AnalyticsOps.rollupSummary _),
@@ -317,6 +319,12 @@ object GmallRegistry {
     "dws_uv_per_hour" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  count(DISTINCT user_id) AS uv
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sketch-oracle pattern: the checked output is the GUARANTEE
+    // (exact value + bound satisfied), never the estimate itself
+    "dws_uv_sketch_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS uv_exact, TRUE AS within_bounds
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "dws_keyword_count" ->
       """SELECT word, count(*) AS n FROM (

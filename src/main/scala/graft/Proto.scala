@@ -56,6 +56,7 @@ object Proto {
     "dws_sliding" -> asc("window_start"),
     "dws_uv_per_hour" -> asc("window_start"),
     "dws_uv_per_hour_approx" -> asc("window_start"),
+    "dws_uv_sketch_rollup" -> asc("day"),
     "dws_keyword_count" -> Seq(col("n").desc, col("word")),
     "dws_keyword_count_udtf" -> Seq(col("n").desc, col("word")),
     "agg_rollup" -> asc("returnflag", "linestatus"),

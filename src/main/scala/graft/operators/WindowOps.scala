@@ -67,6 +67,42 @@ object WindowOps {
       .agg(approx_count_distinct($"user_id", rsd).as("uv_approx"))
       .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"), $"uv_approx")
 
+  /** Sketch ROLL-UP: hourly HLL sketches unioned to daily cardinality
+    * WITHOUT rescanning events — the serving-layer contract
+    * `approx_count_distinct` can't provide (it never exposes its
+    * sketch). Hourly blobs are kilobytes (2^p registers); a day is the
+    * register-wise max of its hours ([[org.apache.spark.sql.graftexpr.GraftHll]]),
+    * so re-aggregation cost is independent of event volume — the same
+    * mergeable-sketch pattern as the t-digest quantiles, and the
+    * engine's stand-in for the reference's intended ClickHouse
+    * `uniqCombinedState` DWS columns (SURVEY.md §2.8).
+    *
+    * Sketch estimates are engine-specific, so per the sketch-oracle
+    * pattern the CHECKED output is the guarantee, not the estimate:
+    * exact daily UV (computable in DuckDB) plus `within_bounds` —
+    * |est − exact| ≤ tol·exact, tol = 4% ≈ 5σ at p=14 (rse ≈ 0.8%).
+    * HllSpec additionally proves union-of-hours ≡ sketch-of-day
+    * byte-for-byte and partitioning invariance.
+    */
+  def uvSketchRollup(spark: SparkSession, dir: String,
+      p: Int = 14, tol: Double = 0.04): DataFrame = {
+    import org.apache.spark.sql.graftexpr.GraftHll
+    val e = events(spark, dir).select(
+      date_format($"ts", "yyyy-MM-dd").as("day"),
+      date_format($"ts", "yyyy-MM-dd HH").as("hour"),
+      $"user_id")
+    val daily = e
+      .groupBy($"day", $"hour")
+      .agg(GraftHll.build($"user_id", p).as("sketch"))
+      .groupBy($"day")
+      .agg(GraftHll.cardinality(GraftHll.union($"sketch")).as("uv_est"))
+    val exact = e.groupBy($"day").agg(countDistinct($"user_id").as("uv_exact"))
+    daily.join(exact, "day")
+      .select($"day", $"uv_exact",
+        (abs($"uv_est" - $"uv_exact").cast("double") <=
+          lit(tol) * $"uv_exact".cast("double")).as("within_bounds"))
+  }
+
   /** Keyword tokenize → explode → count (the planned ikanalyzer keyword
     * job, reference pom.xml:179-183 + GmallConstant SEARCH/CLICK/CART/
     * ORDER). Tokenization = lowercase, split on non-alphanumerics —

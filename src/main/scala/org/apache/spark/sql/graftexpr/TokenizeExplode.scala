@@ -126,6 +126,19 @@ object GraftFunctions {
       require(exprs.length >= 2,
         s"tdigest_quantiles expects (value, p, ...), got ${exprs.length} arguments")
       TDigestAgg(exprs.head, exprs.tail.map(litDouble(_, "tdigest_quantiles")), 100.0)
+    },
+    "hll_build" -> { exprs =>
+      require(exprs.length == 2,
+        s"hll_build expects (key, precision), got ${exprs.length} arguments")
+      HllBuildAgg(exprs.head, litInt(exprs(1), "hll_build"))
+    },
+    "hll_union" -> { exprs =>
+      require(exprs.length == 1, s"hll_union expects 1 argument, got ${exprs.length}")
+      HllUnionAgg(exprs.head)
+    },
+    "hll_card" -> { exprs =>
+      require(exprs.length == 1, s"hll_card expects 1 argument, got ${exprs.length}")
+      HllCardinality(exprs.head)
     })
 
   /** Runtime registration of the full engine SQL surface (idempotent). */
