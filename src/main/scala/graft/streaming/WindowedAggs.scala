@@ -68,6 +68,26 @@ object WindowedAggs {
         .quantiles($"value", percentiles).as("qs"))
       .select($"w.start".as("window_start"), $"qs")
 
+  /** Streaming per-window UV sketches via the engine's HLL aggregate
+    * ([[org.apache.spark.sql.graftexpr.GraftHll]]): each finalized
+    * window emits its SKETCH (binary) alongside the estimate, so a
+    * serving store can keep rolling windows up (day/week/ad-hoc unions
+    * via `hll_union`) without the raw stream — the streaming end of the
+    * [[graft.operators.WindowOps.uvSketchRollup]] contract. Constant
+    * state per open window (2^p registers); partial buffers merge
+    * across micro-batches through the ObjectHashAggregate path exactly
+    * like the t-digest sketch above.
+    */
+  def uvSketchPerWindow(events: DataFrame, p: Int = 12): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis($"ts"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window($"event_time", "1 hour").as("w"))
+      .agg(org.apache.spark.sql.graftexpr.GraftHll
+        .build($"user_id", p).as("sketch"))
+      .select($"w.start".as("window_start"), $"sketch",
+        org.apache.spark.sql.graftexpr.GraftHll.cardinality($"sketch").as("uv_est"))
+
   /** Session windows with a 30-min gap — Spark's native session_window
     * generalizes the batch gaps-and-islands form; state per open session,
     * closed by the watermark.

@@ -82,6 +82,39 @@ class WindowedAggsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("uv sketch window: cross-batch duplicates collapse; sketch matches batch build") {
+    val ms = MemoryStream[E](enc, spark)
+    val out = WindowedAggs.uvSketchPerWindow(ms.toDF(), p = 12)
+    val q = out.writeStream.format("memory").queryName("uvsk_out")
+      .outputMode("append").start()
+    try {
+      // users 1..40 in batch 1, 21..60 in batch 2, same window: the
+      // merged sketch must count 60 distinct, not 80 events — the
+      // property that distinguishes sketch state from count state
+      ms.addData((1 to 40).map(u => E(u.toLong, "c", h0 + u * 1000L)): _*)
+      q.processAllAvailable()
+      ms.addData((21 to 60).map(u => E(u.toLong, "c", h0 + u * 1000L)): _*)
+      q.processAllAvailable()
+      assert(spark.table("uvsk_out").count() === 0) // window still open
+      ms.addData(E(999, "z", h0 + 3 * 3600000L)) // watermark closes it
+      q.processAllAvailable()
+      val rows = spark.table("uvsk_out")
+        .filter($"uv_est" > 1).collect() // drop the closer's own window if emitted
+      assert(rows.length === 1)
+      val sketch = rows.head.getAs[Array[Byte]](1)
+      val est = rows.head.getLong(2)
+      // the streamed sketch must be byte-identical to a batch build of
+      // the same distinct keys (order/batching invariance)...
+      import spark.implicits.{localSeqToDatasetHolder, newLongEncoder}
+      val batch = (1L to 60L).toDF("k")
+        .agg(org.apache.spark.sql.graftexpr.GraftHll.build($"k", 12))
+        .head().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(sketch, batch))
+      // ...and near-exact at this cardinality
+      assert(math.abs(est - 60L) <= 6L, s"est=$est")
+    } finally q.stop()
+  }
+
   test("session_window merges within gap, splits across it") {
     val ms = MemoryStream[E](enc, spark)
     val out = WindowedAggs.sessionized(ms.toDF())
