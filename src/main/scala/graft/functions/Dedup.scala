@@ -174,8 +174,15 @@ object Dedup {
     val pairs = minhashPairs(spark, dir).select($"a", $"b")
     val edges = pairs.union(pairs.select($"b".as("a"), $"a".as("b")))
       .localCheckpoint(true)
-    var labels = documents(spark, dir).select($"doc_id")
-      .withColumn("label", $"doc_id").localCheckpoint(true)
+    // Iterate over EDGE ENDPOINTS only: a document absent from the pair
+    // graph can never change label, so singletons — the overwhelming
+    // majority of a deduped corpus — skip the loop entirely and join
+    // back at the end. The per-round shuffles are bounded by the
+    // candidate-pair graph (≤ 2·|pairs| nodes), not corpus size: at
+    // 100 TB that is the difference between iterating over billions of
+    // rows O(log n) times and iterating over the near-dup minority.
+    val nodes = edges.select($"a".as("doc_id")).distinct().localCheckpoint(true)
+    var labels = nodes.withColumn("label", $"doc_id").localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < MaxClusterIters) {
@@ -207,7 +214,10 @@ object Dedup {
       throw new IllegalStateException(
         s"minhashClusters did not converge in $MaxClusterIters rounds — " +
           "with pointer jumping this indicates a bug, not a long chain")
-    labels.select($"doc_id", $"label".as("cluster_id"),
+    val singletons = documents(spark, dir).select($"doc_id")
+      .join(nodes, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("label"))
+    labels.union(singletons).select($"doc_id", $"label".as("cluster_id"),
       ($"doc_id" === $"label").as("keeper"))
   }
 
