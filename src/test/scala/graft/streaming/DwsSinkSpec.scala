@@ -57,4 +57,30 @@ class DwsSinkSpec extends AnyFunSuite {
       assert(rows.count() === 2, "exactly one row per (window, dim) key")
     } finally q.stop()
   }
+
+  test("sketch columns round-trip the store and roll up without the raw stream") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftexpr.GraftHll
+    val work = java.nio.file.Files.createTempDirectory("dws-sketch").toString
+    val ms = MemoryStream[E](enc, spark)
+    // hourly UV sketches into the store; the binary blob travels base64
+    // (the store's row map is schema-on-read strings)
+    val agg = WindowedAggs.uvSketchPerWindow(ms.toDF(), p = 12)
+      .select($"window_start", base64($"sketch").as("sketch_b64"))
+    val q = DwsSink.maintain(agg, s"$work/store", "dws_uv",
+      keyCols = Seq("window_start"), checkpoint = s"$work/ckpt")
+    try {
+      // users 1..30 in hour 0, 16..45 in hour 1 (15 overlap both hours)
+      ms.addData((1 to 30).map(u => E(u.toLong, "c", h0 + u * 1000L)): _*)
+      ms.addData((16 to 45).map(u => E(u.toLong, "c", h0 + 3600000L + u * 1000L)): _*)
+      q.processAllAvailable()
+      // serving-side roll-up: union the stored hourly sketches — no
+      // events scan — and estimate the cross-hour distinct count
+      val rolled = DwsSink.read(spark, s"$work/store", "dws_uv", Seq("sketch_b64"))
+        .agg(GraftHll.cardinality(GraftHll.union(unbase64($"sketch_b64"))).as("uv"))
+        .head().getLong(0)
+      assert(math.abs(rolled - 45L) <= 5L,
+        s"union of stored hourly sketches must count ~45 distinct users, got $rolled")
+    } finally q.stop()
+  }
 }
