@@ -115,10 +115,16 @@ object TextAnalysis {
     val counts = documents(spark, dir)
       .select(explode(tokens($"text")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("freq"))
+    // top-k FIRST (TakeOrderedAndProject: per-partition heaps, k rows to
+    // one task), THEN rank — an unpartitioned ranking window over the
+    // full token-count table would sort the entire vocabulary in a
+    // single partition at corpus scale. After the limit the global
+    // window sees ≤ VocabSize rows, so its single partition is bounded
+    // by the parameter, not the data.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy($"freq".desc, $"token")
-    counts.withColumn("token_id", row_number().over(w).cast("bigint"))
-      .filter($"token_id" <= VocabSize)
+    counts.orderBy($"freq".desc, $"token").limit(VocabSize)
+      .withColumn("token_id", row_number().over(w).cast("bigint"))
       .select($"token_id", $"token", $"freq")
   }
 
