@@ -192,22 +192,23 @@ object Dedup {
         .groupBy($"a").agg(min($"nbr_label").as("nbr_min"))
       // materialized before the self-join below, which references it on
       // BOTH sides — without this the neighbor-min shuffle join runs
-      // twice per round
+      // twice per round. The round's STARTING label rides along as
+      // `old`, so convergence is a filter on the round's own output
+      // instead of a third join back to the previous frame.
       val stepped = labels
         .join(nbrMin, $"doc_id" === $"a", "left")
-        .select($"doc_id",
+        .select($"doc_id", $"label".as("old"),
           least($"label", coalesce($"nbr_min", $"label")).as("label"))
         .localCheckpoint(true)
       // pointer jumping: follow one's label to ITS label — path halving
       val next = stepped
         .join(stepped.select($"doc_id".as("l2"), $"label".as("label2")),
           $"label" === $"l2", "left")
-        .select($"doc_id",
+        .select($"doc_id", $"old",
           least($"label", coalesce($"label2", $"label")).as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter($"label" =!= $"old").isEmpty
-      labels = next
+      converged = next.filter($"label" =!= $"old").isEmpty
+      labels = next.select($"doc_id", $"label")
       iter += 1
     }
     if (!converged)
