@@ -146,21 +146,37 @@ object TextAnalysis {
     * most frequent token (ties toward the lexicographically first) —
     * the boilerplate/spam signal (high ratio = repeated filler). Exact
     * BIGINT/BIGINT double division.
+    *
+    * The top token is PER-ROW state: sort the doc's token array and take
+    * the longest run in one `aggregate` pass, so the whole operator is a
+    * narrow map over the scan — no explode, no shuffle, no window sort.
+    * Scanning runs of the SORTED array with a strict `>` keeps the first
+    * (= lexicographically smallest) token on freq ties, matching the
+    * oracle's `ORDER BY freq DESC, token` row_number pick. Empty docs
+    * yield no row (the exploded form never produced one).
     */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val perTok = documents(spark, dir)
-      .select($"doc_id", explode(tokens($"text")).as("token"))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("freq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"freq".desc, $"token")
-    perTok
-      .withColumn("n_tokens", sum($"freq").over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"doc_id", $"token".as("top_token"), $"freq".as("top_freq"),
-        $"n_tokens",
-        ($"freq".cast("double") / $"n_tokens".cast("double")).as("repetition_ratio"))
+    val zero = struct(
+      lit("").as("prev"), lit(0L).as("run"),
+      lit("").as("best_tok"), lit(0L).as("best_run"))
+    val top = aggregate(
+      array_sort(tokens($"text")), zero,
+      (st, t) => {
+        val run = when(t === st("prev"), st("run") + 1L).otherwise(lit(1L))
+        val better = run > st("best_run")
+        struct(
+          t.as("prev"), run.as("run"),
+          when(better, t).otherwise(st("best_tok")).as("best_tok"),
+          when(better, run).otherwise(st("best_run")).as("best_run"))
+      })
+    documents(spark, dir)
+      .select($"doc_id", size(tokens($"text")).cast("bigint").as("n_tokens"),
+        top.as("top"))
+      .filter($"n_tokens" > 0L)
+      .select($"doc_id", $"top.best_tok".as("top_token"),
+        $"top.best_run".as("top_freq"), $"n_tokens",
+        ($"top.best_run".cast("double") / $"n_tokens".cast("double"))
+          .as("repetition_ratio"))
   }
 
   /** Unigram commonness score per doc: sum of corpus-wide token

@@ -30,7 +30,15 @@ class PlanShapeSpec extends AnyFunSuite {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
     }.getOrElse(plan)
-    inner.collect { case s: ShuffleExchangeExec => s }.size
+    // count KEYED shuffles only: Tables.spread adds a conditional
+    // RoundRobinPartitioning over under-split sources (a no-op at
+    // cluster scale); the contract these tests enforce is "no
+    // aggregation/join exchange", i.e. nothing data-dependent
+    inner.collect {
+      case s: ShuffleExchangeExec
+          if !s.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => s
+    }.size
   }
 
   test("q1 pricing summary: scan reads only the five needed lineitem columns") {
@@ -67,9 +75,11 @@ class PlanShapeSpec extends AnyFunSuite {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
     }.getOrElse(adaptive)
-    // codegen stages print as "*(n) Operator" in the compact plan string
+    // codegen stages print as "*(n) Operator" in the compact plan string;
+    // the stage number shifts when Tables.spread inserts its round-robin
+    // exchange, so match any stage id
     val s = finalPlan.toString
-    assert(s.contains("*(1) Project"), s)
+    assert("""\*\(\d+\) Project""".r.findFirstIn(s).isDefined, s)
   }
 
   test("filter on source column reaches the parquet scan (PushedFilters)") {
