@@ -67,6 +67,8 @@ object CdcRouter {
     * otherwise be silently read with the wrong `pmod(hash, N)` routing —
     * the same pk's old row in one bucket and its update in another.
     */
+  // filename is a contract with graftexpr.DimStoreBucketPrune, which
+  // reads it to derive __bucket pruning from __pk lookups
   private val BucketMarker = "_bucket_count"
 
   private def writeBucketMarker(fs: org.apache.hadoop.fs.FileSystem,

@@ -156,6 +156,10 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteMd5Prefix60
     }
+    if (!spark.experimental.extraOptimizations.contains(DimStoreBucketPrune)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DimStoreBucketPrune
+    }
   }
 }
 
@@ -179,5 +183,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => RewriteMd5Prefix60)
+    ext.injectOptimizerRule(_ => DimStoreBucketPrune)
   }
 }
