@@ -35,6 +35,7 @@ object LlmRegistry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "dedup_span_coverage" -> (Dedup.spanCoverage _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "sim_bruteforce_topk" -> (Similarity.bruteForceTopK _),
     "sim_lsh_buckets" -> ((s: SparkSession, d: String) =>
@@ -360,6 +361,15 @@ object LlmRegistry {
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
          |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
          |ORDER BY a, b""".stripMargin,
+    "dedup_span_coverage" ->
+      s"""WITH sh AS (${Dedup.sqlShingles}),
+         |freq AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_coverage
+         |FROM sh JOIN freq USING (shingle)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH q AS (SELECT vec_id, $quantize AS q FROM embeddings),
          |p AS (SELECT a.vec_id AS a, b.vec_id AS b,

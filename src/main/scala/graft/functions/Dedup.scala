@@ -313,6 +313,35 @@ object Dedup {
       .filter($"jaccard" >= 0.5)
   }
 
+  /** Duplicate-span coverage per document: the share of a doc's distinct
+    * word 3-shingles that also occur in at least one OTHER document —
+    * the "how much of this doc is copied from somewhere" signal behind
+    * span-level dedup of training corpora (high coverage = boilerplate /
+    * mirrored content even when no single pair clears a Jaccard bar).
+    *
+    * [[shingles]] is already distinct per (doc, shingle), so a shingle's
+    * row count IS its document frequency. Shuffles: the DF groupBy and
+    * the shingle-key join back (shuffle_hash on the same key, so the
+    * exchange is shared — never a corpus-sized broadcast), then the
+    * per-doc groupBy. A doc's flag rides on exact BIGINT counts; the
+    * ratio divides them, so the double is engine-exact.
+    */
+  def spanCoverage(spark: SparkSession, dir: String): DataFrame =
+    spanCoverageOf(documents(spark, dir))
+
+  /** Core of [[spanCoverage]] over any (doc_id, text) frame. */
+  def spanCoverageOf(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs)
+    val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("n_docs"))
+    sh.join(freq.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"n_docs" >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select($"doc_id", $"n_shingles", $"n_shared",
+        ($"n_shared".cast("double") / $"n_shingles".cast("double"))
+          .as("dup_coverage"))
+  }
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Scalar-quantize an embedding into exact integer space: floor(x*1e6).

@@ -31,6 +31,22 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(keepers === clusters.values.toSet.size)
   }
 
+  test("span coverage: fully-copied doc = 1.0, unique doc = 0.0, partial in between") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact mirror of 1
+      (3L, "zeta eta theta iota kappa"), // fully unique
+      // shares the 'alpha beta gamma' span with 1/2, rest unique
+      (4L, "alpha beta gamma lambda mu nu")))
+      .toDF("doc_id", "text")
+    val cov = Dedup.spanCoverageOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cov(1L) === ((3L, 3L, 1.0)))
+    assert(cov(2L) === ((3L, 3L, 1.0)))
+    assert(cov(3L) === ((3L, 0L, 0.0)))
+    assert(cov(4L) === ((4L, 1L, 0.25)))
+  }
+
   test("docs with fewer than 3 tokens produce zero shingles") {
     val docs = spark.createDataFrame(Seq(
       (1L, "foo bar"), (2L, "foo"), (3L, ""), (4L, "a b c d")))
