@@ -45,6 +45,7 @@ object LlmRegistry {
     "sim_lsh_recall" -> (Similarity.lshRecall _),
     "sim_lsh_topk_multiprobe" -> (Similarity.lshTopKMultiProbe _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
+    "dedup_semantic" -> (Similarity.semanticDedup _),
     "sim_multiprobe_recall" -> (Similarity.multiProbeRecall _),
     "sim_ivf_recall" -> (Similarity.ivfRecall _),
     "dedup_embedding_lsh" -> (Similarity.lshNearDupPairs _),
@@ -160,8 +161,12 @@ object LlmRegistry {
        |  FROM scored)
        |SELECT * FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
 
-  private val ivfTopkSql: String =
-    s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+  /** The deterministic IVF cell assignment as CTEs ending in `corpus
+    * (vec_id, q, norm, cell)` and the ranked `asg` — shared by the IVF
+    * ANN queries and semantic dedup.
+    */
+  private val ivfCellCtes: String =
+    s"""qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
        |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),
        |cents AS (SELECT vec_id AS cent_id, q AS cv, norm AS cnorm2
        |  FROM n WHERE vec_id < ${Similarity.NumCells}),
@@ -171,7 +176,10 @@ object LlmRegistry {
        |asg AS (SELECT vec_id, q, norm, cent_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cent_id) AS rn
        |  FROM asg0),
-       |corpus AS (SELECT vec_id, q, norm, cent_id AS cell FROM asg WHERE rn = 1),
+       |corpus AS (SELECT vec_id, q, norm, cent_id AS cell FROM asg WHERE rn = 1)""".stripMargin
+
+  private val ivfTopkSql: String =
+    s"""WITH $ivfCellCtes,
        |probes AS (SELECT vec_id AS query_id, q AS qv, norm AS qnorm, cent_id AS probe_cell
        |  FROM asg WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.NProbe}),
        |scored AS (SELECT p.query_id, c.vec_id,
@@ -392,6 +400,17 @@ object LlmRegistry {
     "sim_lsh_recall" -> recallSql(topkSql(bucketJoin = true)),
     "sim_lsh_topk_multiprobe" -> multiprobeTopkSql,
     "sim_ivf_topk" -> ivfTopkSql,
+    "dedup_semantic" ->
+      s"""WITH $ivfCellCtes,
+         |pair AS (SELECT y.vec_id, ${listDot("x.q", "y.q")} AS dot,
+         |    x.norm AS na, y.norm AS nb
+         |  FROM corpus x JOIN corpus y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |dropped AS (SELECT DISTINCT vec_id FROM pair
+         |  WHERE dot > 0 AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+         |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= ${Dedup.Cos2Threshold})
+         |SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
+         |FROM corpus c LEFT JOIN dropped d USING (vec_id)
+         |ORDER BY c.vec_id""".stripMargin,
     "sim_multiprobe_recall" -> recallSql(multiprobeTopkSql),
     "sim_ivf_recall" -> recallSql(ivfTopkSql),
     "dedup_embedding_lsh_multi" ->

@@ -91,6 +91,7 @@ object Proto {
     "dedup_simhash_pairs" -> asc("a", "b"),
     "dedup_ngram_jaccard" -> asc("a", "b"),
     "dedup_span_coverage" -> asc("doc_id"),
+    "dedup_semantic" -> asc("vec_id"),
     "dedup_embedding" -> asc("a", "b"),
     "sim_bruteforce_topk" -> asc("query_id", "rank"),
     "sim_lsh_buckets" -> asc("vec_id"),

@@ -244,6 +244,45 @@ object Similarity {
         $"vec_id".as("neighbor_id"), $"cosine")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus, then within each cluster
+    * drop every vector that is near-duplicate (cos ≥ threshold) of a
+    * LOWER-id member — the greedy keep-one-representative pass that
+    * removes semantically redundant training examples even when no
+    * exact or shingle-level duplicate exists.
+    *
+    * Clustering reuses the deterministic IVF cell assignment
+    * ([[centroidRow]]/[[cellRanking]]: exact integer argmin over the
+    * broadcast centroid row). The pairwise pass is confined WITHIN
+    * cells — a shuffle_hash self-join on the cell id, never all-pairs
+    * and never a corpus broadcast; at 100 TB the cell count scales with
+    * the corpus so a cell stays reducer-sized, which is exactly the
+    * SemDeDup paper's k-means trick. Same exact-integer cos² contract
+    * as [[lshNearDupPairs]]. Output: every vector with its cell and a
+    * `kept` verdict (lowest-id representative of each near-dup relation
+    * survives).
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val centArr = centroidRow(spark, dir)
+    val cells = Dedup.quantized(spark, dir).select($"vec_id", $"q")
+      .withColumn("nrm", longArrayNormSq($"q"))
+      .join(broadcast(centArr), lit(true))
+      .withColumn("cell", element_at(cellRanking, 1).getField("cid"))
+      .select($"vec_id", $"q", $"nrm", $"cell")
+    val dropped = cells.as("x").join(cells.as("y").hint("shuffle_hash"),
+        expr("x.cell = y.cell AND x.vec_id < y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"),
+        longArrayDot(col("x.q"), col("y.q")).as("dot"),
+        col("x.nrm").as("na"), col("y.nrm").as("nb"))
+      .withColumn("cos2",
+        ($"dot".cast("double") * $"dot".cast("double")) /
+          ($"na".cast("double") * $"nb".cast("double")))
+      .filter($"dot" > 0 && $"cos2" >= Dedup.Cos2Threshold)
+      .select($"vec_id").distinct()
+    cells.join(dropped.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cell", $"__drop".isNull.as("kept"))
+  }
+
   /** ANN top-k via LSH: score only within the query vector's bucket.
     * Recall is approximate by construction (bucket miss ⇒ neighbor
     * miss); at 100 TB, multi-probe or repeated tables raise recall
