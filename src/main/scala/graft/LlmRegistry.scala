@@ -58,6 +58,7 @@ object LlmRegistry {
     "pipeline_clean_corpus" -> (CorpusPipeline.cleanCorpus _),
     "pipeline_decontaminate" -> (CorpusPipeline.decontaminate _),
     "sample_uniform_k" -> (Sampling.uniformK _),
+    "sample_split_assign" -> (Sampling.splitAssign _),
     "sample_stratified" -> (Sampling.stratified _),
     "pipeline_mix_sources" -> (Sampling.mixSources _),
     "pipeline_source_quota" -> (Sampling.sourceQuota _),
@@ -271,6 +272,7 @@ object LlmRegistry {
     "pipeline_pack_sequences" -> Sampling.sqlPackSequences,
     "pipeline_decontaminate" -> CorpusPipeline.sqlDecontaminate,
     "sample_uniform_k" -> Sampling.sqlUniformK,
+    "sample_split_assign" -> Sampling.sqlSplitAssign,
     "sample_stratified" -> Sampling.sqlStratified,
     "pipeline_mix_sources" -> Sampling.sqlMixSources,
     "pipeline_source_quota" -> Sampling.sqlSourceQuota,

@@ -113,6 +113,7 @@ object Proto {
     // totally ordered by (priority, doc_id)
     "pipeline_decontaminate" -> asc("doc_id"),
     "sample_stratified" -> asc("event_id"),
+    "sample_split_assign" -> asc("doc_id"),
     "pipeline_mix_sources" -> asc("doc_id"),
     "pipeline_source_quota" -> asc("doc_id"),
     "pipeline_source_quota_agg" -> asc("doc_id"),

@@ -52,6 +52,36 @@ object Sampling {
        |FROM documents
        |ORDER BY priority, doc_id LIMIT $UniformK""".stripMargin
 
+  /** Split boundaries (percent) for [[splitAssign]]: train < 90,
+    * val < 95, test otherwise.
+    */
+  val TrainPct = 90
+  val ValPct = 95
+
+  /** Deterministic train/val/test assignment: each document's salted
+    * hash mod 100 places it in a split. Pure narrow projection — no
+    * shuffle, no sampling state, and stable under corpus growth (a
+    * document's split never changes when others are added), which is
+    * the property that keeps eval sets uncontaminated across dataset
+    * versions.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(priority("split:", $"doc_id"), lit(100L))
+    documents(spark, dir)
+      .select($"doc_id", bucket.as("bucket"),
+        when(bucket < TrainPct, "train")
+          .when(bucket < ValPct, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** DuckDB twin of [[splitAssign]]. */
+  def sqlSplitAssign: String =
+    s"""SELECT doc_id, ${sqlPriority("split:", "doc_id")} % 100 AS bucket,
+       |  CASE WHEN ${sqlPriority("split:", "doc_id")} % 100 < $TrainPct THEN 'train'
+       |       WHEN ${sqlPriority("split:", "doc_id")} % 100 < $ValPct THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Per-class keep rates (percent) for [[stratified]] — the class-
     * rebalancing shape: downsample the abundant classes, keep all of
     * the rare/valuable ones.
