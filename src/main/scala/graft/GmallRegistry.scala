@@ -34,6 +34,7 @@ object GmallRegistry {
     "st3_bounce_detect" -> (EventOps.bounceDetect _),
     "x1_log_split" -> (EventOps.logSplit _),
     "s4_cdc_normalize" -> (EventOps.cdcNormalize _),
+    "dim_scd2_history" -> (EventOps.scd2History _),
     "j2_config_route" -> (EventOps.configRoute _),
     "j9_salted_skew_join" -> (EventOps.saltedRoute _),
     "j10_bloom_prefilter" -> (RelationalOps.bloomPrefilterJoin _),
@@ -235,6 +236,23 @@ object GmallRegistry {
         |SELECT event_id, 'display', unnest(range(1, k % 4 + 1)), event_type
         |  FROM e WHERE event_type <> 'signup'
         |ORDER BY event_id, branch, item""".stripMargin,
+    "dim_scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS attr,
+        |  epoch_us(ts) AS valid_from,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |    AS valid_to,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+        |    AS is_current,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS BIGINT) AS version
+        |FROM c ORDER BY user_id, version""".stripMargin,
     "s4_cdc_normalize" ->
       """SELECT 'gmall2021' AS database, 'order_info' AS tableName,
         |  o_orderkey AS id,

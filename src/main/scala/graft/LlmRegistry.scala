@@ -57,6 +57,7 @@ object LlmRegistry {
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "pipeline_clean_corpus" -> (CorpusPipeline.cleanCorpus _),
     "pipeline_decontaminate" -> (CorpusPipeline.decontaminate _),
+    "pipeline_decontaminate_bloom" -> (CorpusPipeline.decontaminateBloom _),
     "sample_uniform_k" -> (Sampling.uniformK _),
     "sample_split_assign" -> (Sampling.splitAssign _),
     "sample_stratified" -> (Sampling.stratified _),
@@ -271,6 +272,9 @@ object LlmRegistry {
     "pipeline_chunk_tokens" -> Sampling.sqlChunkTokens(tokensToIdsBody),
     "pipeline_pack_sequences" -> Sampling.sqlPackSequences,
     "pipeline_decontaminate" -> CorpusPipeline.sqlDecontaminate,
+    // bloom prefilter has no false negatives and the join rechecks
+    // exactly → same answer, same oracle as the plain sweep
+    "pipeline_decontaminate_bloom" -> CorpusPipeline.sqlDecontaminate,
     "sample_uniform_k" -> Sampling.sqlUniformK,
     "sample_split_assign" -> Sampling.sqlSplitAssign,
     "sample_stratified" -> Sampling.sqlStratified,

@@ -44,6 +44,7 @@ object Proto {
     "st3_bounce_detect" -> asc("event_id"),
     "x1_log_split" -> asc("event_id", "branch", "item"),
     "s4_cdc_normalize" -> asc("id"),
+    "dim_scd2_history" -> asc("user_id", "version"),
     "j2_config_route" -> asc("event_id"),
     "j9_salted_skew_join" -> asc("event_id"),
     "j10_bloom_prefilter" -> asc("order_month"),
@@ -112,6 +113,7 @@ object Proto {
     // sample_uniform_k is absent: its TakeOrdered output is already
     // totally ordered by (priority, doc_id)
     "pipeline_decontaminate" -> asc("doc_id"),
+    "pipeline_decontaminate_bloom" -> asc("doc_id"),
     "sample_stratified" -> asc("event_id"),
     "sample_split_assign" -> asc("doc_id"),
     "pipeline_mix_sources" -> asc("doc_id"),

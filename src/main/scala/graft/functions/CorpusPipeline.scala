@@ -70,6 +70,34 @@ object CorpusPipeline {
         count(lit(1)).as("n_shared"))
   }
 
+  /** [[decontaminate]] with a bloom-filter prefilter on the training
+    * side — the shape that wins when the corpus is 100 TB and the
+    * benchmark set is an eval suite: the benchmark shingle set collapses
+    * to a ~KB bloom blob (built once, bound to the probe as a scalar
+    * subquery), the corpus's shingle stream is filtered down to the rare
+    * candidates BEFORE the join, and the exact join recheck removes the
+    * bloom's false positives. No false negatives by construction, so the
+    * result — and the oracle — are identical to the plain
+    * [[decontaminate]]; what changes is the volume reaching the join:
+    * contamination is rare, so the prefilter drops ~everything early in
+    * the same narrow stage as the shingle explode.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftexpr.GraftBloom
+    val sh = Dedup.shingles(spark, dir)
+    val bench = sh.filter($"doc_id" < BenchSetSize)
+      .select($"doc_id".as("bench_id"), $"shingle")
+    val bloom = bench.agg(
+      GraftBloom.build(xxhash64($"shingle"), numBits = 1 << 16, numHashes = 6)
+        .as("__bloom"))
+    val train = sh.filter($"doc_id" >= BenchSetSize)
+      .filter(GraftBloom.mightContainScalar(bloom, xxhash64($"shingle")))
+    train.join(broadcast(bench), Seq("shingle"))
+      .groupBy($"doc_id")
+      .agg(min($"bench_id").as("first_bench_hit"),
+        count(lit(1)).as("n_shared"))
+  }
+
   /** DuckDB twin of [[decontaminate]]. */
   def sqlDecontaminate: String =
     s"""WITH sh AS (${Dedup.sqlShingles}),

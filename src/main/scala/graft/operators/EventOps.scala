@@ -137,6 +137,34 @@ object EventOps {
       .select(lit("gmall2021").as("database"), lit("order_info").as("tableName"),
         $"o_orderkey".as("id"), $"type")
 
+  /** SCD2 (type-2 slowly-changing-dimension) history construction from a
+    * change log — the batch companion to the K3 dim upsert: where the
+    * reference's dim layer keeps only the LATEST row per key
+    * (DimSinkFunction.java upsert semantics), a training/analytics store
+    * usually needs the full validity history. Each user's event stream
+    * stands in for a dim key's change log, `event_type` for the tracked
+    * attribute: consecutive duplicate values collapse into one run
+    * (change detection via `lag`), each run becomes one history row with
+    * `[valid_from, valid_to)` micros, `is_current`, and a per-key
+    * `version`. One shuffle on the key; the change-filter preserves the
+    * sort, so both window passes share a single Exchange+Sort — at
+    * 100 TB this is exactly one repartition of the change log, and the
+    * per-key work is partition-local regardless of history depth.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val runs = events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+    runs
+      .withColumn("valid_to", unix_micros(lead($"ts", 1).over(w)))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select($"user_id", $"event_type".as("attr"),
+        unix_micros($"ts").as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"), $"version")
+  }
+
   /** X2/K2/K3 batch twin of the full CDC route (reference BaseDBLog +
     * TableProcessFunction): orders become change envelopes with an
     * `after` map; a config table routes insert→kafka / update→hbase,

@@ -115,6 +115,14 @@ class BloomSpec extends AnyFunSuite {
     assert(joined === plain, "bloom prefilter must be transparent to the exact join")
   }
 
+  test("decontaminate_bloom equals the plain decontamination sweep") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = CorpusPipeline.decontaminate(spark, dir)
+    val bloomed = CorpusPipeline.decontaminateBloom(spark, dir)
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty,
+      "the bloom prefilter must be invisible in the decontamination answer")
+  }
+
   test("scalar-subquery binding plans no join for the blob") {
     val dir = "/root/testdata/sf0.001"
     val urgent = graft.Tables.orders(spark, dir)
