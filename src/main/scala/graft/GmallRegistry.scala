@@ -37,6 +37,7 @@ object GmallRegistry {
     "dim_scd2_history" -> (EventOps.scd2History _),
     "j2_config_route" -> (EventOps.configRoute _),
     "j9_salted_skew_join" -> (EventOps.saltedRoute _),
+    "skew_heavy_hitters" -> (EventOps.heavyHitterScan _),
     "j10_bloom_prefilter" -> (RelationalOps.bloomPrefilterJoin _),
     "j11_range_join" -> (RelationalOps.rangeJoinShipments _),
     "agg_salted_sum" -> (EventOps.saltedTypeTotals _),
@@ -276,6 +277,17 @@ object GmallRegistry {
         |  AS cfg(source_type, sink_type, sink_table)
         |  ON e.event_type = cfg.source_type
         |ORDER BY e.event_id""".stripMargin,
+    // MG candidates + exact recheck make the approximate scan exact:
+    // the oracle is the plain GROUP BY ... HAVING over the same share
+    "skew_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT 10000 // ((event_id % 10000) + 1) AS hh_key FROM events),
+        |tot AS (SELECT count(*) AS n FROM keyed)
+        |SELECT hh_key, count(*) AS cnt
+        |FROM keyed, tot
+        |GROUP BY hh_key, n
+        |HAVING count(*) >= (n * 22 + 999) // 1000
+        |ORDER BY hh_key""".stripMargin,
     // salting is an execution-layout change, not a semantic one: the
     // oracle is the plain unsalted GROUP BY
     "agg_salted_sum" ->

@@ -47,6 +47,7 @@ object Proto {
     "dim_scd2_history" -> asc("user_id", "version"),
     "j2_config_route" -> asc("event_id"),
     "j9_salted_skew_join" -> asc("event_id"),
+    "skew_heavy_hitters" -> asc("hh_key"),
     "j10_bloom_prefilter" -> asc("order_month"),
     "j11_range_join" -> asc("o_orderkey"),
     "agg_salted_sum" -> asc("event_type"),

@@ -257,6 +257,23 @@ object EventOps {
         $"value".cast("decimal(18,2)"), buckets = 8, saltSource = $"event_id")
       .select($"event_type", $"total".cast("double").as("total"), $"n")
 
+  /** Heavy-hitter SCAN over a zipf-shaped key via the Misra-Gries
+    * two-pass ([[SkewOps.heavyHittersByShare]]): which keys hold ≥ 2.2%
+    * of all rows? The key is a deterministic power-law derivation from
+    * `event_id` (share of key v ≈ 1/v(v+1)), standing in for the hot-key
+    * column a real skew scan probes. The answer is exact (MG candidates,
+    * exact recheck) — the oracle is the plain GROUP BY ... HAVING — but
+    * the plan never shuffles the full key space: pass 1 ships one
+    * 64-entry summary per partition, pass 2 aggregates only candidate
+    * keys' rows.
+    */
+  def heavyHitterScan(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = events(spark, dir)
+      .select(expr("10000 div ((event_id % 10000) + 1)").as("hh_key"))
+    SkewOps.heavyHittersByShare(keyed, "hh_key", k = 64,
+      shareNum = 22, shareDen = 1000)
+  }
+
   /** P4: data-driven column pruning (reference
     * TableProcessFunction.java:183-195 keeps only config-listed keys).
     * The projection is built at plan time from the config string — the

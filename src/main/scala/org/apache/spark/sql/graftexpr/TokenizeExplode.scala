@@ -122,6 +122,11 @@ object GraftFunctions {
       require(exprs.length == 3, s"bottom_k_ids expects 3 arguments, got ${exprs.length}")
       BottomKAgg(exprs.head, exprs(1), litInt(exprs(2), "bottom_k_ids"))
     },
+    "freq_items_mg" -> { exprs =>
+      require(exprs.length == 2,
+        s"freq_items_mg expects (key, k), got ${exprs.length} arguments")
+      FreqItemsAgg(exprs.head, litInt(exprs(1), "freq_items_mg"))
+    },
     "tdigest_quantiles" -> { exprs =>
       require(exprs.length >= 2,
         s"tdigest_quantiles expects (value, p, ...), got ${exprs.length} arguments")
