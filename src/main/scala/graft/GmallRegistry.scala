@@ -65,6 +65,7 @@ object GmallRegistry {
     "window_lag_lead" -> (AnalyticsOps.lagLeadGaps _),
     "window_range_frame" -> (AnalyticsOps.rangeFrameSum _),
     "set_intersect" -> (AnalyticsOps.setIntersect _),
+    "kmv_segment_overlap" -> (AnalyticsOps.segmentOverlap _),
     "set_except" -> (AnalyticsOps.setExcept _),
     "sessionize" -> (AnalyticsOps.sessionize _),
     "topk_orders" -> (AnalyticsOps.topKOrders _),
@@ -458,6 +459,24 @@ object GmallRegistry {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY custkey, orderkey""".stripMargin,
+    // k=8192 KMV sketches never fill at oracle scale, and the key mix is
+    // a 64-bit bijection — every cardinality is exact, so the oracle is
+    // plain COUNT(DISTINCT) set algebra (inclusion–exclusion for union)
+    "kmv_segment_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, count(*) AS card FROM s GROUP BY 1),
+        |i AS (SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+        |    count(*) AS card_inter
+        |  FROM s sa JOIN s sb
+        |    ON sa.user_id = sb.user_id AND sa.event_type < sb.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  ca.card AS card_a, cb.card AS card_b,
+        |  ca.card + cb.card - coalesce(i.card_inter, 0) AS card_union,
+        |  coalesce(i.card_inter, 0) AS card_inter
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "set_intersect" ->
       """SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events WHERE event_type = 'click'
         |INTERSECT

@@ -132,6 +132,29 @@ object GraftFunctions {
         s"tdigest_quantiles expects (value, p, ...), got ${exprs.length} arguments")
       TDigestAgg(exprs.head, exprs.tail.map(litDouble(_, "tdigest_quantiles")), 100.0)
     },
+    "kmv_build" -> { exprs =>
+      require(exprs.length == 2,
+        s"kmv_build expects (key, k), got ${exprs.length} arguments")
+      KmvBuildAgg(exprs.head, litInt(exprs(1), "kmv_build"))
+    },
+    "kmv_union" -> { exprs =>
+      require(exprs.length == 1, s"kmv_union expects 1 argument, got ${exprs.length}")
+      KmvUnionAgg(exprs.head)
+    },
+    "kmv_card" -> { exprs =>
+      require(exprs.length == 1, s"kmv_card expects 1 argument, got ${exprs.length}")
+      KmvCardinality(exprs.head)
+    },
+    "kmv_union_card" -> { exprs =>
+      require(exprs.length == 2,
+        s"kmv_union_card expects 2 arguments, got ${exprs.length}")
+      KmvSetCard(exprs.head, exprs(1), intersect = false)
+    },
+    "kmv_intersect_card" -> { exprs =>
+      require(exprs.length == 2,
+        s"kmv_intersect_card expects 2 arguments, got ${exprs.length}")
+      KmvSetCard(exprs.head, exprs(1), intersect = true)
+    },
     "hll_build" -> { exprs =>
       require(exprs.length == 2,
         s"hll_build expects (key, precision), got ${exprs.length} arguments")
