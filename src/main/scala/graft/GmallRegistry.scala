@@ -16,6 +16,7 @@ object GmallRegistry {
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (RelationalOps.pricingSummary _),
     "j1_interval_join" -> (RelationalOps.intervalJoin _),
+    "j12_interval_left" -> (RelationalOps.intervalJoinLeft _),
     "j3_dim_enrich" -> (RelationalOps.dimEnrich _),
     "j4_order_wide" -> (RelationalOps.orderWide _),
     "p11_coalesce_merge" -> (RelationalOps.coalesceMerge _),
@@ -85,6 +86,14 @@ object GmallRegistry {
         |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
         |  o.o_orderstatus AS orderstatus
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  AND l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+        |ORDER BY orderkey, linenumber""".stripMargin,
+    "j12_interval_left" ->
+      """SELECT l.l_orderkey AS orderkey, CAST(l.l_linenumber AS BIGINT) AS linenumber,
+        |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |  o.o_orderstatus AS orderstatus
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  AND l.l_shipdate >= o.o_orderdate
         |  AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
         |ORDER BY orderkey, linenumber""".stripMargin,

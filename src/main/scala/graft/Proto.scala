@@ -26,6 +26,7 @@ object Proto {
     // gmall surface
     "q1_pricing_summary" -> asc("l_returnflag", "l_linestatus"),
     "j1_interval_join" -> asc("orderkey", "linenumber"),
+    "j12_interval_left" -> asc("orderkey", "linenumber"),
     "j3_dim_enrich" -> asc("orderkey"),
     "j4_order_wide" -> asc("orderkey", "linenumber"),
     "p11_coalesce_merge" -> asc("custkey"),

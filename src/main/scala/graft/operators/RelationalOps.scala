@@ -64,6 +64,28 @@ object RelationalOps {
         o("o_orderstatus").as("orderstatus"))
   }
 
+  /** Left-outer form of [[intervalJoin]]: every lineitem survives;
+    * those with no order inside the 90-day window carry a null
+    * orderstatus — the batch twin of
+    * [[graft.streaming.OrderWidePipeline.intervalJoinLeftStreaming]]'s
+    * watermark-released orphan rows. Same scale shape as the inner form
+    * (hash equi-join on the key, range recheck as a post-filter on the
+    * matched side only).
+    */
+  def intervalJoinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+      "left")
+      .select(
+        l("l_orderkey").as("orderkey"),
+        l("l_linenumber").cast("bigint").as("linenumber"),
+        dec(l("l_extendedprice")).cast("double").as("price"),
+        o("o_orderstatus").as("orderstatus"))
+  }
+
   /** Dim-enrichment chain (reference DimAsyncFunction / OrderWideApp
     * intended joins, gmall-realtime/.../bean/OrderWide.java:40-53):
     * customer → nation → region resolved via left joins — the

@@ -55,6 +55,35 @@ object OrderWidePipeline {
         |detail_time <= info_time + INTERVAL 5 SECONDS""".stripMargin))
   }
 
+  /** J1 left-outer variant: details that never meet an order inside the
+    * ±5 s window EMIT (with null order columns) once the watermark
+    * closes the window, instead of vanishing — the streaming "orphan
+    * detail" diagnostic the inner form cannot express. Spark holds the
+    * unmatched left row in join state and releases the null-padded row
+    * only when the watermark proves no matching order can still arrive;
+    * state is evicted on the same schedule, so the operator stays
+    * bounded at any runtime.
+    */
+  def intervalJoinLeftStreaming(info: Dataset[OrderInfo],
+      detail: Dataset[OrderDetail]): DataFrame = {
+    val i = info.toDF()
+      .withColumn("info_time", timestamp_millis($"create_ts"))
+      .withWatermark("info_time", "5 seconds")
+      .select($"id".as("order_id_i"), $"province_id", $"order_status",
+        $"user_id", $"total_amount", $"create_date", $"create_hour",
+        $"info_time")
+    val d = detail.toDF()
+      .withColumn("detail_time", timestamp_millis($"create_ts"))
+      .withWatermark("detail_time", "5 seconds")
+      .select($"id".as("detail_id"), $"order_id", $"sku_id", $"sku_num",
+        $"order_price", $"sku_name", $"split_total_amount", $"detail_time")
+    d.join(i, expr(
+      """order_id = order_id_i AND
+        |detail_time >= info_time - INTERVAL 5 SECONDS AND
+        |detail_time <= info_time + INTERVAL 5 SECONDS""".stripMargin),
+      "leftOuter")
+  }
+
   /** Batch twin of the interval join: equi key + |Δt| ≤ 5 s predicate. */
   def intervalJoinBatch(info: DataFrame, detail: DataFrame): DataFrame = {
     val i = info.select($"id".as("order_id_i"), $"province_id",

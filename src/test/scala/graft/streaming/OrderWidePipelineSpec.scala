@@ -57,6 +57,40 @@ class OrderWidePipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: orphan detail emits with nulls after the watermark closes") {
+    val iEnc = Encoders.product[OrderInfo]
+    val dEnc = Encoders.product[OrderDetail]
+    val msI = MemoryStream[OrderInfo](iEnc, spark)
+    val msD = MemoryStream[OrderDetail](dEnc, spark)
+    val out = OrderWidePipeline.intervalJoinLeftStreaming(msI.toDS(), msD.toDS())
+    val q = out.writeStream.format("memory").queryName("ow_left")
+      .outputMode("append").start()
+    try {
+      // phase 1: everything within ±9 s of t0 — the watermark (max
+      // event − 5 s) cannot yet prove detail 13's window is empty
+      msI.addData(info(1L, t0))
+      msD.addData(detail(11L, 1L, t0 + 3000), detail(12L, 1L, t0 - 4000),
+        detail(13L, 1L, t0 + 9000))
+      q.processAllAvailable()
+      val early = spark.table("ow_left")
+        .filter($"detail_id" === 13L).count()
+      assert(early === 0L, "orphan must not emit before the watermark closes")
+      // phase 2: advance BOTH watermarks far past t0 → the orphan's
+      // window is provably closed and the null-padded row is released
+      msI.addData(info(99L, t0 + 600000))
+      msD.addData(detail(99L, 99L, t0 + 600000))
+      q.processAllAvailable()
+      val orphan = spark.table("ow_left").filter($"detail_id" === 13L)
+      assert(orphan.count() === 1L)
+      assert(orphan.filter($"order_id_i".isNull).count() === 1L,
+        "orphan row must carry null order columns")
+      // matched rows are identical to the inner form
+      val matched = spark.table("ow_left").filter($"order_id_i".isNotNull)
+        .select($"detail_id").as[Long](Encoders.scalaLong).collect().toSet
+      assert(matched === Set(11L, 12L, 99L))
+    } finally q.stop()
+  }
+
   test("interval-join buffered state survives query restart from checkpoint") {
     val work = java.nio.file.Files.createTempDirectory("ow-restart").toString
     val iEnc = Encoders.product[OrderInfo]
