@@ -48,6 +48,8 @@ object LlmRegistry {
     "dedup_semantic" -> (Similarity.semanticDedup _),
     "sim_multiprobe_recall" -> (Similarity.multiProbeRecall _),
     "sim_ivf_recall" -> (Similarity.ivfRecall _),
+    "sim_pq_topk" -> (Similarity.pqTopK _),
+    "sim_pq_recall" -> (Similarity.pqRecall _),
     "dedup_embedding_lsh" -> (Similarity.lshNearDupPairs _),
     "embed_int8" -> (Similarity.int8Quantize _),
     "dedup_embedding_lsh_multi" -> (Similarity.lshNearDupPairsMulti _),
@@ -193,6 +195,44 @@ object LlmRegistry {
        |    vec_id AS neighbor_id, cosine
        |  FROM scored)
        |SELECT * FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
+
+  /** PQ encode → reconstruct → estimated-dot top-k, replicated
+    * relationally: per-subspace slices, exact-integer argmin codeword
+    * per (vector, subspace), contribution sum per (query, vector).
+    * Geometry constants come from [[graft.functions.Similarity]] so the
+    * two engines cannot drift.
+    */
+  private val pqTopkSql: String = {
+    val S = Similarity.PqSub
+    s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+       |sub AS (SELECT vec_id, m, list_slice(q, m * $S + 1, m * $S + $S) AS sv
+       |  FROM qz, range(0, ${Similarity.PqM}) t(m)),
+       |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub
+       |  WHERE vec_id < ${Similarity.PqCodes}),
+       |dist AS (SELECT s.vec_id, s.m, cb.cid,
+       |    list_sum(list_transform(list_zip(s.sv, cb.cv),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |  FROM sub s JOIN cb ON cb.m = s.m),
+       |enc AS (SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |qsub AS (SELECT vec_id AS query_id, m, sv FROM sub
+       |  WHERE vec_id < ${Similarity.NumQueries}),
+       |contrib AS (SELECT q.query_id, e.vec_id,
+       |    ${listDot("cb.cv", "q.sv")} AS c
+       |  FROM enc e JOIN cb ON cb.m = e.m AND cb.cid = e.cid
+       |  JOIN qsub q ON q.m = e.m),
+       |est AS (SELECT query_id, vec_id, CAST(sum(c) AS BIGINT) AS est_dot
+       |  FROM contrib WHERE query_id <> vec_id GROUP BY 1, 2),
+       |ranked AS (SELECT query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY est_dot DESC, vec_id) AS BIGINT) AS rank,
+       |    vec_id AS neighbor_id, est_dot
+       |  FROM est)
+       |SELECT query_id, rank, neighbor_id, est_dot FROM ranked
+       |WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Recall@k of an approximate top-k CTE body vs the brute-force
     * baseline — the same composition for every ANN variant, so adding a
@@ -419,6 +459,8 @@ object LlmRegistry {
          |ORDER BY c.vec_id""".stripMargin,
     "sim_multiprobe_recall" -> recallSql(multiprobeTopkSql),
     "sim_ivf_recall" -> recallSql(ivfTopkSql),
+    "sim_pq_topk" -> pqTopkSql,
+    "sim_pq_recall" -> recallSql(pqTopkSql),
     "dedup_embedding_lsh_multi" ->
       s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
          |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),

@@ -106,6 +106,8 @@ object Proto {
     "sim_multiprobe_recall" -> asc("query_id"),
     "text_pii_redact" -> asc("doc_id"),
     "sim_ivf_recall" -> asc("query_id"),
+    "sim_pq_topk" -> asc("query_id", "rank"),
+    "sim_pq_recall" -> asc("query_id"),
     "dedup_embedding_lsh" -> asc("a", "b"),
     "embed_int8" -> asc("vec_id"),
     "dedup_embedding_lsh_multi" -> asc("a", "b"),

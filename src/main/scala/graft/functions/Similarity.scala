@@ -354,6 +354,81 @@ object Similarity {
   def ivfRecall(spark: SparkSession, dir: String): DataFrame =
     recallAgainstBrute(spark, dir, ivfTopK(spark, dir))
 
+  /** Product-quantization geometry: PqM subspaces × PqSub dims (= the
+    * 64-dim embedding), PqCodes codewords per subspace.
+    */
+  val PqM = 8
+  val PqSub = 8
+  val PqCodes = 16
+
+  /** PQ codebook as ONE collected row — same broadcast-argmin shape as
+    * [[centroidRow]]. Codewords are the first PqCodes corpus vectors'
+    * sub-slices (the deterministic stand-in for per-subspace k-means,
+    * same stance as the IVF centroids).
+    */
+  private def pqCodebookRow(spark: SparkSession, dir: String): DataFrame =
+    Dedup.quantized(spark, dir)
+      .filter($"vec_id" < PqCodes)
+      .select($"vec_id".as("cid"), $"q".as("cv"))
+      .agg(collect_list(struct($"cid", $"cv")).as("cb"))
+
+  /** Per-subspace nearest-codeword codes: for each of the PqM slices,
+    * exact integer argmin of ‖sub(q) − sub(codeword)‖² over the
+    * broadcast codebook (lowest-cid tiebreak). A narrow pass — the
+    * corpus never shuffles to learn its codes.
+    */
+  private def pqCodes: Column = expr(
+    s"""transform(sequence(0, ${PqM - 1}), m ->
+       |  element_at(array_sort(transform(cb, c -> struct(
+       |    aggregate(zip_with(slice(q, m * $PqSub + 1, $PqSub),
+       |                       slice(c.cv, m * $PqSub + 1, $PqSub),
+       |                       (a, b) -> (a - b) * (a - b)),
+       |              0L, (acc, x) -> acc + x) AS d,
+       |    c.cid AS cid))), 1).cid)""".stripMargin)
+
+  /** Codeword reconstruction from a codes array: the concatenation of
+    * the chosen codeword slice per subspace. `dot(recon, query)` is
+    * algebraically identical to PQ's asymmetric-distance (ADC) lookup
+    * sum, kept in exact integer arithmetic for the oracle.
+    */
+  private def pqRecon: Column = expr(
+    s"""flatten(transform(codes, (cid, m) ->
+       |  slice(element_at(filter(cb, c -> c.cid = cid), 1).cv,
+       |        m * $PqSub + 1, $PqSub)))""".stripMargin)
+
+  /** PQ ANN top-k: the memory-compression scale path — at 100 TB of
+    * embeddings the scoring pass reads PqM small code ids per vector
+    * (8 bytes here) instead of the 512-byte float vector, a 64×
+    * working-set reduction, and scoring is codebook-table arithmetic
+    * against the broadcast query side only. Ranked by the exact-integer
+    * estimated dot product (deterministic vec_id tiebreak); accuracy is
+    * measured, not assumed — [[pqRecall]] scores this path against the
+    * brute-force baseline like every other ANN variant.
+    */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebookRow(spark, dir)
+    val corpus = Dedup.quantized(spark, dir).select($"vec_id", $"q")
+      .join(broadcast(cb), lit(true))
+      .withColumn("codes", pqCodes)
+      .withColumn("recon", pqRecon)
+      .select($"vec_id", $"recon")
+    val queries = Dedup.quantized(spark, dir)
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"q".as("qv"))
+    val scored = corpus.join(broadcast(queries), $"query_id" =!= $"vec_id")
+      .withColumn("est_dot", longArrayDot($"recon", $"qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"est_dot".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank".cast("bigint").as("rank"),
+        $"vec_id".as("neighbor_id"), $"est_dot")
+  }
+
+  /** Recall@k of the PQ path — what the 64× compression costs. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstBrute(spark, dir, pqTopK(spark, dir))
+
   private def recallAgainstBrute(spark: SparkSession, dir: String,
       approxTopK: DataFrame): DataFrame = {
     val exact = bruteForceTopK(spark, dir)

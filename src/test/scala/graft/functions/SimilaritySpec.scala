@@ -34,9 +34,25 @@ class SimilaritySpec extends AnyFunSuite {
   test("all recall variants produce values in [0,1] for every query") {
     Seq(Similarity.lshRecall(spark, dir),
         Similarity.multiProbeRecall(spark, dir),
-        Similarity.ivfRecall(spark, dir)).foreach { df =>
+        Similarity.ivfRecall(spark, dir),
+        Similarity.pqRecall(spark, dir)).foreach { df =>
       assert(df.filter($"recall_at_k" < 0.0 || $"recall_at_k" > 1.0).isEmpty)
       assert(df.count() === Similarity.NumQueries.toLong)
     }
+  }
+
+  test("pq top-k: full rank lists, estimated dots bounded by Cauchy-Schwarz") {
+    val topk = Similarity.pqTopK(spark, dir).cache()
+    // every query yields a full TopK list with contiguous ranks
+    val perQuery = topk.groupBy($"query_id")
+      .agg(count(lit(1)).as("n"), max($"rank").as("mx"))
+    assert(perQuery.filter($"n" =!= Similarity.TopK.toLong ||
+      $"mx" =!= Similarity.TopK.toLong).isEmpty)
+    // recon vectors live in the quantized grid: |est_dot| can never
+    // exceed max|q|² · dims (loose integer sanity bound, catches
+    // overflow/garbage reconstruction)
+    val bound = 64L * 1000000L * 1000000L
+    assert(topk.filter(abs($"est_dot") > bound).isEmpty)
+    topk.unpersist()
   }
 }
