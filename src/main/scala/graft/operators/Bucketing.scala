@@ -36,4 +36,29 @@ object Bucketing {
     val r = spark.table(rTable)
     l.join(r, l(lKey) === r(rKey))
   }
+
+  /** Hive-style date partitioning — the OTHER half of the 100 TB table
+    * layout (bucketing co-locates joins; date partitions prune scans).
+    * An event table written `.partitionBy(dateCol)` turns every
+    * time-bounded query into a directory-listing prune: a one-day query
+    * against a 3-year store opens 1/1000th of the files, BEFORE any row
+    * is read — visible in the scan's `PartitionFilters` (asserted in
+    * BucketingSpec, with a read-file count to keep the assertion
+    * falsifiable). Partition count is a layout decision: date (not
+    * date+hour) keeps directories ≈ O(days), far under the small-files
+    * cliff; sub-partitioning belongs in bucket counts, not more
+    * directories.
+    */
+  def writeDatePartitioned(df: DataFrame, path: String, dateCol: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(dateCol)
+      .save(path)
+
+  /** Read one day back from a date-partitioned store. The filter is on
+    * the PARTITION column, so it resolves at file-listing time.
+    */
+  def readDay(spark: SparkSession, path: String, dateCol: String,
+      day: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col(dateCol) === day)
 }

@@ -57,4 +57,56 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("date-partitioned store prunes at file-listing time") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("dt-part").toString
+    val events = Tables.events(spark, dir)
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+    // one task per day → one file per partition dir (the small-files
+    // discipline a real writer applies before partitionBy)
+    Bucketing.writeDatePartitioned(events.repartition(col("dt")), path, "dt")
+    val days = events.select(col("dt")).distinct().count()
+    assert(days > 1, "fixture must span multiple days for pruning to mean anything")
+
+    val oneDay = Bucketing.readDay(spark, path, "dt", "2024-01-01")
+    // row-correct: same rows as filtering the unpartitioned frame
+    val expected = events.filter(col("dt") === "2024-01-01").count()
+    assert(oneDay.count() === expected && expected > 0)
+
+    // plan-correct: the dt predicate must surface as a PartitionFilter
+    // (listing-time prune), NOT a data filter evaluated per row
+    val scanLine = oneDay.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters") &&
+      scanLine.replaceAll(".*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("dt"),
+      s"dt filter did not reach PartitionFilters:\n$scanLine")
+
+    // falsifiability: the pruned scan must TOUCH a strict subset of
+    // files — read the scan node's numFiles metric after execution
+    // (inputFiles reports the unpruned file index)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val exec = df.queryExecution.executedPlan
+      val inner = exec.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }.getOrElse(exec)
+      inner.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(sys.error(s"no FileSourceScanExec in:\n$inner"))
+    }
+    val allFiles = scannedFiles(spark.read.parquet(path))
+    val prunedFiles = scannedFiles(
+      Bucketing.readDay(spark, path, "dt", "2024-01-01"))
+    assert(prunedFiles < allFiles,
+      s"pruned scan reads $prunedFiles of $allFiles files — no pruning happened")
+
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
 }
