@@ -16,10 +16,16 @@ package graft
   * `count()` would let Catalyst prune most of the work. A query that
   * throws reports -1 so a regression is visible instead of silently
   * timed as fast.
+  *
+  * Local iteration aids (the driver always runs with no args): extra
+  * args restrict the run to those query names; `-explain` additionally
+  * prints each selected query's formatted physical plan before timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val explain = args.contains("-explain")
+    val subset = args.filterNot(_ == "-explain").toSet
     val spark = Session.get("graft-bench")
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
         label: String): Boolean =
@@ -27,12 +33,27 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name $label failed: ${e.getMessage}"); false
       }
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sorted = SparkEntry.queries.toSeq
+      .filter { case (name, _) => subset.isEmpty || subset(name) }
+      .sortBy(_._1)
+    if (explain) sorted.foreach { case (name, fn) =>
+      System.err.println(s"==== $name ====")
+      try fn(spark, sfDir).explain("formatted")
+      catch { case e: Throwable => System.err.println(s"explain failed: ${e.getMessage}") }
+    }
     sorted.foreach { case (name, fn) =>
       runOnce(name, fn, "warm")
       spark.catalog.clearCache()
     }
     val results = sorted.map { case (name, fn) =>
+      // GC barrier: without it, garbage from the PREVIOUS query's
+      // measurement (HLL register arrays, shuffle buffers, broadcast
+      // cleanup) is collected during THIS query's timed region —
+      // measured drift of up to 2.5× on whichever query follows an
+      // allocation-heavy one. The barrier is outside the timed region,
+      // so each query is measured from the same steady state.
+      System.gc()
+      Thread.sleep(200)
       val t0 = System.nanoTime()
       val ok = runOnce(name, fn, "measure")
       val sec = (System.nanoTime() - t0) / 1e9
