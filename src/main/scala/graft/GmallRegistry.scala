@@ -41,6 +41,8 @@ object GmallRegistry {
     "skew_heavy_hitters" -> (EventOps.heavyHitterScan _),
     "j10_bloom_prefilter" -> (RelationalOps.bloomPrefilterJoin _),
     "j11_range_join" -> (RelationalOps.rangeJoinShipments _),
+    "q14_promo_share" -> (AnalyticsOps.promoRevenue _),
+    "q19_disjunctive" -> (AnalyticsOps.disjunctiveRevenue _),
     "agg_salted_sum" -> (EventOps.saltedTypeTotals _),
     "x2_cdc_route" -> (EventOps.cdcRoute _),
     "p4_dynamic_prune" -> ((s: SparkSession, d: String) => EventOps.dynamicPrune(s, d)),
@@ -302,6 +304,34 @@ object GmallRegistry {
         |GROUP BY hh_key, n
         |HAVING count(*) >= (n * 22 + 999) // 1000
         |ORDER BY hh_key""".stripMargin,
+    // same unscaled-long money math as the operators; shares are single
+    // divisions of exact longs
+    "q14_promo_share" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |         (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) / 10000.0 AS promo_revenue,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |       (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) / 10000.0 AS total_revenue,
+        |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |         (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) AS DOUBLE) /
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |       (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS DOUBLE) AS promo_share,
+        |  count(*) AS line_count
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |       (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
+        |  count(*) AS line_count
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     // salting is an execution-layout change, not a semantic one: the
     // oracle is the plain unsalted GROUP BY
     "agg_salted_sum" ->

@@ -28,6 +28,8 @@ object LlmRegistry {
     "tokens_to_ids" -> (TextAnalysis.tokensToIds _),
     "text_commonness" -> (TextAnalysis.commonness _),
     "text_repetition" -> (TextAnalysis.repetition _),
+    "text_lm_score" -> (TextAnalysis.lmScore _),
+    "dedup_canonical" -> (Dedup.canonical _),
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
@@ -342,6 +344,54 @@ object LlmRegistry {
          |  CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS repetition_ratio
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // identical integer LM math: add-one bigram counts, context counts,
+    // vocab size — exact sums, one double division at the end
+    "text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+         |    toks[CAST(i AS INT) + 1] AS w2
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |c12 AS (SELECT w1, w2, count(*) AS bfreq FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT w1, count(*) AS cfreq FROM bg GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT tok) AS v
+         |  FROM (SELECT unnest(toks) AS tok FROM t))
+         |SELECT b.doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(c.bfreq + 1) AS BIGINT) AS sum_num,
+         |  CAST(sum(x.cfreq + vocab.v) AS BIGINT) AS sum_den,
+         |  CAST(CAST(sum(c.bfreq + 1) AS BIGINT) AS DOUBLE) /
+         |    CAST(CAST(sum(x.cfreq + vocab.v) AS BIGINT) AS DOUBLE) AS fluency
+         |FROM bg b JOIN c12 c USING (w1, w2) JOIN ctx x USING (w1)
+         |  CROSS JOIN vocab
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // the dedup_clusters transitive closure, then a per-cluster argmax:
+    // most content wins, ties to the smallest doc_id
+    "dedup_canonical" ->
+      s"""${minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,
+         |  string_agg(mh, '_' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id),
+         |dup AS (SELECT c.a, c.b FROM cand c
+         |  JOIN mh x ON x.doc_id = c.a
+         |  JOIN mh y ON y.doc_id = c.b AND y.j = x.j
+         |  GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+         |    >= ${Dedup.NumPerm} * 0.5),
+         |edges AS (SELECT a, b FROM dup UNION ALL SELECT b, a FROM dup),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.a AS id, q.r FROM edges e JOIN reach q ON q.id = e.b),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |q AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+         |  FROM lab l JOIN documents d USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  first_value(doc_id) OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id) AS canonical_id,
+         |  doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id) AS is_canonical
+         |FROM q ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
          |FROM (SELECT doc_id, md5($normText) AS fp FROM documents) t

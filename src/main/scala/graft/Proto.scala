@@ -25,6 +25,10 @@ object Proto {
   val order: Map[String, Seq[Column]] = Map(
     // gmall surface
     "q1_pricing_summary" -> asc("l_returnflag", "l_linestatus"),
+    "q14_promo_share" -> asc("ship_month"),
+    // q19_disjunctive is a single global-aggregate row — no order needed,
+    // but the entry keeps the one-protocol-path invariant
+    "q19_disjunctive" -> asc("line_count"),
     "j1_interval_join" -> asc("orderkey", "linenumber"),
     "j12_interval_left" -> asc("orderkey", "linenumber"),
     "j3_dim_enrich" -> asc("orderkey"),
@@ -91,6 +95,8 @@ object Proto {
     "dedup_minhash_sig" -> asc("doc_id", "j"),
     "dedup_minhash_pairs" -> asc("a", "b"),
     "dedup_clusters" -> asc("doc_id"),
+    "dedup_canonical" -> asc("doc_id"),
+    "text_lm_score" -> asc("doc_id"),
     "dedup_simhash" -> asc("doc_id"),
     "dedup_simhash_pairs" -> asc("a", "b"),
     "dedup_ngram_jaccard" -> asc("a", "b"),

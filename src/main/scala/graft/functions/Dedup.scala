@@ -222,6 +222,29 @@ object Dedup {
       ($"doc_id" === $"label").as("keeper"))
   }
 
+  /** Canonical-document selection per near-dup cluster: the step after
+    * clustering in a real dedup pipeline — within each [[minhashClusters]]
+    * cluster, keep the doc with the most content (max `n_chars`, ties to
+    * the smallest doc_id) instead of [[minhashClusters]]'s arbitrary
+    * min-id keeper; every doc maps to its cluster's canonical id.
+    *
+    * One partitioned window (shuffle+sort on cluster_id, partition sizes
+    * bounded by cluster size) picks the representative — cheaper than
+    * the aggregate-then-join-back form, which would shuffle twice. The
+    * singleton majority rides through with canonical = itself.
+    */
+  def canonical(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = minhashClusters(spark, dir).select($"doc_id", $"cluster_id")
+    val quality = documents(spark, dir).select($"doc_id", $"n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id")
+      .orderBy($"n_chars".desc, $"doc_id")
+    clusters.join(quality, "doc_id")
+      .withColumn("canonical_id", first($"doc_id").over(w))
+      .select($"doc_id", $"cluster_id", $"canonical_id",
+        ($"doc_id" === $"canonical_id").as("is_canonical"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   val SimBits = 48

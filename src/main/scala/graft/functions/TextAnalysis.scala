@@ -195,6 +195,50 @@ object TextAnalysis {
       .agg(sum($"freq").as("commonness"), count(lit(1)).as("n_tokens"))
   }
 
+  /** Bigram-LM fluency score per doc — the model-based quality signal
+    * (CCNet-style: score text against a language model and bucket by the
+    * result; here the LM is an add-one-smoothed bigram model trained on
+    * the corpus itself). For each document bigram (w1,w2) the smoothed
+    * conditional probability is (c(w1,w2)+1)/(ctx(w1)+V); the reported
+    * `fluency` is the micro-average — sum of numerators over sum of
+    * denominators — chosen over log-perplexity because it needs ONE
+    * floating-point division at the very end: both integer sums are
+    * exact, so the score is bit-identical across engines (log-based
+    * perplexity would compound libm differences per token).
+    *
+    * Shape at scale: the LM table is bigram-TYPE-sized (grows with
+    * vocabulary², far sublinear in corpus size, but NOT driver-bounded
+    * at web scale) — so the corpus-sized bigram stream joins it with a
+    * `shuffle_hash` hint rather than a broadcast, after the context
+    * counts are folded in by a bigram-type-sized pre-join. The V scalar
+    * is one broadcast row. Docs with <2 tokens have no bigrams and emit
+    * no row.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val toks = tokens($"text")
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = docs
+      .select($"doc_id",
+        explode(zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val c12 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("bfreq"))
+    val ctx = bigrams.groupBy($"w1").agg(count(lit(1)).as("cfreq"))
+    val vocab = docs.select(explode(toks).as("t"))
+      .agg(countDistinct($"t").as("v"))
+    val lm = c12.join(ctx, "w1") // bigram-type-sized ⋈ vocab-sized
+    bigrams.join(lm.hint("shuffle_hash"), Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum($"bfreq" + 1).as("sum_num"),
+        sum($"cfreq" + $"v").as("sum_den"))
+      .withColumn("fluency",
+        $"sum_num".cast("double") / $"sum_den".cast("double"))
+  }
+
   /** Shared DuckDB fragment: the canonical tokenizer. */
   def sqlTokens(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), x -> length(x) > 0)"

@@ -323,6 +323,60 @@ object AnalyticsOps {
     * segment-filtered customers ⋈ orders ⋈ lineitem, revenue per order,
     * top 10. Filters push to the parquet scans.
     */
+  /** Promotion-revenue share per ship month (TPC-H Q14 shape):
+    * conditional aggregation over a fact⋈dim join — the numerator is a
+    * CASE-filtered sum over the SAME pass as the denominator, one scan
+    * and one join, never two queries. Money math on unscaled longs (see
+    * [[RelationalOps.pricingSummary]]); each share is one double
+    * division of two exact longs.
+    *
+    * part is un-hinted (scales with SF — stats/AQE broadcast it while
+    * small, shuffle when not); the join shuffles on partkey, then the
+    * month aggregation re-shuffles the few-hundred-row partials.
+    */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir)
+    val p = part(spark, dir)
+    val discU = (dec($"l_extendedprice") * 100).cast("long") *
+      (lit(100L) - (dec($"l_discount") * 100).cast("long"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when($"p_type" === "PROMO", discU).otherwise(0L)).as("promo_u"),
+        sum(discU).as("all_u"),
+        count(lit(1)).as("line_count"))
+      .select($"ship_month",
+        ($"promo_u" / 10000.0).as("promo_revenue"),
+        ($"all_u" / 10000.0).as("total_revenue"),
+        ($"promo_u".cast("double") / $"all_u".cast("double")).as("promo_share"),
+        $"line_count")
+  }
+
+  /** Disjunctive-predicate join (TPC-H Q19 shape): OR-of-ANDs across
+    * BOTH sides of a fact⋈dim join. The plan contract is the point:
+    * Catalyst factors out the common `l_partkey = p_partkey` equi-key,
+    * so this is a hash/sort-merge join with the disjunction as a
+    * post-join residual — NOT a nested-loop over the cross product,
+    * which is what a naive engine does with OR join predicates
+    * (PlanShapeSpec asserts no BroadcastNestedLoopJoin/CartesianProduct).
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir)
+    val p = part(spark, dir)
+    val clauses =
+      (p("p_brand") === "Brand#12" && p("p_size").between(1, 5) &&
+        l("l_quantity").between(1, 11)) ||
+      (p("p_brand") === "Brand#23" && p("p_size").between(1, 10) &&
+        l("l_quantity").between(10, 20)) ||
+      (p("p_brand") === "Brand#34" && p("p_size").between(1, 15) &&
+        l("l_quantity").between(20, 30))
+    val discU = (dec($"l_extendedprice") * 100).cast("long") *
+      (lit(100L) - (dec($"l_discount") * 100).cast("long"))
+    l.join(p, l("l_partkey") === p("p_partkey") && clauses)
+      .agg(sum(discU).as("revenue_u"), count(lit(1)).as("line_count"))
+      .select(($"revenue_u" / 10000.0).as("revenue"), $"line_count")
+  }
+
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val c = customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
     val o = orders(spark, dir)

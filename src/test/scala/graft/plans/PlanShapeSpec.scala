@@ -121,6 +121,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), plan)
   }
 
+  test("disjunctive join predicate factors to an equi-join, never a nested loop") {
+    // OR-of-ANDs across both sides of l ⋈ p: Catalyst must extract the
+    // common l_partkey = p_partkey equi-key and leave the disjunction as
+    // a residual — a cross-product nested loop here would be quadratic
+    // at scale
+    val plan = planString(q("q19_disjunctive"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("bigram LM join is shuffle-hash on the bigram key, LM side never broadcast") {
+    // the LM table is bigram-type-sized (vocab²) — not driver-bounded at
+    // web scale; the scoring join must shuffle, only the 1-row V scalar
+    // may broadcast
+    val plan = planString(q("text_lm_score"))
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("un-hinted scaling dims (customer, part) still broadcast via STATS at test scale") {
     // orderWide no longer forces broadcast(part)/broadcast(customer); at
     // sf0.001 file-size stats are far under the threshold, so Catalyst
