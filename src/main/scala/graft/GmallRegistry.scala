@@ -43,6 +43,11 @@ object GmallRegistry {
     "j11_range_join" -> (RelationalOps.rangeJoinShipments _),
     "q14_promo_share" -> (AnalyticsOps.promoRevenue _),
     "q19_disjunctive" -> (AnalyticsOps.disjunctiveRevenue _),
+    "q4_order_priority" -> (AnalyticsOps.orderPriorityCensus _),
+    "q13_cust_distribution" -> (AnalyticsOps.customerOrderDistribution _),
+    "q17_small_qty_revenue" -> (AnalyticsOps.smallQuantityRevenue _),
+    "q18_large_orders" -> (AnalyticsOps.largeVolumeOrders _),
+    "q22_idle_customers" -> (AnalyticsOps.idleRichCustomers _),
     "agg_salted_sum" -> (EventOps.saltedTypeTotals _),
     "x2_cdc_route" -> (EventOps.cdcRoute _),
     "p4_dynamic_prune" -> ((s: SparkSession, d: String) => EventOps.dynamicPrune(s, d)),
@@ -332,6 +337,51 @@ object GmallRegistry {
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority AS priority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // decorrelated exactly as the operator: per-part (sum, cnt) over ALL
+    // lines; the 20%-of-avg comparison cross-multiplied into DECIMAL
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS lost_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23') ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS ap, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+        |        count(*) AS qty_cnt
+        |      FROM lineitem GROUP BY 1) ON l_partkey = ap
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * qty_cnt * 5 < qty_sum""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name AS cust_name, o_custkey AS custkey, o_orderkey AS orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+        |  CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey AS bk, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200) ON o_orderkey = bk
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY orderkey""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+        |FROM customer,
+        |  (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum, count(*) AS bal_cnt
+        |   FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_cnt > bal_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // salting is an execution-layout change, not a semantic one: the
     // oracle is the plain unsalted GROUP BY
     "agg_salted_sum" ->

@@ -29,6 +29,12 @@ object Proto {
     // q19_disjunctive is a single global-aggregate row — no order needed,
     // but the entry keeps the one-protocol-path invariant
     "q19_disjunctive" -> asc("line_count"),
+    "q4_order_priority" -> asc("priority"),
+    "q13_cust_distribution" ->
+      Seq(col("custdist").desc, col("c_count").desc),
+    "q17_small_qty_revenue" -> asc("n_lines"),
+    "q18_large_orders" -> asc("orderkey"),
+    "q22_idle_customers" -> asc("segment"),
     "j1_interval_join" -> asc("orderkey", "linenumber"),
     "j12_interval_left" -> asc("orderkey", "linenumber"),
     "j3_dim_enrich" -> asc("orderkey"),

@@ -377,6 +377,107 @@ object AnalyticsOps {
       .select(($"revenue_u" / 10000.0).as("revenue"), $"line_count")
   }
 
+  /** Existence-census (TPC-H Q4 shape): orders having at least one line
+    * shipped >30 days after the order date, counted per priority. The
+    * EXISTS compiles to a left-semi join — only the orderkey and the
+    * residual's shipdate cross the shuffle, and probe rows short-circuit
+    * on first match instead of multiplying per matching line.
+    */
+  def orderPriorityCensus(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Two-level aggregation over an outer join (TPC-H Q13 shape): orders
+    * per customer (keeping zero-order customers via LEFT OUTER with the
+    * priority predicate in the join condition), then the histogram of
+    * those counts. The second aggregate runs over one row per customer —
+    * the expensive shuffle is only the first one, on custkey.
+    */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir)
+    val perCust = c.join(o,
+        c("c_custkey") === o("o_custkey") && o("o_orderpriority") =!= "1-URGENT",
+        "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+    perCust.groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Correlated below-average filter (TPC-H Q17 shape): revenue from
+    * brand lines whose quantity is under 20% of that part's average.
+    * Decorrelated into a per-part (sum, count) aggregate joined back on
+    * partkey; the comparison cross-multiplies (qty·5·cnt < sum) so it
+    * stays in exact DECIMAL — avg would round and make the boundary
+    * engine-dependent. The brand filter narrows the probe side BEFORE
+    * the aggregate join, but the per-part average is over ALL lines
+    * (correlation is on partkey alone, as in Q17).
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val p = part(spark, dir).filter($"p_brand" === "Brand#23").select($"p_partkey")
+    val perPart = l.groupBy($"l_partkey".as("ap"))
+      .agg(sum(dec($"l_quantity")).as("qty_sum"), count(lit(1)).as("qty_cnt"))
+    l.join(p, $"l_partkey" === $"p_partkey")
+      .join(perPart, $"l_partkey" === $"ap")
+      .filter(dec($"l_quantity") * $"qty_cnt" * 5 < $"qty_sum")
+      .agg(sum(dec($"l_extendedprice")).cast("double").as("lost_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Group-HAVING as a derived semi-join (TPC-H Q18 shape): orders whose
+    * total line quantity exceeds the threshold, rejoined to orders and
+    * customer for the report columns. The HAVING aggregate reduces
+    * lineitem to one row per qualifying order before any wide join —
+    * the big⋈big join is orders⋈(tiny filtered aggregate), not
+    * orders⋈lineitem.
+    */
+  def largeVolumeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = lineitem(spark, dir)
+      .groupBy($"l_orderkey".as("bk"))
+      .agg(sum(dec($"l_quantity")).as("total_qty"))
+      .filter($"total_qty" > 200)
+    val o = orders(spark, dir)
+    val c = customer(spark, dir)
+    o.join(big, o("o_orderkey") === $"bk")
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(c("c_name").as("cust_name"),
+        o("o_custkey").as("custkey"),
+        o("o_orderkey").as("orderkey"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        dec(o("o_totalprice")).cast("double").as("totalprice"),
+        $"total_qty".cast("double").as("total_qty"))
+  }
+
+  /** Anti-join + global scalar aggregate (TPC-H Q22 shape): customers
+    * with above-average positive balance and no urgent order, summarized
+    * per market segment. The global (sum, count) collapses to ONE row
+    * cross-joined back (the scalar-subquery plan — broadcast of a single
+    * row, never a shuffle), and the comparison cross-multiplies to stay
+    * exact; NOT EXISTS compiles to a left-anti join on custkey.
+    */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val bal = c.filter(dec($"c_acctbal") > 0)
+      .agg(sum(dec($"c_acctbal")).as("bal_sum"), count(lit(1)).as("bal_cnt"))
+    val urgent = orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    c.crossJoin(broadcast(bal))
+      .filter(dec($"c_acctbal") * $"bal_cnt" > $"bal_sum")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec($"c_acctbal")).cast("double").as("total_balance"))
+  }
+
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val c = customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
     val o = orders(spark, dir)

@@ -140,6 +140,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("EXISTS census plans a LeftSemi join; NOT EXISTS plans a LeftAnti") {
+    // the decision-support existence shapes must stay semi/anti —
+    // a rewrite to inner-join+distinct would multiply probe rows per
+    // matching line and re-deduplicate at scale cost
+    val semi = planString(q("q4_order_priority"))
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = planString(q("q22_idle_customers"))
+    assert(anti.contains("LeftAnti"), anti)
+    // the global-average scalar collapses to a single-row broadcast,
+    // never a shuffle of the customer table against itself
+    assert(anti.contains("BroadcastNestedLoopJoin") ||
+      anti.contains("BroadcastHashJoin"), anti)
+  }
+
+  test("group-HAVING semi-join (q18): lineitem aggregates BEFORE joining orders") {
+    // the HAVING aggregate must reduce lineitem to per-order rows ahead
+    // of the orders join — joining first would shuffle the full fact⋈fact
+    val plan = q("q18_large_orders").queryExecution.optimizedPlan.toString
+    val aggIdx = plan.indexOf("Aggregate")
+    val joinIdx = plan.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && aggIdx > joinIdx,
+      s"expected aggregate below the join in the optimized plan:\n$plan")
+  }
+
   test("un-hinted scaling dims (customer, part) still broadcast via STATS at test scale") {
     // orderWide no longer forces broadcast(part)/broadcast(customer); at
     // sf0.001 file-size stats are far under the threshold, so Catalyst
