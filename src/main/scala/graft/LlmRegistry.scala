@@ -23,6 +23,7 @@ object LlmRegistry {
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_normalize" -> (TextAnalysis.normalizeCorpus _),
     "text_pii_redact" -> (TextAnalysis.piiRedact _),
     "vocab_build" -> (TextAnalysis.vocabBuild _),
     "tokens_to_ids" -> (TextAnalysis.tokensToIds _),
@@ -289,6 +290,13 @@ object LlmRegistry {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($normText) AS fp_md5,
          |  ${sqlMd5Prefix60(normText)} AS fp60
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // seeded dirty text (decomposed accents, controls, space runs) +
+    // NFC canonicalization — both from the SAME TextAnalysis twins
+    "text_normalize" ->
+      s"""SELECT doc_id,
+         |  ${TextAnalysis.sqlNormalizeText(TextAnalysis.sqlNormalizeSeeded)} AS text_norm,
+         |  CAST(length(${TextAnalysis.sqlNormalizeText(TextAnalysis.sqlNormalizeSeeded)}) AS BIGINT) AS n_chars_norm
          |FROM documents ORDER BY doc_id""".stripMargin,
     // counts + redacted-text fingerprint from the SAME PiiPatterns
     // constants (Java regex and RE2 agree on this dialect subset)

@@ -93,6 +93,7 @@ object Proto {
     "text_quality" -> asc("doc_id"),
     "text_langid" -> asc("doc_id"),
     "text_fingerprint" -> asc("doc_id"),
+    "text_normalize" -> asc("doc_id"),
     "vocab_build" -> asc("token_id"),
     "tokens_to_ids" -> asc("doc_id", "pos"),
     "text_commonness" -> asc("doc_id"),

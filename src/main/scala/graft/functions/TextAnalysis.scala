@@ -292,6 +292,38 @@ object TextAnalysis {
         Hashing.md5Prefix60(redactPii($"text")).as("redacted_fp60"): _*)
   }
 
+  /** Unicode canonicalization (NFC + control-strip + space-collapse) via
+    * the codegen'd [[org.apache.spark.sql.graftexpr.NormalizeText]]
+    * kernel — the cleaning step that makes visually-identical strings
+    * byte-identical before the dedup/fingerprint family. The corpus rows
+    * are ASCII-clean, so (as with [[piiRedact]]) the query seeds each row
+    * with deterministic dirt — a decomposed e+U+0301, tab/bell/DEL
+    * controls, double spaces, leading/trailing junk — and the oracle
+    * applies the SAME seeding, making the per-row value comparison a
+    * real NFC-parity check between engines.
+    */
+  def normalizeCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(
+      lit("Café \t "),
+      substring($"text", 1, 80),
+      lit(" x"), $"doc_id".cast("string"),
+      lit("  étude  "))
+    documents(spark, dir).select($"doc_id",
+      graft.plans.ArrayOps.normalizeText(dirty).as("text_norm"))
+      .withColumn("n_chars_norm", length($"text_norm").cast("bigint"))
+  }
+
+  /** DuckDB twin of [[normalizeCorpus]]'s seeded dirty text. */
+  def sqlNormalizeSeeded: String =
+    "'Cafe' || chr(769) || ' ' || chr(9) || ' ' || substring(text, 1, 80) || " +
+      "' ' || chr(7) || 'x' || CAST(doc_id AS VARCHAR) || '  e' || chr(769) || " +
+      "'tude ' || chr(127) || ' '"
+
+  /** DuckDB twin of the normalization kernel itself. */
+  def sqlNormalizeText(expr: String): String =
+    s"trim(regexp_replace(regexp_replace(nfc_normalize($expr), " +
+      s"'[\\x01-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** DuckDB twin of [[piiRedact]]'s seeded text. */
   def sqlPiiSeededText: String =
     """text || ' contact user' || CAST(doc_id AS VARCHAR) ||

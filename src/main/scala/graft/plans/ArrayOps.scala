@@ -24,4 +24,7 @@ object ArrayOps {
 
   def simhashFp(c: Column, bits: Int): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.simhashFp(c, bits)
+
+  def normalizeText(c: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.normalizeText(c)
 }

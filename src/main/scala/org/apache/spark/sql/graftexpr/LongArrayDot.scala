@@ -87,4 +87,8 @@ object GraftExpressions {
   /** SimHash fingerprint of a token-array column (codegen'd). */
   def simhashFp(c: Column, bits: Int): Column =
     ExpressionUtils.column(SimHashFp(ExpressionUtils.expression(c), bits))
+
+  /** NFC + control-strip + space-collapse of a string column (codegen'd). */
+  def normalizeText(c: Column): Column =
+    ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(c)))
 }

@@ -85,6 +85,10 @@ object GraftFunctions {
       require(exprs.length == 1, s"md5_prefix60 expects 1 argument, got ${exprs.length}")
       Md5Prefix60(exprs.head)
     },
+    "normalize_text" -> { exprs =>
+      require(exprs.length == 1, s"normalize_text expects 1 argument, got ${exprs.length}")
+      NormalizeText(exprs.head)
+    },
     "word_shingles" -> { exprs =>
       require(exprs.length == 2, s"word_shingles expects 2 arguments, got ${exprs.length}")
       WordShingles(exprs.head, litInt(exprs(1), "word_shingles"))
