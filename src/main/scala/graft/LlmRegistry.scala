@@ -24,6 +24,7 @@ object LlmRegistry {
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_normalize" -> (TextAnalysis.normalizeCorpus _),
+    "url_canonicalize" -> (UrlOps.urlCanonicalize _),
     "text_pii_redact" -> (TextAnalysis.piiRedact _),
     "vocab_build" -> (TextAnalysis.vocabBuild _),
     "tokens_to_ids" -> (TextAnalysis.tokensToIds _),
@@ -291,6 +292,9 @@ object LlmRegistry {
       s"""SELECT doc_id, md5($normText) AS fp_md5,
          |  ${sqlMd5Prefix60(normText)} AS fp60
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // seeded raw URLs + canonicalization regex pipeline — one set of
+    // pattern constants drives both engines (UrlOps twins)
+    "url_canonicalize" -> UrlOps.sqlUrlCanonicalize,
     // seeded dirty text (decomposed accents, controls, space runs) +
     // NFC canonicalization — both from the SAME TextAnalysis twins
     "text_normalize" ->
