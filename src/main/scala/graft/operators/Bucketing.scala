@@ -61,4 +61,44 @@ object Bucketing {
       day: String): DataFrame =
     spark.read.parquet(path)
       .filter(org.apache.spark.sql.functions.col(dateCol) === day)
+
+  /** Small-file compaction — the maintenance operator every streaming
+    * store eventually needs. Micro-batch sinks (DwsSink, the dim store,
+    * any per-trigger parquet append) accrete one file per trigger per
+    * partition; a year of 10-second triggers is millions of kilobyte
+    * files, and at 100 TB the NameNode/listing cost and per-file open
+    * overhead dominate scans long before row count does.
+    *
+    * Sizing comes from the actual on-disk byte size via the Hadoop
+    * FileSystem API (works on HDFS/S3, not just local), NOT from row
+    * counts: `files = ceil(bytes / targetBytes)`, then one round-robin
+    * repartition to exactly that many writers. Round-robin (not keyed)
+    * because compaction must never skew — every output file lands within
+    * one row-group of targetBytes. The rewrite goes to a fresh directory
+    * + atomic-ish swap is the caller's transaction policy; the operator
+    * itself is a pure rewrite so a failed run leaves the source intact.
+    *
+    * Returns the output file count so callers (and the spec) can assert
+    * the layout contract.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, s"compact: targetBytes must be positive, got $targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(conf)
+    val it = fs.listFiles(in, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      // count only data files: planners' _SUCCESS/_metadata markers are
+      // listing noise, and parquet readers skip them too
+      if (!f.getPath.getName.startsWith("_")) bytes += f.getLen
+    }
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }

@@ -109,4 +109,42 @@ class BucketingSpec extends AnyFunSuite {
     }
     rm(new java.io.File(path))
   }
+
+  test("compaction: many small files → byte-sized file count, content intact") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val inPath = s"$base/in"
+    val outPath = s"$base/out"
+    // simulate a micro-batch-accreted store: 64 tiny files
+    val docs = Tables.documents(spark, dir)
+    docs.repartition(64).write.parquet(inPath)
+    val smallFiles = new java.io.File(inPath)
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(smallFiles == 64, s"fixture should be 64 small files, got $smallFiles")
+
+    val inBytes = new java.io.File(inPath).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length()).sum
+    // target ≈ quarter of the input → expect ~4 output files
+    val target = inBytes / 4 + 1
+    val expected = ((inBytes + target - 1) / target).toInt
+    val n = Bucketing.compact(spark, inPath, outPath, target)
+    assert(n == expected, s"planned $n files, sizing said $expected")
+    val outFiles = new java.io.File(outPath)
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(outFiles == n, s"wrote $outFiles files, planned $n")
+    assert(outFiles < smallFiles / 8, "compaction must collapse the file count")
+
+    // content identical (multiset): same count and same checksum-sum
+    val before = docs.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, text))"))
+      .collect().head
+    val after = spark.read.parquet(outPath)
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, text))"))
+      .collect().head
+    assert(before == after, s"content drift: $before vs $after")
+
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+  }
 }
