@@ -48,6 +48,7 @@ object GmallRegistry {
     "q17_small_qty_revenue" -> (AnalyticsOps.smallQuantityRevenue _),
     "q18_large_orders" -> (AnalyticsOps.largeVolumeOrders _),
     "q22_idle_customers" -> (AnalyticsOps.idleRichCustomers _),
+    "layout_zvalue" -> (Bucketing.zValueIndex _),
     "agg_salted_sum" -> (EventOps.saltedTypeTotals _),
     "x2_cdc_route" -> (EventOps.cdcRoute _),
     "p4_dynamic_prune" -> ((s: SparkSession, d: String) => EventOps.dynamicPrune(s, d)),
@@ -372,6 +373,14 @@ object GmallRegistry {
         |      FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200) ON o_orderkey = bk
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY orderkey""".stripMargin,
+    // Morton interleave recomputed in pure SQL from the SAME mask
+    // constants (ZOrder.sqlZValue2) — per-row value parity for the
+    // layout expression
+    "layout_zvalue" ->
+      s"""SELECT l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+         |  l_partkey AS partkey, l_suppkey AS suppkey,
+         |  ${org.apache.spark.sql.graftexpr.ZOrder.sqlZValue2("l_partkey", "l_suppkey")} AS z
+         |FROM lineitem ORDER BY orderkey, linenumber""".stripMargin,
     "q22_idle_customers" ->
       """SELECT c_mktsegment AS segment, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance

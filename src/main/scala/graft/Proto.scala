@@ -35,6 +35,7 @@ object Proto {
     "q17_small_qty_revenue" -> asc("n_lines"),
     "q18_large_orders" -> asc("orderkey"),
     "q22_idle_customers" -> asc("segment"),
+    "layout_zvalue" -> asc("orderkey", "linenumber"),
     "j1_interval_join" -> asc("orderkey", "linenumber"),
     "j12_interval_left" -> asc("orderkey", "linenumber"),
     "j3_dim_enrich" -> asc("orderkey"),

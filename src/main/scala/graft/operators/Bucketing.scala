@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft._
 
 /** Bucketed-table layout for repeated co-located joins.
   *
@@ -61,6 +62,55 @@ object Bucketing {
       day: String): DataFrame =
     spark.read.parquet(path)
       .filter(org.apache.spark.sql.functions.col(dateCol) === day)
+
+  /** Z-ordered layout: range-partition and sort by the Morton interleave
+    * of two keys, so parquet row-group min/max stats prune scans for
+    * range predicates on EITHER key (a linear sort clusters only one).
+    * `files` is a layout decision exactly like bucket count: table size
+    * over target file size. The z_value column is dropped after the
+    * sort — it is a layout device, not data.
+    *
+    * Each key is first scaled to a fixed 16-bit budget from its actual
+    * [min, max] (one tiny pre-aggregation): interleaving RAW keys of
+    * different magnitudes degenerates to a linear sort on the wider key,
+    * because its high bits outrank every bit of the narrower one — the
+    * same reason production ZORDER implementations interleave
+    * range-normalized ranks, not raw values.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      files: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val Bits = 16
+    val Cap = (1L << Bits) - 1
+    val (xMin, xMax, yMin, yMax) = {
+      val r = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+        min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      if (hi == lo) org.apache.spark.sql.functions.lit(0L)
+      else org.apache.spark.sql.functions
+        .floor((c.cast("long") - lo) * Cap / (hi - lo)).cast("long")
+    val z = graft.plans.ArrayOps.zValue2(
+      norm(col(xCol), xMin, xMax), norm(col(yCol), yMin, yMax))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Registry view of the Z-value computation (oracle-checked: the
+    * DuckDB twin recomputes the same magic-mask arithmetic per row —
+    * see [[org.apache.spark.sql.graftexpr.ZOrder.sqlZValue2]]).
+    */
+  def zValueIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      $"l_orderkey".as("orderkey"),
+      $"l_linenumber".cast("bigint").as("linenumber"),
+      $"l_partkey".as("partkey"),
+      $"l_suppkey".as("suppkey"),
+      graft.plans.ArrayOps.zValue2($"l_partkey", $"l_suppkey").as("z"))
 
   /** Small-file compaction — the maintenance operator every streaming
     * store eventually needs. Micro-batch sinks (DwsSink, the dim store,

@@ -27,4 +27,7 @@ object ArrayOps {
 
   def normalizeText(c: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.normalizeText(c)
+
+  def zValue2(x: Column, y: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.zValue2(x, y)
 }

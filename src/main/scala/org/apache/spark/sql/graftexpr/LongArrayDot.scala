@@ -91,4 +91,9 @@ object GraftExpressions {
   /** NFC + control-strip + space-collapse of a string column (codegen'd). */
   def normalizeText(c: Column): Column =
     ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(c)))
+
+  /** Morton Z-value of two bigint columns (codegen'd). */
+  def zValue2(x: Column, y: Column): Column =
+    ExpressionUtils.column(
+      ZValue2(ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
 }

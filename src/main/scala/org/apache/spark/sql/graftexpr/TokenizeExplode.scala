@@ -89,6 +89,10 @@ object GraftFunctions {
       require(exprs.length == 1, s"normalize_text expects 1 argument, got ${exprs.length}")
       NormalizeText(exprs.head)
     },
+    "z_value2" -> { exprs =>
+      require(exprs.length == 2, s"z_value2 expects 2 arguments, got ${exprs.length}")
+      ZValue2(exprs.head, exprs(1))
+    },
     "word_shingles" -> { exprs =>
       require(exprs.length == 2, s"word_shingles expects 2 arguments, got ${exprs.length}")
       WordShingles(exprs.head, litInt(exprs(1), "word_shingles"))
