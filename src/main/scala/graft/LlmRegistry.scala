@@ -25,6 +25,7 @@ object LlmRegistry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_normalize" -> (TextAnalysis.normalizeCorpus _),
     "url_canonicalize" -> (UrlOps.urlCanonicalize _),
+    "bpe_train" -> ((s: SparkSession, d: String) => BpeTrain.bpeTrain(s, d)),
     "text_pii_redact" -> (TextAnalysis.piiRedact _),
     "vocab_build" -> (TextAnalysis.vocabBuild _),
     "tokens_to_ids" -> (TextAnalysis.tokensToIds _),
@@ -295,6 +296,10 @@ object LlmRegistry {
     // seeded raw URLs + canonicalization regex pipeline — one set of
     // pattern constants drives both engines (UrlOps twins)
     "url_canonicalize" -> UrlOps.sqlUrlCanonicalize,
+    // full K-round training replay: pair choices, tie-breaks and counts
+    // must match stage by stage (see BpeTrain scaladoc for why literal
+    // replace IS the BPE merge under the bracket encoding)
+    "bpe_train" -> BpeTrain.sqlBpeTrain(toks),
     // seeded dirty text (decomposed accents, controls, space runs) +
     // NFC canonicalization — both from the SAME TextAnalysis twins
     "text_normalize" ->

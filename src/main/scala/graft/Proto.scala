@@ -96,6 +96,7 @@ object Proto {
     "text_fingerprint" -> asc("doc_id"),
     "text_normalize" -> asc("doc_id"),
     "url_canonicalize" -> asc("doc_id"),
+    "bpe_train" -> asc("merge_rank"),
     "vocab_build" -> asc("token_id"),
     "tokens_to_ids" -> asc("doc_id", "pos"),
     "text_commonness" -> asc("doc_id"),

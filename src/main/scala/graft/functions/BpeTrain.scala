@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import graft.Tables._
+
+/** Distributed BPE merge-training — the tokenizer-construction half of a
+  * training-data pipeline (tokens_to_ids consumes a vocabulary; this op
+  * LEARNS the subword merges that define one).
+  *
+  * Algorithm (classic byte-pair encoding over the word-frequency table):
+  * start from characters, repeatedly (1) count adjacent symbol pairs
+  * weighted by word frequency, (2) take the most frequent pair
+  * (ties → lexicographically smallest), (3) merge its occurrences
+  * left-to-right non-overlapping in every word. The learned artifact is
+  * the ordered merge list.
+  *
+  * Scale shape: training runs over the WORD-FREQUENCY table (vocabulary-
+  * sized — the corpus collapses to one row per distinct token in one
+  * initial shuffle), never the raw corpus; each round is one
+  * explode+groupBy over that bounded table. The round's argmax is a
+  * single-row `limit(1).collect()` — a global sequential decision
+  * inherent to BPE (merge k+1 depends on merge k), shipping ~40 bytes
+  * per round to the driver, NOT a driver-side data loop. Lineage is
+  * flattened per round with localCheckpoint (the [[Dedup.minhashClusters]]
+  * iteration idiom).
+  *
+  * Symbol encoding makes literal string replace EXACTLY the BPE merge
+  * step, on both engines: each symbol is wrapped in angle brackets and
+  * space-joined (`"ab" → "<a> <b>"`; `<`/`>` are reserved — the token
+  * alphabet is [a-z0-9]). A pair pattern `"<a> <b>"` can then only match
+  * complete adjacent symbols (a mid-symbol match would need `<` inside a
+  * symbol), and because the pattern contains NO outer separators,
+  * consecutive occurrences share no characters — so engine-native
+  * replace-all (left-to-right, non-overlapping, resuming after each
+  * replacement: identical semantics in Java and DuckDB) IS the BPE merge.
+  * The DuckDB oracle replays training as [[sqlBpeTrain]]'s unrolled CTE
+  * stages from the same constants and must produce the identical merge
+  * table — pair choices, tie-breaks, and counts all value-checked.
+  */
+object BpeTrain {
+
+  val DefaultMerges = 6
+
+  /** `"word" → "<w> <o> <r> <d>"` (Spark side). */
+  private def encodeSyms(word: org.apache.spark.sql.Column) =
+    array_join(
+      transform(regexp_extract_all(word, lit("."), lit(0)),
+        c => concat(lit("<"), c, lit(">"))),
+      " ")
+
+  /** Adjacent pair strings of the symbols column (empty for 1-symbol
+    * words — `sequence(1, 0)` would be a DESCENDING range, so the guard
+    * is explicit).
+    */
+  private val pairsExpr = expr(
+    """CASE WHEN size(split(syms, ' ')) < 2 THEN array()
+      |ELSE transform(sequence(1, size(split(syms, ' ')) - 1),
+      |  i -> concat(element_at(split(syms, ' '), i), ' ',
+      |              element_at(split(syms, ' '), i + 1)))
+      |END""".stripMargin)
+
+  def bpeTrain(spark: SparkSession, dir: String,
+      merges: Int = DefaultMerges): DataFrame = {
+    // graft's own $-interpolator is in scope; mask the SQLImplicits one
+    import spark.implicits.{StringToColumn => _, _}
+    val init = documents(spark, dir)
+      .select(explode(TextAnalysis.tokens($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .select(encodeSyms($"word").as("syms"), $"freq")
+    var words = init.localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = 0
+    while (k < merges) {
+      val best = words
+        .select(explode(pairsExpr).as("pair"), $"freq")
+        .groupBy($"pair").agg(sum($"freq").as("pf"))
+        .orderBy($"pf".desc, $"pair".asc)
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"bpe_train: corpus exhausted after ${k} merges (asked for $merges)")
+      val pair = best(0).getString(0)
+      val pf = best(0).getLong(1)
+      val merged = pair.replace("> <", "")
+      learned += ((k + 1L, pair, merged, pf))
+      words = words
+        .withColumn("syms", expr(s"replace(syms, '$pair', '$merged')"))
+        .localCheckpoint(true)
+      k += 1
+    }
+    learned.toSeq.toDF("merge_rank", "pair", "merged", "pair_freq")
+  }
+
+  // ---- DuckDB twin ------------------------------------------------------
+
+  private def sqlPairs(wordsCte: String): String =
+    s"""SELECT pair, CAST(sum(freq) AS BIGINT) AS pf FROM (
+       |  SELECT unnest(list_transform(range(1, len(string_split(syms, ' '))),
+       |    i -> string_split(syms, ' ')[i] || ' ' || string_split(syms, ' ')[i + 1])) AS pair,
+       |    freq
+       |  FROM $wordsCte) GROUP BY 1""".stripMargin
+
+  /** Unrolled K-stage replay of [[bpeTrain]] (same tokenizer twin, same
+    * encoding, same tie-breaks).
+    */
+  def sqlBpeTrain(toksExpr: String, merges: Int = DefaultMerges): String = {
+    val stages = (1 to merges).map { k =>
+      s"""p$k AS (${sqlPairs(s"w${k - 1}")}),
+         |b$k AS (SELECT pair, pf FROM p$k ORDER BY pf DESC, pair LIMIT 1),
+         |w$k AS (SELECT replace(syms, (SELECT pair FROM b$k),
+         |  (SELECT replace(pair, '> <', '') FROM b$k)) AS syms, freq FROM w${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to merges).map { k =>
+      s"SELECT $k AS merge_rank, pair, replace(pair, '> <', '') AS merged, pf AS pair_freq FROM b$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT array_to_string(list_transform(regexp_extract_all(word, '.'),
+       |    c -> '<' || c || '>'), ' ') AS syms, freq
+       |  FROM (SELECT tok AS word, count(*) AS freq
+       |        FROM (SELECT unnest($toksExpr) AS tok FROM documents)
+       |        GROUP BY 1)),
+       |$stages
+       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, pair, merged, pair_freq
+       |FROM ($rows) ORDER BY merge_rank""".stripMargin
+  }
+}
