@@ -26,6 +26,7 @@ object LlmRegistry {
     "text_normalize" -> (TextAnalysis.normalizeCorpus _),
     "url_canonicalize" -> (UrlOps.urlCanonicalize _),
     "bpe_train" -> ((s: SparkSession, d: String) => BpeTrain.bpeTrain(s, d)),
+    "bpe_encode" -> ((s: SparkSession, d: String) => BpeTrain.bpeEncode(s, d)),
     "text_pii_redact" -> (TextAnalysis.piiRedact _),
     "vocab_build" -> (TextAnalysis.vocabBuild _),
     "tokens_to_ids" -> (TextAnalysis.tokensToIds _),
@@ -300,6 +301,7 @@ object LlmRegistry {
     // must match stage by stage (see BpeTrain scaladoc for why literal
     // replace IS the BPE merge under the bracket encoding)
     "bpe_train" -> BpeTrain.sqlBpeTrain(toks),
+    "bpe_encode" -> BpeTrain.sqlBpeEncode(toks),
     // seeded dirty text (decomposed accents, controls, space runs) +
     // NFC canonicalization — both from the SAME TextAnalysis twins
     "text_normalize" ->

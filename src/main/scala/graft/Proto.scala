@@ -97,6 +97,7 @@ object Proto {
     "text_normalize" -> asc("doc_id"),
     "url_canonicalize" -> asc("doc_id"),
     "bpe_train" -> asc("merge_rank"),
+    "bpe_encode" -> asc("word"),
     "vocab_build" -> asc("token_id"),
     "tokens_to_ids" -> asc("doc_id", "pos"),
     "text_commonness" -> asc("doc_id"),

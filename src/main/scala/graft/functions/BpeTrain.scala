@@ -61,14 +61,16 @@ object BpeTrain {
       |              element_at(split(syms, ' '), i + 1)))
       |END""".stripMargin)
 
-  def bpeTrain(spark: SparkSession, dir: String,
-      merges: Int = DefaultMerges): DataFrame = {
-    // graft's own $-interpolator is in scope; mask the SQLImplicits one
-    import spark.implicits.{StringToColumn => _, _}
+  /** The shared K-round loop: returns the learned merge table AND the
+    * word-vocab frame in its final (fully-merged) state — training and
+    * encoding are the same computation read from opposite ends.
+    */
+  private def trainLoop(spark: SparkSession, dir: String, merges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     val init = documents(spark, dir)
       .select(explode(TextAnalysis.tokens($"text")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-      .select(encodeSyms($"word").as("syms"), $"freq")
+      .select($"word", encodeSyms($"word").as("syms"), $"freq")
     var words = init.localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var k = 0
@@ -89,7 +91,32 @@ object BpeTrain {
         .localCheckpoint(true)
       k += 1
     }
-    learned.toSeq.toDF("merge_rank", "pair", "merged", "pair_freq")
+    (learned.toSeq, words)
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String,
+      merges: Int = DefaultMerges): DataFrame = {
+    // graft's own $-interpolator is in scope; mask the SQLImplicits one
+    import spark.implicits.{StringToColumn => _, _}
+    trainLoop(spark, dir, merges)._1
+      .toDF("merge_rank", "pair", "merged", "pair_freq")
+  }
+
+  /** Encode the word vocabulary with the learned merges: per distinct
+    * word, its subword pieces after all K rounds (the artifact a
+    * tokenizer ships). Vocabulary-sized output; applying it to a corpus
+    * is then a broadcast join on `word` — the corpus never re-runs the
+    * merge loop.
+    */
+  def bpeEncode(spark: SparkSession, dir: String,
+      merges: Int = DefaultMerges): DataFrame = {
+    val (_, words) = trainLoop(spark, dir, merges)
+    words.select($"word",
+      // decode the bracket encoding for display: "<th> <e>" → "th e"
+      regexp_replace(regexp_replace($"syms", "> <", " "), "[<>]", "")
+        .as("pieces"),
+      size(split($"syms", " ")).cast("bigint").as("n_pieces"),
+      $"freq")
   }
 
   // ---- DuckDB twin ------------------------------------------------------
@@ -101,27 +128,43 @@ object BpeTrain {
        |    freq
        |  FROM $wordsCte) GROUP BY 1""".stripMargin
 
-  /** Unrolled K-stage replay of [[bpeTrain]] (same tokenizer twin, same
-    * encoding, same tie-breaks).
+  /** The shared CTE prefix: w0 (encoded word vocab) + K stages of
+    * (pair counts, argmax, merged words).
     */
-  def sqlBpeTrain(toksExpr: String, merges: Int = DefaultMerges): String = {
+  private def sqlStages(toksExpr: String, merges: Int): String = {
     val stages = (1 to merges).map { k =>
       s"""p$k AS (${sqlPairs(s"w${k - 1}")}),
          |b$k AS (SELECT pair, pf FROM p$k ORDER BY pf DESC, pair LIMIT 1),
-         |w$k AS (SELECT replace(syms, (SELECT pair FROM b$k),
+         |w$k AS (SELECT word, replace(syms, (SELECT pair FROM b$k),
          |  (SELECT replace(pair, '> <', '') FROM b$k)) AS syms, freq FROM w${k - 1})""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to merges).map { k =>
-      s"SELECT $k AS merge_rank, pair, replace(pair, '> <', '') AS merged, pf AS pair_freq FROM b$k"
-    }.mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
-       |  SELECT array_to_string(list_transform(regexp_extract_all(word, '.'),
+    s"""w0 AS (
+       |  SELECT word, array_to_string(list_transform(regexp_extract_all(word, '.'),
        |    c -> '<' || c || '>'), ' ') AS syms, freq
        |  FROM (SELECT tok AS word, count(*) AS freq
        |        FROM (SELECT unnest($toksExpr) AS tok FROM documents)
        |        GROUP BY 1)),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  /** Unrolled K-stage replay of [[bpeTrain]] (same tokenizer twin, same
+    * encoding, same tie-breaks).
+    */
+  def sqlBpeTrain(toksExpr: String, merges: Int = DefaultMerges): String = {
+    val rows = (1 to merges).map { k =>
+      s"SELECT $k AS merge_rank, pair, replace(pair, '> <', '') AS merged, pf AS pair_freq FROM b$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${sqlStages(toksExpr, merges)}
        |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, pair, merged, pair_freq
        |FROM ($rows) ORDER BY merge_rank""".stripMargin
   }
+
+  /** DuckDB twin of [[bpeEncode]]: the final stage's vocab, decoded. */
+  def sqlBpeEncode(toksExpr: String, merges: Int = DefaultMerges): String =
+    s"""WITH ${sqlStages(toksExpr, merges)}
+       |SELECT word,
+       |  replace(replace(replace(syms, '> <', ' '), '<', ''), '>', '') AS pieces,
+       |  CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_pieces,
+       |  freq
+       |FROM w$merges ORDER BY word""".stripMargin
 }
