@@ -75,6 +75,8 @@ object GmallRegistry {
     "window_range_frame" -> (AnalyticsOps.rangeFrameSum _),
     "set_intersect" -> (AnalyticsOps.setIntersect _),
     "kmv_segment_overlap" -> (AnalyticsOps.segmentOverlap _),
+    "cm_frequencies" -> ((s: SparkSession, d: String) =>
+      AnalyticsOps.cmFrequencies(s, d)),
     "set_except" -> (AnalyticsOps.setExcept _),
     "sessionize" -> (AnalyticsOps.sessionize _),
     "topk_orders" -> (AnalyticsOps.topKOrders _),
@@ -579,6 +581,27 @@ object GmallRegistry {
         |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
         |LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    // full value-level REPLAY of the count-min sketch: DuckDB recomputes
+    // every (row, bucket) counter with the same portable md5-ring hashes
+    // and takes the same min — no tolerance band needed
+    "cm_frequencies" -> {
+      import org.apache.spark.sql.graftexpr.GraftCountMin.{sqlCoefs, sqlH31, P}
+      val W = 1024
+      s"""WITH keyed AS (SELECT 10000 // ((event_id % 10000) + 1) AS hh_key FROM events),
+         |h AS (SELECT hh_key, ${sqlH31("hh_key")} AS h31 FROM keyed),
+         |buckets AS (SELECT r, (((a * h31 + b) % $P) % $W) AS bucket, count(*) AS cnt
+         |  FROM h CROSS JOIN ${sqlCoefs(4)} GROUP BY 1, 2),
+         |keys AS (SELECT hh_key, count(*) AS exact FROM keyed GROUP BY 1),
+         |probe AS (SELECT hh_key, exact, r,
+         |    (((a * ${sqlH31("hh_key")} + b) % $P) % $W) AS bucket
+         |  FROM keys CROSS JOIN ${sqlCoefs(4)}),
+         |est AS (SELECT p.hh_key, p.exact, min(coalesce(b.cnt, 0)) AS est
+         |  FROM probe p LEFT JOIN buckets b ON p.r = b.r AND p.bucket = b.bucket
+         |  GROUP BY 1, 2)
+         |SELECT hh_key, CAST(est AS BIGINT) AS est, exact,
+         |  est >= exact AS overestimates
+         |FROM est ORDER BY hh_key""".stripMargin
+    },
     "set_intersect" ->
       """SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events WHERE event_type = 'click'
         |INTERSECT

@@ -86,6 +86,7 @@ object Proto {
     "window_range_frame" -> asc("event_id"),
     "set_intersect" -> asc("user_id", "dt"),
     "kmv_segment_overlap" -> asc("type_a", "type_b"),
+    "cm_frequencies" -> asc("hh_key"),
     "set_except" -> asc("user_id", "dt"),
     "sessionize" -> asc("user_id", "session_no"),
     "topk_orders_agg" -> Seq(col("totalprice").desc, col("orderkey")),

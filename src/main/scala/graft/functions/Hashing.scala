@@ -53,6 +53,12 @@ object Hashing {
   def minhashA(j: Int): Long = { val v = lcg(2L * j); (v | 1L) % P31 }
   def minhashB(j: Int): Long = lcg(2L * j + 1)
 
+  /** Count-Min row-hash coefficients — a disjoint slice of the LCG
+    * stream from the MinHash pairs (offset 1000), `a` forced odd+nonzero.
+    */
+  def cmA(r: Int): Long = { val v = lcg(1000L + 2 * r); (v | 1L) % P31 }
+  def cmB(r: Int): Long = lcg(1001L + 2 * r)
+
   /** Random-hyperplane weight for LSH plane `p`, component `i`:
     * integer in [-1e6, 1e6], zero-mean-ish, deterministic.
     */

@@ -377,6 +377,31 @@ object AnalyticsOps {
       .select(($"revenue_u" / 10000.0).as("revenue"), $"line_count")
   }
 
+  /** Count-Min point-frequency estimates over the skewed key stream (the
+    * [[graft.operators.EventOps.heavyHitterScan]] key derivation): build
+    * ONE mergeable d×w sketch in a single map-side pass, then probe
+    * every distinct key against it — sketch bound as a scalar-subquery
+    * constant, so probing is a narrow projection over the (small)
+    * distinct-key frame, never a join carrying the matrix per row.
+    *
+    * The oracle REPLAYS the sketch in SQL (portable md5-ring hashes →
+    * DuckDB recomputes all d·w counters and takes the same min), so
+    * estimates are hash-matched exactly; `overestimates` additionally
+    * documents the CM one-sided-error guarantee in the output itself.
+    */
+  def cmFrequencies(spark: SparkSession, dir: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.graftexpr.GraftCountMin
+    val keyed = events(spark, dir)
+      .select(expr("10000 div ((event_id % 10000) + 1)").as("hh_key"))
+    val sketch = keyed.agg(GraftCountMin.build($"hh_key", depth, width).as("cm"))
+    keyed.groupBy($"hh_key").agg(count(lit(1)).as("exact"))
+      .select($"hh_key",
+        GraftCountMin.estimateScalar(sketch, $"hh_key").as("est"),
+        $"exact")
+      .withColumn("overestimates", $"est" >= $"exact")
+  }
+
   /** Existence-census (TPC-H Q4 shape): orders having at least one line
     * shipped >30 days after the order date, counted per priority. The
     * EXISTS compiles to a left-semi join — only the orderkey and the

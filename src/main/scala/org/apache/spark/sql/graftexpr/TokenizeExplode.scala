@@ -122,6 +122,17 @@ object GraftFunctions {
       BloomBuildAgg(exprs.head, litInt(exprs(1), "bloom_build"),
         litInt(exprs(2), "bloom_build"))
     },
+    "cm_build" -> { exprs =>
+      require(exprs.length == 3,
+        s"cm_build expects (key, depth, width), got ${exprs.length} arguments")
+      CountMinBuildAgg(exprs.head, litInt(exprs(1), "cm_build"),
+        litInt(exprs(2), "cm_build"))
+    },
+    "cm_estimate" -> { exprs =>
+      require(exprs.length == 2,
+        s"cm_estimate expects (sketch, key), got ${exprs.length} arguments")
+      CountMinEstimate(exprs.head, exprs(1))
+    },
     "top_k_ids" -> { exprs =>
       require(exprs.length == 3, s"top_k_ids expects 3 arguments, got ${exprs.length}")
       TopKAgg(exprs.head, exprs(1), litInt(exprs(2), "top_k_ids"))
