@@ -49,6 +49,9 @@ object GmallRegistry {
     "q18_large_orders" -> (AnalyticsOps.largeVolumeOrders _),
     "q22_idle_customers" -> (AnalyticsOps.idleRichCustomers _),
     "layout_zvalue" -> (Bucketing.zValueIndex _),
+    "q10_returned_items" -> (AnalyticsOps.returnedItemRevenue _),
+    "q12_shipmode_priority" -> (AnalyticsOps.shipmodePriority _),
+    "q16_supplier_variety" -> (AnalyticsOps.partSupplierVariety _),
     "agg_salted_sum" -> (EventOps.saltedTypeTotals _),
     "x2_cdc_route" -> (EventOps.cdcRoute _),
     "p4_dynamic_prune" -> ((s: SparkSession, d: String) => EventOps.dynamicPrune(s, d)),
@@ -383,6 +386,32 @@ object GmallRegistry {
          |  l_partkey AS partkey, l_suppkey AS suppkey,
          |  ${org.apache.spark.sql.graftexpr.ZOrder.sqlZValue2("l_partkey", "l_suppkey")} AS z
          |FROM lineitem ORDER BY orderkey, linenumber""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey AS custkey, c_name AS cust_name,
+        |  c_mktsegment AS mktsegment, n_name AS nation_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, custkey LIMIT 20""".stripMargin,
+    "q12_shipmode_priority" ->
+      """SELECT l_shipdate >= o_orderdate AS shipped_after_order,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand AS brand, p_type AS type, CAST(p_size AS BIGINT) AS size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE CAST(s_acctbal AS DECIMAL(18,2)) < 0)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q22_idle_customers" ->
       """SELECT c_mktsegment AS segment, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance

@@ -36,6 +36,9 @@ object Proto {
     "q18_large_orders" -> asc("orderkey"),
     "q22_idle_customers" -> asc("segment"),
     "layout_zvalue" -> asc("orderkey", "linenumber"),
+    // q10_returned_items: semantic order (sort+limit), no Proto entry
+    "q12_shipmode_priority" -> asc("shipped_after_order"),
+    "q16_supplier_variety" -> asc("brand", "type", "size"),
     "j1_interval_join" -> asc("orderkey", "linenumber"),
     "j12_interval_left" -> asc("orderkey", "linenumber"),
     "j3_dim_enrich" -> asc("orderkey"),

@@ -503,6 +503,64 @@ object AnalyticsOps {
         sum(dec($"c_acctbal")).cast("double").as("total_balance"))
   }
 
+  /** Returned-item revenue report (TPC-H Q10 shape): top customers by
+    * revenue lost to returns, with their dim context. TakeOrdered caps
+    * the output (per-partition heaps of 20, never a full sort); nation
+    * broadcasts; customer — the scale-growing dim — is un-hinted.
+    */
+  def returnedItemRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir).filter($"l_returnflag" === "R")
+    val n = nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(c("c_custkey"), c("c_name"), c("c_mktsegment"), n("n_name"))
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .select($"c_custkey".as("custkey"), $"c_name".as("cust_name"),
+        $"c_mktsegment".as("mktsegment"), $"n_name".as("nation_name"), $"revenue")
+      .orderBy($"revenue".desc, $"custkey")
+      .limit(20)
+  }
+
+  /** Conditional aggregation over a join (TPC-H Q12 shape): per on-time
+    * class, how many high- vs low-priority orders — the CASE-inside-SUM
+    * pattern that folds what would be two queries into one pass.
+    */
+  def shipmodePriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    val highPrio = o("o_orderpriority") === "1-URGENT" ||
+      o("o_orderpriority") === "2-HIGH"
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy((l("l_shipdate") >= o("o_orderdate")).as("shipped_after_order"))
+      .agg(
+        sum(when(highPrio, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(highPrio, 0L).otherwise(1L)).as("low_line_count"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** NOT IN over a nullable-free subquery (TPC-H Q16 shape): supplier
+    * variety per part attribute, excluding blacklisted suppliers. The
+    * exclusion list is tiny and bounded → broadcast left-anti join
+    * (NOT IN's null trap doesn't arise: s_suppkey is a key); the
+    * count(DISTINCT) re-shuffles once on the grouping attrs.
+    */
+  def partSupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir).filter($"p_brand" =!= "Brand#4")
+    val l = lineitem(spark, dir).select($"l_partkey", $"l_suppkey")
+    val blacklist = supplier(spark, dir)
+      .filter(dec($"s_acctbal") < 0).select($"s_suppkey")
+    l.join(broadcast(blacklist), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(p, $"l_partkey" === p("p_partkey"))
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .select($"p_brand".as("brand"), $"p_type".as("type"),
+        $"p_size".cast("bigint").as("size"), $"supplier_cnt")
+  }
+
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val c = customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
     val o = orders(spark, dir)

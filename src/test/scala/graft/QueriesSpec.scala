@@ -31,7 +31,8 @@ class QueriesSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"Proto entry without query: $dangling")
     // these end in a sort+limit (or TakeOrdered) — already totally ordered
     val semanticallyOrdered =
-      Set("topk_orders", "q3_shipping_priority", "sample_uniform_k")
+      Set("topk_orders", "q3_shipping_priority", "sample_uniform_k",
+        "q10_returned_items")
     val unsorted = SparkEntry.queries.keySet -- Proto.order.keySet --
       semanticallyOrdered
     assert(unsorted.isEmpty,
