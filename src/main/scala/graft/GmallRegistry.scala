@@ -36,6 +36,7 @@ object GmallRegistry {
     "x1_log_split" -> (EventOps.logSplit _),
     "s4_cdc_normalize" -> (EventOps.cdcNormalize _),
     "dim_scd2_history" -> (EventOps.scd2History _),
+    "j13_scd2_pit" -> (EventOps.scd2PointInTime _),
     "j2_config_route" -> (EventOps.configRoute _),
     "j9_salted_skew_join" -> (EventOps.saltedRoute _),
     "skew_heavy_hitters" -> (EventOps.heavyHitterScan _),
@@ -80,6 +81,7 @@ object GmallRegistry {
     "kmv_segment_overlap" -> (AnalyticsOps.segmentOverlap _),
     "cm_frequencies" -> ((s: SparkSession, d: String) =>
       AnalyticsOps.cmFrequencies(s, d)),
+    "profile_documents" -> (AnalyticsOps.profileDocuments _),
     "set_except" -> (AnalyticsOps.setExcept _),
     "sessionize" -> (AnalyticsOps.sessionize _),
     "topk_orders" -> (AnalyticsOps.topKOrders _),
@@ -281,6 +283,31 @@ object GmallRegistry {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    AS BIGINT) AS version
         |FROM c ORDER BY user_id, version""".stripMargin,
+    // PIT probe against the same history CTE chain as dim_scd2_history
+    "j13_scd2_pit" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |hist AS (SELECT user_id, event_type AS attr,
+        |  epoch_us(ts) AS valid_from,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |    AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS BIGINT) AS version
+        |FROM c),
+        |probes AS (SELECT event_id, user_id AS p_user,
+        |    epoch_us(ts) + 30000000 AS at_us
+        |  FROM events WHERE event_id % 37 = 0)
+        |SELECT event_id, p_user AS user_id, at_us,
+        |  h.attr AS attr_at, h.version AS version_at
+        |FROM probes p JOIN hist h
+        |  ON p.p_user = h.user_id AND p.at_us >= h.valid_from
+        |  AND (h.valid_to IS NULL OR p.at_us < h.valid_to)
+        |ORDER BY event_id""".stripMargin,
     "s4_cdc_normalize" ->
       """SELECT 'gmall2021' AS database, 'order_info' AS tableName,
         |  o_orderkey AS id,
@@ -610,6 +637,17 @@ object GmallRegistry {
         |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
         |LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "profile_documents" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", count($c) AS n_values,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min(CAST($c AS VARCHAR)) AS min_str,
+           |  max(CAST($c AS VARCHAR)) AS max_str
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     // full value-level REPLAY of the count-min sketch: DuckDB recomputes
     // every (row, bucket) counter with the same portable md5-ring hashes
     // and takes the same min — no tolerance band needed

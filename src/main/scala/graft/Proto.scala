@@ -90,6 +90,8 @@ object Proto {
     "set_intersect" -> asc("user_id", "dt"),
     "kmv_segment_overlap" -> asc("type_a", "type_b"),
     "cm_frequencies" -> asc("hh_key"),
+    "j13_scd2_pit" -> asc("event_id"),
+    "profile_documents" -> asc("column"),
     "set_except" -> asc("user_id", "dt"),
     "sessionize" -> asc("user_id", "session_no"),
     "topk_orders_agg" -> Seq(col("totalprice").desc, col("orderkey")),

@@ -377,6 +377,31 @@ object AnalyticsOps {
       .select(($"revenue_u" / 10000.0).as("revenue"), $"line_count")
   }
 
+  /** ANALYZE-style column profile — the stats collection every pipeline
+    * runs before trusting a new data drop (and what a cost-based
+    * optimizer feeds on): per column, row/null/distinct counts and
+    * lexicographic min/max, in ONE pass over the table (a single
+    * aggregate computing all columns' stats simultaneously, then
+    * unpivoted — never one scan per column).
+    */
+  def profileDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c).cast("string")).as(s"${c}__min"),
+        max(col(c).cast("string")).as(s"${c}__max"))
+    }
+    val wide = documents(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      wide.select(lit(c).as("column"), col(s"${c}__n").as("n_values"),
+        col(s"${c}__nulls").as("n_nulls"), col(s"${c}__ndv").as("n_distinct"),
+        col(s"${c}__min").as("min_str"), col(s"${c}__max").as("max_str"))
+    }
+    stacked.reduce(_ unionAll _)
+  }
+
   /** Count-Min point-frequency estimates over the skewed key stream (the
     * [[graft.operators.EventOps.heavyHitterScan]] key derivation): build
     * ONE mergeable d×w sketch in a single map-side pass, then probe

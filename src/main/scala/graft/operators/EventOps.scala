@@ -165,6 +165,33 @@ object EventOps {
         $"valid_to".isNull.as("is_current"), $"version")
   }
 
+  /** Point-in-time lookup against the SCD2 history (the consumer side of
+    * [[scd2History]] — the reference's versioned-dim semantics, where a
+    * fact is enriched with the attribute value that was CURRENT at the
+    * fact's timestamp, not today's). Probes are a deterministic sample
+    * of the event stream shifted +30 s, so a probe can land inside its
+    * own run, a later run, or past the final change (caught by the
+    * open-ended `valid_to IS NULL` current row).
+    *
+    * Join shape at scale: equi-key on user_id (history and probes
+    * co-partition) with the interval containment as a residual — one
+    * shuffle, no nested loop; history depth per key is bounded by the
+    * change count, not the event count.
+    */
+  def scd2PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2History(spark, dir)
+    val probes = events(spark, dir)
+      .filter($"event_id" % 37 === 0)
+      .select($"event_id", $"user_id".as("p_user"),
+        (unix_micros($"ts") + 30000000L).as("at_us"))
+    probes.join(hist,
+        probes("p_user") === hist("user_id") &&
+          probes("at_us") >= hist("valid_from") &&
+          (hist("valid_to").isNull || probes("at_us") < hist("valid_to")))
+      .select($"event_id", $"p_user".as("user_id"), $"at_us",
+        hist("attr").as("attr_at"), hist("version").as("version_at"))
+  }
+
   /** X2/K2/K3 batch twin of the full CDC route (reference BaseDBLog +
     * TableProcessFunction): orders become change envelopes with an
     * `after` map; a config table routes insert→kafka / update→hbase,
