@@ -88,6 +88,23 @@ object WindowedAggs {
       .select($"w.start".as("window_start"), $"sketch",
         org.apache.spark.sql.graftexpr.GraftHll.cardinality($"sketch").as("uv_est"))
 
+  /** Per-window Count-Min sketch — the frequency companion of
+    * [[uvSketchPerWindow]]: each closed window emits its mergeable d×w
+    * counter blob, so a serving store can answer "how often was key k in
+    * window/day/week?" by elementwise-adding blobs, without the raw
+    * stream. Same ObjectHashAggregate partial-merge path, constant state
+    * per open window.
+    */
+  def cmSketchPerWindow(events: DataFrame, depth: Int = 4,
+      width: Int = 256): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis($"ts"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window($"event_time", "1 hour").as("w"))
+      .agg(org.apache.spark.sql.graftexpr.GraftCountMin
+        .build($"user_id", depth, width).as("sketch"))
+      .select($"w.start".as("window_start"), $"sketch")
+
   /** Session windows with a 30-min gap — Spark's native session_window
     * generalizes the batch gaps-and-islands form; state per open session,
     * closed by the watermark.

@@ -115,6 +115,39 @@ class WindowedAggsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cm sketch window: cross-batch counts ADD; sketch matches batch build") {
+    val ms = MemoryStream[E](enc, spark)
+    val out = WindowedAggs.cmSketchPerWindow(ms.toDF(), depth = 4, width = 256)
+    val q = out.writeStream.format("memory").queryName("cmsk_out")
+      .outputMode("append").start()
+    try {
+      // user 7 appears in BOTH micro-batches: the merged sketch must
+      // count 5 total (frequency state adds, unlike the HLL's distinct)
+      ms.addData(E(7, "c", h0 + 1000), E(7, "c", h0 + 2000), E(8, "c", h0 + 3000))
+      q.processAllAvailable()
+      ms.addData(E(7, "c", h0 + 4000), E(7, "c", h0 + 5000), E(9, "c", h0 + 6000))
+      q.processAllAvailable()
+      ms.addData(E(999, "z", h0 + 3 * 3600000L)) // watermark closes it
+      q.processAllAvailable()
+      val rows = spark.table("cmsk_out").collect()
+        .filter { r =>
+          val est = org.apache.spark.sql.graftexpr.GraftCountMin
+            .estimate(r.getAs[Array[Byte]](1), 7L)
+          est > 0
+        }
+      assert(rows.length === 1)
+      val sketch = rows.head.getAs[Array[Byte]](1)
+      assert(org.apache.spark.sql.graftexpr.GraftCountMin.estimate(sketch, 7L) === 4L)
+      assert(org.apache.spark.sql.graftexpr.GraftCountMin.estimate(sketch, 8L) === 1L)
+      // batching invariance: byte-identical to a batch build of the keys
+      import spark.implicits.{localSeqToDatasetHolder, newLongEncoder}
+      val batch = Seq(7L, 7L, 8L, 7L, 7L, 9L).toDF("k")
+        .agg(org.apache.spark.sql.graftexpr.GraftCountMin.build($"k", 4, 256))
+        .head().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(sketch, batch))
+    } finally q.stop()
+  }
+
   test("session_window merges within gap, splits across it") {
     val ms = MemoryStream[E](enc, spark)
     val out = WindowedAggs.sessionized(ms.toDF())
