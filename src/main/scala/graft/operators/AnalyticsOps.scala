@@ -394,12 +394,15 @@ object AnalyticsOps {
         max(col(c).cast("string")).as(s"${c}__max"))
     }
     val wide = documents(spark, dir).agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { c =>
-      wide.select(lit(c).as("column"), col(s"${c}__n").as("n_values"),
-        col(s"${c}__nulls").as("n_nulls"), col(s"${c}__ndv").as("n_distinct"),
-        col(s"${c}__min").as("min_str"), col(s"${c}__max").as("max_str"))
-    }
-    stacked.reduce(_ unionAll _)
+    // unpivot by exploding a struct array over the ONE aggregate row —
+    // a union of per-column selects would re-run the aggregate (and its
+    // scan) once per column, which is exactly what profiling must not do
+    wide.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col(s"${c}__n").as("n_values"),
+          col(s"${c}__nulls").as("n_nulls"), col(s"${c}__ndv").as("n_distinct"),
+          col(s"${c}__min").as("min_str"), col(s"${c}__max").as("max_str"))
+      }: _*)).as("s"))
+      .select($"s.*")
   }
 
   /** Count-Min point-frequency estimates over the skewed key stream (the

@@ -101,6 +101,11 @@ object GraftCountMin {
       CountMinBuildAgg(ExpressionUtils.expression(key), depth, width)
         .toAggregateExpression())
 
+  /** Column API: probe a sketch column/literal directly. */
+  def estimateCol(sketch: Column, key: Column): Column =
+    ExpressionUtils.column(CountMinEstimate(
+      ExpressionUtils.expression(sketch), ExpressionUtils.expression(key)))
+
   /** Probe bound via scalar subquery — the one-row sketch frame executes
     * once and rides the probing stage as a constant (the
     * [[GraftBloom.mightContainScalar]] pattern; a joined-in blob would

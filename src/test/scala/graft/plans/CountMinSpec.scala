@@ -49,6 +49,23 @@ class CountMinSpec extends AnyFunSuite {
     assert(out == 3L)
   }
 
+  test("probe codegen actually compiles (no silent interpreted fallback)") {
+    // the regression test for the MODULE$-vs-static-forwarder codegen bug
+    val blob = Seq(5L, 5L, 6L).toDF("k")
+      .agg(GraftCountMin.build(col("k"), 4, 256)).collect()(0).getAs[Array[Byte]](0)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Seq(5L).toDF("k")
+        .select(GraftCountMin.estimateCol(lit(blob), col("k")).as("est"))
+        .as[Long].head()
+      assert(out == 2L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("malformed blobs raise a named error, not an index crash") {
     val bad = intercept[Exception] {
       GraftCountMin.estimate(Array[Byte](1, 2, 3), 1L)
