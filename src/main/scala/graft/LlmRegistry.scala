@@ -38,6 +38,7 @@ object LlmRegistry {
     "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "dedup_clusters" -> (Dedup.minhashClusters _),
+    "dedup_incremental" -> (Dedup.incrementalMinhash _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
@@ -433,6 +434,27 @@ object LlmRegistry {
          |SELECT a, b, CAST(eq AS DOUBLE) / ${Dedup.NumPerm}.0 AS est_jaccard
          |FROM pairs WHERE CAST(eq AS DOUBLE) / ${Dedup.NumPerm}.0 >= 0.5
          |ORDER BY a, b""".stripMargin,
+    // base/delta split + band-index probe, same signature CTEs; verdict
+    // = smallest Jaccard-confirmed base owner
+    "dedup_incremental" ->
+      s"""$minhashCtes,
+         |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,
+         |  string_agg(mh, '_' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+         |  FROM bands d JOIN bands b ON d.band = b.band AND d.sig = b.sig
+         |  WHERE d.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+         |confirmed AS (SELECT c.delta_id, min(c.base_id) AS dup_of
+         |  FROM cand c JOIN mh x ON x.doc_id = c.delta_id
+         |    JOIN mh y ON y.doc_id = c.base_id AND y.j = x.j
+         |  GROUP BY c.delta_id, c.base_id
+         |  HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+         |    >= ${Dedup.NumPerm} * 0.5),
+         |confirmed_min AS (SELECT delta_id, min(dup_of) AS dup_of
+         |  FROM confirmed GROUP BY 1)
+         |SELECT s.doc_id, c.dup_of IS NULL AS is_new, c.dup_of
+         |FROM (SELECT DISTINCT doc_id FROM mh WHERE doc_id % 5 = 0) s
+         |LEFT JOIN confirmed_min c ON c.delta_id = s.doc_id
+         |ORDER BY doc_id""".stripMargin,
     // connected components via transitive closure (WITH RECURSIVE + UNION
     // dedup guarantees termination); cluster id = min reachable doc
     "dedup_clusters" ->

@@ -92,6 +92,7 @@ object Proto {
     "cm_frequencies" -> asc("hh_key"),
     "j13_scd2_pit" -> asc("event_id"),
     "profile_documents" -> asc("column"),
+    "dedup_incremental" -> asc("doc_id"),
     "set_except" -> asc("user_id", "dt"),
     "sessionize" -> asc("user_id", "session_no"),
     "topk_orders_agg" -> Seq(col("totalprice").desc, col("orderkey")),

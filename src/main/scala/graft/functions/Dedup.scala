@@ -143,6 +143,41 @@ object Dedup {
       .select($"a", $"b", $"est_jaccard")
   }
 
+  /** Incremental snapshot dedup — the production crawl-iteration shape:
+    * yesterday's corpus is already deduped and has a SAVED band index
+    * (band, bandsig) → owner docs; today's delta joins its band
+    * signatures against that index and is verdicted WITHOUT re-pairing
+    * the base corpus against itself. Per delta doc: candidates = base
+    * docs sharing ≥1 band (bucket-bounded, never all-pairs), confirmed
+    * at est-Jaccard ≥ 0.5 over the full signatures, `dup_of` = smallest
+    * confirmed base doc, else the doc is new. [[NearDupStream]] is this
+    * operator's streaming twin (first-owner band state); here the split
+    * base/delta = doc_id % 5 stands in for the two snapshots.
+    *
+    * Scale: the index join shuffles on (band, bandsig) — the same
+    * bounded-bucket contract as [[minhashPairs]]; the delta (small side)
+    * probes it, and base×base pairs are never formed.
+    */
+  def incrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatureArray(spark, dir)
+    val bands = sig.select($"doc_id", $"sig", bandsigCols("sig"))
+      .select($"doc_id", $"sig", $"pos".as("band"), $"col".as("bandsig"))
+    val base = bands.filter($"doc_id" % 5 =!= 0)
+    val delta = bands.filter($"doc_id" % 5 === 0)
+    val cand = delta.as("d").join(base.as("b").hint("shuffle_hash"),
+        expr("d.band = b.band AND d.bandsig = b.bandsig"))
+      .select(col("d.doc_id").as("delta_id"), col("b.doc_id").as("base_id"),
+        col("d.sig").as("sig_d"), col("b.sig").as("sig_b"))
+      .distinct()
+    val confirmed = cand
+      .filter(expr(s"size(filter(zip_with(sig_d, sig_b, (x, y) -> x = y), v -> v))")
+        .cast("double") / lit(NumPerm.toDouble) >= 0.5)
+      .groupBy($"delta_id").agg(min($"base_id").as("dup_of"))
+    sig.filter($"doc_id" % 5 === 0).select($"doc_id")
+      .join(confirmed, $"doc_id" === $"delta_id", "left")
+      .select($"doc_id", $"dup_of".isNull.as("is_new"), $"dup_of")
+  }
+
   /** Iteration cap for [[minhashClusters]]. Each round combines a
     * neighbor-min step with a pointer-jumping contraction
     * (label ← label(label)), so convergence needs O(log diameter)
