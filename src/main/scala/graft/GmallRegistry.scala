@@ -76,6 +76,8 @@ object GmallRegistry {
     "rank_top_per_brand" -> (AnalyticsOps.topPerBrand _),
     "window_running_total" -> (AnalyticsOps.runningTotal _),
     "window_lag_lead" -> (AnalyticsOps.lagLeadGaps _),
+    "window_quartiles" -> (AnalyticsOps.orderQuartiles _),
+    "q8_market_share" -> (AnalyticsOps.marketShare _),
     "window_range_frame" -> (AnalyticsOps.rangeFrameSum _),
     "set_intersect" -> (AnalyticsOps.setIntersect _),
     "kmv_segment_overlap" -> (AnalyticsOps.segmentOverlap _),
@@ -585,6 +587,37 @@ object GmallRegistry {
         |    RANGE BETWEEN 60000 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS trailing_minute_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "window_quartiles" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+        |ORDER BY orderkey""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |         (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) / 10000.0 AS nation_revenue,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |       (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) / 10000.0 AS total_revenue,
+        |  CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |         (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) AS DOUBLE) /
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |       (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_rollup" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,

@@ -93,6 +93,8 @@ object Proto {
     "j13_scd2_pit" -> asc("event_id"),
     "profile_documents" -> asc("column"),
     "dedup_incremental" -> asc("doc_id"),
+    "window_quartiles" -> asc("orderkey"),
+    "q8_market_share" -> asc("order_year"),
     "set_except" -> asc("user_id", "dt"),
     "sessionize" -> asc("user_id", "session_no"),
     "topk_orders_agg" -> Seq(col("totalprice").desc, col("orderkey")),

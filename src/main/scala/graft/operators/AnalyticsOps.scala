@@ -226,6 +226,55 @@ object AnalyticsOps {
         sum(dec($"o_totalprice")).over(w).cast("double").as("running_total"))
   }
 
+  /** Distribution window functions (ntile / percent_rank / cume_dist)
+    * per customer — the feature-bucketing shape (equi-depth quartile
+    * assignment within a key). Partitioned by custkey, so partition
+    * sizes are bounded by per-customer order counts — never the global
+    * single-partition ntile anti-pattern.
+    */
+  def orderQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(dec($"o_totalprice"), $"o_orderkey")
+    orders(spark, dir)
+      .select($"o_custkey".as("custkey"), $"o_orderkey".as("orderkey"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
+  /** Regional market share (TPC-H Q8 shape): one supplier-nation's share
+    * of a region's customer revenue per order year — two-level dim
+    * chains on BOTH join branches (customer→nation→region gating the
+    * facts; supplier→nation providing the share dimension) and a
+    * conditional-sum share in exact unscaled-long money.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir)
+    val o = orders(spark, dir)
+    val c = customer(spark, dir)
+    val s = supplier(spark, dir)
+    val cn = nation(spark, dir)
+    val sn = nation(spark, dir).select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val r = region(spark, dir)
+    val discU = (dec($"l_extendedprice") * 100).cast("long") *
+      (lit(100L) - (dec($"l_discount") * 100).cast("long"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(cn), c("c_nationkey") === cn("n_nationkey"))
+      .join(broadcast(r),
+        cn("n_regionkey") === r("r_regionkey") && r("r_name") === "AMERICA")
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(sn), s("s_nationkey") === $"sn_key")
+      .groupBy(year(o("o_orderdate")).cast("bigint").as("order_year"))
+      .agg(
+        sum(when($"supp_nation" === "NATION_1", discU).otherwise(0L)).as("nation_u"),
+        sum(discU).as("all_u"))
+      .select($"order_year",
+        ($"nation_u" / 10000.0).as("nation_revenue"),
+        ($"all_u" / 10000.0).as("total_revenue"),
+        ($"nation_u".cast("double") / $"all_u".cast("double")).as("mkt_share"))
+  }
+
   /** (user, day) pairs with a given activity — the set-op operand.
     * Day grain because the tiny test corpus has every user doing every
     * event type overall (user-level sets would be degenerate).
