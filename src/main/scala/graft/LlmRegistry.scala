@@ -42,6 +42,7 @@ object LlmRegistry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "dedup_ngram_containment" -> (Dedup.ngramContainmentPairs _),
     "dedup_span_coverage" -> (Dedup.spanCoverage _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "sim_bruteforce_topk" -> (Similarity.bruteForceTopK _),
@@ -68,6 +69,7 @@ object LlmRegistry {
     "pipeline_decontaminate" -> (CorpusPipeline.decontaminate _),
     "pipeline_decontaminate_bloom" -> (CorpusPipeline.decontaminateBloom _),
     "sample_uniform_k" -> (Sampling.uniformK _),
+    "pipeline_shard_manifest" -> (Sampling.shardManifest _),
     "sample_split_assign" -> (Sampling.splitAssign _),
     "sample_stratified" -> (Sampling.stratified _),
     "pipeline_mix_sources" -> (Sampling.mixSources _),
@@ -338,6 +340,7 @@ object LlmRegistry {
     // exactly → same answer, same oracle as the plain sweep
     "pipeline_decontaminate_bloom" -> CorpusPipeline.sqlDecontaminate,
     "sample_uniform_k" -> Sampling.sqlUniformK,
+    "pipeline_shard_manifest" -> Sampling.sqlShardManifest,
     "sample_split_assign" -> Sampling.sqlSplitAssign,
     "sample_stratified" -> Sampling.sqlStratified,
     "pipeline_mix_sources" -> Sampling.sqlMixSources,
@@ -505,6 +508,21 @@ object LlmRegistry {
          |  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
          |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    // ordered pairs, per-source denominator: containment, not Jaccard
+    "dedup_ngram_containment" ->
+      s"""WITH sh AS (${Dedup.sqlShingles}),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+         |        HAVING count(*) <= ${Dedup.DfCap}) f USING (shingle)),
+         |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.a, i.b,
+         |  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= 0.9
          |ORDER BY a, b""".stripMargin,
     "dedup_span_coverage" ->
       s"""WITH sh AS (${Dedup.sqlShingles}),

@@ -94,6 +94,8 @@ object Proto {
     "profile_documents" -> asc("column"),
     "dedup_incremental" -> asc("doc_id"),
     "window_quartiles" -> asc("orderkey"),
+    "dedup_ngram_containment" -> asc("a", "b"),
+    "pipeline_shard_manifest" -> asc("shard"),
     "q8_market_share" -> asc("order_year"),
     "set_except" -> asc("user_id", "dt"),
     "sessionize" -> asc("user_id", "session_no"),

@@ -371,6 +371,33 @@ object Dedup {
       .filter($"jaccard" >= 0.5)
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: C(a→b) = |∩| / |A| — the
+    * quote-inclusion detector Jaccard structurally misses (a short doc
+    * fully embedded in a long one has tiny |∩|/|∪| but containment ≈ 1).
+    * Emits ORDERED pairs above the threshold, so a→b and b→a are judged
+    * independently with their own denominators. Same DF-capped bucketed
+    * candidate join as [[ngramJaccardPairs]] (shared exchange, no
+    * all-pairs, no corpus broadcast); the threshold is higher (0.9)
+    * because containment is the "is A essentially inside B" question.
+    */
+  def ngramContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleArrays(documents(spark, dir))
+      .select($"doc_id", size($"sh_arr").cast("bigint").as("n_sh"),
+        explode($"sh_arr").as("shingle"))
+    val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" <= DfCap)
+    val rare = sh.join(df.select($"shingle").hint("shuffle_hash"), Seq("shingle"))
+    rare.as("x").join(rare.as("y").hint("shuffle_hash"),
+        expr("x.shingle = y.shingle AND x.doc_id <> y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.n_sh").as("n_sh"))
+      .groupBy($"a", $"b", $"n_sh")
+      .agg(count(lit(1)).as("n_inter"))
+      .select($"a", $"b",
+        ($"n_inter".cast("double") / $"n_sh".cast("double")).as("containment"))
+      .filter($"containment" >= 0.9)
+  }
+
   /** Duplicate-span coverage per document: the share of a doc's distinct
     * word 3-shingles that also occur in at least one OTHER document —
     * the "how much of this doc is copied from somewhere" signal behind

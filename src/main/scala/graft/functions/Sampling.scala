@@ -269,6 +269,53 @@ object Sampling {
   /** DuckDB twin of [[packSequences]] (integer-exact: `//` truncates
     * like Spark's `div` — all operands non-negative here).
     */
+  /** Shard count for [[shardManifest]]. */
+  val NumShards = 16
+
+  /** Training-export shard manifest: every doc hash-assigned to one of
+    * [[NumShards]] shards (salted md5 — stable under corpus growth, no
+    * coordination), and per shard the audit columns an export pipeline
+    * ships alongside the data: doc count, total tokens, id range, and an
+    * order-insensitive content checksum (BIT_XOR of per-doc text
+    * hashes — any dropped, duplicated or altered doc flips it). One
+    * shuffle on the shard key; [[writeShards]] materializes the same
+    * assignment as a partitioned directory tree.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select($"doc_id",
+        (priority("shard:", $"doc_id") % NumShards).as("shard"),
+        size(TextAnalysis.tokens($"text")).cast("bigint").as("n_tokens"),
+        Hashing.md5Prefix60($"text").as("text_h"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"),
+        expr("bit_xor(text_h)").as("checksum60"))
+
+  /** DuckDB twin of [[shardManifest]]. */
+  def sqlShardManifest: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    ${sqlPriority("shard:", "doc_id")} % $NumShards AS shard,
+       |    CAST(len(${TextAnalysis.sqlTokens("text")}) AS BIGINT) AS n_tokens,
+       |    ${Hashing.sqlMd5Prefix60("text")} AS text_h
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       |  bit_xor(text_h) AS checksum60
+       |FROM t GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** Materialize the [[shardManifest]] assignment as a directory tree
+    * (one directory per shard, one file per shard after the keyed
+    * repartition — the export layout a downstream trainer reads).
+    */
+  def writeShards(spark: SparkSession, dir: String, outPath: String): Unit =
+    documents(spark, dir)
+      .withColumn("shard", priority("shard:", $"doc_id") % NumShards)
+      .repartition($"shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+
   def sqlPackSequences: String =
     s"""WITH t AS (SELECT doc_id, source,
        |    CAST(len(${TextAnalysis.sqlTokens("text")}) AS BIGINT) AS n_tokens

@@ -70,4 +70,28 @@ class SamplingSpec extends AnyFunSuite {
     val totalTokens = TextAnalysis.tokensToIds(spark, dir).count()
     assert(totalFromChunks === totalTokens)
   }
+
+  test("shard export: directory tree matches the manifest, nothing lost") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("shards").toString
+    Sampling.writeShards(spark, dir, base)
+    val manifest = Sampling.shardManifest(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(5))).toMap
+    assert(manifest.size === Sampling.NumShards)
+    // read back via the partition column: per-shard doc counts and
+    // checksums must reproduce the manifest exactly
+    val back = spark.read.parquet(base)
+      .withColumn("text_h", graft.functions.Hashing.md5Prefix60(col("text")))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(text_h)").as("ck"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(back === manifest)
+    val dirs = new java.io.File(base).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs === Sampling.NumShards)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+  }
 }
