@@ -387,14 +387,23 @@ object Dedup {
     val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" <= DfCap)
     val rare = sh.join(df.select($"shingle").hint("shuffle_hash"), Seq("shingle"))
+    // intersections computed ONCE per unordered pair (a < b — half the
+    // join and aggregation volume), then both directed rows emitted with
+    // their own denominators; a <> join would re-count every
+    // intersection twice
     rare.as("x").join(rare.as("y").hint("shuffle_hash"),
-        expr("x.shingle = y.shingle AND x.doc_id <> y.doc_id"))
+        expr("x.shingle = y.shingle AND x.doc_id < y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.n_sh").as("n_sh"))
-      .groupBy($"a", $"b", $"n_sh")
+        col("x.n_sh").as("n_sh"), col("y.n_sh").as("n_sh_b"))
+      .groupBy($"a", $"b", $"n_sh", $"n_sh_b")
       .agg(count(lit(1)).as("n_inter"))
-      .select($"a", $"b",
-        ($"n_inter".cast("double") / $"n_sh".cast("double")).as("containment"))
+      .select(explode(array(
+        struct($"a", $"b",
+          ($"n_inter".cast("double") / $"n_sh".cast("double")).as("containment")),
+        struct($"b".as("a"), $"a".as("b"),
+          ($"n_inter".cast("double") / $"n_sh_b".cast("double")).as("containment"))))
+        .as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"), $"p.containment".as("containment"))
       .filter($"containment" >= 0.9)
   }
 
