@@ -66,6 +66,7 @@ object LlmRegistry {
       Multimodal.decodeFeatures(s, d)),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "pipeline_clean_corpus" -> (CorpusPipeline.cleanCorpus _),
+    "pipeline_corpus_report" -> (CorpusPipeline.corpusReport _),
     "pipeline_decontaminate" -> (CorpusPipeline.decontaminate _),
     "pipeline_decontaminate_bloom" -> (CorpusPipeline.decontaminateBloom _),
     "sample_uniform_k" -> (Sampling.uniformK _),
@@ -631,6 +632,41 @@ object LlmRegistry {
          |  CAST((octet_length(encode(text)) + 1023) // 1024 AS BIGINT) AS n_frames,
          |  ${sqlMd5Prefix60("text")} % 997 AS feat
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the ADS report composes the SAME quality/langid/fingerprint
+    // fragments that back text_quality, text_langid and dedup_exact
+    "pipeline_corpus_report" ->
+      s"""WITH q0 AS (SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter($toks, x -> list_contains(${TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS n_stop,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents),
+         |qual AS (SELECT doc_id, n_tokens,
+         |  CAST(CASE WHEN n_tokens >= 10 AND n_stop > 0
+         |    AND CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.5
+         |    THEN 1 ELSE 0 END AS BIGINT) AS quality FROM q0),
+         |tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |hits AS (SELECT doc_id, cand_lang, count(*) AS hits
+         |  FROM tok JOIN (VALUES $markerValues) AS m(cand_lang, marker) ON tok = marker
+         |  GROUP BY 1, 2),
+         |best AS (SELECT doc_id, cand_lang,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+         |  FROM hits),
+         |lang AS (SELECT d.doc_id, coalesce(b.cand_lang, 'und') AS pred_lang
+         |  FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)),
+         |dup AS (SELECT doc_id, source,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY md5($normText)) AS is_dup
+         |  FROM documents)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(q.quality) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+         |  CAST(sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |  CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(q.quality) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS quality_rate,
+         |  CAST(CAST(sum(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS english_rate,
+         |  CAST(CAST(sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+         |FROM dup d JOIN qual q USING (doc_id) JOIN lang l USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""$minhashCtes,
          |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,

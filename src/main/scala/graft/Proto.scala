@@ -96,6 +96,7 @@ object Proto {
     "window_quartiles" -> asc("orderkey"),
     "dedup_ngram_containment" -> asc("a", "b"),
     "pipeline_shard_manifest" -> asc("shard"),
+    "pipeline_corpus_report" -> asc("source"),
     "q8_market_share" -> asc("order_year"),
     "set_except" -> asc("user_id", "dt"),
     "sessionize" -> asc("user_id", "session_no"),

@@ -120,4 +120,34 @@ object CorpusPipeline {
       .join(exactKeep, Seq("doc_id"))
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
+
+  /** Per-source corpus health report — the ADS-layer integration query a
+    * data team actually reads before a training run: quality pass-rate,
+    * language mix, exact-dup rate and token inventory, one row per
+    * source, composed from the SAME operators that run standalone
+    * (qualityScore, langId, the exact-dedup fingerprint). Doc-level
+    * signals join on doc_id (each already one row per doc), then ONE
+    * aggregation by source; every rate is an exact BIGINT/BIGINT double.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val qual = TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id", $"n_tokens", $"quality")
+    val lang = TextAnalysis.langId(spark, dir).select($"doc_id", $"pred_lang")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+    val dup = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", md5(Hashing.normText($"text")).as("fp"))
+      .withColumn("is_dup", $"doc_id" =!= min($"doc_id").over(w))
+    dup.join(qual, Seq("doc_id")).join(lang, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"quality").as("n_quality"),
+        sum(when($"pred_lang" === "en", 1L).otherwise(0L)).as("n_english"),
+        sum(when($"is_dup", 1L).otherwise(0L)).as("n_dups"),
+        sum($"n_tokens").as("n_tokens"))
+      .select($"source", $"n_docs", $"n_quality", $"n_english", $"n_dups",
+        $"n_tokens",
+        ($"n_quality".cast("double") / $"n_docs".cast("double")).as("quality_rate"),
+        ($"n_english".cast("double") / $"n_docs".cast("double")).as("english_rate"),
+        ($"n_dups".cast("double") / $"n_docs".cast("double")).as("dup_rate"))
+  }
 }
