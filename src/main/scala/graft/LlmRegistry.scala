@@ -27,6 +27,7 @@ object LlmRegistry {
     "url_canonicalize" -> (UrlOps.urlCanonicalize _),
     "bpe_train" -> ((s: SparkSession, d: String) => BpeTrain.bpeTrain(s, d)),
     "bpe_encode" -> ((s: SparkSession, d: String) => BpeTrain.bpeEncode(s, d)),
+    "bpe_apply" -> ((s: SparkSession, d: String) => BpeTrain.bpeApply(s, d)),
     "text_pii_redact" -> (TextAnalysis.piiRedact _),
     "vocab_build" -> (TextAnalysis.vocabBuild _),
     "tokens_to_ids" -> (TextAnalysis.tokensToIds _),
@@ -306,6 +307,7 @@ object LlmRegistry {
     // replace IS the BPE merge under the bracket encoding)
     "bpe_train" -> BpeTrain.sqlBpeTrain(toks),
     "bpe_encode" -> BpeTrain.sqlBpeEncode(toks),
+    "bpe_apply" -> BpeTrain.sqlBpeApply(toks),
     // seeded dirty text (decomposed accents, controls, space runs) +
     // NFC canonicalization — both from the SAME TextAnalysis twins
     "text_normalize" ->

@@ -110,6 +110,7 @@ object Proto {
     "url_canonicalize" -> asc("doc_id"),
     "bpe_train" -> asc("merge_rank"),
     "bpe_encode" -> asc("word"),
+    "bpe_apply" -> asc("doc_id", "pos"),
     "vocab_build" -> asc("token_id"),
     "tokens_to_ids" -> asc("doc_id", "pos"),
     "text_commonness" -> asc("doc_id"),

@@ -119,6 +119,26 @@ object BpeTrain {
       $"freq")
   }
 
+  /** Tokenize the corpus with the learned merges: every (doc, position)
+    * token mapped to its subword pieces — the end of the train → encode →
+    * apply chain. The encoded vocabulary (vocab-sized) BROADCASTS onto
+    * the corpus token stream; the corpus side is one narrow
+    * posexplode + hash join, no merge loop ever touches it. That split —
+    * K sequential rounds over the tiny word-freq table, then one
+    * broadcast application over the 100 TB stream — is the whole reason
+    * training operates on the vocabulary, not the corpus.
+    */
+  def bpeApply(spark: SparkSession, dir: String,
+      merges: Int = DefaultMerges): DataFrame = {
+    val vocab = bpeEncode(spark, dir, merges)
+      .select($"word", $"pieces", $"n_pieces")
+    documents(spark, dir)
+      .select($"doc_id", posexplode(TextAnalysis.tokens($"text")))
+      .select($"doc_id", $"pos".cast("bigint").as("pos"), $"col".as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .select($"doc_id", $"pos", $"word", $"pieces", $"n_pieces")
+  }
+
   // ---- DuckDB twin ------------------------------------------------------
 
   private def sqlPairs(wordsCte: String): String =
@@ -167,4 +187,18 @@ object BpeTrain {
        |  CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_pieces,
        |  freq
        |FROM w$merges ORDER BY word""".stripMargin
+
+  /** DuckDB twin of [[bpeApply]]. */
+  def sqlBpeApply(toksExpr: String, merges: Int = DefaultMerges): String =
+    s"""WITH ${sqlStages(toksExpr, merges)},
+       |vocab AS (SELECT word,
+       |  replace(replace(replace(syms, '> <', ' '), '<', ''), '>', '') AS pieces,
+       |  CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_pieces
+       |  FROM w$merges),
+       |stream AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i + 1] AS word
+       |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+       |        FROM (SELECT doc_id, $toksExpr AS toks FROM documents) d) e)
+       |SELECT s.doc_id, s.pos, s.word, v.pieces, v.n_pieces
+       |FROM stream s JOIN vocab v USING (word)
+       |ORDER BY doc_id, pos""".stripMargin
 }
