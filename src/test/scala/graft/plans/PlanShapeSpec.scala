@@ -164,6 +164,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected aggregate below the join in the optimized plan:\n$plan")
   }
 
+  test("incremental dedup probes the band index by SHUFFLE, never broadcasting a corpus side") {
+    // both sides of the index join derive from the corpus — at snapshot
+    // scale neither fits a broadcast; the pinned shuffle_hash must hold
+    val plan = planString(q("dedup_incremental"))
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    val sides = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(sides == 0, s"corpus-derived side broadcast ($sides):\n$plan")
+  }
+
+  test("bpe_apply: the vocab broadcasts onto the token stream (corpus side never shuffles to the join)") {
+    val plan = planString(q("bpe_apply"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q8 market share: dims broadcast, facts never nested-loop") {
+    val plan = planString(q("q8_market_share"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("un-hinted scaling dims (customer, part) still broadcast via STATS at test scale") {
     // orderWide no longer forces broadcast(part)/broadcast(customer); at
     // sf0.001 file-size stats are far under the threshold, so Catalyst
