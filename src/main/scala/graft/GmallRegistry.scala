@@ -53,6 +53,7 @@ object GmallRegistry {
     "q10_returned_items" -> (AnalyticsOps.returnedItemRevenue _),
     "q12_shipmode_priority" -> (AnalyticsOps.shipmodePriority _),
     "q16_supplier_variety" -> (AnalyticsOps.partSupplierVariety _),
+    "q21_waiting_suppliers" -> (AnalyticsOps.waitingSuppliers _),
     "agg_salted_sum" -> (EventOps.saltedTypeTotals _),
     "x2_cdc_route" -> (EventOps.cdcRoute _),
     "p4_dynamic_prune" -> ((s: SparkSession, d: String) => EventOps.dynamicPrune(s, d)),
@@ -441,6 +442,21 @@ object GmallRegistry {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
         |    WHERE CAST(s_acctbal AS DECIMAL(18,2)) < 0)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // CORRELATED formulation on purpose: the Spark side runs the
+    // decorrelated one-aggregate form, so a hash match here is a
+    // cross-form equivalence proof
+    "q21_waiting_suppliers" ->
+      """SELECT s_name AS supp_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+        |    AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+        |    AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q22_idle_customers" ->
       """SELECT c_mktsegment AS segment, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance

@@ -39,6 +39,7 @@ object Proto {
     // q10_returned_items: semantic order (sort+limit), no Proto entry
     "q12_shipmode_priority" -> asc("shipped_after_order"),
     "q16_supplier_variety" -> asc("brand", "type", "size"),
+    "q21_waiting_suppliers" -> asc("supp_name"),
     "j1_interval_join" -> asc("orderkey", "linenumber"),
     "j12_interval_left" -> asc("orderkey", "linenumber"),
     "j3_dim_enrich" -> asc("orderkey"),

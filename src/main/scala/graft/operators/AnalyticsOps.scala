@@ -638,6 +638,34 @@ object AnalyticsOps {
         $"p_size".cast("bigint").as("size"), $"supplier_cnt")
   }
 
+  /** Double-correlated EXISTS / NOT EXISTS (TPC-H Q21 shape): suppliers
+    * who were the ONLY late supplier on a multi-supplier finished order.
+    * Decorrelated into ONE per-order aggregate — (distinct suppliers,
+    * distinct LATE suppliers) — joined back: a late line qualifies iff
+    * n_supp > 1 ∧ n_late_supp = 1. The two correlated subqueries become
+    * a single groupBy on the already-shuffled join key instead of two
+    * more passes over lineitem; the DuckDB oracle keeps the CORRELATED
+    * formulation, so the correctness check is a cross-form equivalence
+    * proof, not a same-shape replay.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val l = lineitem(spark, dir).select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val j = l.join(o, $"l_orderkey" === $"o_orderkey")
+      .withColumn("late", $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+    val per = j.groupBy($"l_orderkey".as("gk"))
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"))
+    val s = supplier(spark, dir)
+    j.filter($"late")
+      .join(per, $"l_orderkey" === $"gk")
+      .filter($"n_supp" > 1 && $"n_late_supp" === 1)
+      .join(broadcast(s), $"l_suppkey" === s("s_suppkey"))
+      .groupBy(s("s_name").as("supp_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val c = customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
     val o = orders(spark, dir)
