@@ -427,10 +427,17 @@ object GmallRegistry {
         |WHERE l_returnflag = 'R'
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC, custkey LIMIT 20""".stripMargin,
+    // Sums CAST to BIGINT like every sibling oracle: DuckDB's
+    // sum(int) yields HUGEINT while Spark emits BIGINT, which
+    // hash-mismatches at the driver even when values are identical.
+    // (Canonical TPC-H Q12 can't run here: the synthetic lineitem has
+    // no l_shipmode / l_commitdate / l_receiptdate columns, so the
+    // Q12 *shape* — CASE-inside-SUM priority split over the join — is
+    // kept on the columns that exist.)
     "q12_shipmode_priority" ->
       """SELECT l_shipdate >= o_orderdate AS shipped_after_order,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -266,9 +266,6 @@ object Sampling {
             expr(s"tok_start div $PackLen") + lit(1L)).as("n_packs"))
   }
 
-  /** DuckDB twin of [[packSequences]] (integer-exact: `//` truncates
-    * like Spark's `div` — all operands non-negative here).
-    */
   /** Shard count for [[shardManifest]]. */
   val NumShards = 16
 
@@ -316,6 +313,9 @@ object Sampling {
       .repartition($"shard")
       .write.mode("overwrite").partitionBy("shard").parquet(outPath)
 
+  /** DuckDB twin of [[packSequences]] (integer-exact: `//` truncates
+    * like Spark's `div` — all operands non-negative here).
+    */
   def sqlPackSequences: String =
     s"""WITH t AS (SELECT doc_id, source,
        |    CAST(len(${TextAnalysis.sqlTokens("text")}) AS BIGINT) AS n_tokens

@@ -319,7 +319,15 @@ object TextAnalysis {
       "' ' || chr(7) || 'x' || CAST(doc_id AS VARCHAR) || '  e' || chr(769) || " +
       "'tude ' || chr(127) || ' '"
 
-  /** DuckDB twin of the normalization kernel itself. */
+  /** DuckDB twin of the normalization kernel itself.
+    *
+    * The regex class starts at `\x01`, not `\x00`: a NUL cannot be
+    * written into a DuckDB SQL string/regex literal, so the twin cannot
+    * express it. The Scala kernel additionally maps U+0000 to space
+    * (`raw < 0x20`) — a deliberate, documented divergence on an input
+    * the parquet/DuckDB path can never carry; see
+    * [[org.apache.spark.sql.graftexpr.NormalizeTextKernel]].
+    */
   def sqlNormalizeText(expr: String): String =
     s"trim(regexp_replace(regexp_replace(nfc_normalize($expr), " +
       s"'[\\x01-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))"

@@ -27,8 +27,13 @@ import graft.Tables._
   */
 object UrlOps {
 
-  /** Tracking parameters stripped from query strings. */
-  val trackingParamPattern = "(utm_[a-zA-Z]+|ref)=[^&]*"
+  /** Tracking parameters stripped from query strings. Anchored to a
+    * captured `?`/`&` separator so only a whole parameter NAMED
+    * `utm_*`/`ref` matches — `?href=x`, `&pref=y`, or a path segment
+    * containing `ref=` must survive. The separator is restored via
+    * backreference (`$1` in Java/Spark, `\1` in RE2/DuckDB).
+    */
+  val trackingParamPattern = "([?&])(utm_[a-zA-Z]+|ref)=[^&]*"
 
   val schemePattern = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
   val hostPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
@@ -72,7 +77,7 @@ object UrlOps {
     */
   def canonRest(url: Column): Column = {
     val r0 = regexp_extract(url, restPattern, 1)
-    val r1 = regexp_replace(r0, trackingParamPattern, "")
+    val r1 = regexp_replace(r0, trackingParamPattern, "$1")
     val r2 = regexp_replace(r1, "[?&]+$", "")
     val r3 = regexp_replace(r2, "\\?&+", "?")
     val r4 = regexp_replace(r3, "&&+", "&")
@@ -81,7 +86,7 @@ object UrlOps {
 
   def sqlCanonRest(urlExpr: String): String = {
     val r0 = s"regexp_extract($urlExpr, '$restPattern', 1)"
-    val r1 = s"regexp_replace($r0, '$trackingParamPattern', '', 'g')"
+    val r1 = s"regexp_replace($r0, '$trackingParamPattern', '\\1', 'g')"
     val r2 = s"regexp_replace($r1, '[?&]+$$', '', 'g')"
     val r3 = s"regexp_replace($r2, '\\?&+', '?', 'g')"
     val r4 = s"regexp_replace($r3, '&&+', '&', 'g')"

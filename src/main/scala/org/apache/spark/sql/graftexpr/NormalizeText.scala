@@ -26,7 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * intermediate strings). The DuckDB-oracle equivalent is
   * `trim(regexp_replace(regexp_replace(nfc_normalize(s),
   * '[\x01-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))` — asserted value-level
-  * by the `text_normalize` CORRECTNESS entry.
+  * by the `text_normalize` CORRECTNESS entry. One deliberate divergence:
+  * this kernel also maps U+0000 to space (`raw < 0x20` starts at NUL),
+  * while the oracle regex must start at `\x01` because a NUL cannot be
+  * written into a DuckDB SQL literal — an input the parquet/DuckDB
+  * oracle path can never carry, so the contract is identical on every
+  * representable input.
   *
   * Scale: narrow, codegen-friendly, no shuffle — normalization belongs
   * in the same scan stage as tokenize/fingerprint kernels so the corpus

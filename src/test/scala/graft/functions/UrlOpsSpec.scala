@@ -45,6 +45,25 @@ class UrlOpsSpec extends AnyFunSuite {
       == "https://example.com/CaseSensitive")
   }
 
+  test("params merely CONTAINING a tracking name survive (boundary anchor)") {
+    // href / pref contain "ref" but are not the ref param; utm_x only
+    // strips when it is the whole parameter name after ? or &.
+    assert(canon("https://example.com/a?href=foo").head
+      == "https://example.com/a?href=foo")
+    assert(canon("https://example.com/a?pref=y&id=1").head
+      == "https://example.com/a?pref=y&id=1")
+    assert(canon("https://example.com/a?id=1&myutm_source=z").head
+      == "https://example.com/a?id=1&myutm_source=z")
+    // a real tracking param sandwiched between survivors still goes
+    assert(canon("https://example.com/a?href=foo&ref=tw&id=1").head
+      == "https://example.com/a?href=foo&id=1")
+  }
+
+  test("path segments containing ref= are untouched") {
+    assert(canon("https://example.com/p/ref=abc/x?id=1").head
+      == "https://example.com/p/ref=abc/x?id=1")
+  }
+
   test("non-default port survives canonicalization") {
     assert(canon("https://example.com:8443/a").head
       == "https://example.com:8443/a")

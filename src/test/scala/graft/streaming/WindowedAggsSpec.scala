@@ -121,8 +121,9 @@ class WindowedAggsSpec extends AnyFunSuite {
     val q = out.writeStream.format("memory").queryName("cmsk_out")
       .outputMode("append").start()
     try {
-      // user 7 appears in BOTH micro-batches: the merged sketch must
-      // count 5 total (frequency state adds, unlike the HLL's distinct)
+      // user 7 appears in BOTH micro-batches (2 + 2 occurrences): the
+      // merged sketch must count 4 total (frequency state adds, unlike
+      // the HLL's distinct)
       ms.addData(E(7, "c", h0 + 1000), E(7, "c", h0 + 2000), E(8, "c", h0 + 3000))
       q.processAllAvailable()
       ms.addData(E(7, "c", h0 + 4000), E(7, "c", h0 + 5000), E(9, "c", h0 + 6000))

@@ -21,6 +21,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+
+def dtype_drift(got: pd.DataFrame, exp: pd.DataFrame):
+    """Columns whose physical types differ between Spark output and the
+    DuckDB oracle (e.g. BIGINT vs HUGEINT→object). The driver's gate
+    hashes type-sensitively, so this is a FAIL even when values match —
+    exactly how q12 slipped through round 5's dtype-blind compare.
+    """
+    drift = []
+    for c in sorted(set(got.columns) & set(exp.columns)):
+        g, e = got[c].dtype, exp[c].dtype
+        if g != e:
+            drift.append(f"{c}: spark={g} oracle={e}")
+    return drift
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -48,6 +62,10 @@ def main():
             exp = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        drift = dtype_drift(got, exp)
+        if drift:
+            print(f"FAIL {name}: dtype drift: " + "; ".join(drift))
+            n_fail += 1; continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
