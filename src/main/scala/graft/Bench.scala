@@ -64,6 +64,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver's BENCH_r<N>.json artifact tail-truncates the stdout
+    // line, losing all but the last ~60 per-query timings — so only a
+    // minority of queries were round-over-round comparable. Persist the
+    // COMPLETE per-query map ourselves (one query per line, name-sorted
+    // → stable diffs), round-stamped from the driver artifacts already
+    // in the repo (BENCH_r05.json present ⇒ this run belongs to r6).
+    // Full-suite runs only: subset runs would clobber the round's
+    // artifact with a partial map.
+    if (subset.isEmpty) {
+      val repo = new java.io.File("/root/repo")
+      val round = repo.listFiles((_, n) => n.matches("BENCH_r\\d+\\.json"))
+        .map(_.getName.replaceAll("\\D", "").toInt).foldLeft(0)(math.max) + 1
+      val body = results.map { case (k, v) => s"""  "$k": $v""" }
+        .mkString(s"""{\n  "_sf": "$sfDir",\n  "_total_sec": $total,\n""", ",\n", "\n}\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"/root/repo/bench_full_r$round.json"), body)
+    }
     spark.stop()
   }
 }

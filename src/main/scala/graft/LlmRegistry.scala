@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.functions._
 import graft.functions.Hashing._
 
@@ -63,8 +64,14 @@ object LlmRegistry {
     "embed_int8" -> (Similarity.int8Quantize _),
     "dedup_embedding_lsh_multi" -> (Similarity.lshNearDupPairsMulti _),
     "mm_media_meta" -> (Multimodal.mediaMeta _),
+    // codec-independent projection: mediaTable payloads are text bytes,
+    // so the decoder's image fields are all zero (MultimodalSpec
+    // asserts) and the oracle stays payload-arithmetic
     "mm_decode_features" -> ((s: SparkSession, d: String) =>
-      Multimodal.decodeFeatures(s, d)),
+      Multimodal.decodeFeatures(s, d).select(
+        col("doc_id"), col("modality"), col("n_bytes"), col("checksum60"),
+        col("n_frames"), col("feat"))),
+    "mm_image_roundtrip" -> (Multimodal.imageRoundtrip _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "pipeline_clean_corpus" -> (CorpusPipeline.cleanCorpus _),
     "pipeline_corpus_report" -> (CorpusPipeline.corpusReport _),
@@ -634,6 +641,19 @@ object LlmRegistry {
          |  CAST((octet_length(encode(text)) + 1023) // 1024 AS BIGINT) AS n_frames,
          |  ${sqlMd5Prefix60("text")} % 997 AS feat
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // pure doc_id arithmetic: the Spark side round-trips real PNG/BMP
+    // bytes through javax.imageio, and solid-color fixtures make every
+    // decoded stat (dims, band count, channel means) exactly predictable
+    "mm_image_roundtrip" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS codec,
+        |  CAST(8 + doc_id % 9 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 7 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS n_channels,
+        |  CAST(doc_id % 256 AS BIGINT) AS mean_r,
+        |  CAST(doc_id * 7 % 256 AS BIGINT) AS mean_g,
+        |  CAST(doc_id * 13 % 256 AS BIGINT) AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the ADS report composes the SAME quality/langid/fingerprint
     // fragments that back text_quality, text_langid and dedup_exact
     "pipeline_corpus_report" ->

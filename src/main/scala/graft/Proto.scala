@@ -144,6 +144,7 @@ object Proto {
     "dedup_embedding_lsh_multi" -> asc("a", "b"),
     "mm_media_meta" -> asc("doc_id"),
     "mm_decode_features" -> asc("doc_id"),
+    "mm_image_roundtrip" -> asc("doc_id"),
     "mm_frame_sample" -> asc("doc_id", "frame_id"),
     "pipeline_clean_corpus" -> asc("doc_id"),
     // sample_uniform_k is absent: its TakeOrdered output is already
