@@ -14,12 +14,19 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Spread an under-split source across the cluster's cores.
+  /** Spread an under-split source across the cluster's cores — for
+    * stages whose PER-ROW cost dwarfs a row's shuffle cost (image
+    * encode/decode, model scoring), not for ordinary column kernels.
     *
     * The testdata parquet is one row group per file, so every scan is a
-    * single task and per-row kernels (regex tokenize, JSON parse,
-    * MinHash) run single-core no matter how many cores exist. A
-    * round-robin repartition fixes that locally — and is deliberately
+    * single task. Round 5 applied this to `events`/`documents`
+    * wholesale; round-6 A/B benchmarks showed that is a NET LOSS now
+    * that the text kernels are single-pass codegen (keyed queries pay a
+    * full extra exchange before their own: st1 0.70→0.27 s, dws_tumbling
+    * 0.81→0.33 s without it; text_langid 1.12→0.70 s — the r5 text-family
+    * speedups came from the kernel rewrites, not the repartition). So it
+    * is now opt-in at the few call sites where per-row work is genuinely
+    * heavy (the javax.imageio fixture codec), and deliberately
     * CONDITIONAL: at production scale a 100 TB table scans as tens of
     * thousands of splits, `getNumPartitions >= defaultParallelism`
     * already, and this is a no-op (never a 100 TB shuffle down to
@@ -53,12 +60,9 @@ object Tables {
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case _ => raw
     }
-    // events feeds the JSON-parse pipelines (per-row get_json_object
-    // dominates); documents feeds the text/MinHash kernels — both want
-    // every core on the narrow stage
-    spread(typed)
+    typed
   }
   def documents(s: SparkSession, d: String): DataFrame =
-    spread(table(s, d, "documents"))
+    table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

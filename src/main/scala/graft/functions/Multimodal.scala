@@ -150,7 +150,10 @@ object Multimodal {
     */
   def imageFixtures(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     val recEnc = org.apache.spark.sql.Encoders.product[MediaRecord]
-    documents(spark, dir).select($"doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+    // per-row codec work (encode+decode) dwarfs a row's shuffle cost —
+    // the one stage where Tables.spread pays for its exchange
+    Tables.spread(documents(spark, dir).select($"doc_id"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .mapPartitions { it =>
         it.map { id =>
           val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)

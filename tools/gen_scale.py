@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Scale the driver testdata up by an integer factor (default sf0.1 -> sf1).
+
+Usage: python3 tools/gen_scale.py [src_dir] [out_dir] [factor]
+
+Replicates each scaling table `factor` times with key offsets, so every
+FK relationship and per-copy value distribution is preserved exactly.
+Dimension constants (region, nation) are not scaled. Dev tool only (the
+driver generates the real testdata; this exists to run the gate + bench
+at 10x the largest driver SF, per the round-5 verdict).
+
+Documents: copy 0 is byte-identical to the source; copies > 0 keep the
+same token multiset (langid/quality/BPE distributions intact) but sort
+tokens with a per-copy salt -- identical texts stay identical (exact-dup
+groups survive within a copy), while cross-copy shingle overlap is
+destroyed so the near-dup pair count scales ~linearly with the corpus
+instead of quadratically in the copy factor.
+
+Output: ONE parquet file per table with bounded row groups, so Spark
+still gets parallel scans (splits at row-group boundaries) and
+local_verify.py's *.parquet glob keeps working.
+"""
+import sys, os
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out = sys.argv[2] if len(sys.argv) > 2 else "/root/.graft/sf1"
+k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+con.sql(f"SET threads TO {os.cpu_count()}")
+
+def copy_unscaled(t):
+    con.sql(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (ROW_GROUP_SIZE 122880)")
+
+def scale(t, sql):
+    con.sql(
+        f"COPY (WITH src AS (SELECT * FROM '{src}/{t}.parquet'), "
+        f"n AS (SELECT max_rows FROM (SELECT count(*) AS max_rows FROM src)) "
+        f"SELECT {sql} FROM src, range({k}) c(i), n "
+        f"ORDER BY i) TO '{out}/{t}.parquet' (ROW_GROUP_SIZE 122880)")
+
+copy_unscaled("region")
+copy_unscaled("nation")
+
+scale("customer", """
+  c_custkey + i * (SELECT max(c_custkey) + 1 FROM src) AS c_custkey,
+  c_name, c_nationkey, c_acctbal, c_mktsegment""")
+
+scale("supplier", """
+  s_suppkey + i * (SELECT max(s_suppkey) + 1 FROM src) AS s_suppkey,
+  s_name, s_nationkey, s_acctbal""")
+
+scale("part", """
+  p_partkey + i * (SELECT max(p_partkey) + 1 FROM src) AS p_partkey,
+  p_name, p_brand, p_type, p_size, p_retailprice""")
+
+scale("orders", """
+  o_orderkey + i * (SELECT max(o_orderkey) + 1 FROM src) AS o_orderkey,
+  o_custkey + i * (SELECT max(c_custkey) + 1 FROM '{src}/customer.parquet') AS o_custkey,
+  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority""".format(src=src))
+
+scale("lineitem", """
+  l_orderkey + i * (SELECT max(o_orderkey) + 1 FROM '{src}/orders.parquet') AS l_orderkey,
+  l_partkey + i * (SELECT max(p_partkey) + 1 FROM '{src}/part.parquet') AS l_partkey,
+  l_suppkey + i * (SELECT max(s_suppkey) + 1 FROM '{src}/supplier.parquet') AS l_suppkey,
+  l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+  l_returnflag, l_linestatus, l_shipdate""".format(src=src))
+
+scale("events", """
+  event_id + i * (SELECT max(event_id) + 1 FROM src) AS event_id,
+  ts,
+  user_id + i * (SELECT max(user_id) + 1 FROM src) AS user_id,
+  event_type, value, props""")
+
+scale("documents", """
+  doc_id + i * (SELECT max(doc_id) + 1 FROM src) AS doc_id,
+  CASE WHEN i = 0 THEN text ELSE array_to_string(
+    list_transform(
+      list_sort(list_transform(string_split(text, ' '),
+        t -> {'h': md5(t || CAST(i AS VARCHAR)), 't': t})),
+      s -> s.t), ' ') END AS text,
+  lang, source,
+  CAST(length(CASE WHEN i = 0 THEN text ELSE array_to_string(
+    list_transform(
+      list_sort(list_transform(string_split(text, ' '),
+        t -> {'h': md5(t || CAST(i AS VARCHAR)), 't': t})),
+      s -> s.t), ' ') END) AS BIGINT) AS n_chars""")
+
+scale("embeddings", """
+  vec_id + i * (SELECT max(vec_id) + 1 FROM src) AS vec_id,
+  embedding, label""")
+
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+    print(f"{t}: {n} rows")
