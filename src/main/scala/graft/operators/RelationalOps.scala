@@ -144,6 +144,11 @@ object RelationalOps {
     // OOM as forced broadcasts at 100×; stats/AQE still broadcast them
     // at test scale. supplier (SF·10k, the smallest scaling dim, kept
     // per the dim-star stance) and nation (bounded 25) stay hinted.
+    // Supplier-hint bound: ~100 B/row ⇒ SF·10k ≈ SF MB; safe while
+    // SF ≲ 2000 (≈2 GB, within executor broadcast budget at the 8 GB
+    // executors this targets). Beyond that, drop the hint and let
+    // stats/AQE decide exactly as part/customer do — the threshold is a
+    // deployment-memory policy, not a plan-shape requirement.
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(p, l("l_partkey") === p("p_partkey"), "left")
       .join(broadcast(s), l("l_suppkey") === s("s_suppkey"), "left")
