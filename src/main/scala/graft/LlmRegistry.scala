@@ -73,6 +73,8 @@ object LlmRegistry {
         col("n_frames"), col("feat"))),
     "mm_image_roundtrip" -> (Multimodal.imageRoundtrip _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
+    "rel_tfidf_top_terms" -> (Relevance.tfidfTopTerms _),
+    "rel_bm25_search" -> (Relevance.bm25Search _),
     "pipeline_clean_corpus" -> (CorpusPipeline.cleanCorpus _),
     "pipeline_corpus_report" -> (CorpusPipeline.corpusReport _),
     "pipeline_decontaminate" -> (CorpusPipeline.decontaminate _),
@@ -641,6 +643,8 @@ object LlmRegistry {
          |  CAST((octet_length(encode(text)) + 1023) // 1024 AS BIGINT) AS n_frames,
          |  ${sqlMd5Prefix60("text")} % 997 AS feat
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "rel_tfidf_top_terms" -> Relevance.sqlTfidfTopTerms,
+    "rel_bm25_search" -> Relevance.sqlBm25Search,
     // pure doc_id arithmetic: the Spark side round-trips real PNG/BMP
     // bytes through javax.imageio, and solid-color fixtures make every
     // decoded stat (dims, band count, channel means) exactly predictable

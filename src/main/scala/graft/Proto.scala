@@ -145,6 +145,9 @@ object Proto {
     "mm_media_meta" -> asc("doc_id"),
     "mm_decode_features" -> asc("doc_id"),
     "mm_image_roundtrip" -> asc("doc_id"),
+    "rel_tfidf_top_terms" -> asc("doc_id", "rn"),
+    // rel_bm25_search absent: its TopK output is already totally
+    // ordered by (score DESC, doc_id)
     "mm_frame_sample" -> asc("doc_id", "frame_id"),
     "pipeline_clean_corpus" -> asc("doc_id"),
     // sample_uniform_k is absent: its TakeOrdered output is already

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import graft.Tables._
+
+/** Relevance scoring over the corpus — the retrieval side of a training-
+  * data pipeline (query-focused corpus slicing, nearest-neighbor text
+  * search by lexical score, per-doc salient-term extraction).
+  *
+  * Exactness convention (see GmallRegistry scaladoc): no transcendentals
+  * — the classic `ln(N/df)` idf is replaced by the raw ratio `N/df`
+  * (same ordering, exact BIGINT/BIGINT double division in both engines),
+  * and every float expression is written with IDENTICAL literal
+  * parenthesization here and in the DuckDB twin, so IEEE gives
+  * bit-identical doubles and the driver's hash compare stays exact.
+  *
+  * Scale shape: document-frequency is one token-keyed aggregation
+  * (bounded by vocabulary, not corpus); the per-doc side stays narrow.
+  * BM25 seeds a constant query-term list, so its tf counts are computed
+  * INSIDE the scan (size(filter(tokens))) — zero shuffle for the score
+  * pass; the corpus-level constants (N, Σdl, per-term df) are one tiny
+  * aggregate broadcast back. Nothing corpus-sized ever broadcasts.
+  */
+object Relevance {
+
+  /** Seeded query terms (drawn from the corpus vocabulary), kept sorted
+    * so the score sum has one canonical association order.
+    */
+  val QueryTerms: Seq[String] = Seq("fast", "hash", "sort", "spark")
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Per-doc top salient terms by linear tf-idf weight
+    * `tf * N / df` (rank ≤ 3, ties broken by term). One shuffle for df
+    * (token-keyed, vocabulary-sized), one for the per-doc rank window
+    * (doc-keyed, per-group size = doc vocabulary — bounded by doc
+    * length, no skew blowup).
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens($"text")
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy($"term")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id")
+      .orderBy($"weight".desc, $"term")
+    val nDocs = documents(spark, dir).select(count(lit(1)).as("n_docs"))
+    documents(spark, dir)
+      .select($"doc_id", explode(toks).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+      // df as a window count over the (doc, term) rows: one scan, no
+      // self-join — the term partition is vocabulary-keyed, bounded by
+      // the most common term's document frequency
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(nDocs))
+      // (tf * N) / df with this exact association — mirrored in SQL
+      .withColumn("weight",
+        ($"tf".cast("double") * $"n_docs".cast("double")) / $"df".cast("double"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df", $"weight",
+        $"rn".cast("bigint").as("rn"))
+  }
+
+  /** DuckDB twin of [[tfidfTopTerms]]. */
+  def sqlTfidfTopTerms: String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    s"""WITH dt AS (SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS term FROM documents) t
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |ranked AS (SELECT doc_id, term, tf, df,
+       |    (CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(df AS DOUBLE) AS weight,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY (CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(df AS DOUBLE) DESC,
+       |        term) AS rn
+       |  FROM dt JOIN df USING (term), n)
+       |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       |  weight, CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+  }
+
+  /** BM25 top-50 for the seeded query. tf per term is computed inside
+    * the scan (`size(filter(tokens, = term))` — narrow); N, Σdl and the
+    * per-term dfs come from ONE corpus aggregate, broadcast back; the
+    * score is an explicit left-associated sum over [[QueryTerms]], so
+    * the float result is bit-identical across engines.
+    */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens($"text")
+    val baseCols = $"doc_id" +: size(toks).cast("bigint").as("dl") +:
+      QueryTerms.map(t =>
+        size(filter(toks, x => x === lit(t))).cast("bigint").as(s"tf_$t"))
+    val base = documents(spark, dir).select(baseCols: _*)
+    val aggCols = Seq(
+      count(lit(1)).as("n_docs"),
+      sum($"dl").as("total_dl")) ++
+      QueryTerms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+        .as(s"df_$t"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val dfT = col(s"df_$t").cast("double")
+      val avgdl = $"total_dl".cast("double") / $"n_docs".cast("double")
+      // idf-ratio * saturated-tf, association mirrored in sqlBm25Search
+      // (k1+1 folds to the same double the SQL's runtime 1.2+1.0 yields)
+      when(col(s"df_$t") > 0,
+        ($"n_docs".cast("double") / dfT) *
+          ((tf * lit(K1 + 1.0)) /
+            (tf + lit(K1) * (lit(1.0 - B) + lit(B) * ($"dl".cast("double") / avgdl)))))
+        .otherwise(lit(0.0))
+    }
+    val score = QueryTerms.map(termScore).reduceLeft(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select($"doc_id", $"dl", score.as("score"))
+      .filter($"score" > 0.0)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(50)
+  }
+
+  /** DuckDB twin of [[bm25Search]] — identical literal parenthesization
+    * and the same left-associated term-sum order.
+    */
+  def sqlBm25Search: String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    val tfCols = QueryTerms.map(t =>
+      s"CAST(len(list_filter($toks, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n  ")
+    val dfCols = QueryTerms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+    def termScore(t: String): String =
+      s"""CASE WHEN df_$t > 0 THEN
+         |    (CAST(n_docs AS DOUBLE) / CAST(df_$t AS DOUBLE)) *
+         |      ((CAST(tf_$t AS DOUBLE) * ($K1 + 1.0)) /
+         |        (CAST(tf_$t AS DOUBLE) + $K1 * ((1.0 - $B) + $B *
+         |          (CAST(dl AS DOUBLE) /
+         |            (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+         |  ELSE 0.0 END""".stripMargin
+    val score = QueryTerms.map(termScore)
+      .reduceLeft((a, b) => s"($a) + ($b)")
+    s"""WITH base AS (SELECT doc_id,
+       |  CAST(len($toks) AS BIGINT) AS dl,
+       |  $tfCols
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl,
+       |  $dfCols FROM base)
+       |SELECT doc_id, dl, score FROM (
+       |  SELECT doc_id, dl, $score AS score FROM base, stats)
+       |WHERE score > 0.0
+       |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+  }
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Relevance-scoring contracts: ranking semantics, scale-shaped plans
+  * (value-level parity with DuckDB is the CORRECTNESS gate's job).
+  */
+class RelevanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("tfidf top terms: <=3 per doc, ranked by weight desc then term") {
+    val rows = Relevance.tfidfTopTerms(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    for ((doc, rs) <- rows) {
+      assert(rs.length <= 3, s"doc $doc")
+      val ordered = rs.sortBy(_.getLong(5))
+      val pairs = ordered.map(r => (r.getDouble(4), r.getString(1)))
+      assert(pairs.sliding(2).forall {
+        case Array((w1, t1), (w2, t2)) => w1 > w2 || (w1 == w2 && t1 < t2)
+        case _ => true
+      }, s"doc $doc not ranked: ${pairs.mkString}")
+    }
+  }
+
+  test("rarer term outweighs commoner term at equal tf") {
+    // weight = tf*N/df strictly decreases in df for fixed tf
+    val byTerm = Relevance.tfidfTopTerms(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    for (Seq((_, tf1, df1, w1), (_, tf2, df2, w2)) <- byTerm.toSeq.combinations(2).take(2000)
+         if tf1 == tf2 && df1 < df2)
+      assert(w1 > w2)
+  }
+
+  test("bm25: positive scores, sorted desc, query-term docs only") {
+    val rows = Relevance.bm25Search(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("bm25 scoring pass is narrow: one tiny stats aggregate, no corpus shuffle") {
+    val plan = Relevance.bm25Search(spark, sf).queryExecution.executedPlan.toString
+    // the only exchanges allowed: the single-row stats aggregate + the
+    // TakeOrdered collect — never a hash exchange of corpus rows
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+}
