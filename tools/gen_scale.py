@@ -10,11 +10,17 @@ driver generates the real testdata; this exists to run the gate + bench
 at 10x the largest driver SF, per the round-5 verdict).
 
 Documents: copy 0 is byte-identical to the source; copies > 0 keep the
-same token multiset (langid/quality/BPE distributions intact) but sort
-tokens with a per-copy salt -- identical texts stay identical (exact-dup
-groups survive within a copy), while cross-copy shingle overlap is
-destroyed so the near-dup pair count scales ~linearly with the corpus
-instead of quadratically in the copy factor.
+same token multiset (langid/quality/BPE distributions intact) but apply
+a PER-POSITION salted permutation: sort key md5(token||position||copy).
+Identical texts still map identically (exact-dup groups survive within
+a copy), but the key depends on position, so the permutation does NOT
+canonicalize word order -- two different docs sharing vocabulary end up
+in unrelated orders and share almost no shingles. (A first version
+sorted by md5(token||copy) alone; over this corpus's small vocabulary
+that collapsed similar docs onto near-identical sorted sequences and
+blew the near-dup candidate count up quadratically -- the DuckDB oracle
+replay ran for 90+ CPU-minutes. Position in the key fixes exactly
+that.)
 
 Output: ONE parquet file per table with bounded row groups, so Spark
 still gets parallel scans (splits at row-group boundaries) and
@@ -74,19 +80,17 @@ scale("events", """
   user_id + i * (SELECT max(user_id) + 1 FROM src) AS user_id,
   event_type, value, props""")
 
-scale("documents", """
+perm = """array_to_string(
+    list_transform(
+      list_sort(list_transform(string_split(text, ' '),
+        (t, p) -> {'h': md5(t || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 't': t})),
+      s -> s.t), ' ')"""
+
+scale("documents", f"""
   doc_id + i * (SELECT max(doc_id) + 1 FROM src) AS doc_id,
-  CASE WHEN i = 0 THEN text ELSE array_to_string(
-    list_transform(
-      list_sort(list_transform(string_split(text, ' '),
-        t -> {'h': md5(t || CAST(i AS VARCHAR)), 't': t})),
-      s -> s.t), ' ') END AS text,
+  CASE WHEN i = 0 THEN text ELSE {perm} END AS text,
   lang, source,
-  CAST(length(CASE WHEN i = 0 THEN text ELSE array_to_string(
-    list_transform(
-      list_sort(list_transform(string_split(text, ' '),
-        t -> {'h': md5(t || CAST(i AS VARCHAR)), 't': t})),
-      s -> s.t), ' ') END) AS BIGINT) AS n_chars""")
+  CAST(length(CASE WHEN i = 0 THEN text ELSE {perm} END) AS BIGINT) AS n_chars""")
 
 scale("embeddings", """
   vec_id + i * (SELECT max(vec_id) + 1 FROM src) AS vec_id,

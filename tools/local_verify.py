@@ -9,9 +9,11 @@ parquet tables in <sfDir>, and compares: row count, column names, and
 values (rows sorted, columns sorted by name). Dev tool only — not part
 of the shipped library.
 """
-import sys, os, json, glob
+import sys, os, json, glob, time, functools
 import duckdb
 import pandas as pd
+
+print = functools.partial(print, flush=True)  # progress visible when piped
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -58,10 +60,12 @@ def main():
                   f"({'ok' if len(got) > 0 else 'EMPTY!'})")
             n_pass += len(got) > 0; n_fail += len(got) == 0
             continue
+        t0 = time.time()
         try:
             exp = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        oracle_sec = time.time() - t0
         drift = dtype_drift(got, exp)
         if drift:
             print(f"FAIL {name}: dtype drift: " + "; ".join(drift))
@@ -75,7 +79,8 @@ def main():
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False,
                                           check_exact=True)
-            print(f"PASS {name}: {len(g)} rows"); n_pass += 1
+            print(f"PASS {name}: {len(g)} rows (oracle {oracle_sec:.1f}s)")
+            n_pass += 1
         except AssertionError as ex:
             msg = str(ex).splitlines()
             print(f"FAIL {name}: values differ: " + " | ".join(msg[:6]))
