@@ -700,10 +700,17 @@ object LlmRegistry {
          |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |    AND a.doc_id < b.doc_id),
-         |losers AS (SELECT DISTINCT c.b AS doc_id FROM cand c
-         |  WHERE (SELECT sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
-         |         FROM mh x JOIN mh y ON y.doc_id = c.b AND y.j = x.j
-         |         WHERE x.doc_id = c.a) >= ${Dedup.NumPerm} * 0.5),
+         |-- decorrelated join-from-cand (same shape as the minhash-pairs
+         |-- oracle): the correlated-subquery form made DuckDB build a
+         |-- j-keyed self-join of ALL mh rows (~40G at sf1, 37 GB of
+         |-- spill) instead of probing from the few thousand candidates
+         |losers AS (SELECT DISTINCT b AS doc_id FROM (
+         |  SELECT c.a, c.b FROM cand c
+         |  JOIN mh x ON x.doc_id = c.a
+         |  JOIN mh y ON y.doc_id = c.b AND y.j = x.j
+         |  GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+         |    >= ${Dedup.NumPerm} * 0.5)),
          |quality AS (SELECT doc_id FROM (SELECT doc_id,
          |    CAST(len($toks) AS BIGINT) AS n_tokens,
          |    CAST(len(list_filter($toks, x -> list_contains(${TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS n_stop,
