@@ -55,12 +55,18 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    val typed = raw.schema("ts").dataType match {
+    raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // parquet written with isAdjustedToUTC=false (DuckDB, Hive NTZ
+      // flavors) reads as TIMESTAMP_NTZ, on which unix_micros & co.
+      // don't resolve — normalize to TimestampType so operators see one
+      // type regardless of writer (session TZ is UTC, so no wall-clock
+      // shift)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", raw.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-    typed
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
