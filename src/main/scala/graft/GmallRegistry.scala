@@ -675,24 +675,60 @@ object GmallRegistry {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY custkey, orderkey""".stripMargin,
-    // k=8192 KMV sketches never fill at oracle scale, and the key mix is
-    // a 64-bit bijection — every cardinality is exact, so the oracle is
-    // plain COUNT(DISTINCT) set algebra (inclusion–exclusion for union)
-    "kmv_segment_overlap" ->
-      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
-        |c AS (SELECT event_type, count(*) AS card FROM s GROUP BY 1),
-        |i AS (SELECT sa.event_type AS type_a, sb.event_type AS type_b,
-        |    count(*) AS card_inter
-        |  FROM s sa JOIN s sb
-        |    ON sa.user_id = sb.user_id AND sa.event_type < sb.event_type
-        |  GROUP BY 1, 2)
-        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
-        |  ca.card AS card_a, cb.card AS card_b,
-        |  ca.card + cb.card - coalesce(i.card_inter, 0) AS card_union,
-        |  coalesce(i.card_inter, 0) AS card_inter
-        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
-        |LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
-        |ORDER BY type_a, type_b""".stripMargin,
+    // full value-level REPLAY of the KMV/theta sketch pipeline, exact in
+    // BOTH regimes: DuckDB recomputes every splitmix64 hash bit-exactly
+    // (GraftBloom.sqlMix64Ctes), takes the same k smallest per segment,
+    // and applies the same estimators — (k-1)/F(θ) off the k-th minimum
+    // when a sketch filled (θ >> 11 / 2^53 and floor(x+0.5) mirror
+    // GraftKmv.frac/Math.round; both sides are IEEE-754-identical
+    // double ops on exactly-representable operands), plain counts when
+    // it never filled. Truncation commutes with union/intersection
+    // below θ, so replaying on the FULL distinct-hash sets equals the
+    // JVM's sketch-merge results (KmvSketch.scala scaladoc).
+    "kmv_segment_overlap" -> {
+      import org.apache.spark.sql.graftexpr.GraftBloom.sqlMix64Ctes
+      val k = 8192
+      def est(n: String, theta: String) =
+        s"CASE WHEN $n < $k THEN $n ELSE CAST(floor(${k - 1}.0 / " +
+          s"(CAST(($theta) >> 11 AS DOUBLE) / 9007199254740992.0) + 0.5) AS BIGINT) END"
+      s"""WITH su AS (SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS z0
+         |            FROM events WHERE user_id IS NOT NULL),
+         |${sqlMix64Ctes("m", "su", "event_type")},
+         |rk AS (SELECT event_type, hash,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY hash) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS n FROM m3),
+         |st AS (SELECT event_type, any_value(n) AS n,
+         |        max(CASE WHEN rn = $k THEN hash END) AS theta
+         |       FROM rk GROUP BY 1),
+         |card AS (SELECT event_type, n, theta, ${est("n", "theta")} AS card FROM st),
+         |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |          a.card AS card_a, b.card AS card_b,
+         |          least(a.theta, b.theta) AS itheta
+         |        FROM card a JOIN card b ON a.event_type < b.event_type),
+         |uh AS (SELECT p.type_a, p.type_b, m3.hash FROM pairs p
+         |       JOIN m3 ON m3.event_type = p.type_a OR m3.event_type = p.type_b
+         |       GROUP BY 1, 2, 3),
+         |urk AS (SELECT type_a, type_b, hash,
+         |        row_number() OVER (PARTITION BY type_a, type_b ORDER BY hash) AS rn,
+         |        count(*) OVER (PARTITION BY type_a, type_b) AS n FROM uh),
+         |ust AS (SELECT type_a, type_b, any_value(n) AS n,
+         |        max(CASE WHEN rn = $k THEN hash END) AS theta FROM urk GROUP BY 1, 2),
+         |ucard AS (SELECT type_a, type_b, ${est("n", "theta")} AS card_union FROM ust),
+         |ih AS (SELECT p.type_a AS ta, p.type_b AS tb, p.itheta, ha.hash FROM pairs p
+         |       JOIN m3 ha ON ha.event_type = p.type_a
+         |       JOIN m3 hb ON hb.event_type = p.type_b AND hb.hash = ha.hash),
+         |icard AS (SELECT ta, tb,
+         |        CASE WHEN any_value(itheta) IS NULL THEN count(*)
+         |             ELSE CAST(floor(CAST(count(*) FILTER (WHERE hash < itheta) AS DOUBLE)
+         |                  / (CAST(any_value(itheta) >> 11 AS DOUBLE) / 9007199254740992.0) + 0.5) AS BIGINT) END AS card_inter
+         |       FROM ih GROUP BY 1, 2)
+         |SELECT p.type_a, p.type_b, p.card_a, p.card_b,
+         |  u.card_union, coalesce(i.card_inter, 0) AS card_inter
+         |FROM pairs p
+         |JOIN ucard u ON u.type_a = p.type_a AND u.type_b = p.type_b
+         |LEFT JOIN icard i ON i.ta = p.type_a AND i.tb = p.type_b
+         |ORDER BY p.type_a, p.type_b""".stripMargin
+    },
     "profile_documents" -> {
       val cols = Seq("doc_id", "lang", "source", "n_chars")
       cols.map { c =>

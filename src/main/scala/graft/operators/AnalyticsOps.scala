@@ -288,9 +288,11 @@ object AnalyticsOps {
     * segment-count-sized sketch table — at 100 TB the events scan
     * happens once, not once per pair, and new pairs/date-ranges are
     * answered from stored blobs without rescanning (the set-algebra HLL
-    * registers cannot express). k=8192 holds every distinct user at
-    * oracle scale (exact regime — the estimator regimes are bounded in
-    * KmvSpec); production keeps the same query and accepts ~1.1% RSE.
+    * registers cannot express). k=8192 is exact below 8192 distinct
+    * users and ~1.1% RSE above; the oracle replays BOTH regimes
+    * bit-exactly (hash + estimator recomputed in DuckDB — verified at
+    * sf0.01 exact and sf1 estimating), so the gate stays value-strong
+    * at every scale. Estimator error bounds are in KmvSpec.
     */
   def segmentOverlap(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftexpr.GraftKmv

@@ -55,6 +55,30 @@ object GraftBloom {
     (((h1 + i * h2) >>> 1) % numBits).toInt
   }
 
+  /** The two splitmix64 multiply constants as unsigned decimal literals
+    * for DuckDB oracle replays (0xbf58476d1ce4e5b9, 0x94d049bb133111eb).
+    */
+  val SqlMixC1 = "13787848793156543929"
+  val SqlMixC2 = "10723151780598845931"
+
+  /** DuckDB expression for `a * b mod 2^64` over UBIGINT operands. The
+    * naive HUGEINT product overflows INT128 (two 64-bit factors reach
+    * 2^128), so the left factor is split into 32-bit halves:
+    * `(hi(a)·b mod 2^32)·2^32 + lo(a)·b`, every intermediate ≤ 2^96.
+    */
+  def sqlMulMod64(a: String, b: String): String =
+    s"CAST(((CAST(($a) >> 32 AS HUGEINT) * $b) % 4294967296 * 4294967296" +
+      s" + CAST(($a) & 4294967295 AS HUGEINT) * $b) % 18446744073709551616 AS UBIGINT)"
+
+  /** DuckDB CTE chain computing [[mix64]] bit-exactly: emits three
+    * SELECT steps `<p>1`, `<p>2`, `<p>3` over a source relation exposing
+    * UBIGINT column `z0` plus `carry` columns; `<p>3` has `hash`.
+    */
+  def sqlMix64Ctes(prefix: String, src: String, carry: String): String =
+    s"""${prefix}1 AS (SELECT $carry, ${sqlMulMod64("xor(z0, z0 >> 30)", SqlMixC1)} AS z1 FROM $src),
+       |${prefix}2 AS (SELECT $carry, ${sqlMulMod64("xor(z1, z1 >> 27)", SqlMixC2)} AS z2 FROM ${prefix}1),
+       |${prefix}3 AS (SELECT $carry, xor(z2, z2 >> 31) AS hash FROM ${prefix}2)""".stripMargin
+
   /** Reject blobs that cannot have come from [[BloomBuildAgg]] with a
     * named error instead of an index crash — `bloom_might_contain` is
     * SQL-registered, so arbitrary BINARY values can reach this.
