@@ -78,8 +78,12 @@ object Bench {
         .map(_.getName.replaceAll("\\D", "").toInt).foldLeft(0)(math.max) + 1
       val body = results.map { case (k, v) => s"""  "$k": $v""" }
         .mkString(s"""{\n  "_sf": "$sfDir",\n  "_total_sec": $total,\n""", ",\n", "\n}\n")
+      // non-driver scales (e.g. the sf1 audit runs) get their own
+      // artifact name so they never clobber the round's sf0.1 record
+      val sfTag = new java.io.File(sfDir).getName
+      val scale = if (sfTag == "sf0.1") "" else s"_$sfTag"
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"/root/repo/bench_full_r$round.json"), body)
+        java.nio.file.Paths.get(s"/root/repo/bench_full${scale}_r$round.json"), body)
     }
     spark.stop()
   }

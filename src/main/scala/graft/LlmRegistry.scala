@@ -60,6 +60,8 @@ object LlmRegistry {
     "sim_ivf_recall" -> (Similarity.ivfRecall _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_pq_recall" -> (Similarity.pqRecall _),
+    "cluster_kmeans_centroids" -> (Clustering.kmeansCentroids _),
+    "cluster_kmeans_assign" -> (Clustering.kmeansAssign _),
     "dedup_embedding_lsh" -> (Similarity.lshNearDupPairs _),
     "embed_int8" -> (Similarity.int8Quantize _),
     "dedup_embedding_lsh_multi" -> (Similarity.lshNearDupPairsMulti _),
@@ -259,6 +261,37 @@ object LlmRegistry {
     * variant costs one line. Both sides are the exact queries checked
     * individually above, so the recall VALUES are deterministic.
     */
+  /** Unrolled replay of [[Clustering]]'s Lloyd iterations (the BPE-train
+    * oracle stance: DuckDB recomputes every round from scratch). One
+    * assignment CTE block per round — exact BIGINT distances, row_number
+    * tiebreak on cid — then the exact integer centroid recompute
+    * (`//` and Spark's `div` both truncate toward zero on BIGINT).
+    */
+  private def kmeansAssignCte(i: Int): String =
+    s"""a$i AS (SELECT vec_id, q, cid, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM (SELECT v.vec_id, v.q, c.cid,
+       |      ${listNorm("v.q")} - 2 * ${listDot("v.q", "c.cv")}
+       |        + ${listNorm("c.cv")} AS d2
+       |    FROM v CROSS JOIN c${i - 1} c) d)""".stripMargin
+
+  private def kmeansRoundCtes(i: Int): String =
+    s"""${kmeansAssignCte(i)},
+       |m$i AS (SELECT vec_id, q, cid AS cluster FROM a$i WHERE rn = 1),
+       |e$i AS (SELECT cluster, CAST(i AS BIGINT) + 1 AS pos,
+       |    q[CAST(i AS BIGINT) + 1] AS val
+       |  FROM (SELECT cluster, q, unnest(range(len(q))) AS i FROM m$i)),
+       |n$i AS (SELECT cluster, count(*) AS n FROM m$i GROUP BY 1),
+       |s$i AS (SELECT cluster, pos, sum(val) AS s FROM e$i GROUP BY 1, 2),
+       |c$i AS (SELECT s.cluster AS cid, any_value(n.n) AS n,
+       |    list(CAST(s.s // n.n AS BIGINT) ORDER BY s.pos) AS cv
+       |  FROM s$i s JOIN n$i n ON s.cluster = n.cluster GROUP BY 1)""".stripMargin
+
+  private val kmeansCtes: String =
+    s"""WITH v AS (SELECT vec_id, $quantize AS q FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, q AS cv FROM v WHERE vec_id < ${Clustering.K}),
+       |${(1 to Clustering.Iters).map(kmeansRoundCtes).mkString(",\n")}""".stripMargin
+
   private def recallSql(approxSql: String): String =
     s"""WITH brute AS (${topkSql(bucketJoin = false)}),
        |approx AS ($approxSql)
@@ -582,6 +615,24 @@ object LlmRegistry {
     "sim_ivf_recall" -> recallSql(ivfTopkSql),
     "sim_pq_topk" -> pqTopkSql,
     "sim_pq_recall" -> recallSql(pqTopkSql),
+    "cluster_kmeans_centroids" -> {
+      val T = Clustering.Iters
+      s"""$kmeansCtes,
+         |cc AS (SELECT cid, CAST(i AS BIGINT) + 1 AS pos,
+         |    cv[CAST(i AS BIGINT) + 1] AS val
+         |  FROM (SELECT cid, cv, unnest(range(len(cv))) AS i FROM c$T)),
+         |x AS (SELECT cid, CAST(sum(val * pos) AS BIGINT) AS checksum,
+         |    min(val) AS c_min, max(val) AS c_max FROM cc GROUP BY 1)
+         |SELECT c.cid AS cluster, c.n, x.checksum, x.c_min, x.c_max
+         |FROM c$T c JOIN x ON x.cid = c.cid ORDER BY cluster""".stripMargin
+    },
+    "cluster_kmeans_assign" -> {
+      val Tp1 = Clustering.Iters + 1
+      s"""$kmeansCtes,
+         |${kmeansAssignCte(Tp1)}
+         |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM a$Tp1
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
     "dedup_embedding_lsh_multi" ->
       s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
          |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),

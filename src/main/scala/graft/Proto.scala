@@ -139,6 +139,8 @@ object Proto {
     "sim_ivf_recall" -> asc("query_id"),
     "sim_pq_topk" -> asc("query_id", "rank"),
     "sim_pq_recall" -> asc("query_id"),
+    "cluster_kmeans_centroids" -> asc("cluster"),
+    "cluster_kmeans_assign" -> asc("vec_id"),
     "dedup_embedding_lsh" -> asc("a", "b"),
     "embed_int8" -> asc("vec_id"),
     "dedup_embedding_lsh_multi" -> asc("a", "b"),

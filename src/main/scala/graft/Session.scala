@@ -24,6 +24,15 @@ object Session {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // Scan-split open-cost floor. The synthetic fixtures compress to a
+      // few MB, so Spark's 4 MB default floor caps even a 6 M-row table
+      // at 1-2 scan partitions; SPARK_GRAFT_OPEN_COST=65536 restores
+      // 32-way scans on multi-row-group fixtures (sf1 layout). Default
+      // stays Spark's: on SINGLE-row-group files (the driver's sf0.1
+      // data) extra splits are empty and cost a measured ~2.5%, and at
+      // cluster scale files are >=128 MB so the floor never binds.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (4 * 1024 * 1024).toString))
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // RocksDB-backed streaming state: state spills to local disk

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import org.apache.spark.sql.graftexpr.LongArraySumAgg
+
+/** Distributed Lloyd k-means over the quantized embedding space — the
+  * trained-codebook counterpart of the deterministic first-K stand-ins
+  * the IVF/PQ paths seed with ([[Similarity]]). Everything runs in
+  * EXACT integer arithmetic so results are bit-identical across engines
+  * and runs:
+  *
+  *  - vectors are [[Dedup.quantized]] `array<bigint>` (floor(x·1e6));
+  *  - assignment is an integer argmin of ‖q−c‖² = |q|² − 2·q·c + |c|²
+  *    over the broadcast centroid row, lowest-cid tiebreak — the same
+  *    broadcast-argmin shape as [[Similarity]]'s cell ranking;
+  *  - the recompute step is `long_array_sum` / count with TRUNCATING
+  *    integer division (Spark `div` ≡ DuckDB `//` on BIGINT — both
+  *    round toward zero), so centroids stay exact integers.
+  *
+  * Scale shape per iteration: one narrow pass over the corpus (argmin
+  * against K broadcast centroids) into one partial aggregation keyed by
+  * cluster — the shuffle carries `clusters × dims × 8 B` buffers, never
+  * vectors. At 100 TB that is the textbook mini-batch-free Lloyd layout;
+  * iteration count is a constant ([[Iters]]), so the whole training is
+  * [[Iters]] map-reduce rounds with no driver-side data loops.
+  *
+  * A cluster that loses every member simply drops out of the centroid
+  * set (standard Lloyd without empty-cluster repair); deterministic, and
+  * the oracle replays it identically via inner-join semantics.
+  */
+object Clustering {
+
+  /** Cluster count: seeded from vectors `vec_id < K` (the deterministic
+    * seed stance shared with the IVF/PQ codebooks).
+    */
+  val K = 8
+
+  /** Lloyd iterations — fixed so the unrolled oracle replay is finite. */
+  val Iters = 3
+
+  import org.apache.spark.sql.Column
+
+  /** Corpus with the per-row norm the argmin needs. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.ArrayOps._
+    Dedup.quantized(spark, dir).select(col("vec_id"), col("q"))
+      .withColumn("qnorm", longArrayNormSq(col("q")))
+  }
+
+  /** Collect centroids (cid, cv) into the ONE broadcast row the argmin
+    * scans; collect_list order is irrelevant because argmin is
+    * order-independent.
+    */
+  private def centRow(cents: DataFrame): DataFrame = {
+    import graft.plans.ArrayOps._
+    cents.select(struct(col("cid"), col("cv"),
+        longArrayNormSq(col("cv")).as("cnorm2")).as("c"))
+      .agg(collect_list(col("c")).as("cents"))
+  }
+
+  /** struct(d2, cid) of the nearest centroid: exact-integer argmin with
+    * lowest-cid tiebreak.
+    */
+  private val nearest: Column = expr(
+    """element_at(array_sort(transform(cents, c ->
+      |  struct(qnorm - 2 * long_array_dot(q, c.cv) + c.cnorm2 AS d2,
+      |         c.cid AS cid))), 1)""".stripMargin)
+
+  /** One Lloyd step: assign, then exact integer mean per cluster.
+    * Returns (cid, cv, n).
+    */
+  private def step(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.join(broadcast(centRow(cents)), lit(true))
+      .withColumn("cluster", nearest.getField("cid"))
+      .groupBy(col("cluster"))
+      .agg(LongArraySumAgg.column(col("q")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("cluster").as("cid"),
+        expr("transform(sv, x -> x div n)").as("cv"), col("n"))
+
+  /** Centroids (with membership counts) after [[Iters]] Lloyd rounds. */
+  private def trained(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = vecs(spark, dir)
+    val seed = corpus.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("q").as("cv"))
+    (1 to Iters).foldLeft(seed.withColumn("n", lit(0L))) {
+      case (cents, _) => step(corpus, cents.select(col("cid"), col("cv")))
+    }
+  }
+
+  /** `cluster_kmeans_centroids`: one row per surviving cluster — member
+    * count plus exact centroid summaries (position-weighted checksum,
+    * min, max) so the gate compares scalar columns, not arrays.
+    */
+  def kmeansCentroids(spark: SparkSession, dir: String): DataFrame =
+    trained(spark, dir).select(
+      col("cid").as("cluster"), col("n"),
+      expr("""aggregate(zip_with(cv,
+          |  sequence(CAST(1 AS BIGINT), CAST(size(cv) AS BIGINT)),
+          |  (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+        .stripMargin).as("checksum"),
+      array_min(col("cv")).as("c_min"),
+      array_max(col("cv")).as("c_max"))
+
+  /** `cluster_kmeans_assign`: final assignment of every vector against
+    * the trained centroids — (vec_id, cluster, dist2), all exact BIGINT.
+    */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .join(broadcast(centRow(trained(spark, dir).select(col("cid"), col("cv")))),
+        lit(true))
+      .withColumn("near", nearest)
+      .select(col("vec_id"), col("near.cid").as("cluster"),
+        col("near.d2").as("dist2"))
+}

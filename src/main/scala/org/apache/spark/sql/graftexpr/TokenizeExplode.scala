@@ -186,6 +186,11 @@ object GraftFunctions {
     "hll_card" -> { exprs =>
       require(exprs.length == 1, s"hll_card expects 1 argument, got ${exprs.length}")
       HllCardinality(exprs.head)
+    },
+    "long_array_sum" -> { exprs =>
+      require(exprs.length == 1,
+        s"long_array_sum expects 1 argument, got ${exprs.length}")
+      LongArraySumAgg(exprs.head)
     })
 
   /** Runtime registration of the full engine SQL surface (idempotent). */

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Structural k-means properties the value-level oracle replay doesn't
+  * spell out, plus the long_array_sum aggregate contract.
+  */
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("long_array_sum: element-wise, null-skipping, mergeable") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(1L, 2L, 3L))),
+      (1L, Some(Seq(10L, 20L, 30L))),
+      (1L, None),
+      (2L, Some(Seq(-5L, 0L, 5L)))).toDF("g", "arr")
+      .select(col("g"), col("arr").cast("array<bigint>").as("arr"))
+      // many partitions so merge() actually runs
+      .repartition(8)
+    val got = df.groupBy(col("g")).agg(expr("long_array_sum(arr)").as("s"))
+      .orderBy(col("g")).collect()
+    assert(got(0).getSeq[Long](1) === Seq(11L, 22L, 33L))
+    assert(got(1).getSeq[Long](1) === Seq(-5L, 0L, 5L))
+    // all-null group sums to NULL
+    val nullGroup = Seq((1L, Option.empty[Seq[Long]])).toDF("g", "arr")
+      .select(col("g"), col("arr").cast("array<bigint>").as("arr"))
+      .groupBy(col("g")).agg(expr("long_array_sum(arr)").as("s")).head()
+    assert(nullGroup.isNullAt(1))
+  }
+
+  test("long_array_sum: mixed lengths in one group raise a named error") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1L, 2L)), (1L, Seq(1L, 2L, 3L))).toDF("g", "arr")
+    val e = intercept[Exception] {
+      df.groupBy(col("g")).agg(expr("long_array_sum(arr)")).collect()
+    }
+    assert(e.getMessage.contains("long_array_sum") ||
+      e.getCause != null && e.getCause.getMessage.contains("long_array_sum"))
+  }
+
+  test("assignment matches an independent in-JVM Lloyd replay exactly") {
+    val vecs = Dedup.quantized(spark, dir)
+      .select($"vec_id", $"q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+
+    def d2(q: Array[Long], c: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < q.length) { val d = q(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val vmap = vecs.toMap
+    // seed = first-K vectors; T rounds of (argmin assign, truncating
+    // integer mean) — Scala Long `/` truncates toward zero like Spark
+    // `div`, so the replay shares the exact centroid arithmetic
+    var cents: Map[Long, Array[Long]] =
+      vecs.filter(_._1 < Clustering.K).toMap
+    def assignAll(): Array[(Long, Long, Long)] = vecs.map { case (vid, q) =>
+      val (bd, bc) = cents.map { case (cid, cv) => (d2(q, cv), cid) }.min
+      (vid, bc, bd)
+    }
+    (1 to Clustering.Iters).foreach { _ =>
+      cents = assignAll().groupBy(_._2).map { case (cid, rows) =>
+        val qs = rows.map(r => vmap(r._1))
+        val dim = qs.head.length
+        val sums = new Array[Long](dim)
+        qs.foreach(q => (0 until dim).foreach(i => sums(i) += q(i)))
+        cid -> sums.map(_ / qs.length)
+      }
+    }
+    val expected = assignAll()
+
+    val got = Clustering.kmeansAssign(spark, dir)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected.toSeq,
+      "distributed assignment must equal the sequential replay")
+  }
+
+  test("centroid summaries account for the whole corpus") {
+    val n = Dedup.quantized(spark, dir).count()
+    val cents = Clustering.kmeansCentroids(spark, dir).collect()
+    assert(cents.map(_.getLong(1)).sum === n, "membership counts sum to corpus size")
+    assert(cents.length <= Clustering.K)
+    cents.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4), "c_min <= c_max")
+    }
+  }
+}

@@ -37,7 +37,17 @@ os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 con.sql(f"SET threads TO {os.cpu_count()}")
 
-def copy_unscaled(t):
+# ~64 row groups per table (min 1024 rows each): Spark splits parquet at
+# row-group boundaries, so a 20k-row embeddings table in ONE group scans
+# on ONE core no matter the cluster — the r6 sf1 bench measured the
+# embedding/document family 7-13x slower purely from that. 64 groups
+# keeps every scan 32-way-parallel at local[32] while staying far above
+# columnar-overhead territory.
+def rgs(t):
+    n = con.sql(f"SELECT count(*) FROM '{src}/{t}.parquet'").fetchone()[0] * k
+    return max(1024, n // 64)
+
+def copy_unscaled(t):  # dimension constants — a handful of rows
     con.sql(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (ROW_GROUP_SIZE 122880)")
 
 def scale(t, sql):
@@ -45,7 +55,7 @@ def scale(t, sql):
         f"COPY (WITH src AS (SELECT * FROM '{src}/{t}.parquet'), "
         f"n AS (SELECT max_rows FROM (SELECT count(*) AS max_rows FROM src)) "
         f"SELECT {sql} FROM src, range({k}) c(i), n "
-        f"ORDER BY i) TO '{out}/{t}.parquet' (ROW_GROUP_SIZE 122880)")
+        f"ORDER BY i) TO '{out}/{t}.parquet' (ROW_GROUP_SIZE {rgs(t)})")
 
 copy_unscaled("region")
 copy_unscaled("nation")
