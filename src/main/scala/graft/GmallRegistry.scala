@@ -52,6 +52,7 @@ object GmallRegistry {
     "layout_zvalue" -> (Bucketing.zValueIndex _),
     "q10_returned_items" -> (AnalyticsOps.returnedItemRevenue _),
     "q12_shipmode_priority" -> (AnalyticsOps.shipmodePriority _),
+    "q15_top_supplier" -> (AnalyticsOps.topSupplierRevenue _),
     "q16_supplier_variety" -> (AnalyticsOps.partSupplierVariety _),
     "q21_waiting_suppliers" -> (AnalyticsOps.waitingSuppliers _),
     "agg_salted_sum" -> (EventOps.saltedTypeTotals _),
@@ -441,6 +442,20 @@ object GmallRegistry {
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same unscaled-long revenue units as q14; the winner filter is a
+    // scalar-max subquery over the same supplier-sized aggregate
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |         (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS rev_u
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, rev_u / 10000.0 AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE rev_u = (SELECT max(rev_u) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     "q16_supplier_variety" ->
       """SELECT p_brand AS brand, p_type AS type, CAST(p_size AS BIGINT) AS size,
         |  count(DISTINCT l_suppkey) AS supplier_cnt

@@ -34,6 +34,8 @@ object LlmRegistry {
     "tokens_to_ids" -> (TextAnalysis.tokensToIds _),
     "text_commonness" -> (TextAnalysis.commonness _),
     "text_repetition" -> (TextAnalysis.repetition _),
+    "text_tile_dedup" -> (TextAnalysis.tileDedup _),
+    "pipeline_boilerplate_tiles" -> (CorpusPipeline.boilerplateTiles _),
     "text_lm_score" -> (TextAnalysis.lmScore _),
     "dedup_canonical" -> (Dedup.canonical _),
     "dedup_exact" -> (Dedup.exact _),
@@ -412,6 +414,8 @@ object LlmRegistry {
          |  CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS repetition_ratio
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "text_tile_dedup" -> TextAnalysis.sqlTileDedup,
+    "pipeline_boilerplate_tiles" -> CorpusPipeline.sqlBoilerplateTiles,
     // identical integer LM math: add-one bigram counts, context counts,
     // vocab size — exact sums, one double division at the end
     "text_lm_score" ->

@@ -38,6 +38,9 @@ object Proto {
     "layout_zvalue" -> asc("orderkey", "linenumber"),
     // q10_returned_items: semantic order (sort+limit), no Proto entry
     "q12_shipmode_priority" -> asc("shipped_after_order"),
+    "q15_top_supplier" -> asc("s_suppkey"),
+    "text_tile_dedup" -> asc("doc_id"),
+    "pipeline_boilerplate_tiles" -> asc("doc_id"),
     "q16_supplier_variety" -> asc("brand", "type", "size"),
     "q21_waiting_suppliers" -> asc("supp_name"),
     "j1_interval_join" -> asc("orderkey", "linenumber"),

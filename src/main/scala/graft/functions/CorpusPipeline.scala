@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft._
+import graft.Tables.documents
 
 /** The end-to-end training-corpus cleaning pipeline — the composition the
   * individual LLM operators exist for:
@@ -134,7 +135,7 @@ object CorpusPipeline {
       .select($"doc_id", $"n_tokens", $"quality")
     val lang = TextAnalysis.langId(spark, dir).select($"doc_id", $"pred_lang")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
-    val dup = Tables.documents(spark, dir)
+    val dup = documents(spark, dir)
       .select($"doc_id", $"source", md5(Hashing.normText($"text")).as("fp"))
       .withColumn("is_dup", $"doc_id" =!= min($"doc_id").over(w))
     dup.join(qual, Seq("doc_id")).join(lang, Seq("doc_id"))
@@ -150,4 +151,67 @@ object CorpusPipeline {
         ($"n_english".cast("double") / $"n_docs".cast("double")).as("english_rate"),
         ($"n_dups".cast("double") / $"n_docs".cast("double")).as("dup_rate"))
   }
+
+  /** Boilerplate document-frequency threshold, as a denominator: a tile
+    * is boilerplate when it appears in MORE than n_docs/[[BpDfDenom]]
+    * distinct documents (4%) — headers, footers, nav chrome in a real
+    * crawl. Relative, so the same definition holds at every SF.
+    */
+  val BpDfDenom = 25
+
+  /** Corpus-wide boilerplate-tile removal (the CCNet cross-document
+    * paragraph-hash pass, on [[TextAnalysis.TileLen]]-word tiles): drop
+    * every tile occurring in > 4% of documents, re-emit each document
+    * with its surviving tiles in position order plus drop counts.
+    *
+    * Scale shape: tile document-frequency is ONE corpus shuffle on the
+    * tile key (count-distinct with partial aggregation). The boilerplate
+    * SET is then broadcast-safe BY CONSTRUCTION, not by luck: at most
+    * total_tiles/(n_docs/25) = 25 · avg_tiles_per_doc distinct tiles can
+    * clear a 4%-of-docs bar — bounded by document length, independent of
+    * corpus size — so the join back is a broadcast probe and the corpus
+    * stays narrow until the final per-doc regroup. Docs losing every
+    * tile still emit (clean_text = '').
+    */
+  def boilerplateTiles(spark: SparkSession, dir: String): DataFrame =
+    boilerplateTilesOf(documents(spark, dir))
+
+  /** [[boilerplateTiles]] over an arbitrary (doc_id, text) frame. */
+  def boilerplateTilesOf(docs: DataFrame): DataFrame = {
+    val tiles = docs
+      .select($"doc_id",
+        posexplode(TextAnalysis.tileArray($"text")).as(Seq("tile_id", "tile")))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val bp = tiles.groupBy($"tile")
+      .agg(countDistinct($"doc_id").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter($"df" * BpDfDenom > $"n_docs")
+      .select($"tile", lit(true).as("is_bp"))
+    tiles.join(broadcast(bp), Seq("tile"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(when($"is_bp", 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+            when($"is_bp".isNull, struct($"tile_id", $"tile")))),
+          x => x.getField("tile")), " ").as("clean_text"))
+  }
+
+  /** DuckDB twin of [[boilerplateTiles]]. string_agg over an all-dropped
+    * doc yields NULL where Spark's empty array_join yields '' — hence
+    * the coalesce.
+    */
+  def sqlBoilerplateTiles: String =
+    s"""WITH tl AS (SELECT doc_id,
+       |    ${TextAnalysis.sqlTileArray(TextAnalysis.sqlTokens("text"))} AS tiles
+       |  FROM documents),
+       |tiles AS (SELECT doc_id, CAST(i AS BIGINT) AS tile_id, tiles[i + 1] AS tile
+       |  FROM (SELECT doc_id, tiles, unnest(range(len(tiles))) AS i FROM tl)),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |bp AS (SELECT tile FROM tiles, nd
+       |  GROUP BY tile, n_docs HAVING count(DISTINCT doc_id) * $BpDfDenom > n_docs)
+       |SELECT t.doc_id, count(*) AS n_tiles,
+       |  CAST(sum(CASE WHEN b.tile IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  coalesce(string_agg(CASE WHEN b.tile IS NULL THEN t.tile END, ' ' ORDER BY t.tile_id), '') AS clean_text
+       |FROM tiles t LEFT JOIN bp b ON t.tile = b.tile
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -240,6 +240,71 @@ object TextAnalysis {
   }
 
   /** Shared DuckDB fragment: the canonical tokenizer. */
+  // ---- tile-level (line/paragraph) dedup --------------------------------
+
+  /** Tile length in words for [[tileDedup]] and
+    * [[CorpusPipeline.boilerplateTiles]]. A "tile" is the segment unit of
+    * line/paragraph-hash dedup (CCNet-style): real corpora segment on
+    * newlines; this corpus is a single line per doc, so consecutive
+    * TileLen-word windows stand in. 2 because the seeded 31-word
+    * vocabulary only produces repeats at that width — production would
+    * use newline segments or ~50-word windows.
+    */
+  val TileLen = 2
+
+  /** The document cut into consecutive [[TileLen]]-word tiles, as an
+    * array column — computed NARROWLY from the token array (sequence +
+    * slice), no explode/shuffle; the per-doc tile list stays inside one
+    * row until a caller chooses to explode it.
+    */
+  def tileArray(text: Column): Column = {
+    val toks = tokens(text)
+    // Column `/` is double division: cast truncates, = floor for n >= 0
+    val nTiles = ((size(toks) + TileLen - 1) / TileLen).cast("int")
+    when(size(toks) === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), nTiles - 1),
+        i => array_join(slice(toks, i * TileLen + 1, lit(TileLen)), " ")))
+  }
+
+  /** Intra-document tile dedup (Lee et al. "Deduplicating Training Data
+    * Makes LMs Better", within-doc pass): drop every tile whose exact
+    * text already occurred earlier in the SAME document, keeping first
+    * occurrences in position order. Entirely narrow — a per-row
+    * higher-order filter (keep tile i iff its first occurrence index is
+    * i), ZERO shuffles at any scale; the per-doc O(tiles²) membership
+    * scan is bounded by document length, not corpus size.
+    */
+  def tileDedup(spark: SparkSession, dir: String): DataFrame =
+    tileDedupOf(documents(spark, dir))
+
+  /** [[tileDedup]] over an arbitrary (doc_id, text) frame. */
+  def tileDedupOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tiles", tileArray($"text"))
+      .withColumn("kept",
+        filter($"tiles", (t, i) => array_position($"tiles", t) === i + 1))
+      .select($"doc_id",
+        size($"tiles").cast("bigint").as("n_tiles"),
+        size($"kept").cast("bigint").as("n_kept"),
+        array_join($"kept", " ").as("dedup_text"))
+
+  /** DuckDB twin of [[tileArray]] (1-based list ops; inclusive slices). */
+  def sqlTileArray(toksExpr: String): String =
+    s"list_transform(range((len($toksExpr) + ${TileLen - 1}) // $TileLen), " +
+      s"i -> array_to_string($toksExpr[i * $TileLen + 1 : i * $TileLen + $TileLen], ' '))"
+
+  /** DuckDB twin of [[tileDedup]]: list_filter's lambda index and
+    * list_position are both 1-based, so `first-occurrence = own index`
+    * needs no +1 shift.
+    */
+  def sqlTileDedup: String =
+    s"""WITH tl AS (SELECT doc_id, ${sqlTileArray(sqlTokens("text"))} AS tiles
+       |  FROM documents)
+       |SELECT doc_id, len(tiles) AS n_tiles,
+       |  len(list_filter(tiles, (x, i) -> list_position(tiles, x) = i)) AS n_kept,
+       |  array_to_string(list_filter(tiles, (x, i) -> list_position(tiles, x) = i), ' ') AS dedup_text
+       |FROM tl ORDER BY doc_id""".stripMargin
+
   def sqlTokens(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), x -> length(x) > 0)"
 

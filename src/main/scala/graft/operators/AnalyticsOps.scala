@@ -621,6 +621,34 @@ object AnalyticsOps {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Max-over-aggregate (TPC-H Q15 shape): per-supplier revenue in a
+    * 3-month ship window, keeping the supplier(s) that hit the global
+    * max. The revenue aggregate is supplier-sized (SF·10k rows); its max
+    * is a 1-row global aggregate equi-joined back — NOT a window over an
+    * empty partition, which would funnel every supplier partial through
+    * one task at scale. The identical revenue subtree appears in both
+    * branches, so ReuseExchange serves the second branch from the first
+    * shuffle instead of rescanning lineitem. The winner set (max ties
+    * only, ≈1 row) is broadcast into the supplier dim join. Money on
+    * unscaled longs (see [[RelationalOps.pricingSummary]]).
+    */
+  def topSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir)
+    val s = supplier(spark, dir)
+    val discU = (dec($"l_extendedprice") * 100).cast("long") *
+      (lit(100L) - (dec($"l_discount") * 100).cast("long"))
+    val revenue = l
+      .filter($"l_shipdate" >= lit("1996-01-01") &&
+        $"l_shipdate" < lit("1996-04-01"))
+      .groupBy($"l_suppkey")
+      .agg(sum(discU).as("rev_u"))
+    val maxRev = revenue.agg(max($"rev_u").as("max_u"))
+    val winners = revenue.join(broadcast(maxRev), $"rev_u" === $"max_u")
+    s.join(broadcast(winners), s("s_suppkey") === $"l_suppkey")
+      .select(s("s_suppkey"), s("s_name"),
+        ($"rev_u" / 10000.0).as("total_revenue"))
+  }
+
   /** NOT IN over a nullable-free subquery (TPC-H Q16 shape): supplier
     * variety per part attribute, excluding blacklisted suppliers. The
     * exclusion list is tiny and bounded → broadcast left-anti join
