@@ -54,6 +54,7 @@ object LlmRegistry {
       Similarity.lshBuckets(s, d)
         .selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "bucket")),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
+    "sim_knn_graph" -> (Similarity.knnGraph _),
     "sim_lsh_recall" -> (Similarity.lshRecall _),
     "sim_lsh_topk_multiprobe" -> (Similarity.lshTopKMultiProbe _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
@@ -658,6 +659,26 @@ object LlmRegistry {
          |  AND (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
          |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= ${Dedup.Cos2Threshold}
          |ORDER BY a, b""".stripMargin,
+    // same candidate CTEs as dedup_embedding_lsh, no threshold; rank
+    // tie-break (cos2 DESC, neighbor) mirrors TopKAgg's heap order
+    "sim_knn_graph" ->
+      s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+         |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm, $bucketExpr AS bucket FROM qz),
+         |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |    ${listDot("a.q", "b.q")} AS dot, a.norm AS na, b.norm AS nb
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |s AS (SELECT a, b,
+         |    (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
+         |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos2
+         |  FROM p WHERE dot > 0),
+         |e AS (SELECT a AS vec_id, b AS neighbor, cos2 FROM s
+         |  UNION ALL SELECT b AS vec_id, a AS neighbor, cos2 FROM s)
+         |SELECT vec_id,
+         |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos2 DESC, neighbor) AS BIGINT) AS rank,
+         |  neighbor, cos2
+         |FROM e
+         |QUALIFY rank <= ${Similarity.KnnK}
+         |ORDER BY vec_id, rank""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
          |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm, $bucketExpr AS bucket FROM qz),

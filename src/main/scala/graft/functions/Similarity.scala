@@ -111,6 +111,47 @@ object Similarity {
       .select($"a", $"b", $"cos2")
   }
 
+  /** Neighbors kept per vector in [[knnGraph]]. */
+  val KnnK = 5
+
+  /** k-NN graph over the LSH-bucketed corpus: for every vector, its
+    * [[KnnK]] most-similar same-bucket neighbors by quantized cos² —
+    * the all-vectors neighbor structure SemDeDup-style semantic dedup
+    * and graph-based curation consume (vs [[lshTopK]], which serves a
+    * bounded QUERY set).
+    *
+    * Scale shape: pair scores are computed ONCE per unordered pair
+    * (a<b bucket equi-join, same candidate plan as
+    * [[lshNearDupPairs]]); both directed edges then come from a narrow
+    * 2-element explode of the scored pair — the candidate join runs
+    * once, not once per direction. Ranking is top_k_ids (bounded
+    * per-key heaps, partial aggregation), NOT a ranking window — a
+    * window would sort every candidate edge inside each shuffle
+    * partition; the heap ships k rows per key per partition.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val withB = bucketed(spark, dir)
+    val pairs = withB.as("x").join(withB.as("y").hint("shuffle_hash"),
+        expr("x.bucket = y.bucket AND x.vec_id < y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        longArrayDot(col("x.q"), col("y.q")).as("dot"),
+        col("x.nrm").as("na"), col("y.nrm").as("nb"))
+      .filter($"dot" > 0)
+      .select($"a", $"b",
+        (($"dot".cast("double") * $"dot".cast("double")) /
+          ($"na".cast("double") * $"nb".cast("double"))).as("cos2"))
+    pairs
+      .select(explode(array(
+        struct($"a".as("src"), $"b".as("dst"), $"cos2"),
+        struct($"b".as("src"), $"a".as("dst"), $"cos2"))).as("e"))
+      .groupBy($"e.src".as("vec_id"))
+      .agg(org.apache.spark.sql.graftexpr.TopKAgg.topKIds(
+        $"e.dst", $"e.cos2", KnnK).as("nn"))
+      .select($"vec_id", posexplode($"nn").as(Seq("i", "n")))
+      .select($"vec_id", ($"i" + 1).cast("bigint").as("rank"),
+        $"n.id".as("neighbor"), $"n.score".as("cos2"))
+  }
+
   /** Number of independent LSH tables for the multi-table variant. */
   val NumTables = 4
 

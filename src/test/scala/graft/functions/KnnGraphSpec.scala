@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Structural invariants of the LSH k-NN graph at sf0.001 (value-level
+  * parity is the DuckDB oracle's job): per-vector neighbor lists are
+  * rank-contiguous, capped at KnnK, score-sorted with the deterministic
+  * tie-break, self-loop-free, and score-symmetric (an edge scored from
+  * either endpoint carries the same cos²).
+  */
+class KnnGraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val rows =
+    Similarity.knnGraph(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("neighbor lists are rank-contiguous, capped at KnnK, and sorted") {
+    assert(rows.nonEmpty, "fixture buckets must produce neighbors")
+    rows.groupBy(_._1).foreach { case (v, es) =>
+      val byRank = es.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1L to es.length).toSeq,
+        s"vec $v ranks not contiguous")
+      assert(es.length <= Similarity.KnnK)
+      // sorted by cos2 desc, ties toward the smaller neighbor id
+      byRank.sliding(2).foreach {
+        case Array((_, _, n1, c1), (_, _, n2, c2)) =>
+          assert(c1 > c2 || (c1 == c2 && n1 < n2),
+            s"vec $v: rank order violated at neighbors $n1,$n2")
+        case _ =>
+      }
+      assert(es.forall(_._3 != v), s"vec $v has a self-loop")
+    }
+  }
+
+  test("edge scores are symmetric across directions") {
+    val score = rows.map { case (v, _, n, c) => (v, n) -> c }.toMap
+    score.foreach { case ((v, n), c) =>
+      score.get((n, v)).foreach(back => assert(back === c,
+        s"asymmetric score on edge ($v,$n)"))
+    }
+  }
+}
