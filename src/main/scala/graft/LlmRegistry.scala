@@ -92,6 +92,7 @@ object LlmRegistry {
     "pipeline_source_quota" -> (Sampling.sourceQuota _),
     "pipeline_source_quota_agg" -> (Sampling.sourceQuotaHeap _),
     "pipeline_chunk_tokens" -> (Sampling.chunkTokens _),
+    "pipeline_curriculum" -> (Sampling.curriculumOrder _),
     "pipeline_pack_sequences" -> (Sampling.packSequences _))
 
   // ---- shared SQL fragments --------------------------------------------
@@ -109,6 +110,26 @@ object LlmRegistry {
     (0 until Dedup.SimBits).map(i => 1L << i).mkString("[", ", ", "]")
   private val markerValues: String = TextAnalysis.langMarkers
     .map { case (l, m) => s"('$l','$m')" }.mkString(", ")
+
+  // the bigram-LM fluency body, ORDER-BY-free so text_lm_score and
+  // pipeline_curriculum share one definition
+  private val lmScoreBody =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |bg AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+       |    toks[CAST(i AS INT) + 1] AS w2
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+       |c12 AS (SELECT w1, w2, count(*) AS bfreq FROM bg GROUP BY 1, 2),
+       |ctx AS (SELECT w1, count(*) AS cfreq FROM bg GROUP BY 1),
+       |vocab AS (SELECT count(DISTINCT tok) AS v
+       |  FROM (SELECT unnest(toks) AS tok FROM t))
+       |SELECT b.doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(c.bfreq + 1) AS BIGINT) AS sum_num,
+       |  CAST(sum(x.cfreq + vocab.v) AS BIGINT) AS sum_den,
+       |  CAST(CAST(sum(c.bfreq + 1) AS BIGINT) AS DOUBLE) /
+       |    CAST(CAST(sum(x.cfreq + vocab.v) AS BIGINT) AS DOUBLE) AS fluency
+       |FROM bg b JOIN c12 c USING (w1, w2) JOIN ctx x USING (w1)
+       |  CROSS JOIN vocab
+       |GROUP BY 1""".stripMargin
 
   private val tokensToIdsBody =
     s"""WITH counts AS (SELECT tok AS token, count(*) AS freq
@@ -419,23 +440,14 @@ object LlmRegistry {
     "pipeline_boilerplate_tiles" -> CorpusPipeline.sqlBoilerplateTiles,
     // identical integer LM math: add-one bigram counts, context counts,
     // vocab size — exact sums, one double division at the end
-    "text_lm_score" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-         |bg AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
-         |    toks[CAST(i AS INT) + 1] AS w2
-         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
-         |c12 AS (SELECT w1, w2, count(*) AS bfreq FROM bg GROUP BY 1, 2),
-         |ctx AS (SELECT w1, count(*) AS cfreq FROM bg GROUP BY 1),
-         |vocab AS (SELECT count(DISTINCT tok) AS v
-         |  FROM (SELECT unnest(toks) AS tok FROM t))
-         |SELECT b.doc_id, count(*) AS n_bigrams,
-         |  CAST(sum(c.bfreq + 1) AS BIGINT) AS sum_num,
-         |  CAST(sum(x.cfreq + vocab.v) AS BIGINT) AS sum_den,
-         |  CAST(CAST(sum(c.bfreq + 1) AS BIGINT) AS DOUBLE) /
-         |    CAST(CAST(sum(x.cfreq + vocab.v) AS BIGINT) AS DOUBLE) AS fluency
-         |FROM bg b JOIN c12 c USING (w1, w2) JOIN ctx x USING (w1)
-         |  CROSS JOIN vocab
-         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_lm_score" -> s"$lmScoreBody ORDER BY doc_id",
+    // global rank over the SAME lm body; (fluency DESC, doc_id) is a
+    // total order, so ranks are engine-independent
+    "pipeline_curriculum" ->
+      s"""SELECT doc_id, n_bigrams, sum_num, sum_den, fluency,
+         |  CAST(row_number() OVER (ORDER BY fluency DESC, doc_id) AS BIGINT)
+         |    AS curriculum_rank
+         |FROM ($lmScoreBody) lm ORDER BY curriculum_rank""".stripMargin,
     // the dedup_clusters transitive closure, then a per-cluster argmax:
     // most content wins, ties to the smallest doc_id
     "dedup_canonical" ->

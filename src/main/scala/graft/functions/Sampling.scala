@@ -266,6 +266,34 @@ object Sampling {
             expr(s"tok_start div $PackLen") + lit(1L)).as("n_packs"))
   }
 
+  /** Curriculum ordering: a GLOBAL rank of every document by bigram-LM
+    * fluency (easy → hard), the ordering a curriculum-learning schedule
+    * consumes. This is the one operator class the engine otherwise
+    * avoids on purpose (total order is usually protocol overhead — see
+    * [[graft.Proto]]); when a user genuinely needs it, the scalable
+    * form is range-partition + per-partition offsets, NEVER
+    * `row_number() OVER ()` — an empty-window rank funnels the corpus
+    * through ONE task. Here: `repartitionByRange` (sampled range
+    * exchange) + in-partition sort + `zipWithIndex` (one extra
+    * per-partition count job to compute offsets — the same two-phase
+    * scan [[packSequences]] documents). Ranks are engine-independent
+    * because (fluency DESC, doc_id) is a total order; where the range
+    * boundaries land cannot change any rank.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.lmScore(spark, dir)
+    val sorted = scored
+      .repartitionByRange($"fluency".desc, $"doc_id".asc)
+      .sortWithinPartitions($"fluency".desc, $"doc_id".asc)
+    val schema = sorted.schema
+      .add("curriculum_rank", org.apache.spark.sql.types.LongType,
+        nullable = false)
+    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(ranked, schema)
+  }
+
   /** Shard count for [[shardManifest]]. */
   val NumShards = 16
 
