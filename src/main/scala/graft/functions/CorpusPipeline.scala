@@ -165,36 +165,53 @@ object CorpusPipeline {
     * with its surviving tiles in position order plus drop counts.
     *
     * Scale shape: tile document-frequency is ONE corpus shuffle on the
-    * tile key (count-distinct with partial aggregation). The boilerplate
-    * SET is then broadcast-safe BY CONSTRUCTION, not by luck: at most
+    * tile key (count-distinct with partial aggregation) — the only
+    * corpus-sized shuffle in the operator. The boilerplate SET is
+    * bounded BY CONSTRUCTION, not by luck: at most
     * total_tiles/(n_docs/25) = 25 · avg_tiles_per_doc distinct tiles can
-    * clear a 4%-of-docs bar — bounded by document length, independent of
-    * corpus size — so the join back is a broadcast probe and the corpus
-    * stays narrow until the final per-doc regroup. Docs losing every
-    * tile still emit (clean_text = '').
+    * clear a 4%-of-docs bar — document-length-bounded, independent of
+    * corpus size — so it collapses to ONE sorted array row that
+    * broadcasts, and the reassembly pass is fully NARROW (per-row
+    * membership filter on the tile array; no join-back, no per-doc
+    * regroup shuffle carrying the corpus). Docs losing every tile still
+    * emit (clean_text = '').
     */
   def boilerplateTiles(spark: SparkSession, dir: String): DataFrame =
     boilerplateTilesOf(documents(spark, dir))
 
-  /** [[boilerplateTiles]] over an arbitrary (doc_id, text) frame. */
-  def boilerplateTilesOf(docs: DataFrame): DataFrame = {
+  /** The bounded boilerplate set of a corpus, as ONE sorted-array row —
+    * the broadcastable artifact [[boilerplateTilesOf]] and the
+    * streaming twin [[boilerplateCleanStream]] both consume.
+    */
+  def boilerplateSet(docs: DataFrame): DataFrame = {
     val tiles = docs
-      .select($"doc_id",
-        posexplode(TextAnalysis.tileArray($"text")).as(Seq("tile_id", "tile")))
+      .select($"doc_id", explode(TextAnalysis.tileArray($"text")).as("tile"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val bp = tiles.groupBy($"tile")
+    tiles.groupBy($"tile")
       .agg(countDistinct($"doc_id").as("df"))
       .crossJoin(broadcast(nDocs))
       .filter($"df" * BpDfDenom > $"n_docs")
-      .select($"tile", lit(true).as("is_bp"))
-    tiles.join(broadcast(bp), Seq("tile"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tiles"),
-        sum(when($"is_bp", 1L).otherwise(0L)).as("n_dropped"),
-        array_join(transform(array_sort(collect_list(
-            when($"is_bp".isNull, struct($"tile_id", $"tile")))),
-          x => x.getField("tile")), " ").as("clean_text"))
+      .agg(sort_array(collect_list($"tile")).as("bp"))
   }
+
+  /** [[boilerplateTiles]] over an arbitrary (doc_id, text) frame. */
+  def boilerplateTilesOf(docs: DataFrame): DataFrame =
+    boilerplateCleanStream(docs, boilerplateSet(docs))
+
+  /** Streaming-compatible narrow reassembly: drop the given corpus's
+    * boilerplate tiles from each document. `docs` may be a streaming
+    * frame — the bp set is a static 1-row frame, so this is a
+    * stream-static cross join of a broadcast singleton followed by
+    * per-row array ops; stateless, watermark-free.
+    */
+  def boilerplateCleanStream(docs: DataFrame, bpSet: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(bpSet))
+      .withColumn("tiles", TextAnalysis.tileArray($"text"))
+      .withColumn("kept", filter($"tiles", t => !array_contains($"bp", t)))
+      .select($"doc_id",
+        size($"tiles").cast("bigint").as("n_tiles"),
+        (size($"tiles") - size($"kept")).cast("bigint").as("n_dropped"),
+        array_join($"kept", " ").as("clean_text"))
 
   /** DuckDB twin of [[boilerplateTiles]]. string_agg over an all-dropped
     * doc yields NULL where Spark's empty array_join yields '' — hence

@@ -59,6 +59,33 @@ class TileDedupSpec extends AnyFunSuite {
     assert(out(99L) === ((1L, 1L, "")))
   }
 
+  test("streaming boilerplate clean matches the batch pass (stateless stream-static form)") {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val fixture = (0L until 30L).map(i => (i, s"the footer w${i}a w${i}b"))
+    val batchDocs = docs(fixture: _*)
+    val expected = CorpusPipeline.boilerplateTilesOf(batchDocs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val bp = CorpusPipeline.boilerplateSet(batchDocs)
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, String)] =
+      Encoders.product[(Long, String)]
+    val ms = MemoryStream[(Long, String)](enc, spark)
+    val q = CorpusPipeline.boilerplateCleanStream(
+        ms.toDF().toDF("doc_id", "text"), bp)
+      .writeStream.format("memory").queryName("bp_clean")
+      .outputMode("append").start()
+    try {
+      ms.addData(fixture.take(15): _*)
+      q.processAllAvailable()
+      ms.addData(fixture.drop(15): _*)
+      q.processAllAvailable()
+      val got = spark.table("bp_clean").collect().map((r: Row) =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("intra-doc dedup is a pure narrow pipeline: zero shuffles") {
     val df = TextAnalysis.tileDedup(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan
