@@ -626,11 +626,15 @@ object AnalyticsOps {
     * max. The revenue aggregate is supplier-sized (SF·10k rows); its max
     * is a 1-row global aggregate equi-joined back — NOT a window over an
     * empty partition, which would funnel every supplier partial through
-    * one task at scale. The identical revenue subtree appears in both
-    * branches, so ReuseExchange serves the second branch from the first
-    * shuffle instead of rescanning lineitem. The winner set (max ties
-    * only, ≈1 row) is broadcast into the supplier dim join. Money on
-    * unscaled longs (see [[RelationalOps.pricingSummary]]).
+    * one task at scale. The revenue subtree is evaluated in both
+    * branches (per-branch column pruning makes the canonical plans
+    * differ, so ReuseExchange does not fire — verified with
+    * explain("formatted")); both passes push the 3-month window to the
+    * lineitem scan and aggregate to supplier-sized partials, so the
+    * second pass costs one more filtered scan, the classic distributed
+    * Q15 trade. The winner set (max ties only, ≈1 row) is broadcast
+    * into the supplier dim join. Money on unscaled longs (see
+    * [[RelationalOps.pricingSummary]]).
     */
   def topSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
     val l = lineitem(spark, dir)
