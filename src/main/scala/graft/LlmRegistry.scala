@@ -55,6 +55,7 @@ object LlmRegistry {
         .selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "bucket")),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
     "sim_knn_graph" -> (Similarity.knnGraph _),
+    "graph_pagerank" -> (GraphRank.pagerank _),
     "sim_lsh_recall" -> (Similarity.lshRecall _),
     "sim_lsh_topk_multiprobe" -> (Similarity.lshTopKMultiProbe _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
@@ -110,6 +111,27 @@ object LlmRegistry {
     (0 until Dedup.SimBits).map(i => 1L << i).mkString("[", ", ", "]")
   private val markerValues: String = TextAnalysis.langMarkers
     .map { case (l, m) => s"('$l','$m')" }.mkString(", ")
+
+  // the knn-graph query, shared verbatim between sim_knn_graph and the
+  // graph_pagerank edge CTE (the ORDER BY is legal inside a CTE)
+  private lazy val knnGraphSql: String =
+    s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm, $bucketExpr AS bucket FROM qz),
+       |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+       |    ${listDot("a.q", "b.q")} AS dot, a.norm AS na, b.norm AS nb
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |s AS (SELECT a, b,
+       |    (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
+       |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos2
+       |  FROM p WHERE dot > 0),
+       |e AS (SELECT a AS vec_id, b AS neighbor, cos2 FROM s
+       |  UNION ALL SELECT b AS vec_id, a AS neighbor, cos2 FROM s)
+       |SELECT vec_id,
+       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos2 DESC, neighbor) AS BIGINT) AS rank,
+       |  neighbor, cos2
+       |FROM e
+       |QUALIFY rank <= ${Similarity.KnnK}
+       |ORDER BY vec_id, rank""".stripMargin
 
   // the bigram-LM fluency body, ORDER-BY-free so text_lm_score and
   // pipeline_curriculum share one definition
@@ -673,24 +695,31 @@ object LlmRegistry {
          |ORDER BY a, b""".stripMargin,
     // same candidate CTEs as dedup_embedding_lsh, no threshold; rank
     // tie-break (cos2 DESC, neighbor) mirrors TopKAgg's heap order
-    "sim_knn_graph" ->
-      s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
-         |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm, $bucketExpr AS bucket FROM qz),
-         |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
-         |    ${listDot("a.q", "b.q")} AS dot, a.norm AS na, b.norm AS nb
-         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |s AS (SELECT a, b,
-         |    (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
-         |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos2
-         |  FROM p WHERE dot > 0),
-         |e AS (SELECT a AS vec_id, b AS neighbor, cos2 FROM s
-         |  UNION ALL SELECT b AS vec_id, a AS neighbor, cos2 FROM s)
-         |SELECT vec_id,
-         |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos2 DESC, neighbor) AS BIGINT) AS rank,
-         |  neighbor, cos2
-         |FROM e
-         |QUALIFY rank <= ${Similarity.KnnK}
-         |ORDER BY vec_id, rank""".stripMargin,
+    "sim_knn_graph" -> knnGraphSql,
+    // exact fixed-point power iteration over the knn edges, unrolled —
+    // every round re-CASTs to BIGINT because DuckDB sums widen to
+    // HUGEINT while Spark stays in long
+    "graph_pagerank" -> {
+      val S = GraphRank.Scale
+      val rounds = (1 to GraphRank.Rounds).map { r =>
+        s"""r$r AS (SELECT o.src AS vec_id, o.outdeg,
+           |  CAST((15 * $S) // (100 * nn.n) +
+           |       (85 * coalesce(i.inc, 0)) // 100 AS BIGINT) AS pr
+           |  FROM od o CROSS JOIN nn LEFT JOIN (
+           |    SELECT e.dst, sum(p.pr // p.outdeg) AS inc
+           |    FROM r${r - 1} p JOIN e ON p.vec_id = e.src GROUP BY 1) i
+           |    ON i.dst = o.src)""".stripMargin
+      }
+      s"""WITH knn AS ($knnGraphSql),
+         |e AS (SELECT vec_id AS src, neighbor AS dst FROM knn),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM od),
+         |r0 AS (SELECT src AS vec_id, outdeg,
+         |  CAST($S // nn.n AS BIGINT) AS pr FROM od CROSS JOIN nn),
+         |${rounds.mkString(",\n")}
+         |SELECT vec_id, CAST(outdeg AS BIGINT) AS outdeg, pr
+         |FROM r${GraphRank.Rounds} ORDER BY vec_id""".stripMargin
+    },
     "dedup_embedding_lsh" ->
       s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
          |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm, $bucketExpr AS bucket FROM qz),

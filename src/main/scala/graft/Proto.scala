@@ -42,6 +42,7 @@ object Proto {
     "text_tile_dedup" -> asc("doc_id"),
     "sim_knn_graph" -> asc("vec_id", "rank"),
     "pipeline_curriculum" -> asc("curriculum_rank"),
+    "graph_pagerank" -> asc("vec_id"),
     "pipeline_boilerplate_tiles" -> asc("doc_id"),
     "q16_supplier_variety" -> asc("brand", "type", "size"),
     "q21_waiting_suppliers" -> asc("supp_name"),

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+
+/** PageRank over the k-NN similarity graph ([[Similarity.knnGraph]]) —
+  * graph centrality as a data-curation signal: documents whose
+  * neighborhoods keep pointing back at them are the redundant cores of
+  * near-dup families, while low-rank nodes are the corpus's unique
+  * tails. Runs in EXACT integer arithmetic (fixed-point, [[Scale]]) so
+  * every round is bit-identical across engines; the oracle replays all
+  * [[Rounds]] rounds as an unrolled DuckDB CTE chain, the same contract
+  * as k-means ([[Clustering]]) and BPE ([[BpeTrain]]).
+  *
+  *  - node set = edge sources (every node with any scored pair has its
+  *    own top-k list, so destinations are a subset of sources);
+  *  - pr₀ = [[Scale]] div N; each round
+  *    pr' = (15·Scale) div (100·N) + (85·Σ incoming(pr div outdeg)) div 100
+  *    — truncating BIGINT division at every step (Spark `div` ≡ DuckDB
+  *    `//` on positives);
+  *  - values stay ≈ Scale/N, so 64-bit sums cannot overflow at any
+  *    corpus size.
+  *
+  * Scale shape per round: ranks ⋈ edges on the already-partitioned src
+  * key, one aggregation keyed by dst — the textbook iterative
+  * join-agg; [[Rounds]] is a constant, so the whole computation is a
+  * fixed round count with no driver-side data loops. The edge set is
+  * recomputed per round reference here (same recompute stance as
+  * [[Clustering]] — correctness-neutral); a production run over a
+  * persistent graph would materialize edges once and checkpoint
+  * between rounds.
+  */
+object GraphRank {
+
+  /** Fixed-point scale: pr values are rank·Scale truncated. */
+  val Scale = 1000000000000L
+
+  /** Power-iteration rounds — fixed so the unrolled oracle is finite. */
+  val Rounds = 3
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor").as("dst"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nRow = broadcast(outdeg.agg(count(lit(1)).as("nn")))
+    val nodes = outdeg.crossJoin(nRow)
+      .select(col("src").as("vec_id"), col("outdeg"), col("nn"))
+    val init = nodes.withColumn("pr", expr(s"${Scale}L div nn"))
+    val ranked = (1 to Rounds).foldLeft(init) { case (ranks, _) =>
+      val incoming = ranks
+        .join(edges, ranks("vec_id") === edges("src"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+      nodes.join(incoming, nodes("vec_id") === incoming("dst"), "left")
+        .select(nodes("vec_id"), col("outdeg"), col("nn"),
+          expr(s"(15L * ${Scale}L) div (100L * nn) + " +
+            "(85L * coalesce(inc, 0L)) div 100L").as("pr"))
+    }
+    ranked.select(col("vec_id"), col("outdeg"), col("pr"))
+  }
+}
