@@ -177,7 +177,9 @@ object CorpusPipeline {
     * emit (clean_text = '').
     */
   def boilerplateTiles(spark: SparkSession, dir: String): DataFrame =
-    boilerplateTilesOf(documents(spark, dir))
+    // per-row tile reassembly is interpreted-HOF-heavy (see
+    // [[TextAnalysis.tileDedup]]) — spread the under-split scan
+    boilerplateTilesOf(Tables.spread(documents(spark, dir)))
 
   /** The bounded boilerplate set of a corpus, as ONE sorted-array row —
     * the broadcastable artifact [[boilerplateTilesOf]] and the
@@ -204,14 +206,19 @@ object CorpusPipeline {
     * stream-static cross join of a broadcast singleton followed by
     * per-row array ops; stateless, watermark-free.
     */
-  def boilerplateCleanStream(docs: DataFrame, bpSet: DataFrame): DataFrame =
+  def boilerplateCleanStream(docs: DataFrame, bpSet: DataFrame): DataFrame = {
+    // same single-evaluation let-binding as [[TextAnalysis.tileDedupOf]]
+    val stats = element_at(transform(
+      array(TextAnalysis.tileArray($"text")), tl =>
+        element_at(transform(array(
+            filter(tl, t => !array_contains($"bp", t))), kept =>
+          struct(size(tl).cast("bigint").as("n_tiles"),
+            (size(tl) - size(kept)).cast("bigint").as("n_dropped"),
+            array_join(kept, " ").as("clean_text"))), 1)), 1)
     docs.crossJoin(broadcast(bpSet))
-      .withColumn("tiles", TextAnalysis.tileArray($"text"))
-      .withColumn("kept", filter($"tiles", t => !array_contains($"bp", t)))
-      .select($"doc_id",
-        size($"tiles").cast("bigint").as("n_tiles"),
-        (size($"tiles") - size($"kept")).cast("bigint").as("n_dropped"),
-        array_join($"kept", " ").as("clean_text"))
+      .select($"doc_id", stats.as("s"))
+      .select($"doc_id", $"s.n_tiles", $"s.n_dropped", $"s.clean_text")
+  }
 
   /** DuckDB twin of [[boilerplateTiles]]. string_agg over an all-dropped
     * doc yields NULL where Spark's empty array_join yields '' — hence

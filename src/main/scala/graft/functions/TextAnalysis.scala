@@ -275,18 +275,26 @@ object TextAnalysis {
     * scan is bounded by document length, not corpus size.
     */
   def tileDedup(spark: SparkSession, dir: String): DataFrame =
-    tileDedupOf(documents(spark, dir))
+    // ~0.5 ms/doc of interpreted HOF work (the O(tiles²) first-occurrence
+    // scan) dwarfs a row's shuffle cost — the documented opt-in case for
+    // Tables.spread (no-op once the scan is already wide)
+    tileDedupOf(Tables.spread(documents(spark, dir)))
 
   /** [[tileDedup]] over an arbitrary (doc_id, text) frame. */
-  def tileDedupOf(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("tiles", tileArray($"text"))
-      .withColumn("kept",
-        filter($"tiles", (t, i) => array_position($"tiles", t) === i + 1))
-      .select($"doc_id",
-        size($"tiles").cast("bigint").as("n_tiles"),
-        size($"kept").cast("bigint").as("n_kept"),
-        array_join($"kept", " ").as("dedup_text"))
+  def tileDedupOf(docs: DataFrame): DataFrame = {
+    // let-binding via single-element transform: downstream projection
+    // collapse would otherwise inline `tiles` (and `kept`) into every
+    // consumer and re-evaluate the whole interpreted HOF chain per
+    // reference; lambda variables are bound once per row
+    val stats = element_at(transform(array(tileArray($"text")), tl =>
+      element_at(transform(array(
+          filter(tl, (t, i) => array_position(tl, t) === i + 1)), kept =>
+        struct(size(tl).cast("bigint").as("n_tiles"),
+          size(kept).cast("bigint").as("n_kept"),
+          array_join(kept, " ").as("dedup_text"))), 1)), 1)
+    docs.select($"doc_id", stats.as("s"))
+      .select($"doc_id", $"s.n_tiles", $"s.n_kept", $"s.dedup_text")
+  }
 
   /** DuckDB twin of [[tileArray]] (1-based list ops; inclusive slices). */
   def sqlTileArray(toksExpr: String): String =
