@@ -40,8 +40,13 @@ object GraphRank {
   val Rounds = 3
 
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    // the edge set is referenced once per round plus once for degrees —
+    // persist so the knn candidate join runs once, not Rounds+1 times
+    // (GraphX-style iterative caching; MEMORY_AND_DISK because the edge
+    // list is n·k rows of three longs, disk-spillable if memory is shy)
     val edges = Similarity.knnGraph(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nRow = broadcast(outdeg.agg(count(lit(1)).as("nn")))
     val nodes = outdeg.crossJoin(nRow)
