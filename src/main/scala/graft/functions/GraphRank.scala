@@ -25,11 +25,20 @@ import graft._
   * Scale shape per round: ranks ⋈ edges on the already-partitioned src
   * key, one aggregation keyed by dst — the textbook iterative
   * join-agg; [[Rounds]] is a constant, so the whole computation is a
-  * fixed round count with no driver-side data loops. The edge set is
-  * recomputed per round reference here (same recompute stance as
-  * [[Clustering]] — correctness-neutral); a production run over a
-  * persistent graph would materialize edges once and checkpoint
-  * between rounds.
+  * fixed round count with no driver-side data loops.
+  *
+  * Iteration is MATERIALIZED, not folded lazily: edges, the node table
+  * and every round's ranks are eagerly `localCheckpoint`ed, so round
+  * N+1's plan is a join over two leaf relations instead of a
+  * re-optimized, re-executed N-round lineage (the lazy fold cost 9.1 s
+  * at sf0.1 — ~8.5 s of it round-over-round re-planning/re-execution —
+  * vs 0.59 s for the underlying k-NN graph; the GraphX iterative-cache
+  * pattern). `localCheckpoint` (executor-local blocks, lineage
+  * truncated) rather than reliable `checkpoint` because the inter-round
+  * state is n rows of four longs and recomputing on executor loss just
+  * replays bounded work; a multi-hour production run on a real cluster
+  * would flip to `checkpoint` on the cluster FS for fault tolerance —
+  * the plan shape is identical.
   */
 object GraphRank {
 
@@ -40,17 +49,20 @@ object GraphRank {
   val Rounds = 3
 
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    // the edge set is referenced once per round plus once for degrees —
-    // persist so the knn candidate join runs once, not Rounds+1 times
-    // (GraphX-style iterative caching; MEMORY_AND_DISK because the edge
-    // list is n·k rows of three longs, disk-spillable if memory is shy)
+    // materialize the edge list once (n·k rows of two longs) — the knn
+    // candidate join runs exactly one time, and every round's join plan
+    // starts from a leaf relation
     val edges = Similarity.knnGraph(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nRow = broadcast(outdeg.agg(count(lit(1)).as("nn")))
+    // node table (vec_id, outdeg, nn) referenced by every round's
+    // teleport left-join — materialize it too, or each round re-runs
+    // the degree aggregation
     val nodes = outdeg.crossJoin(nRow)
       .select(col("src").as("vec_id"), col("outdeg"), col("nn"))
+      .localCheckpoint()
     val init = nodes.withColumn("pr", expr(s"${Scale}L div nn"))
     val ranked = (1 to Rounds).foldLeft(init) { case (ranks, _) =>
       val incoming = ranks
@@ -61,6 +73,7 @@ object GraphRank {
         .select(nodes("vec_id"), col("outdeg"), col("nn"),
           expr(s"(15L * ${Scale}L) div (100L * nn) + " +
             "(85L * coalesce(inc, 0L)) div 100L").as("pr"))
+        .localCheckpoint() // round N+1 consumes round N's materialized rows
     }
     ranked.select(col("vec_id"), col("outdeg"), col("pr"))
   }
