@@ -672,16 +672,29 @@ object LlmRegistry {
          |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM a$Tp1
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
+    // plane count replayed from the corpus row count with the same
+    // integer bit-length formula as Similarity.multiPlanes — length(bin(x))
+    // IS bitLength(x) in DuckDB, so no float log2 on either engine. The
+    // weight-table literal is indexed ONCE into an 80-row `pl` relation
+    // and joined; indexing it inside the per-row lambda re-materializes
+    // the whole literal per (row, plane) and cost 40 s at sf0.01 alone
     "dedup_embedding_lsh_multi" ->
       s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
          |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm FROM qz),
-         |wt AS (SELECT vec_id, q, norm, unnest(range(${Similarity.NumTables})) AS t FROM n),
-         |b AS (SELECT vec_id, q, norm, t,
-         |  CAST(list_sum(list_transform(range(${Similarity.NumPlanes}), p ->
-         |    CASE WHEN list_sum(list_transform(list_zip(q,
-         |        ${sqlPlaneList(Similarity.NumTables * Similarity.NumPlanes, Similarity.Dim)}[CAST(t * ${Similarity.NumPlanes} + p AS INT) + 1]),
-         |      x -> x[1] * x[2])) > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
-         |  FROM wt),
+         |np AS (SELECT CASE WHEN c <= 1 THEN ${Similarity.MultiPlanesBase}
+         |    ELSE least(${Similarity.MultiPlanesBase} + length(bin(c - 1)), ${Similarity.MultiPlanesMax}) END AS np
+         |  FROM (SELECT (count(*) + ${Similarity.MultiN0 - 1}) // ${Similarity.MultiN0} AS c FROM embeddings)),
+         |pl AS (SELECT pidx, ${sqlPlaneList(Similarity.NumTables * Similarity.MultiPlanesMax, Similarity.Dim)}[CAST(pidx AS INT) + 1] AS w
+         |  FROM (SELECT unnest(range(${Similarity.NumTables * Similarity.MultiPlanesMax})) AS pidx)),
+         |tp AS (SELECT t, p FROM (SELECT unnest(range(${Similarity.NumTables})) AS t)
+         |  CROSS JOIN (SELECT unnest(range(np.np)) AS p FROM np)),
+         |bit AS (SELECT d.vec_id, tp.t,
+         |  CASE WHEN list_sum(list_transform(list_zip(d.q, pl.w), x -> x[1] * x[2])) > 0
+         |       THEN (1::BIGINT << CAST(tp.p AS INT)) ELSE 0 END AS bit
+         |  FROM n d CROSS JOIN tp CROSS JOIN np JOIN pl ON pl.pidx = tp.t * np.np + tp.p),
+         |b AS (SELECT d.vec_id, x.t, d.q, d.norm, x.bucket
+         |  FROM (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM bit GROUP BY 1, 2) x
+         |  JOIN n d ON d.vec_id = x.vec_id),
          |cand AS (SELECT DISTINCT a.vec_id AS a, b2.vec_id AS b
          |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
          |p AS (SELECT c.a, c.b, ${listDot("x.q", "y.q")} AS dot, x.norm AS na, y.norm AS nb

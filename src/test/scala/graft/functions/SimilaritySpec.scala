@@ -41,6 +41,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("multiPlanes: one plane per corpus doubling, integer-exact") {
+    import Similarity.{multiPlanes, MultiPlanesBase, MultiPlanesMax, MultiN0}
+    // at/below the calibration size: the base count, so the original
+    // 8-plane bucketing is preserved bit-for-bit on small corpora
+    assert(multiPlanes(1L) === MultiPlanesBase)
+    assert(multiPlanes(MultiN0) === MultiPlanesBase)
+    // +1 plane per doubling, with exact-power-of-two boundaries landing
+    // where integer math says (the float-log2 formulation gets these
+    // wrong depending on libm rounding)
+    assert(multiPlanes(MultiN0 + 1) === MultiPlanesBase + 1)
+    assert(multiPlanes(2 * MultiN0) === MultiPlanesBase + 1)
+    assert(multiPlanes(2 * MultiN0 + 1) === MultiPlanesBase + 2)
+    assert(multiPlanes(10 * MultiN0) === MultiPlanesBase + 4) // sf0.1
+    assert(multiPlanes(100 * MultiN0) === MultiPlanesBase + 7) // sf1
+    assert(multiPlanes(Long.MaxValue / 2) === MultiPlanesMax)
+    // monotone non-decreasing across a doubling sweep
+    val sweep = (0 to 40).map(k => multiPlanes(1L << k))
+    assert(sweep === sweep.sorted)
+  }
+
   test("pq top-k: full rank lists, estimated dots bounded by Cauchy-Schwarz") {
     val topk = Similarity.pqTopK(spark, dir).cache()
     // every query yields a full TopK list with contiguous ranks
