@@ -353,7 +353,12 @@ object TextAnalysis {
     * (value-checking the full replacement output without shipping it).
     */
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val seeded = documents(spark, dir).select($"doc_id",
+    // 6 java.util.regex passes + 6 extract-alls + an md5 per row is the
+    // genuinely-heavy per-row profile Tables.spread exists for (isolated
+    // A/B at sf0.1: 0.66–0.77 s single-task → 0.50–0.55 s spread; the
+    // cheap single-pass kernels like text_langid go the OTHER way — see
+    // the round-6 numbers in Tables.spread's scaladoc)
+    val seeded = Tables.spread(documents(spark, dir)).select($"doc_id",
       concat($"text",
         lit(" contact user"), $"doc_id".cast("string"),
         lit("@example.com or 555-"),
