@@ -482,18 +482,27 @@ object AnalyticsOps {
   }
 
   /** Existence-census (TPC-H Q4 shape): orders having at least one line
-    * shipped >30 days after the order date, counted per priority. The
-    * EXISTS compiles to a left-semi join — only the orderkey and the
-    * residual's shipdate cross the shuffle, and probe rows short-circuit
-    * on first match instead of multiplying per matching line.
+    * shipped >30 days after the order date, counted per priority.
+    *
+    * The EXISTS is rewritten AGGREGATE-BELOW-JOIN instead of the
+    * literal left-semi join: `∃ line. shipdate > orderdate+30` ⟺
+    * `max(shipdate) > orderdate+30`, because the threshold depends only
+    * on the probe row. The semi-join form made Catalyst pick lineitem —
+    * the FACT table, 4× orders' rows and unboundable at 100 TB — as a
+    * BroadcastHashJoin build side at every tested SF (the 2-column
+    * pruned scan estimate sits under the 10 MB threshold even at sf1,
+    * where the actual build was 6M rows / 4.1 s). Pre-aggregating
+    * collapses lines to one row per order BEFORE any join: partial
+    * (map-side) aggregation cuts the shuffle 4×, and the join side now
+    * scales with orders, not lines. sf1 plan-diff verdict (VERDICT r6
+    * #7): same plan shape at sf0.1 and sf1, no fact-table broadcast.
     */
   def orderPriorityCensus(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir)
-    val l = lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
-    o.join(l,
-        o("o_orderkey") === l("l_orderkey") &&
-          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"),
-        "left_semi")
+    val maxShip = lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(max($"l_shipdate").as("max_shipdate"))
+    o.join(maxShip, o("o_orderkey") === maxShip("l_orderkey"))
+      .filter($"max_shipdate" > o("o_orderdate") + expr("INTERVAL 30 DAYS"))
       .groupBy($"o_orderpriority".as("priority"))
       .agg(count(lit(1)).as("order_count"))
   }
