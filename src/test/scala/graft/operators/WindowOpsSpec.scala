@@ -15,7 +15,7 @@ class WindowOpsSpec extends AnyFunSuite {
   test("HLL uv per hour is within 5% of exact uv in EVERY window") {
     val exact = WindowOps.uvPerHour(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = WindowOps.uvPerHourApprox(spark, dir)
+    val approx = WindowOps.uvPerHourEstimates(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet === exact.keySet, "window sets must agree")
     assert(exact.nonEmpty)
@@ -26,6 +26,14 @@ class WindowOpsSpec extends AnyFunSuite {
       // small-window quantization error reaches ~20% and this would flake
       assert(math.abs(est - uv).toDouble / uv <= 0.05,
         s"window $w: exact=$uv approx=$est")
+    }
+  }
+
+  test("uvPerHourApprox guarantee output: every window within_bounds") {
+    val rows = WindowOps.uvPerHourApprox(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"window ${r.getString(0)} out of bounds")
     }
   }
 }
