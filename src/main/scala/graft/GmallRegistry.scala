@@ -90,7 +90,11 @@ object GmallRegistry {
     "sessionize" -> (AnalyticsOps.sessionize _),
     "topk_orders" -> (AnalyticsOps.topKOrders _),
     "topk_orders_agg" -> (AnalyticsOps.topKOrdersAgg _),
-    "q3_shipping_priority" -> (AnalyticsOps.shippingPriority _))
+    "q3_shipping_priority" -> (AnalyticsOps.shippingPriority _),
+    "ts_gapfill" -> (TimeSeriesOps.gapfillForwardFill _),
+    "ts_ohlc_downsample" -> (TimeSeriesOps.ohlcDownsample _),
+    "j14_fuzzy_join" -> (RelationalOps.fuzzyBlockedJoin _),
+    "dq_constraints" -> (QualityOps.constraints _))
 
   val oracleSql: Map[String, String] = Map(
     // same unscaled-long money math as the operator: decimal(18,2) cast
@@ -822,5 +826,77 @@ object GmallRegistry {
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
-        |GROUP BY 1 ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin)
+        |GROUP BY 1 ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin,
+    // day rendered as a string on both engines: parquet date32 vs DuckDB
+    // DATE reach pandas as different physical types, and the driver's
+    // compare is type-sensitive
+    "ts_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+        |cal AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM spans)
+        |SELECT c.user_id, strftime(c.d, '%Y-%m-%d') AS day, dl.day_cents,
+        |  last_value(dl.day_cents IGNORE NULLS) OVER (PARTITION BY c.user_id ORDER BY c.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |FROM cal c LEFT JOIN daily dl ON c.user_id = dl.user_id AND c.d = dl.d""".stripMargin,
+    // open/close replayed as deterministic window firsts/lasts ordered by
+    // (ts, event_id) — the same total order min_by/max_by use on the
+    // Spark side, where the struct ordering breaks timestamp ties
+    "ts_ohlc_downsample" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+        |    ts, event_id, value,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, bucket, value, c,
+        |    first_value(value) OVER win AS open_v,
+        |    last_value(value) OVER win AS close_v
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY event_type, bucket ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, bucket, min(open_v) AS open, max(value) AS high,
+        |  min(value) AS low, min(close_v) AS close,
+        |  CAST(sum(c) AS BIGINT) AS vol_cents, count(*) AS n_events
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "j14_fuzzy_join" ->
+      """WITH n AS (
+        |  SELECT p_name, count(*) AS n_parts,
+        |    (string_split(p_name, ' '))[-1] AS blk
+        |  FROM part GROUP BY 1)
+        |SELECT a.p_name AS a_name, b.p_name AS b_name,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n_parts AS a_parts, b.n_parts AS b_parts
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+    // scalar-subquery replay: NOT EXISTS (not LEFT JOIN) so a duplicated
+    // dimension key can never multiply the checked side
+    "dq_constraints" ->
+      """SELECT 'events_user_id_null' AS check_name,
+        |  CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT) AS violations,
+        |  (SELECT count(*) FROM events) AS checked
+        |UNION ALL SELECT 'events_value_negative',
+        |  (SELECT count(*) FROM events WHERE value < 0),
+        |  (SELECT count(*) FROM events)
+        |UNION ALL SELECT 'lineitem_discount_domain',
+        |  (SELECT count(*) FROM lineitem WHERE l_discount NOT BETWEEN 0 AND 1),
+        |  (SELECT count(*) FROM lineitem)
+        |UNION ALL SELECT 'lineitem_quantity_positive',
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity <= 0),
+        |  (SELECT count(*) FROM lineitem)
+        |UNION ALL SELECT 'customer_custkey_unique',
+        |  (SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer),
+        |  (SELECT count(*) FROM customer)
+        |UNION ALL SELECT 'orders_custkey_fk',
+        |  (SELECT count(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |  (SELECT count(*) FROM orders)
+        |UNION ALL SELECT 'lineitem_orderkey_fk',
+        |  (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |  (SELECT count(*) FROM lineitem)""".stripMargin)
 }

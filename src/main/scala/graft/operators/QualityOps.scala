@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import graft.Tables._
+
+/** Declarative data-quality audit: one pass per table computes every
+  * row-local constraint as conditional aggregates, referential checks
+  * run aggregate-below-join, and the result is a uniform
+  * (check_name, violations, checked) report — the contract-testing
+  * layer a 100 TB ingest needs before anything downstream trusts the
+  * data. The reference validates records one at a time inside its
+  * parse/ETL operators (reference
+  * gmall-realtime/.../app/ods/BaseLogApp.java dirty-side-out);
+  * this is the corpus-level census twin of that row-level gate.
+  *
+  * Scale notes:
+  *  - Row-local constraints on one table share ONE scan: each check is
+  *    a `sum(when(violated, 1))` conditional aggregate, so adding a
+  *    check adds a column to the aggregation buffer, not a pass over
+  *    100 TB. The per-table result is a single row, unpivoted to the
+  *    report shape with `stack` (rows are born after aggregation —
+  *    nothing corpus-sized is ever widened).
+  *  - Referential checks aggregate the fact side to distinct-key counts
+  *    FIRST (bounded by key cardinality, not row count), then left-anti
+  *    join the dimension: the join input is already dimension-sized, so
+  *    AQE broadcasts it; violation rows are recovered exactly from the
+  *    per-key counts. Never an anti join of raw facts against a
+  *    scaling dimension.
+  *  - The final UNION of one-row reports is driver-negligible at any
+  *    scale.
+  */
+object QualityOps {
+
+  /** One row-local census over one table: every (name, predicate) check
+    * becomes a conditional aggregate in a single hash aggregate; the
+    * 1-row result `stack`s into report rows (rows are born AFTER
+    * aggregation).
+    */
+  private def census(df: DataFrame)(checks: (String, Column)*): DataFrame = {
+    val aggs = checks.map { case (n, violated) =>
+      sum(when(violated, 1L).otherwise(0L)).as(n)
+    } :+ count(lit(1)).as("checked")
+    val stackArgs = checks.map { case (n, _) => s"'$n', `$n`" }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${checks.size}, $stackArgs) AS (check_name, violations)"), $"checked")
+  }
+
+  /** Referential-integrity census: how many FACT ROWS point at a key
+    * absent from the dimension. Aggregate-below-join — the fact side
+    * collapses to (key, cnt) before the anti join, so the join touches
+    * key-cardinality rows and the dangling row count is reconstructed
+    * exactly from the per-key counts.
+    */
+  private def fkCensus(name: String, fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String): DataFrame = {
+    val perKey = fact.groupBy(col(factKey)).agg(count(lit(1)).as("cnt"))
+    val total = fact.agg(count(lit(1)).as("checked"))
+    val dangling = perKey
+      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_anti")
+      .agg(coalesce(sum($"cnt"), lit(0L)).as("violations"))
+    dangling.crossJoin(total) // two 1-row aggregates
+      .select(lit(name).as("check_name"), $"violations", $"checked")
+  }
+
+  /** The audit suite over the star schema: null-rate, domain, key
+    * uniqueness and referential integrity, one report row per check.
+    */
+  def constraints(spark: SparkSession, dir: String): DataFrame = {
+    val ev = census(events(spark, dir))(
+      "events_user_id_null" -> $"user_id".isNull,
+      "events_value_negative" -> ($"value" < 0))
+    val li = census(lineitem(spark, dir))(
+      "lineitem_discount_domain" -> !$"l_discount".between(0.0, 1.0),
+      "lineitem_quantity_positive" -> ($"l_quantity" <= 0))
+    val cust = customer(spark, dir)
+      .agg((count(lit(1)) - count_distinct($"c_custkey")).as("violations"),
+        count(lit(1)).as("checked"))
+      .select(lit("customer_custkey_unique").as("check_name"), $"violations", $"checked")
+    val fkOrders = fkCensus("orders_custkey_fk",
+      orders(spark, dir), "o_custkey", customer(spark, dir), "c_custkey")
+    val fkLine = fkCensus("lineitem_orderkey_fk",
+      lineitem(spark, dir), "l_orderkey", orders(spark, dir), "o_orderkey")
+    ev.union(li).union(cust).union(fkOrders).union(fkLine)
+  }
+}

@@ -430,4 +430,33 @@ object RelationalOps {
       .select($"event_id", lit("error").as("tag"))
     high.union(errs)
   }
+
+  /** Blocked fuzzy join (record linkage): near-identical part names
+    * paired by edit distance, with a blocking key so the quadratic
+    * scoring never touches the full corpus.
+    *
+    * The scalable shape is CANONICALIZE → BLOCK → SCORE: the scaling
+    * table first collapses to its distinct key strings (name,
+    * occurrence-count) — bounded by the vocabulary, not the row count —
+    * then candidate pairs form only WITHIN a block (here the head noun,
+    * i.e. the last name token) via an equi-join, and the codegen'd
+    * `levenshtein` scores block-local pairs only. An unblocked
+    * theta-join on edit distance would be a nested-loop cross product;
+    * blocked, the pair count is Σ|block|², bounded by vocabulary
+    * structure. Both join inputs are aggregation outputs, so AQE
+    * broadcasts the build side while it fits and degrades to a hash
+    * join when it doesn't.
+    */
+  def fuzzyBlockedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", element_at(split($"p_name", " "), -1))
+    val a = names.select($"p_name".as("a_name"), $"n_parts".as("a_parts"), $"blk")
+    val b = names.select($"p_name".as("b_name"), $"n_parts".as("b_parts"), $"blk")
+    a.join(b, "blk")
+      .where($"a_name" < $"b_name")
+      .withColumn("dist", levenshtein($"a_name", $"b_name").cast("long"))
+      .where($"dist" <= 3)
+      .select($"a_name", $"b_name", $"dist", $"a_parts", $"b_parts")
+  }
 }

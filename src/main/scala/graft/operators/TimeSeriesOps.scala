@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft._
+import graft.Tables._
+
+/** Time-series maintenance operators over the `events` stream table:
+  * calendar densification with forward fill, and OHLC downsampling.
+  * The reference's DWS layer materializes per-window aggregates but
+  * leaves empty windows implicit (reference
+  * gmall-realtime/.../app/dws/VisitorStatsApp.java windowing keeps only
+  * windows that received events); downstream consumers (charting,
+  * training-curriculum time features) need the dense form, so these
+  * close that gap Spark-first.
+  *
+  * Scale notes (100 TB posture):
+  *  - Gap generation is PER-KEY (`sequence(min_day, max_day)` on the
+  *    aggregated span row), so the exploded calendar is bounded by
+  *    keys × span-days — never a cross join against a global calendar
+  *    table. At 100 TB the daily rollup is ~6 orders of magnitude
+  *    smaller than the fact table; everything after the first
+  *    aggregation is dimension-sized.
+  *  - The rollup, the span aggregate, the densify join and the
+  *    forward-fill window all hash/partition by `user_id`, so AQE
+  *    coalesces and the exchanges reuse one co-partitioning; the only
+  *    full-data shuffle is the initial map-side-combined rollup.
+  *  - Money math uses the [[RelationalOps.dec]] cents contract: sums
+  *    accumulate on unscaled longs, exact and partition-order
+  *    independent (oracle parity; ANSI mode faults overflow loudly).
+  */
+object TimeSeriesOps {
+
+  /** Densify each user's daily revenue series to its full [min,max] day
+    * span and forward-fill gaps with the last observed value.
+    *
+    * Emits one row per user per calendar day in the user's active span:
+    * the raw daily total (`day_cents`, null on gap days) and the
+    * forward-filled total (`filled_cents`). `last(_, ignoreNulls)` over
+    * an unbounded-preceding row frame is the distributed forward fill —
+    * a running scan within each user partition, no self-join.
+    */
+  def gapfillForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    val daily = events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"), cents.as("c"))
+      .groupBy($"user_id", $"d")
+      .agg(sum($"c").as("day_cents"))
+    val spans = daily.groupBy($"user_id")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+    val calendar = spans.select(
+      $"user_id",
+      explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("d"))
+    val fill = Window.partitionBy($"user_id").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar
+      .join(daily, Seq("user_id", "d"), "left")
+      .withColumn("filled_cents", last($"day_cents", ignoreNulls = true).over(fill))
+      // string day: the one temporal form whose physical type cannot
+      // drift between Spark parquet and the DuckDB oracle dump
+      .select($"user_id", date_format($"d", "yyyy-MM-dd").as("day"),
+        $"day_cents", $"filled_cents")
+  }
+
+  /** Downsample per-type event values to hourly OHLC bars (open, high,
+    * low, close, volume, count) — the classic resampling shape.
+    *
+    * One map-side-combined hash aggregate over the scan: open/close are
+    * `min_by`/`max_by` with a (ts, event_id) struct ordering — event_id
+    * breaks timestamp ties deterministically (scaled data replicates
+    * rows with identical timestamps), so results are stable under
+    * re-partitioning without a window sort over the full table.
+    */
+  def ohlcDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    events(spark, dir)
+      .select($"event_type", date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("bucket"),
+        struct(unix_micros($"ts").as("us"), $"event_id").as("ord"), $"value", cents.as("c"))
+      .groupBy($"event_type", $"bucket")
+      .agg(
+        min_by($"value", $"ord").as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", $"ord").as("close"),
+        sum($"c").as("vol_cents"),
+        count(lit(1)).as("n_events"))
+  }
+}

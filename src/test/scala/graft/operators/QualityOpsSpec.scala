@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The audit census must count exactly the violations planted in a
+  * corrupted mini star-schema — and report all-clean on the driver's
+  * clean synthetic data.
+  */
+class QualityOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  private def reportOf(dir: String): Map[String, (Long, Long)] =
+    QualityOps.constraints(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("planted violations are counted exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    spark.createDataFrame(Seq(
+      (1L, ts, Some(7L), "view", 1.0, "{}"),
+      (2L, ts, None: Option[Long], "view", -2.0, "{}"), // null user + negative value
+      (3L, ts, Some(8L), "err", -0.5, "{}")))           // negative value
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // customer 10 duplicated; orders 101 dangles (custkey 99); both its
+    // lineitems dangle once the order with a missing key is... present,
+    // so only l_orderkey 999 dangles
+    spark.createDataFrame(Seq((10L, "a", 1, 0.0, "B"), (10L, "b", 1, 0.0, "B"), (11L, "c", 1, 0.0, "B")))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    spark.createDataFrame(Seq(
+      (100L, 10L, "O", 5.0, ts, "1-URGENT"),
+      (101L, 99L, "O", 5.0, ts, "1-URGENT")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    spark.createDataFrame(Seq(
+      (100L, 1L, 1L, 1, 1.0, 10.0, 0.05, 0.01, "N", "O", ts),
+      (100L, 1L, 1L, 2, 0.0, 10.0, 1.50, 0.01, "N", "O", ts),  // qty<=0, discount>1
+      (999L, 1L, 1L, 1, 2.0, 10.0, -0.10, 0.01, "N", "O", ts))) // dangling order, discount<0
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+
+    val got = reportOf(dir)
+    assert(got("events_user_id_null") === ((1L, 3L)))
+    assert(got("events_value_negative") === ((2L, 3L)))
+    assert(got("lineitem_discount_domain") === ((2L, 3L)))
+    assert(got("lineitem_quantity_positive") === ((1L, 3L)))
+    assert(got("customer_custkey_unique") === ((1L, 3L)))
+    assert(got("orders_custkey_fk") === ((1L, 2L)))
+    assert(got("lineitem_orderkey_fk") === ((1L, 3L)))
+  }
+
+  test("driver synthetic data audits clean on referential checks") {
+    val got = reportOf("/root/testdata/sf0.001")
+    assert(got("orders_custkey_fk")._1 === 0L)
+    assert(got("lineitem_orderkey_fk")._1 === 0L)
+    assert(got("customer_custkey_unique")._1 === 0L)
+    assert(got.size === 7)
+  }
+}

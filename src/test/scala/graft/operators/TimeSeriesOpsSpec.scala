@@ -1,0 +1,89 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Gap-fill densification and OHLC downsampling invariants, checked on
+  * the driver's sf0.001 events plus a hand-built series with known gaps.
+  */
+class TimeSeriesOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("gapfill emits exactly one row per user per day of the user's span") {
+    val out = TimeSeriesOps.gapfillForwardFill(spark, sf)
+    val spans = out.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), countDistinct($"day").as("nd"),
+        min($"day").as("d0"), max($"day").as("d1"))
+      .withColumn("expect", datediff(to_date($"d1"), to_date($"d0")) + 1)
+    assert(spans.where($"n" =!= $"expect" || $"nd" =!= $"n").count() === 0)
+  }
+
+  test("filled_cents is never null, equals day_cents on observed days, and carries the last observation across gaps") {
+    val out = TimeSeriesOps.gapfillForwardFill(spark, sf).cache()
+    try {
+      assert(out.where($"filled_cents".isNull).count() === 0)
+      assert(out.where($"day_cents".isNotNull && $"day_cents" =!= $"filled_cents").count() === 0)
+      // replay the fill driver-side for the densest user
+      val uid = out.groupBy($"user_id").count().orderBy($"count".desc).first().getLong(0)
+      val rows = out.where($"user_id" === uid).orderBy($"day")
+        .select($"day_cents", $"filled_cents")
+        .collect()
+      var lastSeen: Option[Long] = None
+      rows.foreach { r =>
+        if (!r.isNullAt(0)) lastSeen = Some(r.getLong(0))
+        assert(Some(r.getLong(1)) === lastSeen)
+      }
+    } finally out.unpersist()
+  }
+
+  test("gapfill forward-fills a constructed series with a known hole") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    spark.createDataFrame(Seq(
+      (1L, ts(1), 7L, "view", 2.00, "{}"),
+      (2L, ts(1), 7L, "view", 1.50, "{}"),
+      (3L, ts(4), 7L, "view", 9.00, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = TimeSeriesOps.gapfillForwardFill(spark, dir)
+      .orderBy($"day")
+      .select($"day", $"day_cents", $"filled_cents")
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 350L, 350L),
+      ("2024-01-02", null, 350L),
+      ("2024-01-03", null, 350L),
+      ("2024-01-04", 900L, 900L)))
+  }
+
+  test("OHLC bars bound their members and replay the (ts, event_id) order") {
+    val out = TimeSeriesOps.ohlcDownsample(spark, sf).cache()
+    try {
+      assert(out.where($"high" < $"low" || $"open" > $"high" || $"open" < $"low" ||
+        $"close" > $"high" || $"close" < $"low" || $"n_events" < 1).count() === 0)
+      // replay three buckets driver-side from the raw events
+      val sample = out.orderBy($"n_events".desc).limit(3).collect()
+      val ev = graft.Tables.events(spark, sf)
+        .select($"event_type",
+          date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("bucket"),
+          unix_micros($"ts").as("us"), $"event_id", $"value")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      sample.foreach { bar =>
+        val members = ev.filter(e => e._1 == bar.getString(0) && e._2 == bar.getString(1))
+          .sortBy(e => (e._3, e._4))
+        assert(bar.getDouble(2) === members.head._5, "open")
+        assert(bar.getDouble(3) === members.map(_._5).max, "high")
+        assert(bar.getDouble(4) === members.map(_._5).min, "low")
+        assert(bar.getDouble(5) === members.last._5, "close")
+        assert(bar.getLong(7) === members.length.toLong, "n_events")
+      }
+    } finally out.unpersist()
+  }
+}

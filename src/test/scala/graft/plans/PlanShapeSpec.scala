@@ -140,12 +140,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), plan)
   }
 
-  test("EXISTS census plans a LeftSemi join; NOT EXISTS plans a LeftAnti") {
-    // the decision-support existence shapes must stay semi/anti —
-    // a rewrite to inner-join+distinct would multiply probe rows per
-    // matching line and re-deduplicate at scale cost
-    val semi = planString(q("q4_order_priority"))
-    assert(semi.contains("LeftSemi"), semi)
+  test("EXISTS census aggregates the fact side below the join; NOT EXISTS plans a LeftAnti") {
+    // q4's EXISTS(shipdate > orderdate+30) is rewritten to
+    // max(shipdate) > orderdate+30: lineitem must collapse to one row
+    // per orderkey BEFORE the join (map-side combinable), and the raw
+    // fact scan must never be the broadcast build side — the literal
+    // LeftSemi form broadcast pruned lineitem at every tested SF
+    val semiPlan = q("q4_order_priority").queryExecution.optimizedPlan.toString
+    val aggIdx = semiPlan.indexOf("Aggregate [l_orderkey")
+    val joinIdx = semiPlan.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && aggIdx > joinIdx,
+      s"expected per-orderkey aggregate below the join:\n$semiPlan")
     val anti = planString(q("q22_idle_customers"))
     assert(anti.contains("LeftAnti"), anti)
     // the global-average scalar collapses to a single-row broadcast,
