@@ -48,10 +48,18 @@ object QualityOps {
   }
 
   /** Referential-integrity census: how many FACT ROWS point at a key
-    * absent from the dimension. Aggregate-below-join — the fact side
-    * collapses to (key, cnt) before the anti join, so the join touches
-    * key-cardinality rows and the dangling row count is reconstructed
-    * exactly from the per-key counts.
+    * absent from the dimension. Expressed aggregate-below-join — the
+    * fact side collapses to (key, cnt) before the anti join, so the
+    * dangling row count is reconstructed exactly from per-key counts.
+    * Catalyst's PushDownLeftSemiAntiJoin then swaps the two (the anti
+    * join key IS the group key, so the rewrite is exact): with a
+    * broadcastable dimension that is strictly better — the raw scan
+    * anti-joins with no exchange and the aggregate sees only dangling
+    * survivors; with a dimension too big to broadcast the join
+    * degrades to a shuffle of raw fact rows, and the bounded-key
+    * aggregate this method declares is the shape a 100 TB run would
+    * pin (e.g. by disabling the rule) — both forms stay key-partitioned,
+    * never all-pairs.
     */
   private def fkCensus(name: String, fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String): DataFrame = {

@@ -67,16 +67,25 @@ object TimeSeriesOps {
     * low, close, volume, count) — the classic resampling shape.
     *
     * One map-side-combined hash aggregate over the scan: open/close are
-    * `min_by`/`max_by` with a (ts, event_id) struct ordering — event_id
-    * breaks timestamp ties deterministically (scaled data replicates
-    * rows with identical timestamps), so results are stable under
-    * re-partitioning without a window sort over the full table.
+    * `min_by`/`max_by` on a total order where event_id breaks timestamp
+    * ties deterministically (scaled data replicates rows with identical
+    * timestamps), so results are stable under re-partitioning without a
+    * window sort over the full table. The tie-broken order is PACKED
+    * into one decimal(38,0) — `µs · 10¹² + event_id` — instead of a
+    * (µs, event_id) struct: a struct-ordered min_by has no mutable
+    * aggregation-buffer representation and silently demotes the whole
+    * query to SortAggregate (per-partition sort of the fact table,
+    * measured on .explain), while decimal128 is a fixed-width buffer
+    * type that keeps the plan a HashAggregate. Exact while
+    * event_id < 10¹² and epoch-µs < 10²⁶⁻¹² (both hold for any real
+    * timestamp domain; ANSI mode faults the arithmetic loudly if not).
     */
   def ohlcDownsample(spark: SparkSession, dir: String): DataFrame = {
     val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    val ord = unix_micros($"ts").cast("decimal(38,0)") * lit(1000000000000L) + $"event_id"
     events(spark, dir)
       .select($"event_type", date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("bucket"),
-        struct(unix_micros($"ts").as("us"), $"event_id").as("ord"), $"value", cents.as("c"))
+        ord.as("ord"), $"value", cents.as("c"))
       .groupBy($"event_type", $"bucket")
       .agg(
         min_by($"value", $"ord").as("open"),

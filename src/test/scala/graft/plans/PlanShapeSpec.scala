@@ -159,6 +159,15 @@ class PlanShapeSpec extends AnyFunSuite {
       anti.contains("BroadcastHashJoin"), anti)
   }
 
+  test("OHLC downsample stays a hash aggregate (decimal-packed min_by order, never SortAggregate)") {
+    // a struct-ordered min_by/max_by demotes the plan to SortAggregate —
+    // a per-partition sort of the fact table; the packed decimal order
+    // must keep the single-pass hash shape
+    val plan = planString(q("ts_ohlc_downsample"))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
   test("group-HAVING semi-join (q18): lineitem aggregates BEFORE joining orders") {
     // the HAVING aggregate must reduce lineitem to per-order rows ahead
     // of the orders join — joining first would shuffle the full fact⋈fact
