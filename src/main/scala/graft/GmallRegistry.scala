@@ -91,6 +91,7 @@ object GmallRegistry {
     "topk_orders" -> (AnalyticsOps.topKOrders _),
     "topk_orders_agg" -> (AnalyticsOps.topKOrdersAgg _),
     "q3_shipping_priority" -> (AnalyticsOps.shippingPriority _),
+    "q6_revenue_change" -> (AnalyticsOps.revenueChange _),
     "ts_gapfill" -> (TimeSeriesOps.gapfillForwardFill _),
     "ts_ohlc_downsample" -> (TimeSeriesOps.ohlcDownsample _),
     "j14_fuzzy_join" -> (RelationalOps.fuzzyBlockedJoin _),
@@ -827,6 +828,12 @@ object GmallRegistry {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin,
+    "q6_revenue_change" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |                CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin,
     // day rendered as a string on both engines: parquet date32 vs DuckDB
     // DATE reach pandas as different physical types, and the driver's
     // compare is type-sensitive

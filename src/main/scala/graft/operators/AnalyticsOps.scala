@@ -662,6 +662,25 @@ object AnalyticsOps {
         ($"rev_u" / 10000.0).as("total_revenue"))
   }
 
+  /** Classic TPC-H Q6 (forecast revenue change): one filtered scan, one
+    * scalar aggregate — the canonical predicate-pushdown probe. All
+    * three predicates (ship-year, discount band, quantity cap) reach
+    * the parquet reader as PushedFilters, the projection prunes to the
+    * two money columns, and the partial aggregation ships 1 row per
+    * split — at 100 TB this query is pure scan bandwidth, which is
+    * exactly what it is meant to measure. Money on unscaled longs (see
+    * [[RelationalOps.pricingSummary]]).
+    */
+  def revenueChange(spark: SparkSession, dir: String): DataFrame = {
+    val priceC = (dec($"l_extendedprice") * 100).cast("long")
+    val discC = (dec($"l_discount") * 100).cast("long")
+    lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01") &&
+        $"l_shipdate" < lit("1997-01-01") &&
+        $"l_discount".between(0.04, 0.06) && $"l_quantity" < 24)
+      .agg((sum(priceC * discC) / 10000.0).as("revenue"))
+  }
+
   /** NOT IN over a nullable-free subquery (TPC-H Q16 shape): supplier
     * variety per part attribute, excluding blacklisted suppliers. The
     * exclusion list is tiny and bounded → broadcast left-anti join
