@@ -88,6 +88,18 @@ class PlanShapeSpec extends AnyFunSuite {
       || plan.contains("EqualTo(o_orderpriority"), plan)
   }
 
+  test("q6 scan probe: every predicate pushed, projection pruned to four columns") {
+    // formatted mode: plain toString ellipsizes the PushedFilters list
+    val plan = q("q6_revenue_change").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("GreaterThanOrEqual(l_discount") &&
+      plan.contains("LessThan(l_quantity"), plan)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 4, readSchema)
+  }
+
   test("LSH candidate join shuffles on the bucket key, corpus side not broadcast") {
     val df = q("dedup_embedding_lsh")
     df.write.format("noop").mode("overwrite").save()
