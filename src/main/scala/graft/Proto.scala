@@ -38,6 +38,11 @@ object Proto {
     "layout_zvalue" -> asc("orderkey", "linenumber"),
     // q10_returned_items: semantic order (sort+limit), no Proto entry
     "q12_shipmode_priority" -> asc("shipped_after_order"),
+    "q6_revenue_change" -> asc("revenue"), // single global-aggregate row
+    "ts_gapfill" -> asc("user_id", "day"),
+    "ts_ohlc_downsample" -> asc("event_type", "bucket"),
+    "j14_fuzzy_join" -> asc("a_name", "b_name"),
+    "dq_constraints" -> asc("check_name"),
     "q15_top_supplier" -> asc("s_suppkey"),
     "text_tile_dedup" -> asc("doc_id"),
     "sim_knn_graph" -> asc("vec_id", "rank"),
