@@ -94,6 +94,7 @@ object GmallRegistry {
     "q6_revenue_change" -> (AnalyticsOps.revenueChange _),
     "ts_gapfill" -> (TimeSeriesOps.gapfillForwardFill _),
     "ts_ohlc_downsample" -> (TimeSeriesOps.ohlcDownsample _),
+    "ts_anomaly_mad" -> (TimeSeriesOps.anomalyMad _),
     "j14_fuzzy_join" -> (RelationalOps.fuzzyBlockedJoin _),
     "dq_constraints" -> (QualityOps.constraints _))
 
@@ -870,6 +871,38 @@ object GmallRegistry {
         |  min(value) AS low, min(close_v) AS close,
         |  CAST(sum(c) AS BIGINT) AS vol_cents, count(*) AS n_events
         |FROM w GROUP BY 1, 2""".stripMargin,
+    // exact-integer median/MAD replay: 2×median as the middle pair's
+    // sum (doubled when the middle is one row), flag by 2·dev2 > K·mad4
+    "ts_anomaly_mad" ->
+      s"""WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM events GROUP BY 1, 2),
+        |m1 AS (
+        |  SELECT event_type, day, day_cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day_cents, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM daily),
+        |med AS (
+        |  SELECT event_type,
+        |    CAST(CASE WHEN count(*) = 1 THEN sum(day_cents) * 2 ELSE sum(day_cents) END AS BIGINT) AS med2
+        |  FROM m1 WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY 1),
+        |dev AS (
+        |  SELECT d.event_type, d.day, d.day_cents,
+        |    abs(d.day_cents * 2 - med.med2) AS dev2
+        |  FROM daily d JOIN med USING (event_type)),
+        |m2 AS (
+        |  SELECT event_type, day, dev2,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev2, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM dev),
+        |mad AS (
+        |  SELECT event_type,
+        |    CAST(CASE WHEN count(*) = 1 THEN sum(dev2) * 2 ELSE sum(dev2) END AS BIGINT) AS mad4
+        |  FROM m2 WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY 1)
+        |SELECT d.event_type, d.day, d.day_cents,
+        |  (d.dev2 * 2 > ${graft.operators.TimeSeriesOps.MadK} * mad.mad4) AS is_anomaly
+        |FROM dev d JOIN mad USING (event_type)""".stripMargin,
     "j14_fuzzy_join" ->
       """WITH n AS (
         |  SELECT p_name, count(*) AS n_parts,

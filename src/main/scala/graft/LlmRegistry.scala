@@ -89,6 +89,7 @@ object LlmRegistry {
     "pipeline_shard_manifest" -> (Sampling.shardManifest _),
     "sample_split_assign" -> (Sampling.splitAssign _),
     "sample_stratified" -> (Sampling.stratified _),
+    "sample_weighted" -> (Sampling.weightedSample _),
     "pipeline_mix_sources" -> (Sampling.mixSources _),
     "pipeline_source_quota" -> (Sampling.sourceQuota _),
     "pipeline_source_quota_agg" -> (Sampling.sourceQuotaHeap _),
@@ -434,6 +435,7 @@ object LlmRegistry {
     "pipeline_shard_manifest" -> Sampling.sqlShardManifest,
     "sample_split_assign" -> Sampling.sqlSplitAssign,
     "sample_stratified" -> Sampling.sqlStratified,
+    "sample_weighted" -> Sampling.sqlWeightedSample,
     "pipeline_mix_sources" -> Sampling.sqlMixSources,
     "pipeline_source_quota" -> Sampling.sqlSourceQuota,
     // heap form keeps the window form's exact contract → same oracle

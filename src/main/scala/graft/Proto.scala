@@ -43,6 +43,8 @@ object Proto {
     "ts_ohlc_downsample" -> asc("event_type", "bucket"),
     "j14_fuzzy_join" -> asc("a_name", "b_name"),
     "dq_constraints" -> asc("check_name"),
+    "ts_anomaly_mad" -> asc("event_type", "day"),
+    "sample_weighted" -> asc("doc_id"),
     "q15_top_supplier" -> asc("s_suppkey"),
     "text_tile_dedup" -> asc("doc_id"),
     "sim_knn_graph" -> asc("vec_id", "rank"),

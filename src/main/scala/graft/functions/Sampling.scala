@@ -33,6 +33,15 @@ object Sampling {
   private def sqlPriority(salt: String, idExpr: String): String =
     Hashing.sqlMd5Prefix60(s"'$salt' || CAST($idExpr AS VARCHAR)")
 
+  /** 31-bit variant, for priorities that must survive integer
+    * arithmetic headroom (e.g. the fixed-point weighted key).
+    */
+  private def priority31(salt: String, id: Column): Column =
+    Hashing.md5Hash31(concat(lit(salt), id.cast("string")))
+
+  private def sqlPriority31(salt: String, idExpr: String): String =
+    Hashing.sqlMd5Hash31(s"'$salt' || CAST($idExpr AS VARCHAR)")
+
   /** Deterministic uniform k-sample of the corpus: the k documents with
     * the smallest salted hash — "bottom-k by hash", the classic
     * order-statistics sample. Equivalent to a uniform draw (the hash is
@@ -200,6 +209,58 @@ object Sampling {
       .select($"source", posexplode($"keep"))
       .select($"col.id".as("doc_id"), $"source",
         ($"pos" + 1).cast("bigint").as("qrank"))
+
+  /** Per-source keep count for the weighted sample — small enough that
+    * the draw is a real selection even at the 500-document gate SF
+    * (~25 docs/source), so the length skew is observable, not vacuous.
+    */
+  val WeightedK = 10
+
+  /** Length-weighted deterministic sample: per source, keep the
+    * [[WeightedK]] documents with the smallest `hash / weight` priority
+    * (weight = n_chars), so selection probability rises with document
+    * length while staying a pure function of the input — the
+    * quality-weighted curation draw of a training-data pipeline, with
+    * the replay determinism every other sampler here guarantees.
+    *
+    * The priority is FIXED-POINT INTEGER: `h31 · 2²⁰ div weight`
+    * (31-bit salted hash, so the product stays ≪ 2⁶³). A float
+    * `h / w` would be IEEE-identical across engines too, but
+    * [[org.apache.spark.sql.graftexpr.BottomKAgg]]'s exact-LONG-key
+    * contract is what lets the per-source bottom-k run as bounded
+    * heaps — the shuffle carries k-row heaps, not every document
+    * sorted within its source (same scale argument as
+    * [[sourceQuotaHeap]]). Quotient collisions (~2¹¹ per-source pairs
+    * at 2³¹/2²⁰) are broken by doc_id in the heap order and the
+    * oracle's ORDER BY alike.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars",
+        priority31("wsample:", $"doc_id").as("h31"))
+      // SQL `div`, not `/`: Column./ on longs is DOUBLE division, and
+      // floor(double quotient) can round up across an integer boundary
+      .select($"doc_id", $"source",
+        expr("h31 * 1048576L div greatest(n_chars, 1L)").as("wpriority"))
+      .groupBy($"source")
+      .agg(org.apache.spark.sql.graftexpr.BottomKAgg
+        .bottomKIds($"doc_id", $"wpriority", WeightedK).as("keep"))
+      .select($"source", posexplode($"keep"))
+      .select($"col.id".as("doc_id"), $"source",
+        ($"pos" + 1).cast("bigint").as("wrank"))
+
+  /** DuckDB twin of [[weightedSample]]. */
+  def sqlWeightedSample: String =
+    s"""WITH p AS (SELECT doc_id, source,
+       |    (${sqlPriority31("wsample:", "doc_id")} * 1048576)
+       |      // GREATEST(n_chars, 1) AS wpriority
+       |  FROM documents),
+       |r AS (SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY wpriority, doc_id) AS BIGINT) AS wrank
+       |  FROM p)
+       |SELECT doc_id, source, wrank FROM r
+       |WHERE wrank <= $WeightedK ORDER BY doc_id""".stripMargin
 
   /** Context-window length (token positions per chunk). */
   val ChunkLen = 128

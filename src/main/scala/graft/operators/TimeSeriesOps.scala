@@ -63,6 +63,60 @@ object TimeSeriesOps {
         $"day_cents", $"filled_cents")
   }
 
+  /** Median / MAD anomaly threshold multiplier (classic 5σ-ish). */
+  val MadK = 5L
+
+  /** Robust per-type daily-revenue anomaly flags: a day is anomalous
+    * when its deviation from the type's median day exceeds
+    * [[MadK]] × MAD (median absolute deviation) — the
+    * outlier-resistant twin of the z-score, immune to the outliers it
+    * is hunting.
+    *
+    * EXACT INTEGER arithmetic end to end, so the flag is reproducible
+    * bit-for-bit on any engine: day totals in cents, medians carried
+    * as 2×median (`med2`, the middle pair's sum — integer whether the
+    * count is odd or even), deviations as `dev2 = |2x − med2|`, MAD as
+    * `mad4 = 2×median(dev2)`, and the flag compares `2·dev2 > MadK·mad4`
+    * — every quantity a long, no halves ever materialized.
+    *
+    * Scale shape: the only full-data pass is the map-side-combined
+    * daily rollup; every later stage (two median window passes, the
+    * broadcast joins back) runs on the (type × day) table, which is
+    * bounded by the TIME DOMAIN — ~30 rows per type here, ~10⁴ at a
+    * decade of daily partitions — so the window sorts are
+    * dimension-sized at any corpus scale.
+    */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    val daily = events(spark, dir)
+      .select($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"), cents.as("c"))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"c").as("day_cents"))
+
+    // 2×median of `v` per event_type: sum of the middle pair (doubled
+    // when the middle collapses to one row), deterministic tiebreak on
+    // the day column
+    def med2(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy($"event_type").orderBy(col(v), $"day")
+      val wc = Window.partitionBy($"event_type")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(expr("rn = (cnt + 1) div 2 OR rn = (cnt + 2) div 2"))
+        .groupBy($"event_type")
+        .agg(when(count(lit(1)) === 1, sum(col(v)) * 2)
+          .otherwise(sum(col(v))).as(out))
+    }
+
+    val med = med2(daily, "day_cents", "med2")
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev2", abs($"day_cents" * 2 - $"med2"))
+    val mad = med2(dev, "dev2", "mad4")
+    dev.join(broadcast(mad), "event_type")
+      .select($"event_type", $"day", $"day_cents",
+        ($"dev2" * 2 > lit(MadK) * $"mad4").as("is_anomaly"))
+  }
+
   /** Downsample per-type event values to hourly OHLC bars (open, high,
     * low, close, volume, count) — the classic resampling shape.
     *

@@ -94,4 +94,30 @@ class SamplingSpec extends AnyFunSuite {
     }
     rm(new java.io.File(base))
   }
+
+  test("weighted sample: heap form equals an exhaustive window recompute; weight raises selection odds") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = Sampling.weightedSample(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // exhaustive recompute: same fixed-point priority, window rank
+    val w = Window.partitionBy($"source").orderBy($"wpriority", $"doc_id")
+    val expect = graft.Tables.documents(spark, dir).repartition(7)
+      .select($"doc_id", $"source", $"n_chars",
+        Hashing.md5Hash31(concat(lit("wsample:"), $"doc_id".cast("string"))).as("h31"))
+      .select($"doc_id", $"source",
+        expr("h31 * 1048576L div greatest(n_chars, 1L)").as("wpriority"))
+      .withColumn("wrank", row_number().over(w).cast("long"))
+      .filter($"wrank" <= Sampling.WeightedK)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(got === expect)
+    // longer documents must be overrepresented relative to their share:
+    // the kept set's mean n_chars should exceed the corpus mean
+    val kept = Sampling.weightedSample(spark, dir).select($"doc_id")
+    val docs = graft.Tables.documents(spark, dir)
+    val keptMean = docs.join(kept, "doc_id").agg(avg($"n_chars")).first().getDouble(0)
+    val corpusMean = docs.agg(avg($"n_chars")).first().getDouble(0)
+    assert(keptMean > corpusMean,
+      s"length-weighted sample should skew long: kept=$keptMean corpus=$corpusMean")
+  }
 }

@@ -62,6 +62,37 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       ("2024-01-04", 900L, 900L)))
   }
 
+  test("MAD anomaly flags exactly the planted spike; exact odd/even medians") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // type "a": 5 flat days + one 100x spike (odd count -> single-row
+    // median); type "b": 4 flat days (even count -> middle-pair median),
+    // no spike
+    val rows =
+      (1 to 5).map(d => (d.toLong, ts(d), 1L, "a", 10.00, "{}")) :+
+        (6L, ts(6), 1L, "a", 1000.00, "{}") :++
+        (11 to 14).map(d => (d.toLong + 10, ts(d), 2L, "b", 5.00 + (d - 11), "{}"))
+    spark.createDataFrame(rows).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = TimeSeriesOps.anomalyMad(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    // type a: med2 = 2000 (6 days, middle pair 1000+1000), dev2 of the
+    // spike day = |200000-2000| = 198000, mad4 = 2*median(dev2)=0 for
+    // flat days... dev2 flat = 0, sorted dev2 = [0,0,0,0,0,198000],
+    // middle pair (rn 3,4) = 0+0 -> mad4=0 -> spike flagged (198000*2>5*0),
+    // flat days 0*2 > 0 false
+    val aFlags = got.filter(_._1 == "a")
+    assert(aFlags.count(_._4) === 1)
+    assert(aFlags.find(_._4).get._2 === "2024-01-06")
+    // type b: values 5,6,7,8 -> cents 500..800, med2 = 600+700 = 1300,
+    // dev2 = [300,100,100,300], sorted [100,100,300,300] middle pair
+    // 100+300 -> mad4 = 400; worst dev2=300: 600 > 5*400 false
+    val bFlags = got.filter(_._1 == "b")
+    assert(bFlags.size === 4 && !bFlags.exists(_._4))
+  }
+
   test("OHLC bars bound their members and replay the (ts, event_id) order") {
     val out = TimeSeriesOps.ohlcDownsample(spark, sf).cache()
     try {
