@@ -49,6 +49,33 @@ object WindowedAggs {
       .agg(count(lit(1)).as("n"))
       .select($"w.start".as("window_start"), $"keyword", $"n")
 
+  /** Streaming twin of
+    * [[graft.operators.TimeSeriesOps.ohlcDownsample]]: per-type hourly
+    * OHLC bars as a watermarked window aggregate. The decimal-packed
+    * (µs, event_id) order key makes open/close DECLARATIVE min_by /
+    * max_by aggregates, so micro-batch merge is just buffer comparison
+    * — a late row with an earlier timestamp correctly steals `open`
+    * when it arrives within the watermark, with no per-window row
+    * retention (the state per open window is one fixed-width buffer).
+    * Input: a frame with `event_id`, `event_type`, `value`, `ts`
+    * (epoch ms).
+    */
+  def ohlcPerWindow(events: DataFrame): DataFrame = {
+    val cents = (graft.operators.RelationalOps.dec($"value") * 100).cast("long")
+    val ord = unix_micros(timestamp_millis($"ts")).cast("decimal(38,0)") *
+      lit(1000000000000L) + $"event_id"
+    events
+      .withColumn("event_time", timestamp_millis($"ts"))
+      .withWatermark("event_time", "1 hour")
+      .select($"event_time", $"event_type", ord.as("ord"), $"value", cents.as("c"))
+      .groupBy(window($"event_time", "1 hour").as("w"), $"event_type")
+      .agg(min_by($"value", $"ord").as("open"), max($"value").as("high"),
+        min($"value").as("low"), max_by($"value", $"ord").as("close"),
+        sum($"c").as("vol_cents"), count(lit(1)).as("n_events"))
+      .select($"w.start".as("window_start"), $"event_type",
+        $"open", $"high", $"low", $"close", $"vol_cents", $"n_events")
+  }
+
   /** Streaming windowed quantiles via the engine's t-digest aggregate
     * ([[org.apache.spark.sql.graftexpr.TDigestAgg]]): per-window value
     * percentiles (latency/size/score distributions) with constant state

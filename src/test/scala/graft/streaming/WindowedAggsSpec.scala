@@ -16,6 +16,7 @@ class WindowedAggsSpec extends AnyFunSuite {
   case class E(user_id: Long, event_type: String, ts: Long)
   case class P(item: String, ts: Long)
   case class V(value: Double, ts: Long)
+  case class O(event_id: Long, event_type: String, value: Double, ts: Long)
   implicit lazy val enc = Encoders.product[E]
   val h0 = 1700000000000L - (1700000000000L % 3600000L) // hour-aligned base
 
@@ -36,6 +37,30 @@ class WindowedAggsSpec extends AnyFunSuite {
         .select($"event_type", $"n").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSet
       assert(got === Set(("click", 2L), ("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming OHLC: a late-but-in-watermark row steals open; event_id breaks close ties") {
+    implicit val oEnc: org.apache.spark.sql.Encoder[O] = Encoders.product[O]
+    val ms = MemoryStream[O](oEnc, spark)
+    val q = WindowedAggs.ohlcPerWindow(ms.toDF())
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(O(1, "x", 5.0, h0 + 10000), O(2, "x", 9.0, h0 + 20000))
+      q.processAllAvailable()
+      // batch 2, same window: earlier timestamp (must steal open) and a
+      // close-tie row (same ts as id 2, higher id -> becomes close)
+      ms.addData(O(3, "x", 7.0, h0 + 5000), O(4, "x", 3.0, h0 + 20000))
+      q.processAllAvailable()
+      assert(spark.table("ohlc_out").count() === 0) // window still open
+      ms.addData(O(9, "x", 1.0, h0 + 3 * 3600000L)) // watermark past end
+      q.processAllAvailable()
+      val got = spark.table("ohlc_out")
+        .select($"event_type", $"open", $"high", $"low", $"close", $"vol_cents", $"n_events")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6))).toSet
+      assert(got === Set(("x", 7.0, 9.0, 3.0, 3.0, 2400L, 4L)))
     } finally q.stop()
   }
 
