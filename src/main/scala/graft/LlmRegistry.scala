@@ -82,6 +82,7 @@ object LlmRegistry {
     "rel_tfidf_top_terms" -> (Relevance.tfidfTopTerms _),
     "rel_bm25_search" -> (Relevance.bm25Search _),
     "pipeline_clean_corpus" -> (CorpusPipeline.cleanCorpus _),
+    "pipeline_end_to_end" -> (CorpusPipeline.endToEnd _),
     "pipeline_corpus_report" -> (CorpusPipeline.corpusReport _),
     "pipeline_decontaminate" -> (CorpusPipeline.decontaminate _),
     "pipeline_decontaminate_bloom" -> (CorpusPipeline.decontaminateBloom _),
@@ -153,6 +154,41 @@ object LlmRegistry {
        |FROM bg b JOIN c12 c USING (w1, w2) JOIN ctx x USING (w1)
        |  CROSS JOIN vocab
        |GROUP BY 1""".stripMargin
+
+  /** Clean-corpus CTE block (quality ∧ exact-keep ∧ near-dup losers),
+    * shared verbatim by the standalone oracle and the end-to-end
+    * composition. Ends without a final SELECT so callers append their
+    * own.
+    */
+  private lazy val cleanCorpusCtes: String =
+    s"""$minhashCtes,
+       |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,
+       |  string_agg(mh, '_' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |    AND a.doc_id < b.doc_id),
+       |-- decorrelated join-from-cand (same shape as the minhash-pairs
+       |-- oracle): the correlated-subquery form made DuckDB build a
+       |-- j-keyed self-join of ALL mh rows (~40G at sf1, 37 GB of
+       |-- spill) instead of probing from the few thousand candidates
+       |losers AS (SELECT DISTINCT b AS doc_id FROM (
+       |  SELECT c.a, c.b FROM cand c
+       |  JOIN mh x ON x.doc_id = c.a
+       |  JOIN mh y ON y.doc_id = c.b AND y.j = x.j
+       |  GROUP BY 1, 2
+       |  HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+       |    >= ${Dedup.NumPerm} * 0.5)),
+       |quality AS (SELECT doc_id FROM (SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter($toks, x -> list_contains(${TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS n_stop,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents) q
+       |  WHERE n_tokens >= 10 AND n_stop > 0
+       |    AND CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.5),
+       |exact_keep AS (SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, md5($normText) AS fp FROM documents) t GROUP BY fp)"""
+      .stripMargin
 
   private val tokensToIdsBody =
     s"""WITH counts AS (SELECT tok AS token, count(*) AS freq
@@ -826,37 +862,41 @@ object LlmRegistry {
          |FROM dup d JOIN qual q USING (doc_id) JOIN lang l USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_clean_corpus" ->
-      s"""$minhashCtes,
-         |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,
-         |  string_agg(mh, '_' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-         |    AND a.doc_id < b.doc_id),
-         |-- decorrelated join-from-cand (same shape as the minhash-pairs
-         |-- oracle): the correlated-subquery form made DuckDB build a
-         |-- j-keyed self-join of ALL mh rows (~40G at sf1, 37 GB of
-         |-- spill) instead of probing from the few thousand candidates
-         |losers AS (SELECT DISTINCT b AS doc_id FROM (
-         |  SELECT c.a, c.b FROM cand c
-         |  JOIN mh x ON x.doc_id = c.a
-         |  JOIN mh y ON y.doc_id = c.b AND y.j = x.j
-         |  GROUP BY 1, 2
-         |  HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
-         |    >= ${Dedup.NumPerm} * 0.5)),
-         |quality AS (SELECT doc_id FROM (SELECT doc_id,
-         |    CAST(len($toks) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_filter($toks, x -> list_contains(${TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")}, x))) AS BIGINT) AS n_stop,
-         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
-         |    CAST(length(text) AS BIGINT) AS n_chars
-         |  FROM documents) q
-         |  WHERE n_tokens >= 10 AND n_stop > 0
-         |    AND CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.5),
-         |exact_keep AS (SELECT min(doc_id) AS doc_id
-         |  FROM (SELECT doc_id, md5($normText) AS fp FROM documents) t GROUP BY fp)
+      s"""$cleanCorpusCtes
          |SELECT q.doc_id FROM quality q
          |JOIN exact_keep e ON e.doc_id = q.doc_id
          |WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)
          |ORDER BY q.doc_id""".stripMargin,
+    // the flagship composition: clean-corpus CTEs + the decontamination
+    // sweep + the token/chunk CTEs, rolled up per source — every block
+    // is the SAME shared body its standalone oracle uses
+    "pipeline_end_to_end" ->
+      s"""$cleanCorpusCtes,
+         |final_keep AS (
+         |  SELECT q.doc_id FROM quality q
+         |  JOIN exact_keep e ON e.doc_id = q.doc_id
+         |  WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)),
+         |contaminated AS (
+         |  SELECT DISTINCT t.doc_id
+         |  FROM (SELECT doc_id, shingle FROM sh WHERE doc_id >= ${CorpusPipeline.BenchSetSize}) t
+         |  JOIN (SELECT shingle FROM sh WHERE doc_id < ${CorpusPipeline.BenchSetSize}) b
+         |    USING (shingle)),
+         |ids AS ($tokensToIdsBody),
+         |chunks AS (
+         |  SELECT doc_id, pos // ${Sampling.ChunkLen} AS chunk_id,
+         |    count(*) AS n_tokens,
+         |    sum(token_id * (pos % ${Sampling.ChunkLen} + 1)) AS checksum
+         |  FROM ids GROUP BY 1, 2),
+         |survivors AS (
+         |  SELECT c.doc_id, c.n_tokens, c.checksum, d.source
+         |  FROM chunks c
+         |  JOIN final_keep k ON k.doc_id = c.doc_id
+         |  JOIN documents d ON d.doc_id = c.doc_id
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated))
+         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(checksum) AS BIGINT) AS corpus_checksum
+         |FROM survivors GROUP BY 1 ORDER BY source""".stripMargin,
     "mm_frame_sample" ->
       s"""WITH m AS (SELECT doc_id, $modality AS modality,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),

@@ -45,6 +45,7 @@ object Proto {
     "dq_constraints" -> asc("check_name"),
     "ts_anomaly_mad" -> asc("event_type", "day"),
     "sample_weighted" -> asc("doc_id"),
+    "pipeline_end_to_end" -> asc("source"),
     "q15_top_supplier" -> asc("s_suppkey"),
     "text_tile_dedup" -> asc("doc_id"),
     "sim_knn_graph" -> asc("vec_id", "rank"),

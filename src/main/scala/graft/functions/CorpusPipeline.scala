@@ -122,6 +122,44 @@ object CorpusPipeline {
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
+  /** The WHOLE training-data pipeline as one composed query — the
+    * flagship integration a user of this library actually ships:
+    * quality filter ∧ exact-dedup survivor ∧ near-dup loser removal
+    * ([[cleanCorpus]]), minus benchmark-contaminated documents
+    * ([[decontaminate]]), tokenized and packed into context windows
+    * ([[Sampling.chunkTokens]]), summarized per source with an exact
+    * integer content checksum. Every stage is the SAME operator that
+    * runs (and is oracle-checked) standalone — this query proves they
+    * COMPOSE: one Catalyst plan, no materialization boundaries, the
+    * optimizer free to reorder across stage seams.
+    *
+    * Scale notes: doc-survivor sets stay (doc_id)-keyed; the chunk
+    * stream is the only token-volume pass and it joins survivors on
+    * doc_id (shuffle on the key both sides already aggregate by). The
+    * per-source rollup is two-level — (source, doc) then source — so
+    * no distinct-aggregate Expand touches the chunk volume (house
+    * lesson from the HLL UV query). Tokenization/vocab run over the
+    * PRE-FILTER corpus, matching the oracle and the common practice of
+    * freezing the tokenizer before curation iterations.
+    */
+  def endToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val keep = cleanCorpus(spark, dir)
+    val contaminated = decontaminate(spark, dir).select($"doc_id")
+    val chunks = Sampling.chunkTokens(spark, dir)
+      .select($"doc_id", $"n_tokens", $"checksum")
+    val docSrc = documents(spark, dir).select($"doc_id", $"source")
+    val perDoc = chunks
+      .join(keep, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(docSrc, Seq("doc_id"))
+      .groupBy($"source", $"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum($"n_tokens").as("n_tokens"),
+        sum($"checksum").as("checksum"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chunks").as("n_chunks"),
+        sum($"n_tokens").as("n_tokens"), sum($"checksum").as("corpus_checksum"))
+  }
+
   /** Per-source corpus health report — the ADS-layer integration query a
     * data team actually reads before a training run: quality pass-rate,
     * language mix, exact-dup rate and token inventory, one row per
