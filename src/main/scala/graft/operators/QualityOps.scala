@@ -72,13 +72,20 @@ object QualityOps {
       .select(lit(name).as("check_name"), $"violations", $"checked")
   }
 
+  /** Events-shaped census over an ARBITRARY frame — the entry the
+    * streaming per-batch gate ([[graft.streaming.QualityGate]]) shares
+    * with the batch audit, so both report identical check names and
+    * semantics.
+    */
+  def eventsCensus(df: DataFrame): DataFrame = census(df)(
+    "events_user_id_null" -> $"user_id".isNull,
+    "events_value_negative" -> ($"value" < 0))
+
   /** The audit suite over the star schema: null-rate, domain, key
     * uniqueness and referential integrity, one report row per check.
     */
   def constraints(spark: SparkSession, dir: String): DataFrame = {
-    val ev = census(events(spark, dir))(
-      "events_user_id_null" -> $"user_id".isNull,
-      "events_value_negative" -> ($"value" < 0))
+    val ev = eventsCensus(events(spark, dir))
     val li = census(lineitem(spark, dir))(
       "lineitem_discount_domain" -> !$"l_discount".between(0.0, 1.0),
       "lineitem_quantity_positive" -> ($"l_quantity" <= 0))

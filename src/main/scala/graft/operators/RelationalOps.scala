@@ -446,6 +446,14 @@ object RelationalOps {
     * structure. Both join inputs are aggregation outputs, so AQE
     * broadcasts the build side while it fits and degrades to a hash
     * join when it doesn't.
+    *
+    * Skew caveat for real name corpora: a heavy block (a very common
+    * head noun / surname) makes its |block|² term dominate. The
+    * production refinements compose from operators already here —
+    * AQE's skew-join split handles moderate skew on the shuffled form,
+    * and a second blocking key (e.g. a length band or first-letter
+    * split, the multi-pass blocking standard in record linkage) caps
+    * the worst block at the cost of missing pairs that straddle bands.
     */
   def fuzzyBlockedJoin(spark: SparkSession, dir: String): DataFrame = {
     val names = part(spark, dir)
