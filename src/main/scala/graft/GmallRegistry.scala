@@ -95,6 +95,8 @@ object GmallRegistry {
     "ts_gapfill" -> (TimeSeriesOps.gapfillForwardFill _),
     "ts_ohlc_downsample" -> (TimeSeriesOps.ohlcDownsample _),
     "ts_anomaly_mad" -> (TimeSeriesOps.anomalyMad _),
+    "events_funnel" -> (FunnelOps.funnel _),
+    "retention_cohorts" -> (FunnelOps.retentionCohorts _),
     "j14_fuzzy_join" -> (RelationalOps.fuzzyBlockedJoin _),
     "dq_constraints" -> (QualityOps.constraints _))
 
@@ -871,6 +873,32 @@ object GmallRegistry {
         |  min(value) AS low, min(close_v) AS close,
         |  CAST(sum(c) AS BIGINT) AS vol_cents, count(*) AS n_events
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1),
+        |steps AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, count(*) AS users FROM v
+        |  UNION ALL SELECT 2, 'click', count(*) FROM c
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+        |SELECT step, step_name, users,
+        |  CAST(users AS DOUBLE) / CAST((SELECT count(*) FROM v) AS DOUBLE) AS share_of_entry
+        |FROM steps""".stripMargin,
+    "retention_cohorts" ->
+      """WITH byday AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohort AS (SELECT user_id, min(d) AS c0 FROM byday GROUP BY 1),
+        |sizes AS (SELECT c0, count(*) AS cohort_users FROM cohort GROUP BY 1),
+        |cells AS (SELECT c.c0, CAST(datediff('day', c.c0, b.d) AS BIGINT) AS day_offset,
+        |    count(*) AS users
+        |  FROM byday b JOIN cohort c ON c.user_id = b.user_id GROUP BY 1, 2)
+        |SELECT strftime(x.c0, '%Y-%m-%d') AS cohort, x.day_offset, x.users,
+        |  CAST(x.users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE) AS retained_share
+        |FROM cells x JOIN sizes s ON s.c0 = x.c0""".stripMargin,
     // exact-integer median/MAD replay: 2×median as the middle pair's
     // sum (doubled when the middle is one row), flag by 2·dev2 > K·mad4
     "ts_anomaly_mad" ->

@@ -46,6 +46,8 @@ object Proto {
     "ts_anomaly_mad" -> asc("event_type", "day"),
     "sample_weighted" -> asc("doc_id"),
     "pipeline_end_to_end" -> asc("source"),
+    "events_funnel" -> asc("step"),
+    "retention_cohorts" -> asc("cohort", "day_offset"),
     "q15_top_supplier" -> asc("s_suppkey"),
     "text_tile_dedup" -> asc("doc_id"),
     "sim_knn_graph" -> asc("vec_id", "rank"),

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import graft.Tables._
+
+/** Product-analytics layer over the event stream: sequential funnel
+  * conversion and cohort retention — the ADS-layer dashboard queries
+  * the reference's DWS tables exist to feed (SURVEY.md §2.8: the
+  * reference aggregates visitor/keyword stats toward exactly this kind
+  * of consumer; reference gmall-realtime/.../app/dws/
+  * VisitorStatsApp.java builds the per-window visitor rollup).
+  *
+  * Scale notes:
+  *  - Every stage is user-keyed: the funnel's step joins and the
+  *    cohort join all hash on `user_id`, so one co-partitioning serves
+  *    the whole lineage; step filters prune event types AT THE SCAN
+  *    (PushedFilters), so each pass reads a step-sized slice, not the
+  *    firehose.
+  *  - Counts dedup FIRST (distinct (user, day) / per-user min-ts
+  *    aggregates) and count the deduped rows after — never a distinct
+  *    aggregate mixed into a wide aggregation (the Expand trap).
+  *  - Ratios are exact IEEE divisions of exact BIGINTs, reproducible
+  *    across engines.
+  */
+object FunnelOps {
+
+  /** Sequential funnel view → click → purchase: a user converts at a
+    * step only with an event STRICTLY AFTER their entry to the
+    * previous step (min-ts semantics, the standard ordered funnel).
+    * Output: one row per step with reached-user counts and the
+    * conversion share of step 1.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = e.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    def step(name: String, ord: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(ord).cast("bigint").as("step"), lit(name).as("step_name"), $"users")
+    val steps = step("view", 1, v).union(step("click", 2, c)).union(step("purchase", 3, p))
+    val base = v.agg(count(lit(1)).as("base"))
+    steps.crossJoin(broadcast(base)) // 3 rows × 1 row
+      .select($"step", $"step_name", $"users",
+        ($"users".cast("double") / $"base".cast("double")).as("share_of_entry"))
+  }
+
+  /** Daily cohort retention: users grouped by their first active day,
+    * counted on each later active day as (cohort, day_offset) cells
+    * with the exact retained share. The classic triangle matrix.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val cohort = byDay.groupBy($"user_id").agg(min($"d").as("c0"))
+    val sizes = cohort.groupBy($"c0").agg(count(lit(1)).as("cohort_users"))
+    byDay.join(cohort, "user_id")
+      .groupBy($"c0", datediff($"d", $"c0").cast("bigint").as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+      .join(sizes, "c0")
+      .select(date_format($"c0", "yyyy-MM-dd").as("cohort"), $"day_offset",
+        $"users", ($"users".cast("double") / $"cohort_users".cast("double")).as("retained_share"))
+  }
+}

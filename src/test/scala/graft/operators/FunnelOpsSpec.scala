@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Ordered-funnel semantics (strictly-after step entry) and the cohort
+  * triangle, checked on hand-built event histories.
+  */
+class FunnelOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def write(dir: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit =
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+
+  test("funnel counts only strictly-ordered step sequences") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val t = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    write(dir, Seq(
+      // user 1: full ordered funnel
+      (1L, t(1), 1L, "view", 0.0, "{}"),
+      (2L, t(2), 1L, "click", 0.0, "{}"),
+      (3L, t(3), 1L, "purchase", 0.0, "{}"),
+      // user 2: click BEFORE the first view -> stalls at view
+      (4L, t(1), 2L, "click", 0.0, "{}"),
+      (5L, t(2), 2L, "view", 0.0, "{}"),
+      // user 3: purchase BEFORE the click -> stalls at click
+      (6L, t(1), 3L, "view", 0.0, "{}"),
+      (7L, t(2), 3L, "purchase", 0.0, "{}"),
+      (8L, t(3), 3L, "click", 0.0, "{}")))
+    val got = FunnelOps.funnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set(
+      (1L, "view", 3L, 1.0),
+      (2L, "click", 2L, 2.0 / 3.0),
+      (3L, "purchase", 1L, 1.0 / 3.0)))
+  }
+
+  test("retention triangle: offsets measured from each user's first active day") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cohort").toString
+    val d = (day: Int, id: Long, u: Long) =>
+      (id, Timestamp.valueOf(f"2024-01-$day%02d 09:00:00"), u, "view", 0.0, "{}")
+    write(dir, Seq(
+      d(1, 1, 10L), d(2, 2, 10L), d(4, 3, 10L), // user 10: cohort d1
+      d(2, 4, 20L),                             // user 20: cohort d2
+      d(2, 5, 10L)))                            // same-day duplicate: no double count
+    val got = FunnelOps.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set(
+      ("2024-01-01", 0L, 1L, 1.0),
+      ("2024-01-01", 1L, 1L, 1.0),
+      ("2024-01-01", 3L, 1L, 1.0),
+      ("2024-01-02", 0L, 1L, 1.0)))
+  }
+}
