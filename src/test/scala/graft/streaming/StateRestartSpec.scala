@@ -12,6 +12,7 @@ import LogPipeline.LogEvent
   * a production job relies on across deploys/failures).
   */
 class StateRestartSpec extends AnyFunSuite {
+  case class O4(event_id: Long, event_type: String, value: Double, ts: Long)
   lazy val spark = TestSpark.spark
   implicit lazy val enc = Encoders.product[LogEvent]
 
@@ -36,5 +37,32 @@ class StateRestartSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     // second sighting flipped to "0" only if state was recovered
     assert(got === Seq(("m1", "1"), ("m1", "0")))
+  }
+
+  test("streaming OHLC window state survives restart: open set before the stop, stolen after it") {
+    import graft.ColStr
+    val work = Files.createTempDirectory("restart-ohlc").toString
+    implicit val oEnc: org.apache.spark.sql.Encoder[O4] = Encoders.product[O4]
+    val h0 = 1700000000000L - (1700000000000L % 3600000L)
+    val ms = MemoryStream[O4](oEnc, spark)
+    val out = WindowedAggs.ohlcPerWindow(ms.toDF())
+    def start() = out.writeStream.outputMode("append")
+      .format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt").start()
+
+    val q1 = start()
+    ms.addData(O4(1, "x", 5.0, h0 + 10000), O4(2, "x", 9.0, h0 + 20000))
+    q1.processAllAvailable(); q1.stop()
+
+    val q2 = start() // same checkpoint: the open window's buffer must be recovered
+    ms.addData(O4(3, "x", 7.0, h0 + 5000))       // steals open ACROSS the restart
+    ms.addData(O4(9, "x", 1.0, h0 + 3 * 3600000L)) // watermark past window end
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(s"$work/out")
+      .where($"event_type" === "x" && $"n_events" === 3)
+      .select($"open", $"high", $"low", $"close", $"vol_cents")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq === Seq((7.0, 9.0, 5.0, 9.0, 2100L)))
   }
 }
