@@ -171,6 +171,20 @@ class PlanShapeSpec extends AnyFunSuite {
       anti.contains("BroadcastHashJoin"), anti)
   }
 
+  test("funnel step filters reach the scan; retention plans no distinct-Expand") {
+    // each funnel pass must read a step-sized slice, not the firehose
+    val funnel = q("events_funnel").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(funnel.contains("EqualTo(event_type,view)") &&
+      funnel.contains("EqualTo(event_type,click)") &&
+      funnel.contains("EqualTo(event_type,purchase)"), funnel)
+    // distinct (user, day) FIRST, plain counts after — a countDistinct
+    // in the wide rollup would plan the Expand
+    val retention = planString(q("retention_cohorts"))
+    assert(!retention.contains("Expand"), retention)
+    assert(!planString(q("pipeline_end_to_end")).contains("Expand"))
+  }
+
   test("OHLC downsample stays a hash aggregate (decimal-packed min_by order, never SortAggregate)") {
     // a struct-ordered min_by/max_by demotes the plan to SortAggregate —
     // a per-partition sort of the fact table; the packed decimal order
