@@ -96,6 +96,8 @@ object GmallRegistry {
     "ts_ohlc_downsample" -> (TimeSeriesOps.ohlcDownsample _),
     "ts_anomaly_mad" -> (TimeSeriesOps.anomalyMad _),
     "events_funnel" -> (FunnelOps.funnel _),
+    "events_funnel_windowed" -> (FunnelOps.funnelWindowed _),
+    "dq_documents" -> (QualityOps.documentConstraints _),
     "retention_cohorts" -> (FunnelOps.retentionCohorts _),
     "j14_fuzzy_join" -> (RelationalOps.fuzzyBlockedJoin _),
     "dq_constraints" -> (QualityOps.constraints _))
@@ -889,6 +891,41 @@ object GmallRegistry {
         |SELECT step, step_name, users,
         |  CAST(users AS DOUBLE) / CAST((SELECT count(*) FROM v) AS DOUBLE) AS share_of_entry
         |FROM steps""".stripMargin,
+    "events_funnel_windowed" ->
+      s"""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL ${graft.operators.FunnelOps.StepBudgetHours} HOURS
+        |  GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL ${graft.operators.FunnelOps.StepBudgetHours} HOURS
+        |  GROUP BY 1),
+        |steps AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, count(*) AS users FROM v
+        |  UNION ALL SELECT 2, 'click', count(*) FROM c
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+        |SELECT step, step_name, users,
+        |  CAST(users AS DOUBLE) / CAST((SELECT count(*) FROM v) AS DOUBLE) AS share_of_entry
+        |FROM steps""".stripMargin,
+    "dq_documents" ->
+      """SELECT 'documents_text_empty' AS check_name,
+        |  CAST((SELECT count(*) FROM documents
+        |     WHERE text IS NULL OR length(text) = 0) AS BIGINT) AS violations,
+        |  (SELECT count(*) FROM documents) AS checked
+        |UNION ALL SELECT 'documents_nchars_mismatch',
+        |  (SELECT count(*) FROM documents WHERE n_chars <> length(text)),
+        |  (SELECT count(*) FROM documents)
+        |UNION ALL SELECT 'documents_lang_unknown',
+        |  (SELECT count(*) FROM documents
+        |     WHERE lang NOT IN ('en', 'de', 'fr', 'es', 'zh')),
+        |  (SELECT count(*) FROM documents)
+        |UNION ALL SELECT 'documents_doc_id_unique',
+        |  (SELECT CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents),
+        |  (SELECT count(*) FROM documents)""".stripMargin,
     "retention_cohorts" ->
       """WITH byday AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |cohort AS (SELECT user_id, min(d) AS c0 FROM byday GROUP BY 1),

@@ -47,6 +47,8 @@ object Proto {
     "sample_weighted" -> asc("doc_id"),
     "pipeline_end_to_end" -> asc("source"),
     "events_funnel" -> asc("step"),
+    "events_funnel_windowed" -> asc("step"),
+    "dq_documents" -> asc("check_name"),
     "retention_cohorts" -> asc("cohort", "day_offset"),
     "q15_top_supplier" -> asc("s_suppkey"),
     "text_tile_dedup" -> asc("doc_id"),

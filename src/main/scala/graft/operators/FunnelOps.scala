@@ -52,6 +52,38 @@ object FunnelOps {
         ($"users".cast("double") / $"base".cast("double")).as("share_of_entry"))
   }
 
+  /** Step budget for the windowed funnel. */
+  val StepBudgetHours = 24
+
+  /** [[funnel]] with a conversion window: each step counts only within
+    * [[StepBudgetHours]] of the user's entry to the PREVIOUS step —
+    * the form real conversion reporting uses (a purchase a month after
+    * the click is a different journey). Same user-keyed plan shape;
+    * the budget is one more residual predicate on each step join.
+    */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val budget = expr(s"INTERVAL $StepBudgetHours HOURS")
+    val e = events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = e.filter($"event_type" === "click")
+      .join(v, "user_id")
+      .filter($"ts" > $"t_view" && $"ts" <= $"t_view" + budget)
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(c, "user_id")
+      .filter($"ts" > $"t_click" && $"ts" <= $"t_click" + budget)
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    def step(name: String, ord: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(ord).cast("bigint").as("step"), lit(name).as("step_name"), $"users")
+    val steps = step("view", 1, v).union(step("click", 2, c)).union(step("purchase", 3, p))
+    val base = v.agg(count(lit(1)).as("base"))
+    steps.crossJoin(broadcast(base))
+      .select($"step", $"step_name", $"users",
+        ($"users".cast("double") / $"base".cast("double")).as("share_of_entry"))
+  }
+
   /** Daily cohort retention: users grouped by their first active day,
     * counted on each later active day as (cohort, day_offset) cells
     * with the exact retained share. The classic triangle matrix.

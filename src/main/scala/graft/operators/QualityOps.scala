@@ -81,6 +81,24 @@ object QualityOps {
     "events_user_id_null" -> $"user_id".isNull,
     "events_value_negative" -> ($"value" < 0))
 
+  /** Text-corpus audit — the documents-table twin of [[constraints]]:
+    * key uniqueness plus the row-local contracts a text pipeline
+    * assumes before tokenizing (non-empty text, the stored char count
+    * agreeing with the payload, a known language tag). One scan for
+    * the row-local checks, one aggregate for uniqueness.
+    */
+  def documentConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val rowLocal = census(documents(spark, dir))(
+      "documents_text_empty" -> ($"text".isNull || length($"text") === 0),
+      "documents_nchars_mismatch" -> ($"n_chars" =!= length($"text")),
+      "documents_lang_unknown" -> !$"lang".isin("en", "de", "fr", "es", "zh"))
+    val unique = documents(spark, dir)
+      .agg((count(lit(1)) - count_distinct($"doc_id")).as("violations"),
+        count(lit(1)).as("checked"))
+      .select(lit("documents_doc_id_unique").as("check_name"), $"violations", $"checked")
+    rowLocal.union(unique)
+  }
+
   /** The audit suite over the star schema: null-rate, domain, key
     * uniqueness and referential integrity, one report row per check.
     */

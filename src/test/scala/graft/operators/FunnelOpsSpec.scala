@@ -38,6 +38,25 @@ class FunnelOpsSpec extends AnyFunSuite {
       (3L, "purchase", 1L, 1.0 / 3.0)))
   }
 
+  test("windowed funnel rejects steps outside the budget") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wfunnel").toString
+    val t = (day: Int, h: Int) => Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    write(dir, Seq(
+      // user 1: click 2h after view -> converts
+      (1L, t(1, 8), 1L, "view", 0.0, "{}"),
+      (2L, t(1, 10), 1L, "click", 0.0, "{}"),
+      // user 2: click 25h after first view -> outside the 24h budget
+      (3L, t(1, 8), 2L, "view", 0.0, "{}"),
+      (4L, t(2, 9), 2L, "click", 0.0, "{}")))
+    val got = FunnelOps.funnelWindowed(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got === Map("view" -> 2L, "click" -> 1L, "purchase" -> 0L))
+    // the unwindowed funnel counts user 2's late click
+    val plain = FunnelOps.funnel(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(plain("click") === 2L)
+  }
+
   test("retention triangle: offsets measured from each user's first active day") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cohort").toString
     val d = (day: Int, id: Long, u: Long) =>

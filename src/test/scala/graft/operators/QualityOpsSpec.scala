@@ -54,6 +54,23 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(got("lineitem_orderkey_fk") === ((1L, 3L)))
   }
 
+  test("documents census counts planted text violations exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dqdoc").toString
+    spark.createDataFrame(Seq(
+      (1L, "good text", "en", "web", 9L),
+      (1L, "dup id", "de", "web", 6L),        // duplicate doc_id
+      (2L, "", "en", "web", 0L),              // empty text
+      (3L, "short", "xx", "web", 99L)))       // unknown lang + wrong n_chars
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = QualityOps.documentConstraints(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("documents_text_empty") === ((1L, 4L)))
+    assert(got("documents_nchars_mismatch") === ((1L, 4L)))
+    assert(got("documents_lang_unknown") === ((1L, 4L)))
+    assert(got("documents_doc_id_unique") === ((1L, 4L)))
+  }
+
   test("driver synthetic data audits clean on referential checks") {
     val got = reportOf("/root/testdata/sf0.001")
     assert(got("orders_custkey_fk")._1 === 0L)
