@@ -100,6 +100,11 @@ object GmallRegistry {
     "dq_documents" -> (QualityOps.documentConstraints _),
     "retention_cohorts" -> (FunnelOps.retentionCohorts _),
     "j14_fuzzy_join" -> (RelationalOps.fuzzyBlockedJoin _),
+    "q9_product_profit" -> (AnalyticsOps.productTypeProfit _),
+    "q11_important_parts" -> (AnalyticsOps.importantPartValues _),
+    "q20_dominant_suppliers" -> (AnalyticsOps.dominantPartSuppliers _),
+    "window_ntile" -> (AnalyticsOps.ntileBuckets _),
+    "agg_corr_exact" -> (AnalyticsOps.corrExact _),
     "dq_constraints" -> (QualityOps.constraints _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1003,5 +1008,77 @@ object GmallRegistry {
         |UNION ALL SELECT 'lineitem_orderkey_fk',
         |  (SELECT count(*) FROM lineitem l
         |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
-        |  (SELECT count(*) FROM lineitem)""".stripMargin)
+        |  (SELECT count(*) FROM lineitem)""".stripMargin,
+    "q9_product_profit" ->
+      """WITH l AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_pct,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |p AS (SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cost_c
+        |  FROM part WHERE p_name LIKE '%gear%')
+        |SELECT n.n_name AS nation,
+        |  CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(l.price_c * (100 - l.disc_pct) - p.cost_c * 100 * l.qty)
+        |    AS BIGINT) / 10000.0 AS profit
+        |FROM l JOIN p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_important_parts" ->
+      """WITH rs AS (SELECT s_suppkey FROM supplier s
+        |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |    JOIN region r ON n.n_regionkey = r.r_regionkey
+        |    WHERE r.r_name = 'ASIA'),
+        |pp AS (SELECT l.l_partkey,
+        |    CAST(sum(CAST(l.l_quantity AS BIGINT) *
+        |      CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE EXISTS (SELECT 1 FROM rs WHERE rs.s_suppkey = l.l_suppkey)
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM pp)
+        |SELECT pp.l_partkey AS partkey, value_c / 100.0 AS value
+        |FROM pp, t WHERE value_c * 1500 > total_c
+        |ORDER BY partkey""".stripMargin,
+    "q20_dominant_suppliers" ->
+      """WITH pp AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND EXISTS (SELECT 1 FROM part p
+        |      WHERE p.p_partkey = lineitem.l_partkey AND p.p_name LIKE '%bolt')
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey AS pk, CAST(sum(pair_qty) AS BIGINT) AS part_qty
+        |  FROM pp GROUP BY 1)
+        |SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name
+        |FROM supplier s WHERE EXISTS (
+        |  SELECT 1 FROM pp JOIN pt ON pp.l_partkey = pt.pk
+        |  WHERE pp.pair_qty * 2 > pt.part_qty AND pp.l_suppkey = s.s_suppkey)
+        |ORDER BY suppkey""".stripMargin,
+    "window_ntile" ->
+      """SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+        |  CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS BIGINT) AS tile
+        |FROM orders ORDER BY orderkey""".stripMargin,
+    // moment sums stay exact integers (DuckDB: BIGINT sums promote to
+    // HUGEINT; Spark side: DECIMAL(38,0)) so the single double division
+    // at the end is bit-identical regardless of partition order
+    "agg_corr_exact" ->
+      """WITH l AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag AS returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM l GROUP BY 1)
+        |SELECT returnflag, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * n AS DOUBLE) / 100.0 AS covar_pop
+        |FROM a ORDER BY returnflag""".stripMargin)
 }

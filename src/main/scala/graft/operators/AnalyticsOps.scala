@@ -742,4 +742,137 @@ object AnalyticsOps {
       .orderBy($"revenue".desc, $"orderkey")
       .limit(10)
   }
+
+  /** Product-family profit by supplier nation and order year (TPC-H Q9
+    * shape, adapted: this schema has no partsupp, so unit cost is the
+    * part's retail price — the join tree, the name-substring part
+    * filter driving it, and the profit expression are the Q9 load).
+    * The part filter prunes BEFORE the fact join (predicate reaches the
+    * part scan); lineitem shuffles once per fact key; nation broadcasts.
+    * Money stays on unscaled longs in 10^-4-dollar units (price cents ×
+    * discount percent, cost cents × 100·qty) so partial sums are exact;
+    * the single double division happens after aggregation.
+    */
+  def productTypeProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir).filter($"p_name".contains("gear"))
+      .select($"p_partkey", (dec($"p_retailprice") * 100).cast("long").as("cost_c"))
+    val s = supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val n = nation(spark, dir).select($"n_nationkey", $"n_name")
+    val o = orders(spark, dir).select($"o_orderkey", year($"o_orderdate").as("o_year"))
+    val l = lineitem(spark, dir).select($"l_orderkey", $"l_partkey", $"l_suppkey",
+      (dec($"l_extendedprice") * 100).cast("long").as("price_c"),
+      (dec($"l_discount") * 100).cast("long").as("disc_pct"),
+      $"l_quantity".cast("long").as("qty"))
+    // part is filtered to one name family — bounded like a dim at any SF
+    val profitU = $"price_c" * (lit(100L) - $"disc_pct") - $"cost_c" * 100L * $"qty"
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name".as("nation"), $"o_year".cast("long").as("o_year"))
+      .agg((sum(profitU) / 10000.0).as("profit"))
+  }
+
+  /** Important-part census (TPC-H Q11 shape, adapted to shipped volume:
+    * no partsupp ⇒ "stock value" is qty × retail price over lines
+    * shipped by one region's suppliers). The defining plan feature is
+    * the SELF-REFERENTIAL threshold: the global total is an aggregate
+    * OF the per-part aggregate, so the per-part relation is computed
+    * once, its 1-row total broadcasts back, and the comparison is
+    * cross-multiplied in exact longs (value·1500 > total) — never a
+    * float fraction, never a second pass over lineitem.
+    */
+  def importantPartValues(spark: SparkSession, dir: String): DataFrame = {
+    val regionSupp = supplier(spark, dir)
+      .join(broadcast(nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region(spark, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey")
+    val p = part(spark, dir)
+      .select($"p_partkey", (dec($"p_retailprice") * 100).cast("long").as("retail_c"))
+    val perPart = lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey", $"l_quantity".cast("long").as("qty"))
+      .join(broadcast(regionSupp), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .join(p, $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey")
+      .agg(sum($"qty" * $"retail_c").as("value_c"))
+    val total = perPart.agg(sum($"value_c").as("total_c"))
+    perPart.join(broadcast(total), $"value_c" * 1500L > $"total_c")
+      .select($"l_partkey".as("partkey"), ($"value_c" / 100.0).as("value"))
+  }
+
+  /** Dominant suppliers of a part family (TPC-H Q20 shape, adapted: no
+    * ps_availqty ⇒ "excess stock" becomes majority share of the 1996
+    * shipped volume). Nested-aggregate threshold: per-(part, supplier)
+    * quantity vs the per-part total — the outer aggregate consumes the
+    * inner one (already partitioned by a prefix of its key, so the
+    * second shuffle moves only part-sized partials), the comparison is
+    * exact-integer (2·qty > total), and the surviving pairs semi-join
+    * into the supplier dim. The name filter and ship-year window prune
+    * at both scans.
+    */
+  def dominantPartSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir).filter($"p_name".endsWith("bolt"))
+      .select($"p_partkey")
+    val perPair = lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1997-01-01"))
+      .select($"l_partkey", $"l_suppkey", $"l_quantity".cast("long").as("qty"))
+      .join(broadcast(p), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"qty").as("pair_qty"))
+    val perPart = perPair.groupBy($"l_partkey".as("pk"))
+      .agg(sum($"pair_qty").as("part_qty"))
+    val dominant = perPair.join(perPart, $"l_partkey" === $"pk")
+      .filter($"pair_qty" * 2L > $"part_qty")
+      .select($"l_suppkey")
+    supplier(spark, dir)
+      .join(dominant, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey".as("suppkey"), $"s_name".as("supp_name"))
+  }
+
+  /** NTILE bucketing: equi-count decile assignment of orders by price
+    * within each priority class — the rank-family analytic the suite
+    * lacked (rank/dense_rank/row_number/lag/lead/cume windows exist).
+    * One shuffle on the partition key, per-partition sort; the order key
+    * carries a deterministic tiebreak (orderkey) so bucket boundaries
+    * are engine-independent. NTILE's floor/ceil bucket-size split is
+    * SQL-standard, so the oracle replays the same function.
+    */
+  def ntileBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy(dec($"o_totalprice"), $"o_orderkey")
+    orders(spark, dir)
+      .select($"o_orderkey".as("orderkey"),
+        $"o_orderpriority".as("priority"),
+        ntile(10).over(w).cast("long").as("tile"))
+  }
+
+  /** Exact-arithmetic Pearson correlation and covariance of quantity vs
+    * price per return flag. Built-in `corr`/`covar_pop` stream Welford
+    * updates whose float rounding depends on partition order — useless
+    * under a cross-engine hash gate and nondeterministic across runs.
+    * Instead the five moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    * exact integers (qty, price cents) in DECIMAL(38,0) — associative,
+    * order-free, map-side combined — and the textbook closed forms
+    * divide once in double at the end: bit-identical on any engine.
+    * DECIMAL(38) headroom: Σy² ≈ n·10^14, safe to n ≈ 10^24 rows.
+    */
+  def corrExact(spark: SparkSession, dir: String): DataFrame = {
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val l = lineitem(spark, dir).select($"l_returnflag",
+      $"l_quantity".cast("long").as("x"),
+      (dec($"l_extendedprice") * 100).cast("long").as("y"))
+    l.groupBy($"l_returnflag".as("returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(big($"x")).as("sx"), sum(big($"y")).as("sy"),
+        sum(big($"x") * $"y").as("sxy"),
+        sum(big($"x") * $"x").as("sxx"),
+        sum(big($"y") * $"y").as("syy"))
+      .select($"returnflag", $"n",
+        (((big($"n") * $"sxy" - $"sx" * $"sy").cast("double")) /
+          (sqrt((big($"n") * $"sxx" - $"sx" * $"sx").cast("double")) *
+            sqrt((big($"n") * $"syy" - $"sy" * $"sy").cast("double")))).as("corr_xy"),
+        ((big($"n") * $"sxy" - $"sx" * $"sy").cast("double") /
+          (big($"n") * $"n").cast("double") / 100.0).as("covar_pop"))
+  }
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Planted-value checks for the round-7 decision-support additions
+  * (q9/q11/q20 adaptations, NTILE, exact-moment correlation). The
+  * DuckDB gate proves cross-engine agreement; these prove the intended
+  * SEMANTICS on inputs where the right answer is hand-computable.
+  */
+class AnalyticsExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  /** Write a minimal star schema into a temp dir: two parts (a "bolt"
+    * and a "gear"), two suppliers (ASIA / AMERICA), one order, and the
+    * given lineitem rows.
+    */
+  private def miniStar(lines: Seq[(Long, Long, Long, Double, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ana").toString
+    import spark.implicits._
+    Seq((0L, "AFRICA"), (1L, "AMERICA"), (2L, "ASIA"), (3L, "EUROPE"))
+      .toDF("r_regionkey", "r_name").write.parquet(s"$dir/region.parquet")
+    Seq((10L, "CHINA", 2L), (11L, "BRAZIL", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$dir/nation.parquet")
+    Seq((1L, "Supplier#1", 10L, 100.0), (2L, "Supplier#2", 10L, 100.0),
+      (3L, "Supplier#3", 11L, 100.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((100L, "red bolt", "Brand#1", "ECONOMY", 5, 3.00),
+      (200L, "blue gear", "Brand#2", "SMALL", 7, 3.00))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    Seq((1L, "Customer#1", 10L, 50.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1000L, 1L, "F", 100.0, ts("1996-03-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    lines.zipWithIndex.map { case ((ok, pk, sk, qty, price, ship), i) =>
+      (ok, pk, sk, i + 1, qty, price, 0.05, 0.01, "N", "O", ts(ship))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q20: majority share within the part family and ship-year only") {
+    // bolt part 100: s1 ships 60, s2 ships 40 -> only s1 dominant
+    // (2*60 > 100; 2*40 < 100). s2's 1995 row and the gear part's sole
+    // (trivially dominant) supplier s3 must not leak in.
+    val dir = miniStar(Seq(
+      (1000L, 100L, 1L, 60.0, 10.0, "1996-05-01"),
+      (1000L, 100L, 2L, 40.0, 10.0, "1996-06-01"),
+      (1000L, 100L, 2L, 500.0, 10.0, "1995-06-01"), // outside window
+      (1000L, 200L, 3L, 9.0, 10.0, "1996-07-01"))) // not a bolt
+    val got = AnalyticsOps.dominantPartSuppliers(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "Supplier#1")))
+  }
+
+  test("q11: region filter and cross-multiplied share threshold") {
+    // ASIA suppliers are s1/s2; s3 (AMERICA) contributes nothing.
+    // part 100 value: (10+10)*300c = 6000c; part 200: 1*300c = 300c.
+    // total 6300c -> part100: 6000*1500 > 6300 keep; part200: 450000
+    // > 6300 ALSO kept (tiny fixture: every part clears the 1/1500
+    // bar). The discriminating check is the region exclusion: s3's
+    // huge line on part 200 must not raise its value.
+    val dir = miniStar(Seq(
+      (1000L, 100L, 1L, 10.0, 10.0, "1996-05-01"),
+      (1000L, 100L, 2L, 10.0, 10.0, "1996-06-01"),
+      (1000L, 200L, 1L, 1.0, 10.0, "1996-07-01"),
+      (1000L, 200L, 3L, 1000.0, 10.0, "1996-07-01"))) // non-ASIA: excluded
+    val got = AnalyticsOps.importantPartValues(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got === Map(100L -> 60.0, 200L -> 3.0))
+  }
+
+  test("q9: profit arithmetic is exact per (nation, year)") {
+    // gear part 200 only; price 10.00, disc 5%, qty 2, retail 3.00:
+    // 1000c*95 - 300c*100*2 = 95000 - 60000 = 35000 e-4$ = 3.50
+    val dir = miniStar(Seq(
+      (1000L, 200L, 1L, 2.0, 10.0, "1996-05-01"),
+      (1000L, 100L, 1L, 50.0, 10.0, "1996-05-01"))) // bolt: filtered out
+    val got = AnalyticsOps.productTypeProfit(spark, dir).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      === Set(("CHINA", 1996L, 3.5)))
+  }
+
+  test("ntile: equi-count buckets, monotone in the order key") {
+    val out = AnalyticsOps.ntileBuckets(spark, sf).cache()
+    try {
+      // bucket sizes within each priority differ by at most 1
+      val sizes = out.groupBy($"priority", $"tile").count()
+        .groupBy($"priority").agg((max($"count") - min($"count")).as("d"))
+      assert(sizes.where($"d" > 1).count() === 0)
+      // tiles are monotone w.r.t. the price order: joining orders back,
+      // a higher-priced order never lands in a lower tile
+      val priced = out.join(
+        graft.Tables.orders(spark, sf).select($"o_orderkey".as("orderkey"),
+          $"o_totalprice".cast("decimal(18,2)").as("price")), Seq("orderkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"priority").orderBy($"price", $"orderkey")
+      assert(priced.withColumn("prev_tile", lag($"tile", 1).over(w))
+        .where($"prev_tile" > $"tile").count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("corr: exactly linear data gives corr 1 and the hand covariance") {
+    // price = 2.00 * qty exactly -> corr 1 (up to one double sqrt
+    // rounding), covar_pop = 2 * var_pop(qty) in dollars*qty units
+    val dir = miniStar(Seq(
+      (1000L, 100L, 1L, 1.0, 2.0, "1996-05-01"),
+      (1000L, 100L, 1L, 2.0, 4.0, "1996-05-01"),
+      (1000L, 100L, 1L, 3.0, 6.0, "1996-05-01"),
+      (1000L, 100L, 1L, 4.0, 8.0, "1996-05-01")))
+    val r = AnalyticsOps.corrExact(spark, dir).collect()
+    assert(r.length === 1)
+    assert(math.abs(r(0).getDouble(2) - 1.0) < 1e-12)
+    // qty 1..4: var_pop = 1.25; slope 2 $/qty -> covar_pop = 2.5
+    assert(math.abs(r(0).getDouble(3) - 2.5) < 1e-12)
+  }
+
+  test("corr on real data matches a driver-side double recompute") {
+    val r = AnalyticsOps.corrExact(spark, sf).collect()
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_quantity".cast("long"),
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val byFlag = rows.groupBy(_._1)
+    r.foreach { row =>
+      val g = byFlag(row.getString(0))
+      val n = g.length.toDouble
+      val xs = g.map(_._2.toDouble); val ys = g.map(_._3.toDouble)
+      val mx = xs.sum / n; val my = ys.sum / n
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / n
+      val sdx = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum / n)
+      val sdy = math.sqrt(ys.map(y => (y - my) * (y - my)).sum / n)
+      assert(math.abs(row.getDouble(2) - cov / (sdx * sdy)) < 1e-9)
+      assert(math.abs(row.getDouble(3) - cov / 100.0) < math.abs(cov) * 1e-9)
+    }
+  }
+}
