@@ -1038,9 +1038,10 @@ object GmallRegistry {
         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |  WHERE EXISTS (SELECT 1 FROM rs WHERE rs.s_suppkey = l.l_suppkey)
         |  GROUP BY 1),
-        |t AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM pp)
+        |t AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+        |    count(*) AS n_parts FROM pp)
         |SELECT pp.l_partkey AS partkey, value_c / 100.0 AS value
-        |FROM pp, t WHERE value_c * 1500 > total_c
+        |FROM pp, t WHERE value_c * n_parts > total_c
         |ORDER BY partkey""".stripMargin,
     "q20_dominant_suppliers" ->
       """WITH pp AS (SELECT l_partkey, l_suppkey,

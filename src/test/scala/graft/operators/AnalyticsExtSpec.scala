@@ -67,13 +67,12 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(got === Set((1L, "Supplier#1")))
   }
 
-  test("q11: region filter and cross-multiplied share threshold") {
+  test("q11: region filter and above-mean share threshold") {
     // ASIA suppliers are s1/s2; s3 (AMERICA) contributes nothing.
     // part 100 value: (10+10)*300c = 6000c; part 200: 1*300c = 300c.
-    // total 6300c -> part100: 6000*1500 > 6300 keep; part200: 450000
-    // > 6300 ALSO kept (tiny fixture: every part clears the 1/1500
-    // bar). The discriminating check is the region exclusion: s3's
-    // huge line on part 200 must not raise its value.
+    // total 6300c over 2 parts -> part100: 6000*2 > 6300 keep;
+    // part200: 600 < 6300 drop. s3's huge line on part 200 must not
+    // raise its value above the mean (region exclusion).
     val dir = miniStar(Seq(
       (1000L, 100L, 1L, 10.0, 10.0, "1996-05-01"),
       (1000L, 100L, 2L, 10.0, 10.0, "1996-06-01"),
@@ -81,7 +80,7 @@ class AnalyticsExtSpec extends AnyFunSuite {
       (1000L, 200L, 3L, 1000.0, 10.0, "1996-07-01"))) // non-ASIA: excluded
     val got = AnalyticsOps.importantPartValues(spark, dir)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
-    assert(got === Map(100L -> 60.0, 200L -> 3.0))
+    assert(got === Map(100L -> 60.0))
   }
 
   test("q9: profit arithmetic is exact per (nation, year)") {
