@@ -815,29 +815,26 @@ object AnalyticsOps {
   /** Dominant suppliers of a part family (TPC-H Q20 shape, adapted: no
     * ps_availqty ⇒ "excess stock" becomes majority share of the 1996
     * shipped volume). Nested-aggregate threshold: per-(part, supplier)
-    * quantity vs the per-part total — the outer aggregate consumes the
-    * inner one (already partitioned by a prefix of its key, so the
-    * second shuffle moves only part-sized partials), the comparison is
-    * exact-integer (2·qty > total), and the surviving pairs semi-join
-    * into the supplier dim. The name filter and ship-year window prune
-    * at both scans.
+    * quantity vs the per-part total. The total is a WINDOW sum over the
+    * (part × supplier)-bounded aggregate, partitioned by part — never a
+    * second fact scan, never a single-task global window — so the fact
+    * table is read once and the whole query stays one Catalyst plan.
+    * The comparison is exact-integer (2·qty > total); surviving pairs
+    * semi-join into the supplier dim. The name filter and ship-year
+    * window prune at both scans.
     */
   def dominantPartSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val p = part(spark, dir).filter($"p_name".endsWith("bolt"))
       .select($"p_partkey")
-    // materialized once ((part × supplier)-bounded): both the per-part
-    // total and the dominance join consume it; without the checkpoint
-    // the fact scan runs twice (no cross-aggregate subplan reuse)
     val perPair = lineitem(spark, dir)
       .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1997-01-01"))
       .select($"l_partkey", $"l_suppkey", $"l_quantity".cast("long").as("qty"))
       .join(broadcast(p), $"l_partkey" === $"p_partkey", "left_semi")
       .groupBy($"l_partkey", $"l_suppkey")
       .agg(sum($"qty").as("pair_qty"))
-      .localCheckpoint(true)
-    val perPart = perPair.groupBy($"l_partkey".as("pk"))
-      .agg(sum($"pair_qty").as("part_qty"))
-    val dominant = perPair.join(perPart, $"l_partkey" === $"pk")
+    val dominant = perPair
+      .withColumn("part_qty",
+        sum($"pair_qty").over(Window.partitionBy($"l_partkey")))
       .filter($"pair_qty" * 2L > $"part_qty")
       .select($"l_suppkey")
     supplier(spark, dir)

@@ -236,4 +236,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(broadcasts >= 4, s"expected >=4 broadcast dim joins, got $broadcasts:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
   }
+
+  test("q9: part-family filter reaches the part scan; every join broadcasts onto the fact") {
+    val plan = q("q9_product_profit").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // name-substring predicate pushed to the part file, not evaluated
+    // post-scan over the whole catalog
+    assert(plan.contains("StringContains(p_name,gear)"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q20: ship-year window pushed to the lineitem scan") {
+    val plan = q("q20_dominant_suppliers").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"), plan)
+  }
+
+  test("ntile: exactly one keyed exchange (the window partition), no extra sort passes") {
+    assert(countShuffles(q("window_ntile")) == 1)
+  }
+
+  test("corr: one scan, one aggregation exchange, no distinct-Expand") {
+    val df = q("agg_corr_exact")
+    assert(countShuffles(df) == 1)
+    // the five moment sums are plain aggregates — a count(DISTINCT)-style
+    // Expand would multiply every fact row per aggregate path
+    assert(!planString(df).contains("Expand"), planString(df))
+  }
 }
