@@ -92,6 +92,7 @@ object LlmRegistry {
     "sample_stratified" -> (Sampling.stratified _),
     "sample_weighted" -> (Sampling.weightedSample _),
     "pipeline_mix_sources" -> (Sampling.mixSources _),
+    "sample_temperature" -> (Sampling.temperatureMix _),
     "pipeline_source_quota" -> (Sampling.sourceQuota _),
     "pipeline_source_quota_agg" -> (Sampling.sourceQuotaHeap _),
     "pipeline_chunk_tokens" -> (Sampling.chunkTokens _),
@@ -473,6 +474,7 @@ object LlmRegistry {
     "sample_stratified" -> Sampling.sqlStratified,
     "sample_weighted" -> Sampling.sqlWeightedSample,
     "pipeline_mix_sources" -> Sampling.sqlMixSources,
+    "sample_temperature" -> Sampling.sqlTemperatureMix,
     "pipeline_source_quota" -> Sampling.sqlSourceQuota,
     // heap form keeps the window form's exact contract → same oracle
     "pipeline_source_quota_agg" -> Sampling.sqlSourceQuota,

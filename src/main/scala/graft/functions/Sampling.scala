@@ -402,6 +402,86 @@ object Sampling {
       .repartition($"shard")
       .write.mode("overwrite").partitionBy("shard").parquet(outPath)
 
+  /** Document budget for [[temperatureMix]] — small enough that the
+    * per-source rates stay uncapped (discriminating) at the gate SFs.
+    */
+  val TempBudget = 200L
+
+  /** Exact floor(sqrt(x)) for any non-negative long. `sqrt` is IEEE
+    * correctly rounded, so the double candidate is off by at most one
+    * after flooring; a two-sided one-step correction makes it exact —
+    * identically in Spark and DuckDB, which is what lets a sampling
+    * rate derived from it survive a cross-engine hash compare. The s²
+    * probes run in exact wide arithmetic (DECIMAL(38,0) here, HUGEINT
+    * in the twin): near Long.Max the probe square itself overflows
+    * 64 bits, which under ANSI mode is an error, not a wrap.
+    */
+  private[functions] def isqrt(x: Column): Column = {
+    val sq = (c: Column) =>
+      c.cast("decimal(20,0)") * c.cast("decimal(20,0)")
+    val xw = x.cast("decimal(20,0)")
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val up = when(sq(s0 + 1) <= xw, s0 + 1).otherwise(s0)
+    when(sq(up) > xw, up - 1).otherwise(up)
+  }
+
+  private def sqlIsqrt(e: String): String = {
+    val up = s"(CASE WHEN CAST(s0_$e + 1 AS HUGEINT) * (s0_$e + 1) <= $e" +
+      s" THEN s0_$e + 1 ELSE s0_$e END)"
+    s"(CASE WHEN CAST($up AS HUGEINT) * $up > $e THEN $up - 1 ELSE $up END)"
+  }
+
+  /** Temperature-scaled corpus mix (α = 1/2): per-source sampling mass
+    * ∝ √(char count) — the standard rebalancing between "proportional"
+    * (α=1, big sources drown small ones) and "uniform" (α=0, rare
+    * sources over-repeated) used in multilingual/pretraining recipes.
+    * α=1/2 is exactly representable as the integer sqrt, so the whole
+    * rate computation stays in exact integer arithmetic: per-source
+    * rate (ppm) = Budget·√n_s·10⁶ div (Σ√n_j·n_docs_s), capped at 10⁶,
+    * and each document draws against its source's rate by salted hash.
+    *
+    * Scale shape: the per-source aggregate is source-bounded (1 keyed
+    * shuffle over partial sums); its √-weights and the 1-row weight
+    * total broadcast back; the draw itself is a narrow filter over the
+    * corpus — the fact table is scanned once and never shuffled.
+    * Fixed-point headroom: Budget·√n·10⁶ < 2^63 holds to corpora of
+    * ~10^21 chars per source at this budget.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("src_chars"))
+      .withColumn("w", isqrt($"src_chars"))
+    val tot = per.agg(sum($"w").as("wsum"))
+    val rates = per.join(broadcast(tot))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr(s"w * $TempBudget * 1000000 div (wsum * n_docs)")))
+      .select($"source".as("rsource"), $"rate_ppm")
+    documents(spark, dir)
+      .select($"doc_id", $"source")
+      .join(broadcast(rates), $"source" === $"rsource")
+      .filter(pmod(priority("temp:", $"doc_id"), lit(1000000L)) < $"rate_ppm")
+      .select($"doc_id", $"source", $"rate_ppm")
+  }
+
+  /** DuckDB twin of [[temperatureMix]]. */
+  def sqlTemperatureMix: String =
+    s"""WITH per0 AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS src_chars
+       |  FROM documents GROUP BY 1),
+       |per1 AS (SELECT *, CAST(floor(sqrt(CAST(src_chars AS DOUBLE))) AS BIGINT)
+       |    AS s0_src_chars FROM per0),
+       |per AS (SELECT source, n_docs, ${sqlIsqrt("src_chars")} AS w FROM per1),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM per),
+       |rates AS (SELECT source,
+       |    least(1000000, w * $TempBudget * 1000000 // (wsum * n_docs)) AS rate_ppm
+       |  FROM per, tot)
+       |SELECT d.doc_id, d.source, r.rate_ppm
+       |FROM documents d JOIN rates r ON d.source = r.source
+       |WHERE ${sqlPriority("temp:", "d.doc_id")} % 1000000 < r.rate_ppm
+       |ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of [[packSequences]] (integer-exact: `//` truncates
     * like Spark's `div` — all operands non-negative here).
     */

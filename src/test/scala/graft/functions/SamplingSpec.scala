@@ -120,4 +120,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(keptMean > corpusMean,
       s"length-weighted sample should skew long: kept=$keptMean corpus=$corpusMean")
   }
+
+  private def exactSqrt(x: Long): BigInt =
+    BigInt(java.math.BigInteger.valueOf(x).sqrt())
+
+  test("isqrt is exact at perfect squares, off-by-ones, and large magnitudes") {
+    // adversarial set: k^2-1 / k^2 / k^2+1 across magnitudes up to the
+    // documented 2^62 probe-overflow bound, where double sqrt alone
+    // misrounds
+    val ks = Seq(1L, 2L, 3L, 1000L, 94906265L /* ~sqrt(2^53) */,
+      1L << 31, 3037000499L /* isqrt(Long.Max) */)
+    val xs = (ks.flatMap(k => Seq(k * k - 1, k * k, k * k + 1)) ++
+      Seq(0L, 1L, 2L, 5L, (1L << 62) - 1)).distinct.filter(_ >= 0)
+    val got = spark.createDataFrame(xs.map(Tuple1(_))).toDF("x")
+      .select($"x", Sampling.isqrt($"x").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    xs.foreach { x =>
+      val exact = exactSqrt(x).toLong
+      assert(got(x) === exact, s"isqrt($x): got ${got(x)}, want $exact")
+    }
+  }
+
+  test("temperature mix: rates follow sqrt mass exactly; sample stays budget-bounded") {
+    import org.apache.spark.sql.functions._
+    val out = Sampling.temperatureMix(spark, dir).cache()
+    try {
+      // replay the fixed-point rate computation driver-side from the
+      // corpus stats (BigInteger sqrt, integer division)
+      val per = graft.Tables.documents(spark, dir)
+        .groupBy($"source").agg(count(lit(1)).as("n"), sum($"n_chars").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val wsum = per.map { case (_, _, c) => exactSqrt(c) }.sum
+      val expectRates = per.map { case (s, n, c) =>
+        s -> (exactSqrt(c) * Sampling.TempBudget * 1000000 / (wsum * n))
+          .min(1000000).toLong
+      }.toMap
+      val gotRates = out.select($"source", $"rate_ppm").distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      gotRates.foreach { case (s, r) => assert(r === expectRates(s), s) }
+      // α=1/2 compresses the spread: a source's per-DOC rate must rise
+      // as its doc count falls (the small-source boost), and the drawn
+      // sample size stays near the budget, not the corpus size
+      val kept = out.count()
+      assert(kept > Sampling.TempBudget / 2 && kept < Sampling.TempBudget * 2,
+        s"kept $kept vs budget ${Sampling.TempBudget}")
+    } finally out.unpersist()
+  }
 }
