@@ -100,6 +100,7 @@ object GmallRegistry {
     "dq_documents" -> (QualityOps.documentConstraints _),
     "retention_cohorts" -> (FunnelOps.retentionCohorts _),
     "j14_fuzzy_join" -> (RelationalOps.fuzzyBlockedJoin _),
+    "j15_linear_attribution" -> (RelationalOps.linearAttribution _),
     "q9_product_profit" -> (AnalyticsOps.productTypeProfit _),
     "q11_important_parts" -> (AnalyticsOps.importantPartValues _),
     "q20_dominant_suppliers" -> (AnalyticsOps.dominantPartSuppliers _),
@@ -1009,6 +1010,25 @@ object GmallRegistry {
         |  (SELECT count(*) FROM lineitem l
         |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
         |  (SELECT count(*) FROM lineitem)""".stripMargin,
+    "j15_linear_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.purchase_id, p.user_id, v.view_id, v.v_ts
+        |  FROM p LEFT JOIN v ON p.user_id = v.v_user
+        |    AND v.v_ts < p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 7 DAY),
+        |w AS (SELECT purchase_id, user_id, view_id, v_ts,
+        |    count(view_id) OVER (PARTITION BY purchase_id) AS n,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY v_ts, view_id) AS rk
+        |  FROM j)
+        |SELECT purchase_id, user_id,
+        |  coalesce(view_id, CAST(-1 AS BIGINT)) AS view_id,
+        |  CAST(CASE WHEN view_id IS NULL THEN 1000000
+        |    ELSE 1000000 // n + CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END
+        |  END AS BIGINT) AS weight_ppm
+        |FROM w ORDER BY purchase_id, view_id""".stripMargin,
     "q9_product_profit" ->
       """WITH l AS (SELECT l_orderkey, l_partkey, l_suppkey,
         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,

@@ -315,6 +315,42 @@ object RelationalOps {
         coalesce($"view_id", lit(-1L)).as("attributed_view_id"))
   }
 
+  /** Linear multi-touch attribution: each purchase's credit split
+    * evenly across the user's views in the 7 days strictly before it —
+    * the fractional counterpart of [[asofAttribution]]'s last-touch.
+    * Weights are exact ppm integers: base = 10⁶ div n, and the
+    * division remainder goes to the EARLIEST touch (deterministic
+    * (ts, view_id) order), so every purchase's weights sum to exactly
+    * 1,000,000 — no float shares, no drift under re-aggregation. A
+    * purchase with no views keeps its mass on view_id −1.
+    *
+    * Plan: the range join shuffles both sides once on the user key
+    * (views per (user, week) are bounded in any real event stream);
+    * the count/rank pair shares one purchase-keyed window exchange.
+    */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+    val v = e.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("v_user"),
+        $"ts".as("v_ts"))
+    val j = p.join(v,
+      $"user_id" === $"v_user" && $"v_ts" < $"p_ts" &&
+        $"v_ts" >= $"p_ts" - expr("INTERVAL 7 DAYS"), "left")
+    val byPurchase =
+      org.apache.spark.sql.expressions.Window.partitionBy($"purchase_id")
+    val touchOrder = byPurchase.orderBy($"v_ts", $"view_id")
+    j.withColumn("n", count($"view_id").over(byPurchase))
+      .withColumn("touch_rank", row_number().over(touchOrder))
+      .select($"purchase_id", $"user_id",
+        coalesce($"view_id", lit(-1L)).as("view_id"),
+        when($"view_id".isNull, lit(1000000L))
+          .otherwise(expr("1000000 div n") +
+            when($"touch_rank" === 1, expr("1000000 % n")).otherwise(lit(0L)))
+          .as("weight_ppm"))
+  }
+
   /** J10: Bloom-prefiltered fact join — the explicit runtime-filter
     * pattern (see [[org.apache.spark.sql.graftexpr.GraftBloom]]).
     * Revenue of lineitems belonging to URGENT orders, by order month:

@@ -128,6 +128,37 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(3) - 2.5) < 1e-12)
   }
 
+  test("linear attribution: exact ppm split, remainder to first touch, window pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    import spark.implicits._
+    val t = (d: Int, h: Int) => Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // user 7: views at d2,d3,d4 then purchase d5 (3 touches, 10^6 div 3
+    // = 333333 rem 1 -> earliest gets 333334); a d20 purchase sees ONLY
+    // the d15 view (7-day window drops d2-d4); user 8 purchases with no
+    // views at all
+    Seq(
+      (1L, t(2, 0), 7L, "view", 1.0, "{}"),
+      (2L, t(3, 0), 7L, "view", 1.0, "{}"),
+      (3L, t(4, 0), 7L, "view", 1.0, "{}"),
+      (4L, t(5, 0), 7L, "purchase", 9.0, "{}"),
+      (5L, t(15, 0), 7L, "view", 1.0, "{}"),
+      (6L, t(20, 0), 7L, "purchase", 5.0, "{}"),
+      (7L, t(21, 0), 8L, "purchase", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = RelationalOps.linearAttribution(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (4L, 1L, 333334L), (4L, 2L, 333333L), (4L, 3L, 333333L),
+      (6L, 5L, 1000000L), (7L, -1L, 1000000L)))
+  }
+
+  test("linear attribution weights sum to exactly 1e6 per purchase on real data") {
+    val sums = RelationalOps.linearAttribution(spark, sf)
+      .groupBy($"purchase_id").agg(sum($"weight_ppm").as("s"))
+    assert(sums.where($"s" =!= 1000000L).count() === 0)
+  }
+
   test("corr on real data matches a driver-side double recompute") {
     val r = AnalyticsOps.corrExact(spark, sf).collect()
     val rows = graft.Tables.lineitem(spark, sf)
