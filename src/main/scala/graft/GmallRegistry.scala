@@ -106,6 +106,8 @@ object GmallRegistry {
     "q20_dominant_suppliers" -> (AnalyticsOps.dominantPartSuppliers _),
     "window_ntile" -> (AnalyticsOps.ntileBuckets _),
     "agg_corr_exact" -> (AnalyticsOps.corrExact _),
+    "basket_lift_pairs" -> (AnalyticsOps.basketLiftPairs _),
+    "user_recency_score" -> (TimeSeriesOps.userRecencyScore _),
     "dq_constraints" -> (QualityOps.constraints _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1084,6 +1086,40 @@ object GmallRegistry {
         |  CAST(ntile(10) OVER (PARTITION BY o_orderpriority
         |    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS BIGINT) AS tile
         |FROM orders ORDER BY orderkey""".stripMargin,
+    "basket_lift_pairs" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+        |    count(*) AS n_ab
+        |  FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2),
+        |pc AS (SELECT l_partkey, count(*) AS n_part FROM lp GROUP BY 1),
+        |t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp)
+        |SELECT p.part_a, p.part_b, p.n_ab,
+        |  CAST(p.n_ab * t.n_orders AS DOUBLE) /
+        |    CAST(a.n_part * b.n_part AS DOUBLE) AS lift
+        |FROM pairs p
+        |JOIN pc a ON p.part_a = a.l_partkey
+        |JOIN pc b ON p.part_b = b.l_partkey, t
+        |ORDER BY n_ab DESC, part_a, part_b LIMIT 100""".stripMargin,
+    // power-of-two half-life decay: the weight of a d-half-life-old row
+    // is the INTEGER 2^(30-d), so the decayed mass is an exact integer
+    // sum (partition-order-free) and the one double division at the end
+    // is engine-identical — a float pow(0.5, age) sum is neither
+    "user_recency_score" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |a AS (SELECT max(day) AS anchor_day FROM e),
+        |w AS (SELECT user_id, cents,
+        |    datediff('day', day, anchor_day) AS dd,
+        |    CAST(1 AS BIGINT) <<
+        |      (30 - least(30, CAST(datediff('day', day, anchor_day) // 30 AS INT))) AS w
+        |  FROM e, a)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(min(dd) AS BIGINT) AS recency_days,
+        |  CAST(sum(cents * w) AS DOUBLE) / 1073741824.0 / 100.0 AS decayed_value
+        |FROM w GROUP BY 1 ORDER BY user_id""".stripMargin,
     // moment sums stay exact integers (DuckDB: BIGINT sums promote to
     // HUGEINT; Spark side: DECIMAL(38,0)) so the single double division
     // at the end is bit-identical regardless of partition order

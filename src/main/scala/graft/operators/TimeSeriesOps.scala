@@ -149,4 +149,43 @@ object TimeSeriesOps {
         sum($"c").as("vol_cents"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Half-life units for [[userRecencyScore]] (days per halving). */
+  val HalfLifeDays = 30
+
+  /** Decay horizon in half-life units: activity older than this
+    * contributes zero (its exact weight would need fractional bits).
+    */
+  val MaxHalfLives = 30
+
+  /** Recency-frequency user features: per user, event count, days
+    * since last activity, and an exponentially-decayed engagement mass
+    * (half-life [[HalfLifeDays]]) — the RFM feature-store triple.
+    *
+    * The decay is EXACT: with a power-of-two base, the weight of a row
+    * d half-lives old is the integer 2^(30−d), so the decayed mass is
+    * a sum of exact integers (DECIMAL(38,0) against a corpus-scale
+    * row count) normalized by 2³⁰ in one double division at the end —
+    * partition-order-free where a float `pow(0.5, age)` sum is not,
+    * and cross-engine identical where libm `pow` is not guaranteed to
+    * be. The anchor (newest event date) is a 1-row broadcast; the only
+    * corpus shuffle is the user-keyed aggregate.
+    */
+  def userRecencyScore(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"),
+        (RelationalOps.dec($"value") * 100).cast("long").as("cents"))
+    val anchor = e.agg(max($"day").as("anchor_day"))
+    e.join(broadcast(anchor))
+      .withColumn("d_units",
+        least(lit(MaxHalfLives),
+          (datediff($"anchor_day", $"day") / HalfLifeDays).cast("int")))
+      .withColumn("w",
+        expr(s"shiftleft(CAST(1 AS BIGINT), $MaxHalfLives - d_units)"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(datediff($"anchor_day", $"day")).cast("bigint").as("recency_days"),
+        (sum(($"cents" * $"w").cast("decimal(38,0)")).cast("double") /
+          (1L << MaxHalfLives).toDouble / 100.0).as("decayed_value"))
+  }
 }

@@ -32,7 +32,7 @@ class QueriesSpec extends AnyFunSuite {
     // these end in a sort+limit (or TakeOrdered) — already totally ordered
     val semanticallyOrdered =
       Set("topk_orders", "q3_shipping_priority", "sample_uniform_k",
-        "q10_returned_items", "rel_bm25_search")
+        "q10_returned_items", "rel_bm25_search", "basket_lift_pairs")
     val unsorted = SparkEntry.queries.keySet -- Proto.order.keySet --
       semanticallyOrdered
     assert(unsorted.isEmpty,

@@ -159,6 +159,45 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(sums.where($"s" =!= 1000000L).count() === 0)
   }
 
+  test("basket lift: planted baskets give the hand-computed support and lift") {
+    // o1:{100,200} twice via two lines of 100? no — distinct per order.
+    // orders: o1 {100,200}, o2 {100,200}, o3 {100}. pairs: (100,200)
+    // n_ab=2; n_100=3, n_200=2, N=3 -> lift = 2*3/(3*2) = 1.0
+    val dir = miniStar(Seq(
+      (1L, 100L, 1L, 1.0, 10.0, "1996-05-01"),
+      (1L, 200L, 1L, 1.0, 10.0, "1996-05-01"),
+      (1L, 200L, 2L, 2.0, 10.0, "1996-05-02"), // dup (order, part): distinct'd
+      (2L, 100L, 1L, 1.0, 10.0, "1996-05-01"),
+      (2L, 200L, 1L, 1.0, 10.0, "1996-05-01"),
+      (3L, 100L, 1L, 1.0, 10.0, "1996-05-01")))
+    val got = AnalyticsOps.basketLiftPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((100L, 200L, 2L, 1.0)))
+  }
+
+  test("recency score: exact power-of-two decay, horizon cap, anchor from data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rfm").toString
+    import spark.implicits._
+    val t = (s: String) => Timestamp.valueOf(s + " 12:00:00")
+    // anchor = 2024-12-31. user 7: 1.00 at anchor (w=1) + 1.00 at 30
+    // days (1 half-life, w=1/2) -> 1.5; user 8: 1.00 at 90 days
+    // (3 half-lives) -> 0.125; user 9: 1.00 at ~5 years, beyond the
+    // 30-half-life horizon -> weight exactly 2^-30
+    Seq(
+      (1L, t("2024-12-31"), 7L, "view", 1.0, "{}"),
+      (2L, t("2024-12-01"), 7L, "view", 1.0, "{}"),
+      (3L, t("2024-10-02"), 8L, "view", 1.0, "{}"),
+      (4L, t("2019-12-31"), 9L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = TimeSeriesOps.userRecencyScore(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got(0) === ((7L, 2L, 0L, 1.5)))
+    assert(got(1) === ((8L, 1L, 90L, 0.125)))
+    assert(got(2) === ((9L, 1L, 1827L, math.pow(2.0, -30))))
+  }
+
   test("corr on real data matches a driver-side double recompute") {
     val r = AnalyticsOps.corrExact(spark, sf).collect()
     val rows = graft.Tables.lineitem(spark, sf)
