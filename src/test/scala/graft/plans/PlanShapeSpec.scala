@@ -264,4 +264,28 @@ class PlanShapeSpec extends AnyFunSuite {
     // Expand would multiply every fact row per aggregate path
     assert(!planString(df).contains("Expand"), planString(df))
   }
+
+  test("basket pairs: no self-join anywhere below the pair aggregate") {
+    // the basket array + narrow HOF expansion replaces the (order, part)
+    // self-join; the only joins left are the catalog-bounded lift
+    // lookups, which must broadcast
+    val plan = planString(q("basket_lift_pairs"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan)
+  }
+
+  test("temperature mix: the corpus draw is a broadcast-rate filter, never a corpus shuffle") {
+    // two keyed exchanges exist (per-source aggregate + its total);
+    // both are source-bounded. The documents side itself must reach
+    // the filter through a BroadcastHashJoin, not an exchange.
+    val plan = planString(q("sample_temperature"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("linear attribution: range join keyed on user, never a nested loop") {
+    val plan = planString(q("j15_linear_attribution"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
