@@ -116,10 +116,26 @@ object LlmRegistry {
     .map { case (l, m) => s"('$l','$m')" }.mkString(", ")
 
   // the knn-graph query, shared verbatim between sim_knn_graph and the
-  // graph_pagerank edge CTE (the ORDER BY is legal inside a CTE)
+  // graph_pagerank edge CTE (the ORDER BY is legal inside a CTE).
+  // Bucketing is ADAPTIVE like dedup_embedding_lsh_multi's: plane count
+  // replayed from the corpus row count with the same integer bit-length
+  // formula as Similarity.multiPlanes, weight literal indexed once into
+  // a bounded `pl` relation (the in-lambda form re-materializes the
+  // whole literal per (row, plane))
   private lazy val knnGraphSql: String =
     s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
-       |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm, $bucketExpr AS bucket FROM qz),
+       |np AS (SELECT CASE WHEN c <= 1 THEN ${Similarity.MultiPlanesBase}
+       |    ELSE least(${Similarity.MultiPlanesBase} + length(bin(c - 1)), ${Similarity.MultiPlanesMax}) END AS np
+       |  FROM (SELECT (count(*) + ${Similarity.MultiN0 - 1}) // ${Similarity.MultiN0} AS c FROM embeddings)),
+       |pl AS (SELECT pidx, ${sqlPlaneList(Similarity.MultiPlanesMax, Similarity.Dim)}[CAST(pidx AS INT) + 1] AS w
+       |  FROM (SELECT unnest(range(${Similarity.MultiPlanesMax})) AS pidx)),
+       |bit AS (SELECT d.vec_id,
+       |    CASE WHEN list_sum(list_transform(list_zip(d.q, pl.w), x -> x[1] * x[2])) > 0
+       |         THEN (1::BIGINT << CAST(pl.pidx AS INT)) ELSE 0 END AS bit
+       |  FROM qz d CROSS JOIN np JOIN pl ON pl.pidx < np.np),
+       |bkt AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM bit GROUP BY 1),
+       |n AS (SELECT d.vec_id, d.q, ${listNorm("d.q")} AS norm, k.bucket
+       |  FROM qz d JOIN bkt k ON d.vec_id = k.vec_id),
        |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
        |    ${listDot("a.q", "b.q")} AS dot, a.norm AS na, b.norm AS nb
        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),

@@ -68,6 +68,16 @@ object Similarity {
       when(longArrayDot($"q", plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** [[bucketCol]] widened to `np` planes (same weight indexing, so
+    * np = [[NumPlanes]] reproduces it bit-for-bit) — the corpus-size-
+    * adaptive single-table bucketing [[knnGraph]] uses.
+    */
+  private def bucketColAdaptive(np: Int): Column =
+    (0 until np).map { p =>
+      val plane = typedlit((0 until Dim).map(i => planeWeight(p, i)))
+      when(longArrayDot($"q", plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Corpus with bucket and norm attached — all narrow projections over
     * one scan (bucket and norm derive from the vector itself; v1 joined
     * the bucket frame back to the vectors, a pointless self-join).
@@ -128,9 +138,20 @@ object Similarity {
     * per-key heaps, partial aggregation), NOT a ranking window — a
     * window would sort every candidate edge inside each shuffle
     * partition; the heap ships k rows per key per partition.
+    *
+    * The bucketing is ADAPTIVE ([[multiPlanes]], one plane per corpus
+    * doubling past [[MultiN0]]) like the multi-table dedup: under the
+    * fixed 8-plane bucketing this was the suite's steepest sf1 scaler
+    * (6.0× at 10× data — same quadratic bucket-occupancy growth the r7
+    * plane knob fixed for `dedup_embedding_lsh_multi`). Plane p keeps
+    * weight index p, so at n ≤ [[MultiN0]] the buckets — and the graph
+    * — are bit-identical to the fixed bucketing.
     */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val withB = bucketed(spark, dir)
+    val np = multiPlanes(Tables.embeddings(spark, dir).count())
+    val withB = Dedup.quantized(spark, dir)
+      .select($"vec_id", $"q", longArrayNormSq($"q").as("nrm"),
+        bucketColAdaptive(np).as("bucket"))
     val pairs = withB.as("x").join(withB.as("y").hint("shuffle_hash"),
         expr("x.bucket = y.bucket AND x.vec_id < y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
