@@ -95,6 +95,7 @@ object GmallRegistry {
     "ts_gapfill" -> (TimeSeriesOps.gapfillForwardFill _),
     "ts_ohlc_downsample" -> (TimeSeriesOps.ohlcDownsample _),
     "ts_anomaly_mad" -> (TimeSeriesOps.anomalyMad _),
+    "ts_ewma" -> (TimeSeriesOps.ewmaSmooth _),
     "events_funnel" -> (FunnelOps.funnel _),
     "events_funnel_windowed" -> (FunnelOps.funnelWindowed _),
     "dq_documents" -> (QualityOps.documentConstraints _),
@@ -976,6 +977,27 @@ object GmallRegistry {
         |SELECT d.event_type, d.day, d.day_cents,
         |  (d.dev2 * 2 > ${graft.operators.TimeSeriesOps.MadK} * mad.mad4) AS is_anomaly
         |FROM dev d JOIN mad USING (event_type)""".stripMargin,
+    // exact-integer EWMA replay: the same 3^k·4^(W−1−k) weights
+    // (TimeSeriesOps.ewmaWeight) as an unrolled lag chain
+    "ts_ewma" -> {
+      import graft.operators.TimeSeriesOps.{EwmaWindow, ewmaWeight}
+      def x(k: Int) = if (k == 0) "day_cents" else s"lag(day_cents, $k) OVER w"
+      val num = (0 until EwmaWindow)
+        .map(k => s"coalesce(${x(k)} * ${ewmaWeight(k)}, 0)").mkString(" + ")
+      val den = (0 until EwmaWindow)
+        .map(k => s"CASE WHEN ${x(k)} IS NOT NULL THEN ${ewmaWeight(k)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_cents
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, day, day_cents,
+         |  CAST($num AS BIGINT) AS ewma_num,
+         |  CAST($den AS BIGINT) AS ewma_den,
+         |  CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS ewma
+         |FROM daily
+         |WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin
+    },
     "j14_fuzzy_join" ->
       """WITH n AS (
         |  SELECT p_name, count(*) AS n_parts,

@@ -150,6 +150,57 @@ object TimeSeriesOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Trailing observations in the [[ewmaSmooth]] horizon. */
+  val EwmaWindow = 8
+
+  /** Integer weight of the k-th most recent observation over the
+    * common denominator 4^[[EwmaWindow]]: 3^k · 4^(W−1−k). Shared with
+    * the generated oracle SQL so the two engines cannot drift.
+    */
+  def ewmaWeight(k: Int): Long =
+    (0 until k).foldLeft(1L)((a, _) => a * 3) *
+      (0 until (EwmaWindow - 1 - k)).foldLeft(1L)((a, _) => a * 4)
+
+  /** Exponential smoothing of the per-type daily revenue series with
+    * α = 1/4 over a trailing [[EwmaWindow]]-observation horizon — the
+    * classic EWMA chart line, in EXACT integer arithmetic.
+    *
+    * The recurrence s_t = α·x_t + (1−α)·s_{t−1} unrolls to weights
+    * α·(1−α)^k = 3^k / 4^(k+1) for the k-th most recent observation;
+    * over the common denominator 4^W each weight is the integer
+    * 3^k · 4^(W−1−k), so the smoothed value is a ratio of two BIGINTs
+    * (`ewma_num` / `ewma_den`) — partition-order-free and bit-identical
+    * across engines where a float pow() recurrence is neither. Rows
+    * within the warm-up (fewer than W trailing observations) normalize
+    * by the sum of the weights actually present, so the output is an
+    * average of what exists rather than a value biased toward zero.
+    *
+    * Scale shape: the only corpus shuffle is the map-side-combined
+    * daily rollup; the lag window re-uses the rollup's event_type
+    * hash partitioning (sort within partitions, no second exchange),
+    * and every per-row term is a codegen'd lag/coalesce chain — the
+    * W-term dot product never materializes an array.
+    */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    val daily = events(spark, dir)
+      .select($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"), cents.as("c"))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"c").as("day_cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val terms = (0 until EwmaWindow).map { k =>
+      val x = if (k == 0) $"day_cents" else lag($"day_cents", k).over(w)
+      (coalesce(x * ewmaWeight(k), lit(0L)),
+        when(x.isNotNull, lit(ewmaWeight(k))).otherwise(lit(0L)))
+    }
+    daily
+      .withColumn("ewma_num", terms.map(_._1).reduce(_ + _))
+      .withColumn("ewma_den", terms.map(_._2).reduce(_ + _))
+      .select($"event_type", $"day", $"day_cents", $"ewma_num", $"ewma_den",
+        ($"ewma_num".cast("double") / $"ewma_den".cast("double")).as("ewma"))
+  }
+
   /** Half-life units for [[userRecencyScore]] (days per halving). */
   val HalfLifeDays = 30
 

@@ -93,6 +93,50 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(bFlags.size === 4 && !bFlags.exists(_._4))
   }
 
+  test("EWMA replays the exact 3^k·4^(W−1−k) weights and warm-up normalization") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // 3-day series: 1.00, 2.00, 4.00 -> cents 100, 200, 400
+    spark.createDataFrame(Seq(
+      (1L, ts(1), 1L, "a", 1.00, "{}"),
+      (2L, ts(2), 1L, "a", 2.00, "{}"),
+      (3L, ts(3), 1L, "a", 4.00, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = TimeSeriesOps.ewmaSmooth(spark, dir).orderBy($"day")
+      .select($"ewma_num", $"ewma_den", $"ewma").collect()
+    val w = (0 until TimeSeriesOps.EwmaWindow).map(TimeSeriesOps.ewmaWeight)
+    assert(w.head === (1L << 14) && w(1) === 3L * (1L << 12), "w0 = 4^7, w1 = 3·4^6")
+    // day 1: only its own weight present
+    assert((got(0).getLong(0), got(0).getLong(1)) === (100L * w(0), w(0)))
+    assert(got(0).getDouble(2) === 100.0)
+    // day 2: 200·w0 + 100·w1, den w0+w1
+    assert((got(1).getLong(0), got(1).getLong(1)) ===
+      (200L * w(0) + 100L * w(1), w(0) + w(1)))
+    // day 3: 400·w0 + 200·w1 + 100·w2
+    assert((got(2).getLong(0), got(2).getLong(1)) ===
+      (400L * w(0) + 200L * w(1) + 100L * w(2), w(0) + w(1) + w(2)))
+    assert(got(2).getDouble(2) ===
+      got(2).getLong(0).toDouble / got(2).getLong(1).toDouble)
+  }
+
+  test("EWMA on driver data stays within the trailing window's bounds") {
+    val out = TimeSeriesOps.ewmaSmooth(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.where($"ewma_den" <= 0 || $"ewma".isNull).count() === 0)
+      // smoothed value is a convex combination of trailing day_cents:
+      // bounded by the running min/max over the window
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(-(TimeSeriesOps.EwmaWindow - 1), 0)
+      val bounded = out
+        .withColumn("lo", min($"day_cents").over(w))
+        .withColumn("hi", max($"day_cents").over(w))
+      assert(bounded.where($"ewma" < $"lo" - 0.5 || $"ewma" > $"hi" + 0.5).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("OHLC bars bound their members and replay the (ts, event_id) order") {
     val out = TimeSeriesOps.ohlcDownsample(spark, sf).cache()
     try {
