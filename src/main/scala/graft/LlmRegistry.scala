@@ -56,6 +56,7 @@ object LlmRegistry {
     "sim_lsh_topk" -> (Similarity.lshTopK _),
     "sim_knn_graph" -> (Similarity.knnGraph _),
     "graph_pagerank" -> (GraphRank.pagerank _),
+    "graph_triangle_count" -> (GraphRank.triangleCount _),
     "sim_lsh_recall" -> (Similarity.lshRecall _),
     "sim_lsh_topk_multiprobe" -> (Similarity.lshTopKMultiProbe _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
@@ -789,6 +790,32 @@ object LlmRegistry {
          |SELECT vec_id, CAST(outdeg AS BIGINT) AS outdeg, pr
          |FROM r${GraphRank.Rounds} ORDER BY vec_id""".stripMargin
     },
+    // triangles replayed orientation-free: the a<b<c nested join over
+    // the distinct undirected edge set (e1.a<e1.b=e2.a<e2.b), where the
+    // Spark side enumerates wedges under the (deg,id) orientation —
+    // same triangle set, independently derived
+    "graph_triangle_count" ->
+      s"""WITH knn AS ($knnGraphSql),
+         |und AS (SELECT DISTINCT least(vec_id, neighbor) AS a,
+         |    greatest(vec_id, neighbor) AS b FROM knn),
+         |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pert AS (SELECT vec_id, count(*) AS triangles FROM (
+         |    SELECT u AS vec_id FROM tri
+         |    UNION ALL SELECT v FROM tri
+         |    UNION ALL SELECT w FROM tri) t GROUP BY 1),
+         |deg AS (SELECT vec_id, count(*) AS degree FROM (
+         |    SELECT a AS vec_id FROM und
+         |    UNION ALL SELECT b FROM und) d GROUP BY 1)
+         |SELECT d.vec_id, CAST(d.degree AS BIGINT) AS degree,
+         |  CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+         |  CASE WHEN d.degree >= 2
+         |    THEN CAST(coalesce(p.triangles, 0) * 2 AS DOUBLE) /
+         |         CAST(d.degree * (d.degree - 1) AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END AS lcc
+         |FROM deg d LEFT JOIN pert p USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
          |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm, $bucketExpr AS bucket FROM qz),

@@ -77,4 +77,66 @@ object GraphRank {
     }
     ranked.select(col("vec_id"), col("outdeg"), col("pr"))
   }
+
+  /** Per-vertex triangle count and local clustering coefficient over
+    * the UNDIRECTED k-NN similarity graph — the neighborhood-density
+    * signal for curation: a document whose neighbors are also mutual
+    * neighbors sits inside a tight near-dup community (high lcc),
+    * while a hub whose neighbors don't know each other bridges
+    * unrelated regions (low lcc).
+    *
+    * Scale shape (the node-iterator++ / MapReduce triangle-counting
+    * pattern, Suri & Vassilvitskii WWW'11): each undirected edge is
+    * ORIENTED from its (degree, id)-smaller endpoint to the larger, so
+    * wedges are enumerated only at each triangle's order-minimal vertex
+    * — out-degrees are O(√m)-bounded, which caps the wedge explosion at
+    * hub nodes that a naive id-ordered enumeration would suffer (a
+    * k-NN graph's IN-degree is unbounded even though out-degree ≤ k).
+    * Wedge closure is one equi-join back against the (a < b)-keyed edge
+    * set; per-vertex counts come from a 3-way explode of each triangle.
+    * Every triangle is counted exactly once: only its (deg,id)-minimal
+    * vertex has oriented out-edges to the other two. The oracle
+    * replays triangles with the orientation-free a<b<c nested join —
+    * same result set, independently derived.
+    *
+    * Edges and the degree table are `localCheckpoint`ed like the
+    * [[pagerank]] iteration state: the edge set feeds three plan
+    * branches (two wedge sides + closure) and would otherwise re-run
+    * the LSH candidate join per branch.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val und = Similarity.knnGraph(spark, dir)
+      .select(least(col("vec_id"), col("neighbor")).as("a"),
+        greatest(col("vec_id"), col("neighbor")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    val oriented = und
+      .join(deg.select(col("vec_id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("vec_id").as("b"), col("degree").as("db")), "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    // unordered out-neighbor pairs at the order-minimal vertex; dst ids
+    // ordered v < w so closure is a direct probe of the a<b edge key
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tris = wedges.join(und, col("v") === col("a") && col("w") === col("b"))
+      .select(col("u"), col("v"), col("w"))
+    val perVertex = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("triangles"))
+    deg.join(perVertex, Seq("vec_id"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .select(col("vec_id"), col("degree"), col("triangles"),
+        when(col("degree") >= 2,
+          (col("triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
 }

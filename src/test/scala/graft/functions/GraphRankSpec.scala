@@ -28,4 +28,32 @@ class GraphRankSpec extends AnyFunSuite {
     assert(total > (GraphRank.Scale * 9L) / 10L,
       s"mass leaked beyond truncation bounds: $total")
   }
+
+  test("triangle counts match a driver-side brute-force replay at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = GraphRank.triangleCount(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // brute-force reference: undirected edge set -> adjacency ->
+    // count mutual-neighbor pairs per vertex
+    val und = Similarity.knnGraph(spark, dir)
+      .selectExpr("least(vec_id, neighbor) AS a", "greatest(vec_id, neighbor) AS b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    got.foreach { case (v, degree, triangles, lcc) =>
+      val ns = adj.getOrElse(v, Set.empty).toSeq.sorted
+      assert(degree === ns.length.toLong, s"degree of $v")
+      val expect = (for {
+        i <- ns.indices; j <- (i + 1) until ns.length
+        if und.contains((ns(i) min ns(j), ns(i) max ns(j)))
+      } yield 1).sum.toLong
+      assert(triangles === expect, s"triangles of $v")
+      val expectLcc = if (degree >= 2)
+        (triangles * 2).toDouble / (degree * (degree - 1)).toDouble else 0.0
+      assert(lcc === expectLcc, s"lcc of $v")
+    }
+    // a graph with any dense bucket has at least one triangle
+    assert(got.map(_._3).sum > 0L, "fixture graph should close some triangles")
+  }
 }
