@@ -65,6 +65,8 @@ object LlmRegistry {
     "sim_ivf_recall" -> (Similarity.ivfRecall _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_pq_recall" -> (Similarity.pqRecall _),
+    "sim_ivfpq_topk" -> (Similarity.ivfPqTopK _),
+    "sim_ivfpq_recall" -> (Similarity.ivfPqRecall _),
     "cluster_kmeans_centroids" -> (Clustering.kmeansCentroids _),
     "cluster_kmeans_assign" -> (Clustering.kmeansAssign _),
     "dedup_embedding_lsh" -> (Similarity.lshNearDupPairs _),
@@ -353,6 +355,47 @@ object LlmRegistry {
        |      ORDER BY est_dot DESC, vec_id) AS BIGINT) AS rank,
        |    vec_id AS neighbor_id, est_dot
        |  FROM est)
+       |SELECT query_id, rank, neighbor_id, est_dot FROM ranked
+       |WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF routing and PQ scoring composed: candidates restricted to the
+    * probed cells (the `cand` join against `corpus`/`probes`), scored by
+    * the PQ reconstruction's estimated dot. Cell and code CTEs are the
+    * same blocks the standalone oracles use, over one shared `qz`.
+    */
+  private val ivfPqTopkSql: String = {
+    val S = Similarity.PqSub
+    s"""WITH $ivfCellCtes,
+       |sub AS (SELECT vec_id, m, list_slice(q, m * $S + 1, m * $S + $S) AS sv
+       |  FROM qz, range(0, ${Similarity.PqM}) t(m)),
+       |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub
+       |  WHERE vec_id < ${Similarity.PqCodes}),
+       |dist AS (SELECT s.vec_id, s.m, cb.cid,
+       |    list_sum(list_transform(list_zip(s.sv, cb.cv),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |  FROM sub s JOIN cb ON cb.m = s.m),
+       |enc AS (SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id AS probe_cell
+       |  FROM asg WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.NProbe}),
+       |qsub AS (SELECT vec_id AS query_id, m, sv FROM sub
+       |  WHERE vec_id < ${Similarity.NumQueries}),
+       |contrib AS (SELECT q.query_id, e.vec_id, ${listDot("cb.cv", "q.sv")} AS c
+       |  FROM enc e JOIN cb ON cb.m = e.m AND cb.cid = e.cid
+       |  JOIN qsub q ON q.m = e.m),
+       |est AS (SELECT query_id, vec_id, CAST(sum(c) AS BIGINT) AS est_dot
+       |  FROM contrib WHERE query_id <> vec_id GROUP BY 1, 2),
+       |cand AS (SELECT e.query_id, e.vec_id, e.est_dot
+       |  FROM est e JOIN corpus c ON c.vec_id = e.vec_id
+       |  JOIN probes p ON p.query_id = e.query_id AND p.probe_cell = c.cell),
+       |ranked AS (SELECT query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY est_dot DESC, vec_id) AS BIGINT) AS rank,
+       |    vec_id AS neighbor_id, est_dot
+       |  FROM cand)
        |SELECT query_id, rank, neighbor_id, est_dot FROM ranked
        |WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
   }
@@ -711,6 +754,8 @@ object LlmRegistry {
     "sim_ivf_recall" -> recallSql(ivfTopkSql),
     "sim_pq_topk" -> pqTopkSql,
     "sim_pq_recall" -> recallSql(pqTopkSql),
+    "sim_ivfpq_topk" -> ivfPqTopkSql,
+    "sim_ivfpq_recall" -> recallSql(ivfPqTopkSql),
     "cluster_kmeans_centroids" -> {
       val T = Clustering.Iters
       s"""$kmeansCtes,

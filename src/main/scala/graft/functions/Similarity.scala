@@ -533,6 +533,61 @@ object Similarity {
   def pqRecall(spark: SparkSession, dir: String): DataFrame =
     recallAgainstBrute(spark, dir, pqTopK(spark, dir))
 
+  /** IVF+PQ ANN top-k — the two scale levers COMPOSED, the standard
+    * billion-vector index shape (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011 §V): the inverted file
+    * prunes WHICH vectors are scored (≈ corpus × NProbe / NumCells
+    * candidates) while PQ codes shrink WHAT is read per scored vector
+    * (PqM code bytes, not the raw vector). [[ivfTopK]] alone still
+    * reads full vectors; [[pqTopK]] alone still scans every vector —
+    * at 10⁹+ vectors a deployment needs both.
+    *
+    * One narrow corpus pass derives cell AND codes from the two 1-row
+    * broadcast codebooks; candidate generation is the same broadcast
+    * cell join as [[ivfTopK]]; scoring is the exact-integer ADC dot
+    * against the reconstruction. Recall loss vs either single lever is
+    * measured, not assumed ([[ivfPqRecall]]).
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val centArr = centroidRow(spark, dir)
+    val cb = pqCodebookRow(spark, dir)
+    val base = Dedup.quantized(spark, dir).select($"vec_id", $"q")
+      .join(broadcast(centArr), lit(true))
+      .join(broadcast(cb), lit(true))
+    val corpus = base
+      .withColumn("cell", element_at(cellRanking, 1).getField("cid"))
+    val probes = base.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"q".as("qv"),
+        explode(slice(cellRanking, 1, NProbe)).as("probe"))
+      .select($"query_id", $"probe".getField("cid").as("probe_cell"), $"qv")
+    // cell-prune BEFORE the per-vector PQ encode/reconstruct: the
+    // expensive code derivation runs only on vectors inside SOME probed
+    // cell (semi-join against the distinct probed-cell set, each
+    // surviving vector encoded once) — at production cell counts the
+    // probed fraction is « 1, so deriving codes for the whole corpus
+    // first would throw away the IVF lever's entire point
+    val probedCells = probes.select($"probe_cell".as("pc")).distinct()
+    val cand = corpus.join(broadcast(probedCells), $"cell" === $"pc")
+      .withColumn("codes", pqCodes)
+      .withColumn("recon", pqRecon)
+      .select($"vec_id", $"cell", $"recon")
+    val scored = cand.join(broadcast(probes),
+        $"cell" === $"probe_cell" && $"query_id" =!= $"vec_id")
+      .withColumn("est_dot", longArrayDot($"recon", $"qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"est_dot".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank".cast("bigint").as("rank"),
+        $"vec_id".as("neighbor_id"), $"est_dot")
+  }
+
+  /** Recall@k of the composed IVF+PQ path — cell-miss and
+    * quantization losses compound; this measures the product.
+    */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstBrute(spark, dir, ivfPqTopK(spark, dir))
+
   private def recallAgainstBrute(spark: SparkSession, dir: String,
       approxTopK: DataFrame): DataFrame = {
     val exact = bruteForceTopK(spark, dir)

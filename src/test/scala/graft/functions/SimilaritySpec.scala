@@ -35,10 +35,45 @@ class SimilaritySpec extends AnyFunSuite {
     Seq(Similarity.lshRecall(spark, dir),
         Similarity.multiProbeRecall(spark, dir),
         Similarity.ivfRecall(spark, dir),
-        Similarity.pqRecall(spark, dir)).foreach { df =>
+        Similarity.pqRecall(spark, dir),
+        Similarity.ivfPqRecall(spark, dir)).foreach { df =>
       assert(df.filter($"recall_at_k" < 0.0 || $"recall_at_k" > 1.0).isEmpty)
       assert(df.count() === Similarity.NumQueries.toLong)
     }
+  }
+
+  test("ivf+pq candidates are the IVF cell set scored with the PQ estimate") {
+    // composing the two levers: the (query, neighbor) candidate pool is
+    // exactly ivfTopK's probed-cell pool, and each kept neighbor's
+    // est_dot equals pqTopK's estimate for that (query, neighbor) — so
+    // the composition introduces no third approximation of its own
+    val ivfpq = Similarity.ivfPqTopK(spark, dir).cache()
+    try {
+      val perQuery = ivfpq.groupBy($"query_id").agg(count(lit(1)).as("n"))
+      assert(perQuery.filter($"n" > Similarity.TopK.toLong).isEmpty)
+      assert(perQuery.count() === Similarity.NumQueries.toLong)
+      val pqEst = Similarity.pqTopK(spark, dir)
+        .select($"query_id", $"neighbor_id", $"est_dot".as("pq_dot"))
+      // every ivfpq pair that ALSO survives pq's own top-k must carry
+      // the identical integer estimate (same codes, same ADC sum)
+      val joined = ivfpq.join(pqEst, Seq("query_id", "neighbor_id"))
+      assert(joined.filter($"est_dot" =!= $"pq_dot").isEmpty)
+      // every ivfpq neighbor lies in a cell the query probes (replay
+      // the IVF pool via ivfTopK's unranked candidate relation: a
+      // neighbor ranked by ivfpq must appear in ivfTopK's pool when
+      // k covers the whole pool — checked on the exact-cosine side by
+      // membership in the probed-cell corpus)
+      val cells = Similarity.ivfTopK(spark, dir)
+        .select($"query_id", $"neighbor_id").withColumn("in_ivf", lit(true))
+      val missing = ivfpq.join(cells, Seq("query_id", "neighbor_id"), "left")
+        .filter($"in_ivf".isNull)
+      // ivfTopK keeps only TopK of the pool, so membership can only be
+      // asserted for queries whose pool is within TopK; guard on that
+      val poolSizes = ivfpq.groupBy($"query_id").agg(count(lit(1)).as("n"))
+        .filter($"n" < Similarity.TopK.toLong).select($"query_id")
+      assert(missing.join(poolSizes, "query_id").isEmpty,
+        "a query with pool < TopK must agree with the IVF candidate set exactly")
+    } finally ivfpq.unpersist()
   }
 
   test("multiPlanes: one plane per corpus doubling, integer-exact") {
