@@ -98,6 +98,7 @@ object GmallRegistry {
     "ts_ewma" -> (TimeSeriesOps.ewmaSmooth _),
     "events_funnel" -> (FunnelOps.funnel _),
     "events_funnel_windowed" -> (FunnelOps.funnelWindowed _),
+    "events_path_analysis" -> (FunnelOps.pathAnalysis _),
     "dq_documents" -> (QualityOps.documentConstraints _),
     "retention_cohorts" -> (FunnelOps.retentionCohorts _),
     "j14_fuzzy_join" -> (RelationalOps.fuzzyBlockedJoin _),
@@ -920,6 +921,29 @@ object GmallRegistry {
         |SELECT step, step_name, users,
         |  CAST(users AS DOUBLE) / CAST((SELECT count(*) FROM v) AS DOUBLE) AS share_of_entry
         |FROM steps""".stripMargin,
+    // path signature replayed with ORDER BY inside string_agg; the
+    // (n_sessions DESC, path) total order makes the LIMIT cut exact
+    "events_path_analysis" ->
+      s"""WITH e0 AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+         |  FROM events),
+         |e AS (SELECT *, lag(sec) OVER (PARTITION BY user_id
+         |    ORDER BY sec, event_id) AS prev_sec FROM e0),
+         |s AS (SELECT user_id, event_id, event_type, sec,
+         |    CAST(sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > ${graft.operators.AnalyticsOps.SessionGapSec}
+         |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY sec, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+         |  FROM e),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_no
+         |    ORDER BY sec, event_id) AS rn FROM s),
+         |p AS (SELECT user_id, session_no,
+         |    string_agg(event_type, '>' ORDER BY sec, event_id) AS path
+         |  FROM r WHERE rn <= ${graft.operators.FunnelOps.PathCap} GROUP BY 1, 2)
+         |SELECT path, count(*) AS n_sessions,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM p GROUP BY 1
+         |ORDER BY n_sessions DESC, path LIMIT ${graft.operators.FunnelOps.PathTopN}""".stripMargin,
     "dq_documents" ->
       """SELECT 'documents_text_empty' AS check_name,
         |  CAST((SELECT count(*) FROM documents

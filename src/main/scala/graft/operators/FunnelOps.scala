@@ -100,4 +100,57 @@ object FunnelOps {
       .select(date_format($"c0", "yyyy-MM-dd").as("cohort"), $"day_offset",
         $"users", ($"users".cast("double") / $"cohort_users".cast("double")).as("retained_share"))
   }
+
+  /** Events kept per session for the path signature — production path
+    * reporting always caps the prefix, both to bound the string and
+    * because navigation interest is in how journeys START.
+    */
+  val PathCap = 8
+
+  /** Distinct paths reported. */
+  val PathTopN = 50
+
+  /** Top navigation paths: each session's first-[[PathCap]] event-type
+    * sequence (gap rule shared with [[AnalyticsOps.sessionize]]),
+    * ranked by session count — the "how do users actually move"
+    * ADS-layer view next to the step-defined [[funnel]].
+    *
+    * Scale shape: session assignment and the in-session prefix rank
+    * share ONE user-keyed exchange (both windows partition by
+    * user_id); the path signature is built per session from ≤
+    * [[PathCap]] rows via array_sort over the unique in-session rank
+    * (collect_list order is partition-dependent, the sort makes it
+    * deterministic); user distincting happens as a (path, user)
+    * pre-aggregation feeding the path rollup — two bounded aggregates,
+    * never a distinct mixed into a wide agg (the Expand trap). The
+    * final top-[[PathTopN]] is a sort+limit heap
+    * (TakeOrderedAndProject), total-ordered by (count, path) so the
+    * cut is deterministic.
+    */
+  def pathAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+    val sessions = events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_timestamp($"ts").as("sec"))
+      .withColumn("prev_sec", lag($"sec", 1).over(byUser))
+      .withColumn("is_start", when($"prev_sec".isNull ||
+        $"sec" - $"prev_sec" > AnalyticsOps.SessionGapSec, 1L).otherwise(0L))
+      .withColumn("session_no", sum($"is_start").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy($"user_id", $"session_no")
+      .orderBy($"sec", $"event_id")
+    val paths = sessions
+      .withColumn("rn", row_number().over(bySession))
+      .filter($"rn" <= PathCap)
+      .groupBy($"user_id", $"session_no")
+      .agg(concat_ws(">", expr(
+        "transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"))
+        .as("path"))
+    paths.groupBy($"path", $"user_id").agg(count(lit(1)).as("s"))
+      .groupBy($"path")
+      .agg(sum($"s").as("n_sessions"), count(lit(1)).as("n_users"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(PathTopN)
+  }
 }

@@ -73,4 +73,38 @@ class FunnelOpsSpec extends AnyFunSuite {
       ("2024-01-01", 3L, 1L, 1.0),
       ("2024-01-02", 0L, 1L, 1.0)))
   }
+
+  test("path analysis: session gaps split paths, prefix cap holds, users dedup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-paths").toString
+    val t = (h: Int, m: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    write(dir, Seq(
+      // user 1, session 1: view>click; 31-min gap; session 2: view
+      (1L, t(8, 0), 1L, "view", 0.0, "{}"),
+      (2L, t(8, 5), 1L, "click", 0.0, "{}"),
+      (3L, t(8, 40), 1L, "view", 0.0, "{}"),
+      // user 2, one session: view>click (same path as user 1's s1)
+      (4L, t(9, 0), 2L, "view", 0.0, "{}"),
+      (5L, t(9, 10), 2L, "click", 0.0, "{}"),
+      // user 3: 10 rapid views -> capped at PathCap
+      ) ++ (1 to 10).map(i => (10L + i, t(10, i), 3L, "view", 0.0, "{}")))
+    val got = FunnelOps.pathAnalysis(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // ordered by n_sessions desc, path asc
+    val expectCapped = Seq.fill(FunnelOps.PathCap)("view").mkString(">")
+    assert(got.toSeq === Seq(
+      ("view>click", 2L, 2L),
+      ("view", 1L, 1L), // "view" precedes its longer extension
+      (expectCapped, 1L, 1L)))
+  }
+
+  test("path analysis on driver data: top paths cover sessions, n_users <= n_sessions") {
+    val out = FunnelOps.pathAnalysis(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length <= FunnelOps.PathTopN)
+    assert(out.forall { case (p, s, u) => p.nonEmpty && u >= 1 && u <= s })
+    // descending by count with path tiebreak
+    assert(out.map(x => (-x._2, x._1)).toSeq === out.map(x => (-x._2, x._1)).sortBy(identity).toSeq)
+    // no path longer than the cap
+    assert(out.forall(_._1.split(">").length <= FunnelOps.PathCap))
+  }
 }
