@@ -50,6 +50,7 @@ object GmallRegistry {
     "q18_large_orders" -> (AnalyticsOps.largeVolumeOrders _),
     "q22_idle_customers" -> (AnalyticsOps.idleRichCustomers _),
     "layout_zvalue" -> (Bucketing.zValueIndex _),
+    "layout_zonemap_prune" -> (Bucketing.zoneMapPrune _),
     "q10_returned_items" -> (AnalyticsOps.returnedItemRevenue _),
     "q12_shipmode_priority" -> (AnalyticsOps.shipmodePriority _),
     "q15_top_supplier" -> (AnalyticsOps.topSupplierRevenue _),
@@ -437,6 +438,42 @@ object GmallRegistry {
          |  l_partkey AS partkey, l_suppkey AS suppkey,
          |  ${org.apache.spark.sql.graftexpr.ZOrder.sqlZValue2("l_partkey", "l_suppkey")} AS z
          |FROM lineitem ORDER BY orderkey, linenumber""".stripMargin,
+    // zone-map replay: same integer shard/box arithmetic (// ≡ div),
+    // same Morton masks; every scan count value-checked
+    "layout_zonemap_prune" -> {
+      import graft.operators.Bucketing.{ZmShards, ZmPctLo, ZmPctHi, ZmNormCap}
+      def norm(c: String, lo: String, hi: String) =
+        s"(CASE WHEN b.$hi = b.$lo THEN CAST(0 AS BIGINT) ELSE (($c - b.$lo) * $ZmNormCap) // (b.$hi - b.$lo) END)"
+      val z = org.apache.spark.sql.graftexpr.ZOrder.sqlZValue2(
+        norm("pk", "pk_min", "pk_max"), norm("sk", "sk_min", "sk_max"))
+      val zDen = (ZmNormCap + 1) * (ZmNormCap + 1)
+      def lay(name: String, shard: String) =
+        s"""SELECT '$name' AS layout, CAST(count(*) AS BIGINT) AS n_shards,
+           |  CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS shards_scanned,
+           |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           |  CAST(sum(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           |  CAST(sum(CASE WHEN scanned THEN n_rows ELSE 0 END) AS DOUBLE) /
+           |    CAST(sum(n_rows) AS DOUBLE) AS scan_fraction
+           |FROM (SELECT zn.*, (zpk_min <= p.p_hi AND zpk_max >= p.p_lo AND
+           |    zsk_min <= p.s_hi AND zsk_max >= p.s_lo) AS scanned
+           |  FROM (SELECT $shard AS shard,
+           |      min(pk) AS zpk_min, max(pk) AS zpk_max,
+           |      min(sk) AS zsk_min, max(sk) AS zsk_max, count(*) AS n_rows
+           |    FROM base, b GROUP BY 1) zn, p)""".stripMargin
+      s"""WITH raw AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         |b AS (SELECT min(pk) AS pk_min, max(pk) AS pk_max, min(sk) AS sk_min,
+         |  max(sk) AS sk_max FROM raw),
+         |base AS (SELECT pk, sk, $z AS z FROM raw, b),
+         |p AS (SELECT pk_min + ((pk_max - pk_min) * $ZmPctLo) // 100 AS p_lo,
+         |  pk_min + ((pk_max - pk_min) * $ZmPctHi) // 100 AS p_hi,
+         |  sk_min + ((sk_max - sk_min) * $ZmPctLo) // 100 AS s_lo,
+         |  sk_min + ((sk_max - sk_min) * $ZmPctHi) // 100 AS s_hi FROM b)
+         |${lay("linear_partkey",
+              s"CASE WHEN b.pk_max = b.pk_min THEN CAST(0 AS BIGINT) ELSE ((pk - b.pk_min) * $ZmShards) // (b.pk_max - b.pk_min + 1) END")}
+         |UNION ALL
+         |${lay("zorder_pk_sk", s"(z * $ZmShards) // $zDen")}
+         |ORDER BY layout""".stripMargin
+    },
     "q10_returned_items" ->
       """SELECT c_custkey AS custkey, c_name AS cust_name,
         |  c_mktsegment AS mktsegment, n_name AS nation_name,

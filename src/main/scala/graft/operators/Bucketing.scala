@@ -112,6 +112,94 @@ object Bucketing {
       $"l_suppkey".as("suppkey"),
       graft.plans.ArrayOps.zValue2($"l_partkey", $"l_suppkey").as("z"))
 
+  /** Zone-map shard count for [[zoneMapPrune]] — a stand-in for the
+    * file/row-group count of a range-partitioned table.
+    */
+  val ZmShards = 64L
+
+  /** Predicate box bounds for [[zoneMapPrune]], as percent of each
+    * key's domain: the middle [ZmPctLo, ZmPctHi] band on BOTH keys.
+    */
+  val ZmPctLo = 45L
+  val ZmPctHi = 55L
+
+  /** Zone-map (data-skipping) effectiveness of two physical layouts —
+    * the measurement behind every ZORDER-vs-linear layout decision: how
+    * many range-partitioned shards must a 2-D box predicate actually
+    * read?
+    *
+    * For each layout (linear on l_partkey; Morton z on
+    * (l_partkey, l_suppkey) — raw interleave, the [[zValueIndex]]
+    * expression), rows are range-sharded into [[ZmShards]] equal-width
+    * key ranges, per-shard (min, max) zone maps are aggregated for both
+    * predicate columns, and a shard survives pruning iff its zone
+    * intersects the box (the exact file-skipping test parquet
+    * row-group stats / Delta file stats drive). Output: one row per
+    * layout with shard and row scan counts — the z-order row should
+    * scan a small multiple of the box's area fraction while the linear
+    * layout is bounded below by the box's partkey WIDTH (it cannot
+    * prune the suppkey dimension at all); the spec asserts exactly
+    * that dominance, the oracle checks every number.
+    *
+    * Scale shape: per layout one map-side-combined aggregate onto
+    * [[ZmShards]] keys (zone maps are metadata-sized by construction);
+    * domain bounds and the predicate box are 1-row broadcasts; nothing
+    * driver-side. All arithmetic is integer (`div` ≡ DuckDB `//`), so
+    * shard ids and box bounds are engine-exact.
+    */
+  /** 16-bit normalization cap shared by both engines (see
+    * [[writeZOrdered]]'s rationale: raw interleave of keys with
+    * different magnitudes degenerates to a linear sort on the wider
+    * key, so the z layout normalizes each key's [min,max] to this
+    * budget first).
+    */
+  val ZmNormCap = 65535L
+
+  def zoneMapPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.lineitem(spark, dir)
+      .select($"l_partkey".as("pk"), $"l_suppkey".as("sk"))
+    val bounds = raw.agg(
+      min($"pk").as("pk_min"), max($"pk").as("pk_max"),
+      min($"sk").as("sk_min"), max($"sk").as("sk_max"))
+    def norm(c: String, lo: String, hi: String) =
+      s"CASE WHEN $hi = $lo THEN CAST(0 AS BIGINT) ELSE (($c - $lo) * $ZmNormCap) div ($hi - $lo) END"
+    val base = raw.join(broadcast(bounds))
+      .withColumn("nx", expr(norm("pk", "pk_min", "pk_max")))
+      .withColumn("ny", expr(norm("sk", "sk_min", "sk_max")))
+      .withColumn("z", graft.plans.ArrayOps.zValue2($"nx", $"ny"))
+    // linear shards: equal-width pk ranges; z shards: equal-width over
+    // the fixed normalized Morton domain [0, (Cap+1)²)
+    def layout(name: String, shardExpr: String): DataFrame =
+      base
+        .withColumn("shard", expr(shardExpr))
+        .groupBy($"shard")
+        .agg(min($"pk").as("zpk_min"), max($"pk").as("zpk_max"),
+          min($"sk").as("zsk_min"), max($"sk").as("zsk_max"),
+          count(lit(1)).as("n_rows"))
+        .join(broadcast(bounds))
+        .withColumn("p_lo", expr(s"pk_min + ((pk_max - pk_min) * $ZmPctLo) div 100"))
+        // (box bounds are derived from the SAME broadcast bounds row)
+        .withColumn("p_hi", expr(s"pk_min + ((pk_max - pk_min) * $ZmPctHi) div 100"))
+        .withColumn("s_lo", expr(s"sk_min + ((sk_max - sk_min) * $ZmPctLo) div 100"))
+        .withColumn("s_hi", expr(s"sk_min + ((sk_max - sk_min) * $ZmPctHi) div 100"))
+        .withColumn("scanned",
+          $"zpk_min" <= $"p_hi" && $"zpk_max" >= $"p_lo" &&
+            $"zsk_min" <= $"s_hi" && $"zsk_max" >= $"s_lo")
+        .agg(count(lit(1)).as("n_shards"),
+          sum(when($"scanned", 1L).otherwise(0L)).as("shards_scanned"),
+          sum($"n_rows").as("rows_total"),
+          sum(when($"scanned", $"n_rows").otherwise(0L)).as("rows_scanned"))
+        .select(lit(name).as("layout"), $"n_shards", $"shards_scanned",
+          $"rows_total", $"rows_scanned",
+          ($"rows_scanned".cast("double") / $"rows_total".cast("double"))
+            .as("scan_fraction"))
+    layout("linear_partkey",
+      s"CASE WHEN pk_max = pk_min THEN CAST(0 AS BIGINT) ELSE ((pk - pk_min) * $ZmShards) div (pk_max - pk_min + 1) END")
+      .union(layout("zorder_pk_sk",
+        s"(z * $ZmShards) div ${(ZmNormCap + 1) * (ZmNormCap + 1)}"))
+  }
+
   /** Small-file compaction — the maintenance operator every streaming
     * store eventually needs. Micro-batch sinks (DwsSink, the dim store,
     * any per-trigger parquet append) accrete one file per trigger per

@@ -110,6 +110,41 @@ class BucketingSpec extends AnyFunSuite {
     rm(new java.io.File(path))
   }
 
+  test("zone maps: z-order prunes both box dimensions, linear only one") {
+    import org.apache.spark.sql.functions.col
+    val rows = Bucketing.zoneMapPrune(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    val (linShards, linScanned, linTotal, linRows, linFrac) = rows("linear_partkey")
+    val (zShards, zScanned, zTotal, zRows, zFrac) = rows("zorder_pk_sk")
+    // both layouts shard the same rows
+    assert(linTotal === zTotal && linTotal > 0)
+    assert(linShards <= Bucketing.ZmShards && zShards <= Bucketing.ZmShards)
+    // each layout prunes SOMETHING (the box is a ~10% band per key)
+    assert(linScanned < linShards && zScanned < zShards)
+    // the decisive contract: the 2-D layout reads fewer rows than the
+    // 1-D sort, because linear cannot prune the suppkey dimension
+    assert(zRows < linRows,
+      s"z-order must out-prune linear: z=$zRows lin=$linRows")
+    assert(zFrac < linFrac && zFrac > 0.0 && linFrac < 1.0)
+    // scanned rows can never undercut the true box population (zone
+    // pruning is conservative: it may over-read, never under-read)
+    val b = Tables.lineitem(spark, dir)
+      .agg(org.apache.spark.sql.functions.min(col("l_partkey")),
+        org.apache.spark.sql.functions.max(col("l_partkey")),
+        org.apache.spark.sql.functions.min(col("l_suppkey")),
+        org.apache.spark.sql.functions.max(col("l_suppkey"))).head()
+    val (pkMin, pkMax, skMin, skMax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val pLo = pkMin + (pkMax - pkMin) * Bucketing.ZmPctLo / 100
+    val pHi = pkMin + (pkMax - pkMin) * Bucketing.ZmPctHi / 100
+    val sLo = skMin + (skMax - skMin) * Bucketing.ZmPctLo / 100
+    val sHi = skMin + (skMax - skMin) * Bucketing.ZmPctHi / 100
+    val inBox = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey").between(pLo, pHi) && col("l_suppkey").between(sLo, sHi))
+      .count()
+    assert(linRows >= inBox && zRows >= inBox)
+  }
+
   test("compaction: many small files → byte-sized file count, content intact") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("compact").toString
