@@ -32,7 +32,8 @@ class QueriesSpec extends AnyFunSuite {
     // these end in a sort+limit (or TakeOrdered) — already totally ordered
     val semanticallyOrdered =
       Set("topk_orders", "q3_shipping_priority", "sample_uniform_k",
-        "q10_returned_items", "rel_bm25_search", "basket_lift_pairs")
+        "q10_returned_items", "rel_bm25_search", "basket_lift_pairs",
+        "events_path_analysis")
     val unsorted = SparkEntry.queries.keySet -- Proto.order.keySet --
       semanticallyOrdered
     assert(unsorted.isEmpty,
