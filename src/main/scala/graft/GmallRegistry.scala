@@ -108,6 +108,7 @@ object GmallRegistry {
     "q11_important_parts" -> (AnalyticsOps.importantPartValues _),
     "q20_dominant_suppliers" -> (AnalyticsOps.dominantPartSuppliers _),
     "window_ntile" -> (AnalyticsOps.ntileBuckets _),
+    "window_percent_rank" -> (AnalyticsOps.percentRanks _),
     "agg_corr_exact" -> (AnalyticsOps.corrExact _),
     "basket_lift_pairs" -> (AnalyticsOps.basketLiftPairs _),
     "user_recency_score" -> (TimeSeriesOps.userRecencyScore _),
@@ -1169,6 +1170,16 @@ object GmallRegistry {
         |  CAST(ntile(10) OVER (PARTITION BY o_orderpriority
         |    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS BIGINT) AS tile
         |FROM orders ORDER BY orderkey""".stripMargin,
+    // unique composite order key -> single-row peer groups, so both
+    // ratios are exact and engine-identical
+    "window_percent_rank" ->
+      """SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+        |ORDER BY orderkey""".stripMargin,
     "basket_lift_pairs" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,

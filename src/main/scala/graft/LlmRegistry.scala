@@ -69,6 +69,7 @@ object LlmRegistry {
     "sim_ivfpq_recall" -> (Similarity.ivfPqRecall _),
     "cluster_kmeans_centroids" -> (Clustering.kmeansCentroids _),
     "cluster_kmeans_assign" -> (Clustering.kmeansAssign _),
+    "cluster_kmeans_inertia" -> (Clustering.kmeansInertia _),
     "dedup_embedding_lsh" -> (Similarity.lshNearDupPairs _),
     "embed_int8" -> (Similarity.int8Quantize _),
     "dedup_embedding_lsh_multi" -> (Similarity.lshNearDupPairsMulti _),
@@ -773,6 +774,16 @@ object LlmRegistry {
          |${kmeansAssignCte(Tp1)}
          |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM a$Tp1
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+    // within-cluster SSE over the same unrolled assignment replay
+    "cluster_kmeans_inertia" -> {
+      val Tp1 = Clustering.Iters + 1
+      s"""$kmeansCtes,
+         |${kmeansAssignCte(Tp1)}
+         |SELECT cid AS cluster, count(*) AS n,
+         |  CAST(sum(d2) AS BIGINT) AS inertia,
+         |  CAST(CAST(sum(d2) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_dist2
+         |FROM a$Tp1 WHERE rn = 1 GROUP BY 1 ORDER BY cluster""".stripMargin
     },
     // plane count replayed from the corpus row count with the same
     // integer bit-length formula as Similarity.multiPlanes — length(bin(x))

@@ -114,4 +114,19 @@ object Clustering {
       .withColumn("near", nearest)
       .select(col("vec_id"), col("near.cid").as("cluster"),
         col("near.d2").as("dist2"))
+
+  /** `cluster_kmeans_inertia`: per-cluster within-cluster sum of squared
+    * distances to the trained centroid — THE quality metric a k-means
+    * deployment tracks (elbow curves, drift alerts). One map-side-
+    * combined aggregate over the [[kmeansAssign]] relation: exact
+    * BIGINT inertia, member count, and the mean as an exact IEEE
+    * division. Nothing new shuffles — the assignment is already a
+    * narrow broadcast-argmin pass.
+    */
+  def kmeansInertia(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(spark, dir)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("dist2")).as("inertia"),
+        (sum(col("dist2")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_dist2"))
 }

@@ -859,6 +859,24 @@ object AnalyticsOps {
         ntile(10).over(w).cast("long").as("tile"))
   }
 
+  /** Relative-standing windows: percent_rank and cume_dist of each
+    * order's price within its priority class — the rank family's two
+    * normalized members ([[ntileBuckets]] covers the bucketed one).
+    * The order key carries the orderkey tiebreak, so every row is its
+    * own peer group and both values are exact BIGINT ratios
+    * ((rank−1)/(n−1), row/n) — engine-identical doubles. Same single
+    * shuffle + per-partition sort shape as every ranking window here.
+    */
+  def percentRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy(dec($"o_totalprice"), $"o_orderkey")
+    orders(spark, dir)
+      .select($"o_orderkey".as("orderkey"),
+        $"o_orderpriority".as("priority"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+  }
+
   /** Market-basket co-occurrence with exact lift: the top part pairs
     * bought together in one order, ranked by support — the
     * related-products / covisitation signal an e-commerce DW serves.

@@ -93,4 +93,22 @@ class ClusteringSpec extends AnyFunSuite {
       assert(r.getLong(3) <= r.getLong(4), "c_min <= c_max")
     }
   }
+
+  test("per-cluster inertia replays the assignment's dist2 sums exactly") {
+    val assign = Clustering.kmeansAssign(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val expect = assign.groupBy(_._1).map { case (c, xs) =>
+      c -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val got = Clustering.kmeansInertia(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (c, (n, sse)) =>
+      val (gn, gsse, gmean) = got(c)
+      assert((gn, gsse) === ((n, sse)), s"cluster $c")
+      assert(gmean === sse.toDouble / n.toDouble)
+    }
+    assert(got.values.map(_._2).sum === assign.map(_._2).sum,
+      "total inertia accounts for every vector")
+  }
 }

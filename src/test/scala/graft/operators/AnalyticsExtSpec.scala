@@ -217,4 +217,27 @@ class AnalyticsExtSpec extends AnyFunSuite {
       assert(math.abs(row.getDouble(3) - cov / 100.0) < math.abs(cov) * 1e-9)
     }
   }
+
+  test("percent_rank/cume_dist: exact endpoints and single-row peer groups") {
+    val out = AnalyticsOps.percentRanks(spark, sf).cache()
+    try {
+      assert(out.where($"pct_rank" < 0.0 || $"pct_rank" > 1.0 ||
+        $"cum_dist" <= 0.0 || $"cum_dist" > 1.0).count() === 0)
+      // unique composite order key -> within each priority exactly one
+      // row at pct_rank 0 and exactly one at cume_dist 1
+      val ends = out.groupBy($"priority").agg(
+        sum(when($"pct_rank" === 0.0, 1L).otherwise(0L)).as("zeros"),
+        sum(when($"cum_dist" === 1.0, 1L).otherwise(0L)).as("ones"),
+        count(lit(1)).as("n"))
+      assert(ends.where($"zeros" =!= 1L || $"ones" =!= 1L).count() === 0)
+      // replay one partition driver-side: pct_rank = (rank-1)/(n-1)
+      val p = ends.orderBy($"n".desc).first().getString(0)
+      val rows = out.where($"priority" === p).orderBy($"pct_rank").collect()
+      val n = rows.length
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getDouble(2) === i.toDouble / (n - 1).toDouble)
+        assert(r.getDouble(3) === (i + 1).toDouble / n.toDouble)
+      }
+    } finally out.unpersist()
+  }
 }
