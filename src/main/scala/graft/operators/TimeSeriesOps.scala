@@ -176,10 +176,11 @@ object TimeSeriesOps {
     * average of what exists rather than a value biased toward zero.
     *
     * Scale shape: the only corpus shuffle is the map-side-combined
-    * daily rollup; the lag window re-uses the rollup's event_type
-    * hash partitioning (sort within partitions, no second exchange),
-    * and every per-row term is a codegen'd lag/coalesce chain — the
-    * W-term dot product never materializes an array.
+    * daily rollup; the event_type lag window re-keys only the
+    * aggregated day rows (days × types, dimension-sized — keying the
+    * FACT by the ~5-value type column instead would collapse
+    * parallelism), and every per-row term is a codegen'd lag/coalesce
+    * chain — the W-term dot product never materializes an array.
     */
   def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

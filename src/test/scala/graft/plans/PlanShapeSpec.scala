@@ -288,4 +288,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("EWMA: fact shuffles once into the rollup; the window re-keys only day rows") {
+    // exactly two keyed exchanges, by design: the (type, day) rollup
+    // hash carries the fact with map-side combine; the event_type
+    // window exchange moves only the day-level aggregate (~days×types
+    // rows). Keying the FACT by event_type instead would funnel the
+    // full table through ~5 partitions — the wrong trade at scale.
+    assert(countShuffles(q("ts_ewma")) == 2)
+  }
+
+  test("percent_rank/cume_dist: exactly one keyed exchange") {
+    assert(countShuffles(q("window_percent_rank")) == 1)
+  }
+
+  test("path analysis: session windows and prefix rank share the user exchange") {
+    // expected keyed exchanges: the user-keyed window pass (1), the
+    // (user, session) path aggregate reusing it... plus (path, user)
+    // and path rollups + the top-50 singleton = bounded small-data
+    // exchanges. The contract: no join anywhere (pure window+agg), and
+    // the user window pass is ONE exchange, not one per window.
+    val df = q("events_path_analysis")
+    val plan = planString(df)
+    assert(!plan.contains("Join"), plan)
+    assert(countShuffles(df) <= 4, plan)
+  }
+
+  test("zone maps: bounds and predicate box broadcast, shard rollups never join fact-to-fact") {
+    val plan = planString(q("layout_zonemap_prune"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("triangle count: wedge and closure joins shuffle on edge keys, edge set never broadcast") {
+    // the edge relation scales with the corpus — it must reach the
+    // wedge/closure joins via keyed exchanges, not a broadcast of a
+    // corpus-sized side (1-row bounds broadcasts are fine elsewhere)
+    val plan = planString(q("graph_triangle_count"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
