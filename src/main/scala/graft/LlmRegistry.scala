@@ -57,6 +57,7 @@ object LlmRegistry {
     "sim_knn_graph" -> (Similarity.knnGraph _),
     "graph_pagerank" -> (GraphRank.pagerank _),
     "graph_triangle_count" -> (GraphRank.triangleCount _),
+    "graph_edge_jaccard" -> (GraphRank.edgeJaccard _),
     "sim_lsh_recall" -> (Similarity.lshRecall _),
     "sim_lsh_topk_multiprobe" -> (Similarity.lshTopKMultiProbe _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
@@ -872,6 +873,33 @@ object LlmRegistry {
          |    ELSE CAST(0 AS DOUBLE) END AS lcc
          |FROM deg d LEFT JOIN pert p USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
+    // per-edge common-neighbor counts from the same orientation-free
+    // triangle replay; union via inclusion–exclusion on the degrees
+    "graph_edge_jaccard" ->
+      s"""WITH knn AS ($knnGraphSql),
+         |und AS (SELECT DISTINCT least(vec_id, neighbor) AS a,
+         |    greatest(vec_id, neighbor) AS b FROM knn),
+         |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pere AS (SELECT a, b, count(*) AS common FROM (
+         |    SELECT u AS a, v AS b FROM tri
+         |    UNION ALL SELECT u, w FROM tri
+         |    UNION ALL SELECT v, w FROM tri) t GROUP BY 1, 2),
+         |deg AS (SELECT vec_id, count(*) AS degree FROM (
+         |    SELECT a AS vec_id FROM und
+         |    UNION ALL SELECT b FROM und) d GROUP BY 1)
+         |SELECT e.a, e.b, CAST(coalesce(p.common, 0) AS BIGINT) AS common,
+         |  CAST(da.degree AS BIGINT) AS deg_a, CAST(db.degree AS BIGINT) AS deg_b,
+         |  CASE WHEN da.degree + db.degree - 2 - coalesce(p.common, 0) > 0
+         |    THEN CAST(coalesce(p.common, 0) AS DOUBLE) /
+         |         CAST(da.degree + db.degree - 2 - coalesce(p.common, 0) AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END AS jaccard
+         |FROM und e
+         |LEFT JOIN pere p ON p.a = e.a AND p.b = e.b
+         |JOIN deg da ON da.vec_id = e.a
+         |JOIN deg db ON db.vec_id = e.b
+         |ORDER BY e.a, e.b""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
          |n AS (SELECT vec_id, q, ${listNorm("q")} AS norm, $bucketExpr AS bucket FROM qz),

@@ -104,15 +104,25 @@ object GraphRank {
     * branches (two wedge sides + closure) and would otherwise re-run
     * the LSH candidate join per branch.
     */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val und = Similarity.knnGraph(spark, dir)
+  /** Undirected a<b edge set of the k-NN graph, materialized once
+    * (feeds several plan branches in the triangle family).
+    */
+  private def undirected(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(spark, dir)
       .select(least(col("vec_id"), col("neighbor")).as("a"),
         greatest(col("vec_id"), col("neighbor")).as("b"))
       .distinct()
       .localCheckpoint()
-    val deg = und.select(explode(array(col("a"), col("b"))).as("vec_id"))
+
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(explode(array(col("a"), col("b"))).as("vec_id"))
       .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
       .localCheckpoint()
+
+  /** Each triangle exactly once as (u, v, w), enumerated with the
+    * (degree, id) orientation (see [[triangleCount]]); v < w by id.
+    */
+  private def triangles(und: DataFrame, deg: DataFrame): DataFrame = {
     val oriented = und
       .join(deg.select(col("vec_id").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("vec_id").as("b"), col("degree").as("db")), "b")
@@ -126,8 +136,14 @@ object GraphRank {
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
-    val tris = wedges.join(und, col("v") === col("a") && col("w") === col("b"))
+    wedges.join(und, col("v") === col("a") && col("w") === col("b"))
       .select(col("u"), col("v"), col("w"))
+  }
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirected(spark, dir)
+    val deg = degrees(und)
+    val tris = triangles(und, deg)
     val perVertex = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("vec_id"))
       .groupBy(col("vec_id")).agg(count(lit(1)).as("triangles"))
@@ -138,5 +154,45 @@ object GraphRank {
           (col("triangles") * 2).cast("double") /
             (col("degree") * (col("degree") - 1)).cast("double"))
           .otherwise(lit(0.0)).as("lcc"))
+  }
+
+  /** Per-EDGE neighbor-overlap strength: for every k-NN edge (a, b),
+    * the number of common neighbors and the neighborhood Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)\{a,b}| — the link-prediction /
+    * community-strength weight (an edge inside a near-dup family
+    * shares most of its neighborhood; a bridge edge shares none).
+    *
+    * Common neighbors per adjacent pair = triangles through the edge,
+    * so the counting reuses [[triangles]]'s hub-safe oriented
+    * enumeration (each triangle once) and EXPLODES its three edges —
+    * never a per-center wedge join whose fan-out squares in hub
+    * degree. The union size is inclusion–exclusion on the degree
+    * table: deg(a)−1 + deg(b)−1 − common (each side's neighborhood
+    * without the partner). Exact BIGINTs; jaccard an exact IEEE ratio.
+    */
+  def edgeJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirected(spark, dir)
+    val deg = degrees(und)
+    val tris = triangles(und, deg)
+    // u is (deg, id)-minimal, not id-minimal — normalize each exploded
+    // edge back to the a<b id key the und relation uses
+    val perEdge = tris.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+        struct(col("v").as("a"), col("w").as("b")))).as("e"))
+      .select(col("e.a"), col("e.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    und.join(perEdge, Seq("a", "b"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .join(deg.select(col("vec_id").as("a"), col("degree").as("deg_a")), "a")
+      .join(deg.select(col("vec_id").as("b"), col("degree").as("deg_b")), "b")
+      .withColumn("union_sz",
+        col("deg_a") + col("deg_b") - lit(2L) - col("common"))
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        // leaf–leaf edge: both exclusive neighborhoods empty -> 0/0;
+        // define the overlap of two empty sets as 0
+        when(col("union_sz") > 0,
+          col("common").cast("double") / col("union_sz").cast("double"))
+          .otherwise(lit(0.0)).as("jaccard"))
   }
 }

@@ -56,4 +56,28 @@ class GraphRankSpec extends AnyFunSuite {
     // a graph with any dense bucket has at least one triangle
     assert(got.map(_._3).sum > 0L, "fixture graph should close some triangles")
   }
+
+  test("edge jaccard matches a driver-side common-neighbor replay at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val und = Similarity.knnGraph(spark, dir)
+      .selectExpr("least(vec_id, neighbor) AS a", "greatest(vec_id, neighbor) AS b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val got = GraphRank.edgeJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet === und, "one row per undirected edge")
+    got.foreach { case ((a, b), (common, degA, degB, jac)) =>
+      val na = adj(a) - b; val nb = adj(b) - a
+      val expectCommon = (na & nb).size.toLong
+      assert(common === expectCommon, s"common of ($a,$b)")
+      assert(degA === adj(a).size.toLong && degB === adj(b).size.toLong)
+      val union = (na | nb).size
+      val expectJac = if (union > 0) expectCommon.toDouble / union else 0.0
+      assert(jac === expectJac, s"jaccard of ($a,$b)")
+    }
+    // triangles exist in the fixture, so some edge overlaps
+    assert(got.values.exists(_._1 > 0L))
+  }
 }
