@@ -61,6 +61,7 @@ object GmallRegistry {
     "p4_dynamic_prune" -> ((s: SparkSession, d: String) => EventOps.dynamicPrune(s, d)),
     "k2_dynamic_topic" -> (EventOps.dynamicTopic _),
     "dws_tumbling" -> (WindowOps.tumbling _),
+    "dws_visitor_stats" -> (WindowOps.visitorStats _),
     "dws_sliding" -> (WindowOps.sliding _),
     "dws_uv_per_hour" -> (WindowOps.uvPerHour _),
     "dws_uv_per_hour_approx" -> ((s: SparkSession, d: String) =>
@@ -599,6 +600,35 @@ object GmallRegistry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the implied DWS visitor table: hour strings formatted from raw
+    // NTZ timestamps on both engines; sessions via the shared gap rule
+    "dws_visitor_stats" ->
+      s"""WITH e0 AS (SELECT user_id, event_id, event_type, ts,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start
+         |  FROM events),
+         |hourly AS (SELECT window_start,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pv,
+         |    count(*) AS n_events FROM e0 GROUP BY 1),
+         |u AS (SELECT window_start, count(*) AS uv FROM
+         |  (SELECT DISTINCT window_start, user_id FROM e0) d GROUP BY 1),
+         |lagd AS (SELECT *, lag(sec) OVER (PARTITION BY user_id
+         |    ORDER BY sec, event_id) AS prev_sec FROM e0),
+         |st AS (SELECT *, CAST(sum(CASE WHEN prev_sec IS NULL
+         |      OR sec - prev_sec > ${graft.operators.AnalyticsOps.SessionGapSec}
+         |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY sec, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+         |  FROM lagd),
+         |sess AS (SELECT user_id, session_no, min(ts) AS t0,
+         |    max(sec) - min(sec) AS dur FROM st GROUP BY 1, 2),
+         |sv AS (SELECT strftime(date_trunc('hour', t0), '%Y-%m-%d %H:%M:%S') AS window_start,
+         |    count(*) AS sv, CAST(sum(dur) AS BIGINT) AS dur_sec FROM sess GROUP BY 1)
+         |SELECT h.window_start, h.pv, h.n_events, u.uv,
+         |  CAST(coalesce(s.sv, 0) AS BIGINT) AS sv,
+         |  CAST(coalesce(s.dur_sec, 0) AS BIGINT) AS dur_sec
+         |FROM hourly h JOIN u USING (window_start)
+         |LEFT JOIN sv s USING (window_start)
+         |ORDER BY window_start""".stripMargin,
     "dws_sliding" ->
       """WITH s AS (
         |  SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS s0 FROM events),

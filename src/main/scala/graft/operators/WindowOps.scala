@@ -163,4 +163,57 @@ object WindowOps {
       .groupBy($"word")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** The implied DWS visitor-stats table, batch twin: per hour —
+    * page views, total events, unique visitors, sessions STARTED and
+    * their total duration. This is the composite the reference's DWM
+    * apps feed (UV stream: reference
+    * gmall-realtime/.../app/dwm/UniqueVisitApp.java:30; visit/jump
+    * session semantics: UserJumpDetailApp.java:34) and the ClickHouse
+    * DWS config implies as its serving table.
+    *
+    * Scale shape, three dimension-sized hourly frames joined at the
+    * end (hours × 1 row each):
+    *  - pv/event counts: one map-side-combined aggregate;
+    *  - uv: dedup FIRST ((window, user) distinct, itself map-side
+    *    partial), then a plain count — never a countDistinct mixed
+    *    into the wide aggregate (the Expand trap, measured on the
+    *    approx-UV query in round 7);
+    *  - sessions: the [[graft.operators.AnalyticsOps.sessionize]] gap
+    *    rule (30 min), sessions attributed to the hour of their FIRST
+    *    event, duration exact seconds. The hour string is formatted
+    *    from the raw min(ts) timestamp, so both engines format the
+    *    same NTZ value.
+    */
+  def visitorStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val e = events(spark, dir)
+    val hourly = e
+      .groupBy(date_format(date_trunc("hour", $"ts"), fmt).as("window_start"))
+      .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("pv"),
+        count(lit(1)).as("n_events"))
+    val uv = e
+      .select(date_format(date_trunc("hour", $"ts"), fmt).as("window_start"),
+        $"user_id")
+      .distinct()
+      .groupBy($"window_start").agg(count(lit(1)).as("uv"))
+    val byUser = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+    val sess = e
+      .select($"user_id", $"event_id", $"ts", unix_timestamp($"ts").as("sec"))
+      .withColumn("prev_sec", lag($"sec", 1).over(byUser))
+      .withColumn("is_start", when($"prev_sec".isNull ||
+        $"sec" - $"prev_sec" > AnalyticsOps.SessionGapSec, 1L).otherwise(0L))
+      .withColumn("session_no", sum($"is_start").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_no")
+      .agg(min($"ts").as("t0"), (max($"sec") - min($"sec")).as("dur"))
+      .groupBy(date_format(date_trunc("hour", $"t0"), fmt).as("window_start"))
+      .agg(count(lit(1)).as("sv"), sum($"dur").as("dur_sec"))
+    hourly.join(uv, "window_start")
+      .join(sess, Seq("window_start"), "left")
+      .select($"window_start", $"pv", $"n_events", $"uv",
+        coalesce($"sv", lit(0L)).as("sv"),
+        coalesce($"dur_sec", lit(0L)).as("dur_sec"))
+  }
 }
