@@ -55,6 +55,7 @@ object LlmRegistry {
         .selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "bucket")),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
     "sim_knn_graph" -> (Similarity.knnGraph _),
+    "sim_hard_negatives" -> (Similarity.hardNegatives _),
     "graph_pagerank" -> (GraphRank.pagerank _),
     "graph_triangle_count" -> (GraphRank.triangleCount _),
     "graph_edge_jaccard" -> (GraphRank.edgeJaccard _),
@@ -120,15 +121,16 @@ object LlmRegistry {
   private val markerValues: String = TextAnalysis.langMarkers
     .map { case (l, m) => s"('$l','$m')" }.mkString(", ")
 
-  // the knn-graph query, shared verbatim between sim_knn_graph and the
-  // graph_pagerank edge CTE (the ORDER BY is legal inside a CTE).
+  // the knn-graph query, shared verbatim between sim_knn_graph, the
+  // graph_pagerank edge CTE (the ORDER BY is legal inside a CTE), and —
+  // with a cross-label pair predicate — hard-negative mining.
   // Bucketing is ADAPTIVE like dedup_embedding_lsh_multi's: plane count
   // replayed from the corpus row count with the same integer bit-length
   // formula as Similarity.multiPlanes, weight literal indexed once into
   // a bounded `pl` relation (the in-lambda form re-materializes the
   // whole literal per (row, plane))
-  private lazy val knnGraphSql: String =
-    s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+  private def knnLikeSql(pairPred: String, neighborCol: String, k: Int): String =
+    s"""WITH qz AS (SELECT vec_id, CAST(label AS BIGINT) AS label, $quantize AS q FROM embeddings),
        |np AS (SELECT CASE WHEN c <= 1 THEN ${Similarity.MultiPlanesBase}
        |    ELSE least(${Similarity.MultiPlanesBase} + length(bin(c - 1)), ${Similarity.MultiPlanesMax}) END AS np
        |  FROM (SELECT (count(*) + ${Similarity.MultiN0 - 1}) // ${Similarity.MultiN0} AS c FROM embeddings)),
@@ -139,23 +141,27 @@ object LlmRegistry {
        |         THEN (1::BIGINT << CAST(pl.pidx AS INT)) ELSE 0 END AS bit
        |  FROM qz d CROSS JOIN np JOIN pl ON pl.pidx < np.np),
        |bkt AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM bit GROUP BY 1),
-       |n AS (SELECT d.vec_id, d.q, ${listNorm("d.q")} AS norm, k.bucket
+       |n AS (SELECT d.vec_id, d.label, d.q, ${listNorm("d.q")} AS norm, k.bucket
        |  FROM qz d JOIN bkt k ON d.vec_id = k.vec_id),
        |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
        |    ${listDot("a.q", "b.q")} AS dot, a.norm AS na, b.norm AS nb
-       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |    AND ($pairPred)),
        |s AS (SELECT a, b,
        |    (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
        |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos2
        |  FROM p WHERE dot > 0),
-       |e AS (SELECT a AS vec_id, b AS neighbor, cos2 FROM s
-       |  UNION ALL SELECT b AS vec_id, a AS neighbor, cos2 FROM s)
+       |e AS (SELECT a AS vec_id, b AS $neighborCol, cos2 FROM s
+       |  UNION ALL SELECT b AS vec_id, a AS $neighborCol, cos2 FROM s)
        |SELECT vec_id,
-       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos2 DESC, neighbor) AS BIGINT) AS rank,
-       |  neighbor, cos2
+       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos2 DESC, $neighborCol) AS BIGINT) AS rank,
+       |  $neighborCol, cos2
        |FROM e
-       |QUALIFY rank <= ${Similarity.KnnK}
+       |QUALIFY rank <= $k
        |ORDER BY vec_id, rank""".stripMargin
+
+  private lazy val knnGraphSql: String =
+    knnLikeSql("TRUE", "neighbor", Similarity.KnnK)
 
   // the bigram-LM fluency body, ORDER-BY-free so text_lm_score and
   // pipeline_curriculum share one definition
@@ -823,6 +829,9 @@ object LlmRegistry {
     // same candidate CTEs as dedup_embedding_lsh, no threshold; rank
     // tie-break (cos2 DESC, neighbor) mirrors TopKAgg's heap order
     "sim_knn_graph" -> knnGraphSql,
+    // same candidate plan with the cross-label predicate in the pair join
+    "sim_hard_negatives" ->
+      knnLikeSql("a.label <> b.label", "negative_id", Similarity.HardNegK),
     // exact fixed-point power iteration over the knn edges, unrolled —
     // every round re-CASTs to BIGINT because DuckDB sums widen to
     // HUGEINT while Spark stays in long

@@ -173,6 +173,44 @@ object Similarity {
         $"n.id".as("neighbor"), $"n.score".as("cos2"))
   }
 
+  /** Negatives kept per anchor in [[hardNegatives]]. */
+  val HardNegK = 5
+
+  /** Hard-negative mining: for every anchor vector, its [[HardNegK]]
+    * most-similar vectors carrying a DIFFERENT label — the
+    * contrastive-training data op (high-similarity cross-class pairs
+    * are the gradients that matter; random negatives are trivially
+    * separable). Same adaptive-bucketed candidate join and bounded
+    * per-key heap ranking as [[knnGraph]], with the label-mismatch
+    * predicate INSIDE the pair join — cross-label filtering never
+    * materializes same-label candidates downstream.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val np = multiPlanes(Tables.embeddings(spark, dir).count())
+    val withB = Dedup.quantized(spark, dir)
+      .select($"vec_id", $"label".cast("bigint").as("label"), $"q",
+        longArrayNormSq($"q").as("nrm"), bucketColAdaptive(np).as("bucket"))
+    val pairs = withB.as("x").join(withB.as("y").hint("shuffle_hash"),
+        expr("x.bucket = y.bucket AND x.vec_id < y.vec_id AND x.label <> y.label"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        longArrayDot(col("x.q"), col("y.q")).as("dot"),
+        col("x.nrm").as("na"), col("y.nrm").as("nb"))
+      .filter($"dot" > 0)
+      .select($"a", $"b",
+        (($"dot".cast("double") * $"dot".cast("double")) /
+          ($"na".cast("double") * $"nb".cast("double"))).as("cos2"))
+    pairs
+      .select(explode(array(
+        struct($"a".as("src"), $"b".as("dst"), $"cos2"),
+        struct($"b".as("src"), $"a".as("dst"), $"cos2"))).as("e"))
+      .groupBy($"e.src".as("vec_id"))
+      .agg(org.apache.spark.sql.graftexpr.TopKAgg.topKIds(
+        $"e.dst", $"e.cos2", HardNegK).as("nn"))
+      .select($"vec_id", posexplode($"nn").as(Seq("i", "n")))
+      .select($"vec_id", ($"i" + 1).cast("bigint").as("rank"),
+        $"n.id".as("negative_id"), $"n.score".as("cos2"))
+  }
+
   /** Number of independent LSH tables for the multi-table variant. */
   val NumTables = 4
 

@@ -42,4 +42,31 @@ class KnnGraphSpec extends AnyFunSuite {
         s"asymmetric score on edge ($v,$n)"))
     }
   }
+
+  test("hard negatives: cross-label only, and exactly the knn relation minus same-label pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = graft.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val neg = Similarity.hardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(neg.nonEmpty)
+    neg.foreach { case (v, _, n, _) =>
+      assert(labels(v) !== labels(n), s"same-label pair ($v,$n) survived")
+    }
+    // per anchor: rank-contiguous, capped, sorted — same contract as knn
+    neg.groupBy(_._1).foreach { case (v, es) =>
+      assert(es.length <= Similarity.HardNegK)
+      assert(es.sortBy(_._2).map(_._2).toSeq === (1L to es.length).toSeq)
+    }
+    // every hard-negative edge is in the unrestricted candidate
+    // relation with the same score: mining only FILTERS, never rescoring
+    // (knnGraph keeps top KnnK of all candidates, so compare against
+    // anchors whose knn list isn't already truncated below the negative)
+    val knnScore = rows.map { case (v, _, n, c) => (v, n) -> c }.toMap
+    neg.foreach { case (v, _, n, c) =>
+      knnScore.get((v, n)).foreach(kc => assert(kc === c,
+        s"score drift on ($v,$n)"))
+    }
+  }
 }
