@@ -98,9 +98,11 @@ object GmallRegistry {
     "ts_ohlc_downsample" -> (TimeSeriesOps.ohlcDownsample _),
     "ts_anomaly_mad" -> (TimeSeriesOps.anomalyMad _),
     "ts_ewma" -> (TimeSeriesOps.ewmaSmooth _),
+    "ts_linear_trend" -> (TimeSeriesOps.linearTrend _),
     "events_funnel" -> (FunnelOps.funnel _),
     "events_funnel_windowed" -> (FunnelOps.funnelWindowed _),
     "events_path_analysis" -> (FunnelOps.pathAnalysis _),
+    "events_markov_transitions" -> (FunnelOps.markovTransitions _),
     "dq_documents" -> (QualityOps.documentConstraints _),
     "retention_cohorts" -> (FunnelOps.retentionCohorts _),
     "j14_fuzzy_join" -> (RelationalOps.fuzzyBlockedJoin _),
@@ -111,6 +113,7 @@ object GmallRegistry {
     "window_ntile" -> (AnalyticsOps.ntileBuckets _),
     "window_percent_rank" -> (AnalyticsOps.percentRanks _),
     "agg_corr_exact" -> (AnalyticsOps.corrExact _),
+    "agg_mode_exact" -> (AnalyticsOps.modeExact _),
     "basket_lift_pairs" -> (AnalyticsOps.basketLiftPairs _),
     "user_recency_score" -> (TimeSeriesOps.userRecencyScore _),
     "dq_constraints" -> (QualityOps.constraints _))
@@ -1012,6 +1015,21 @@ object GmallRegistry {
          |  count(DISTINCT user_id) AS n_users
          |FROM p GROUP BY 1
          |ORDER BY n_sessions DESC, path LIMIT ${graft.operators.FunnelOps.PathTopN}""".stripMargin,
+    // the same (sec, event_id) total order as the path oracle; row
+    // normalization over the aggregated |types|^2 matrix
+    "events_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |s AS (SELECT event_type AS src, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY sec, event_id) AS dst FROM e),
+        |t AS (SELECT src, dst, count(*) AS n FROM s
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS DOUBLE) AS p
+        |FROM t ORDER BY src, dst""".stripMargin,
     "dq_documents" ->
       """SELECT 'documents_text_empty' AS check_name,
         |  CAST((SELECT count(*) FROM documents
@@ -1090,6 +1108,32 @@ object GmallRegistry {
          |FROM daily
          |WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin
     },
+    // exact least-squares sums as BIGINTs; slope one division, the
+    // intercept the same double expression as the Spark side (its exact
+    // integer numerator could overflow where the sums cannot)
+    "ts_linear_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, y,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS x
+        |  FROM daily),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  n * sxy - sx * sy AS slope_num,
+        |  n * sxx - sx * sx AS slope_den,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |  END AS slope,
+        |  (CAST(sy AS DOUBLE) -
+        |    (CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |      ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    END) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
     "j14_fuzzy_join" ->
       """WITH n AS (
         |  SELECT p_name, count(*) AS n_parts,
@@ -1261,5 +1305,19 @@ object GmallRegistry {
         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy,
         |  CAST(n * sxy - sx * sy AS DOUBLE) /
         |    CAST(n * n AS DOUBLE) / 100.0 AS covar_pop
-        |FROM a ORDER BY returnflag""".stripMargin)
+        |FROM a ORDER BY returnflag""".stripMargin,
+    // the struct-max (count, reversed type rank) replayed as a ranking
+    // window: highest count, then lexicographically smallest type
+    "agg_mode_exact" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type) AS rn,
+        |    CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, n AS mode_n, n_events,
+        |  CAST(n AS DOUBLE) / CAST(n_events AS DOUBLE) AS mode_share
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin)
 }

@@ -56,6 +56,7 @@ object LlmRegistry {
     "sim_lsh_topk" -> (Similarity.lshTopK _),
     "sim_knn_graph" -> (Similarity.knnGraph _),
     "sim_hard_negatives" -> (Similarity.hardNegatives _),
+    "sim_knn_classify" -> (Similarity.knnClassify _),
     "graph_pagerank" -> (GraphRank.pagerank _),
     "graph_triangle_count" -> (GraphRank.triangleCount _),
     "graph_edge_jaccard" -> (GraphRank.edgeJaccard _),
@@ -72,6 +73,7 @@ object LlmRegistry {
     "cluster_kmeans_centroids" -> (Clustering.kmeansCentroids _),
     "cluster_kmeans_assign" -> (Clustering.kmeansAssign _),
     "cluster_kmeans_inertia" -> (Clustering.kmeansInertia _),
+    "cluster_silhouette" -> (Clustering.kmeansSilhouette _),
     "dedup_embedding_lsh" -> (Similarity.lshNearDupPairs _),
     "embed_int8" -> (Similarity.int8Quantize _),
     "dedup_embedding_lsh_multi" -> (Similarity.lshNearDupPairsMulti _),
@@ -792,6 +794,26 @@ object LlmRegistry {
          |  CAST(CAST(sum(d2) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_dist2
          |FROM a$Tp1 WHERE rn = 1 GROUP BY 1 ORDER BY cluster""".stripMargin
     },
+    // simplified (centroid-based) silhouette over the same unrolled
+    // replay: a2 = rn-1 distance, b2 = rn-2 distance; fixed-point
+    // truncating s so the per-cluster sum is an exact BIGINT
+    "cluster_silhouette" -> {
+      val Tp1 = Clustering.Iters + 1
+      s"""$kmeansCtes,
+         |${kmeansAssignCte(Tp1)},
+         |ab AS (SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN cid END) AS cluster,
+         |    max(CASE WHEN rn = 1 THEN d2 END) AS a2,
+         |    max(CASE WHEN rn = 2 THEN d2 END) AS b2
+         |  FROM a$Tp1 WHERE rn <= 2 GROUP BY 1),
+         |p AS (SELECT cluster, CASE WHEN b2 = 0 THEN 0
+         |    ELSE ((b2 - a2) * ${Clustering.SilScale}) // b2 END AS sil
+         |  FROM ab)
+         |SELECT cluster, count(*) AS n, CAST(sum(sil) AS BIGINT) AS sum_sil_e4,
+         |  CAST(CAST(sum(sil) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    / ${Clustering.SilScale}.0 AS mean_sil
+         |FROM p GROUP BY 1 ORDER BY cluster""".stripMargin
+    },
     // plane count replayed from the corpus row count with the same
     // integer bit-length formula as Similarity.multiPlanes — length(bin(x))
     // IS bitLength(x) in DuckDB, so no float log2 on either engine. The
@@ -832,6 +854,21 @@ object LlmRegistry {
     // same candidate plan with the cross-label predicate in the pair join
     "sim_hard_negatives" ->
       knnLikeSql("a.label <> b.label", "negative_id", Similarity.HardNegK),
+    // majority vote over the knn CTE: most votes, lowest label — the
+    // Spark struct-max (votes, -label) replayed as a ranking window
+    "sim_knn_classify" ->
+      s"""WITH knn AS ($knnGraphSql),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+         |votes AS (SELECT k.vec_id, l.lbl, count(*) AS votes
+         |  FROM knn k JOIN lab l ON k.neighbor = l.vec_id GROUP BY 1, 2),
+         |best AS (SELECT vec_id, lbl AS predicted, votes,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, lbl) AS rn
+         |  FROM votes)
+         |SELECT b.vec_id AS vec_id, a.lbl AS label, b.predicted,
+         |  CAST(b.votes AS BIGINT) AS votes,
+         |  CAST(CASE WHEN a.lbl = b.predicted THEN 1 ELSE 0 END AS BIGINT) AS correct
+         |FROM best b JOIN lab a ON a.vec_id = b.vec_id
+         |WHERE b.rn = 1 ORDER BY b.vec_id""".stripMargin,
     // exact fixed-point power iteration over the knn edges, unrolled —
     // every round re-CASTs to BIGINT because DuckDB sums widen to
     // HUGEINT while Spark stays in long

@@ -129,4 +129,47 @@ object Clustering {
       .agg(count(lit(1)).as("n"), sum(col("dist2")).as("inertia"),
         (sum(col("dist2")).cast("double") / count(lit(1)).cast("double"))
           .as("mean_dist2"))
+
+  /** Fixed-point scale of the per-point silhouette: s·10⁴ stays within
+    * BIGINT against the worst-case quantized d2 (64 dims × (2·10⁶)² ≈
+    * 2.6·10¹⁴; ×10⁴ = 2.6·10¹⁸ < 2⁶³−1), where the ppm scale the other
+    * fixed-point ops use would overflow.
+    */
+  val SilScale = 10000L
+
+  /** `cluster_silhouette`: per-cluster SIMPLIFIED silhouette — for each
+    * point, a² = d² to its own centroid (the argmin), b² = d² to the
+    * nearest OTHER centroid, s = (b²−a²)/b² ∈ [0,1] (b² ≥ a² by argmin-
+    * hood, so no sign cases). The centroid-based form deliberately —
+    * classic silhouette needs all-pairs distances within and across
+    * clusters, O(n²) at any scale; against broadcast centroids it is the
+    * SAME narrow pass as assignment (b² is just the sorted argmin
+    * array's second element), which is why it is the variant production
+    * clustering QA actually computes.
+    *
+    * Exact-integer stance: s is kept as the truncating fixed-point
+    * `(b²−a²)·SilScale div b²` so the per-cluster SUM is an exact BIGINT
+    * (a float silhouette summed in partial aggregation order would not
+    * hash-match any oracle); the mean is a single IEEE division at the
+    * end. b² = 0 (point coincident with two centroids) scores 0.
+    */
+  def kmeansSilhouette(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .join(broadcast(centRow(trained(spark, dir).select(col("cid"), col("cv")))),
+        lit(true))
+      .withColumn("ds", expr(
+        """array_sort(transform(cents, c ->
+          |  struct(qnorm - 2 * long_array_dot(q, c.cv) + c.cnorm2 AS d2,
+          |         c.cid AS cid)))""".stripMargin))
+      .select(col("vec_id"),
+        expr("element_at(ds, 1).cid").as("cluster"),
+        expr("element_at(ds, 1).d2").as("a2"),
+        expr("element_at(ds, 2).d2").as("b2"))
+      .withColumn("sil", when(col("b2") === 0L, lit(0L))
+        .otherwise(expr(s"((b2 - a2) * $SilScale) div b2")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sil")).as("sum_sil_e4"),
+        (sum(col("sil")).cast("double") / count(lit(1)).cast("double")
+          / lit(SilScale.toDouble)).as("mean_sil"))
 }

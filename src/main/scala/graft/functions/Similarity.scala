@@ -173,6 +173,36 @@ object Similarity {
         $"n.id".as("neighbor"), $"n.score".as("cos2"))
   }
 
+  /** k-NN majority-vote classification over [[knnGraph]]: each vector's
+    * predicted label is the most common label among its [[KnnK]]
+    * nearest same-bucket neighbors (ties → lowest label), reported next
+    * to its true label — the weak-supervision / label-QA op (a label
+    * that disagrees with its neighborhood is the standard mislabeled-
+    * example signal in training-data curation).
+    *
+    * Composition, not a fork: consumes [[knnGraph]] verbatim, so the
+    * candidate generation stays the one adaptive-bucketed pair join.
+    * The two label attachments are shuffle equi-joins of the bounded
+    * k·n edge relation against a TWO-column projection of the corpus
+    * (id, label — column-pruned at the scan); the vote argmax is a
+    * struct-max aggregate (partial-aggregable), not a ranking window.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label".cast("bigint").as("lbl"))
+    val best = knnGraph(spark, dir)
+      .join(labels.select($"vec_id".as("nid"), $"lbl").hint("shuffle_hash"),
+        $"neighbor" === $"nid")
+      .groupBy($"vec_id", $"lbl")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"votes", (-$"lbl").as("nl"))).as("m"))
+      .select($"vec_id", (-$"m.nl").as("predicted"), $"m.votes".as("votes"))
+    best.join(labels.hint("shuffle_hash"), Seq("vec_id"))
+      .select($"vec_id", $"lbl".as("label"), $"predicted", $"votes",
+        when($"lbl" === $"predicted", 1L).otherwise(0L).as("correct"))
+  }
+
   /** Negatives kept per anchor in [[hardNegatives]]. */
   val HardNegK = 5
 

@@ -946,4 +946,37 @@ object AnalyticsOps {
         ((big($"n") * $"sxy" - $"sx" * $"sy").cast("double") /
           (big($"n") * $"n").cast("double") / 100.0).as("covar_pop"))
   }
+
+  /** Deterministic exact mode: each user's most frequent event type,
+    * highest count wins, lexicographically smallest type on ties — the
+    * dominant-behavior profile feature. Built-in `mode()` documents ties
+    * as non-deterministic on both engines, so the op states the
+    * tie-break explicitly and keeps it aggregation-shaped: a struct-max
+    * over (count, reversed type rank), NO per-user ranking window.
+    * "Smallest string wins" becomes "largest negated index" by ranking
+    * the BOUNDED event-type domain once (a handful of rows) and
+    * broadcasting it back — the only window in the plan runs over that
+    * dimension, never over users.
+    *
+    * Scale shape: one map-side-combined corpus count keyed
+    * (user, type); the argmax is a second combine over ≤|types| rows
+    * per user. Both aggregations partial — nothing user-keyed ever
+    * sorts.
+    */
+  def modeExact(spark: SparkSession, dir: String): DataFrame = {
+    val counts = events(spark, dir)
+      .select($"user_id", $"event_type")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"event_type")
+    val domain = events(spark, dir).select($"event_type").distinct()
+      .withColumn("trank", row_number().over(w).cast("long"))
+    counts.join(broadcast(domain), "event_type")
+      .groupBy($"user_id")
+      .agg(max(struct($"n", (-$"trank").as("nr"), $"event_type")).as("m"),
+        sum($"n").as("n_events"))
+      .select($"user_id", $"m.event_type".as("mode_type"),
+        $"m.n".as("mode_n"), $"n_events",
+        ($"m.n".cast("double") / $"n_events".cast("double")).as("mode_share"))
+  }
 }

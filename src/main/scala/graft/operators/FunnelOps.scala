@@ -153,4 +153,33 @@ object FunnelOps {
       .orderBy($"n_sessions".desc, $"path")
       .limit(PathTopN)
   }
+
+  /** First-order Markov transition matrix over the per-user event-type
+    * stream: P(next type | type) — the probabilistic twin of
+    * [[pathAnalysis]] (paths answer "which exact journeys", the matrix
+    * answers "where does each step lead", and it is what behavioral
+    * models and next-step recommenders actually consume).
+    *
+    * Scale shape: ONE corpus window (lead over the user key — millions
+    * of small partitions, never a global sort) feeding one map-side-
+    * combined count keyed by (src, dst); the probability normalization
+    * runs on the aggregated matrix, which is |types|² — dimension-sized
+    * by construction — so its per-src window never touches the corpus.
+    * Counts are exact BIGINTs; each probability is one IEEE division.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+    val t = events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_timestamp($"ts").as("sec"))
+      .withColumn("dst", lead($"event_type", 1).over(byUser))
+      .filter($"dst".isNotNull)
+      .groupBy($"event_type".as("src"), $"dst")
+      .agg(count(lit(1)).as("n"))
+    t.withColumn("row_total",
+        sum($"n").over(Window.partitionBy($"src")))
+      .select($"src", $"dst", $"n",
+        ($"n".cast("double") / $"row_total".cast("double")).as("p"))
+  }
 }

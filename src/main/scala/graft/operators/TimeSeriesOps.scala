@@ -202,6 +202,48 @@ object TimeSeriesOps {
         ($"ewma_num".cast("double") / $"ewma_den".cast("double")).as("ewma"))
   }
 
+  /** Exact least-squares linear trend of each event type's daily
+    * revenue series — the forecasting primitive next to [[ewmaSmooth]]
+    * (EWMA answers "where is the level", the trend answers "which way
+    * and how fast"). With x = 1..n (the day's rank in its series) and
+    * y = day_cents, the slope is
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²): every sum is an exact BIGINT,
+    * so `slope_num`/`slope_den` are engine-independent integers and
+    * `slope` is one IEEE division. The intercept is evaluated in
+    * doubles from those exact sums ((Σy − slope·Σx)/n, same literal
+    * expression both engines) because its integer numerator
+    * Σy·den − num·Σx can overflow BIGINT at large SF where the sums
+    * themselves cannot.
+    *
+    * Scale shape, same stance as [[ewmaSmooth]]: one map-side-combined
+    * corpus rollup to days × types, the rank window and the trend
+    * aggregate both over that dimension-sized frame.
+    */
+  def linearTrend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    val daily = events(spark, dir)
+      .select($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"), cents.as("c"))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"c").as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    daily
+      .withColumn("x", row_number().over(w).cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .withColumn("slope_num", $"n" * $"sxy" - $"sx" * $"sy")
+      .withColumn("slope_den", $"n" * $"sxx" - $"sx" * $"sx")
+      // a 1-day series has den = 0: NULL, not an engine-specific ±Inf
+      .withColumn("slope", when($"slope_den" === 0L, lit(null))
+        .otherwise($"slope_num".cast("double") / $"slope_den".cast("double")))
+      .withColumn("intercept",
+        ($"sy".cast("double") - $"slope" * $"sx".cast("double")) /
+          $"n".cast("double"))
+      .select($"event_type", $"n", $"slope_num", $"slope_den",
+        $"slope", $"intercept")
+  }
+
   /** Half-life units for [[userRecencyScore]] (days per halving). */
   val HalfLifeDays = 30
 

@@ -111,4 +111,55 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum === assign.map(_._2).sum,
       "total inertia accounts for every vector")
   }
+
+  test("silhouette: a2 is the assignment's dist2, scores bounded, exact replay") {
+    // a2 must equal kmeansAssign's dist2 (same argmin); recompute b2
+    // in-JVM from the trained centroids to replay sum_sil_e4 exactly
+    val assign = Clustering.kmeansAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+
+    val vecs = Dedup.quantized(spark, dir)
+      .select($"vec_id", $"q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(q: Array[Long], c: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < q.length) { val d = q(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    // recover the trained centroids through the public summary surface:
+    // not exposed directly, so replay Lloyd like the assignment test
+    var cents: Map[Long, Array[Long]] =
+      vecs.filter(_._1 < Clustering.K).toSeq.sortBy(_._1).toMap
+    (1 to Clustering.Iters).foreach { _ =>
+      cents = vecs.toSeq.map { case (vid, q) =>
+        val (_, bc) = cents.map { case (cid, cv) => (d2(q, cv), cid) }.min
+        (vid, bc)
+      }.groupBy(_._2).map { case (cid, rows) =>
+        val qs = rows.map(r => vecs(r._1))
+        val dim = qs.head.length
+        val sums = new Array[Long](dim)
+        qs.foreach(q => (0 until dim).foreach(i => sums(i) += q(i)))
+        cid -> sums.map(_ / qs.length)
+      }
+    }
+    val expect = assign.map { case (vid, cl, a2) =>
+      val ds = cents.map { case (cid, cv) => (d2(vecs(vid), cv), cid) }
+        .toSeq.sorted
+      assert(ds.head === ((a2, cl)), s"vec $vid argmin agrees with assignment")
+      val b2 = ds(1)._1
+      val sil = if (b2 == 0L) 0L else (b2 - a2) * Clustering.SilScale / b2
+      assert(sil >= 0L && sil <= Clustering.SilScale, s"vec $vid score in [0,1]")
+      (cl, sil)
+    }.groupBy(_._1).map { case (c, xs) =>
+      c -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val got = Clustering.kmeansSilhouette(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (c, (n, sum)) =>
+      val (gn, gsum, gmean) = got(c)
+      assert((gn, gsum) === ((n, sum)), s"cluster $c")
+      assert(gmean === sum.toDouble / n.toDouble / Clustering.SilScale.toDouble)
+    }
+  }
 }

@@ -69,4 +69,25 @@ class KnnGraphSpec extends AnyFunSuite {
         s"score drift on ($v,$n)"))
     }
   }
+
+  test("knn classify: majority vote over the graph's neighbor labels, lowest-label ties") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = graft.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent replay from the knn rows this suite already holds
+    val expect = rows.groupBy(_._1).map { case (v, es) =>
+      val counts = es.map(e => labels(e._3))
+        .groupBy(identity).map { case (l, xs) => (l, xs.length.toLong) }
+      val (predicted, votes) = counts.toSeq.maxBy { case (l, c) => (c, -l) }
+      v -> (labels(v), predicted, votes,
+        if (labels(v) == predicted) 1L else 0L)
+    }
+    val got = Similarity.knnClassify(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === expect, "classification must replay the vote exactly")
+    // the op only covers vectors that have neighbors — nothing invented
+    assert(got.keySet === rows.map(_._1).toSet)
+  }
 }

@@ -240,4 +240,25 @@ class AnalyticsExtSpec extends AnyFunSuite {
       }
     } finally out.unpersist()
   }
+
+  test("exact mode: highest count, lexicographically smallest tie-break, full replay") {
+    val rows = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = rows.groupBy(_._1).map { case (u, xs) =>
+      val counts = xs.groupBy(_._2).map { case (m, ys) => m -> ys.length.toLong }
+      // deterministic tie-break: max count, then SMALLEST type string
+      val (mode, n) = counts.toSeq.sortBy { case (m, c) => (-c, m) }.head
+      u -> (mode, n, xs.length.toLong)
+    }
+    val got = AnalyticsOps.modeExact(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (u, (mode, n, total)) =>
+      val (gm, gn, gt, gs) = got(u)
+      assert((gm, gn, gt) === ((mode, n, total)), s"user $u")
+      assert(gs === n.toDouble / total.toDouble)
+    }
+  }
 }

@@ -107,4 +107,32 @@ class FunnelOpsSpec extends AnyFunSuite {
     // no path longer than the cap
     assert(out.forall(_._1.split(">").length <= FunnelOps.PathCap))
   }
+
+  test("markov transitions replay the per-user (sec, event_id) stream exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val raw = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_timestamp(ts) AS sec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expect: Map[(String, String), Long] =
+      raw.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        val types = es.sortBy(e => (e._4, e._2)).map(_._3).toSeq
+        types.zip(types.drop(1))
+      }.groupBy(x => x).map { case (k, xs) => k -> xs.length.toLong }
+    val got = FunnelOps.markovTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === expect.keySet)
+    val totals = expect.groupBy(_._1._1)
+      .map { case (s, xs) => s -> xs.values.sum }
+    expect.foreach { case (k, n) =>
+      assert(got(k)._1 === n, s"count drift at $k")
+      assert(got(k)._2 === n.toDouble / totals(k._1).toDouble,
+        s"probability at $k is one exact IEEE division")
+    }
+    // a transition exists for every user with >= 2 events, none invented
+    assert(expect.values.sum ===
+      raw.groupBy(_._1).values.map(es => math.max(0, es.length - 1)).sum)
+  }
 }

@@ -161,4 +161,41 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       }
     } finally out.unpersist()
   }
+
+  test("linear trend replays exact least-squares sums on a constructed series") {
+    import spark.implicits._
+    // y = 100x + 7 exactly: slope must be exactly 100, intercept exactly 7
+    val days = (1 to 9).map(d => (f"2024-01-$d%02d", 100L * d + 7))
+    val df = days.zipWithIndex.map { case ((day, cents), i) =>
+      (i.toLong, Timestamp.valueOf(s"$day 12:00:00"), 1L, "lin",
+        cents.toDouble / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // drive the same arithmetic through a temp parquet dir the op reads
+    val tmp = java.nio.file.Files.createTempDirectory("trend").toString
+    try {
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val r = TimeSeriesOps.linearTrend(spark, tmp).collect()
+      assert(r.length === 1)
+      val row = r.head
+      assert(row.getLong(1) === 9L, "n")
+      // slope in cents/day: y was built in cents via value*100
+      assert(row.getDouble(4) === 100.0, "slope")
+      assert(row.getDouble(5) === 7.0, "intercept (cents)")
+      assert(row.getLong(2) === row.getLong(3) * 100L,
+        "num/den reduce to the planted slope exactly")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("linear trend on driver data: exact identity n·sxx−sx² for contiguous ranks") {
+    val out = TimeSeriesOps.linearTrend(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(1)
+      // x = 1..n means slope_den is the closed form n²(n²−1)/12
+      assert(r.getLong(3) === n * n * (n * n - 1) / 12, r.getString(0))
+      if (n > 1) assert(!r.isNullAt(4) && !r.isNullAt(5))
+    }
+  }
 }
