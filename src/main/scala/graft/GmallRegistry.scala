@@ -116,6 +116,9 @@ object GmallRegistry {
     "agg_mode_exact" -> (AnalyticsOps.modeExact _),
     "basket_lift_pairs" -> (AnalyticsOps.basketLiftPairs _),
     "user_recency_score" -> (TimeSeriesOps.userRecencyScore _),
+    "ts_rolling_uv_7d" -> (TimeSeriesOps.rollingUv _),
+    "stats_ks_drift" -> (StatsOps.ksDrift _),
+    "stats_join_cardinality" -> (StatsOps.joinCardinality _),
     "dq_constraints" -> (QualityOps.constraints _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1319,5 +1322,57 @@ object GmallRegistry {
         |SELECT user_id, event_type AS mode_type, n AS mode_n, n_events,
         |  CAST(n AS DOUBLE) / CAST(n_events AS DOUBLE) AS mode_share
         |FROM r WHERE rn = 1
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    // shift-and-count decomposition: each distinct (user, day) feeds the
+    // ≤7 anchor days it is visible from, then one exact distinct count
+    "ts_rolling_uv_7d" ->
+      s"""WITH byday AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |mx AS (SELECT max(d) AS dmax FROM byday),
+        |fan AS (SELECT DISTINCT user_id,
+        |    unnest(generate_series(d, least(d + INTERVAL ${TimeSeriesOps.RollingDays - 1} DAY,
+        |      (SELECT dmax FROM mx)), INTERVAL 1 DAY)) AS wday
+        |  FROM byday)
+        |SELECT strftime(wday, '%Y-%m-%d') AS day, count(*) AS uv_7d
+        |FROM fan GROUP BY 1 ORDER BY day""".stripMargin,
+    // exact-count KS: cumulative histogram gap maximized in longs, one
+    // double division for the ppm scaling (same order of ops as Spark)
+    "stats_ks_drift" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |h AS (SELECT v,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM h),
+        |c AS (SELECT v,
+        |    CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+        |  FROM h),
+        |g AS (SELECT c.v,
+        |    abs(cuma * CAST(nb AS BIGINT) - cumb * CAST(na AS BIGINT)) AS gap_num,
+        |    CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
+        |  FROM c, t),
+        |m AS (SELECT * FROM g ORDER BY gap_num DESC, v LIMIT 1)
+        |SELECT CAST(gap_num AS DOUBLE) /
+        |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000.0 AS ks_ppm,
+        |  CAST(v AS DOUBLE) / 100.0 AS at_value,
+        |  na AS n_purchase, nb AS n_click
+        |FROM m""".stripMargin,
+    // per-key count histograms joined key-on-key; the estimate never
+    // materializes a joined fact row
+    "stats_join_cardinality" ->
+      """WITH co AS (SELECT o_orderkey AS k, count(*) AS n_o FROM orders GROUP BY 1),
+        |cl AS (SELECT l_orderkey AS k, count(*) AS n_l FROM lineitem GROUP BY 1),
+        |j AS (SELECT co.k, CAST(n_o * n_l AS BIGINT) AS contrib
+        |  FROM co JOIN cl ON co.k = cl.k),
+        |a AS (SELECT CAST(sum(contrib) AS BIGINT) AS join_rows,
+        |    count(*) AS matched_keys FROM j),
+        |m AS (SELECT * FROM j ORDER BY contrib DESC, k LIMIT 1)
+        |SELECT join_rows, matched_keys, m.k AS heaviest_key,
+        |  m.contrib AS heaviest_rows,
+        |  CAST(m.contrib AS DOUBLE) * CAST(matched_keys AS DOUBLE) /
+        |    CAST(join_rows AS DOUBLE) * 1000000.0 AS skew_ppm
+        |FROM a, m""".stripMargin)
 }

@@ -105,7 +105,9 @@ object LlmRegistry {
     "pipeline_source_quota_agg" -> (Sampling.sourceQuotaHeap _),
     "pipeline_chunk_tokens" -> (Sampling.chunkTokens _),
     "pipeline_curriculum" -> (Sampling.curriculumOrder _),
-    "pipeline_pack_sequences" -> (Sampling.packSequences _))
+    "pipeline_pack_sequences" -> (Sampling.packSequences _),
+    "cluster_label_centroids" -> (Clustering.labelCentroids _),
+    "corpus_source_overlap" -> (TextAnalysis.sourceOverlap _))
 
   // ---- shared SQL fragments --------------------------------------------
 
@@ -1079,5 +1081,45 @@ object LlmRegistry {
          |  unnest(range(0, (n_bytes - 1) // 1024 + 1)) AS frame_id
          |  FROM m WHERE n_bytes > 0)
          |SELECT doc_id, modality, frame_id FROM f
-         |WHERE frame_id % 4 = 0 ORDER BY doc_id, frame_id""".stripMargin)
+         |WHERE frame_id % 4 = 0 ORDER BY doc_id, frame_id""".stripMargin,
+    // label prototypes: truncating integer mean per label (same `//`
+    // ≡ Spark `div` contract as the k-means recompute), pairwise cosine
+    // as one double expression over exact integer dot/norms
+    "cluster_label_centroids" ->
+      s"""WITH qz AS (SELECT CAST(label AS BIGINT) AS label, $quantize AS q
+         |  FROM embeddings),
+         |e AS (SELECT label, CAST(i AS BIGINT) + 1 AS pos,
+         |    q[CAST(i AS BIGINT) + 1] AS val
+         |  FROM (SELECT label, q, unnest(range(len(q))) AS i FROM qz)),
+         |s AS (SELECT label, pos, CAST(sum(val) AS BIGINT) AS sv
+         |  FROM e GROUP BY 1, 2),
+         |cnt AS (SELECT label, count(*) AS n FROM qz GROUP BY 1),
+         |ca AS (SELECT s.label, max(cnt.n) AS n,
+         |    list(sv // n ORDER BY pos) AS cv
+         |  FROM s JOIN cnt ON s.label = cnt.label GROUP BY 1)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  a.n AS n_a, b.n AS n_b,
+         |  CAST(${listDot("a.cv", "b.cv")} AS DOUBLE) /
+         |    (sqrt(CAST(${listNorm("a.cv")} AS DOUBLE)) *
+         |     sqrt(CAST(${listNorm("b.cv")} AS DOUBLE))) AS cos_ab
+         |FROM ca a JOIN ca b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin,
+    // exact vocabulary Jaccard over the bounded source domain; the
+    // oracle's token self-join is value-equivalent to the engine's
+    // per-token source-set fold
+    "corpus_source_overlap" ->
+      s"""WITH tok AS (SELECT DISTINCT source, tok FROM
+         |    (SELECT source, unnest($toks) AS tok FROM documents)),
+         |sizes AS (SELECT source, count(*) AS n FROM tok GROUP BY 1),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS n_common
+         |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+         |  CAST(n_common AS DOUBLE) /
+         |    CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON pairs.src_a = sa.source
+         |JOIN sizes sb ON pairs.src_b = sb.source
+         |ORDER BY src_a, src_b""".stripMargin)
 }

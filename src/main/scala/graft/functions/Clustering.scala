@@ -172,4 +172,49 @@ object Clustering {
         sum(col("sil")).as("sum_sil_e4"),
         (sum(col("sil")).cast("double") / count(lit(1)).cast("double")
           / lit(SilScale.toDouble)).as("mean_sil"))
+
+  /** `cluster_label_centroids`: class prototypes and their pairwise
+    * separation — the per-LABEL centroid (supervised counterpart of the
+    * learned k-means codebook) plus the cosine between every label
+    * pair, the confusion-risk matrix SemDeDup-style pruning and
+    * prototype classifiers read before trusting a label column.
+    *
+    * Exact stance: centroids are truncating integer means of the
+    * quantized vectors (`long_array_sum` partials / `div`), identical
+    * to the k-means recompute step, so prototypes are exact BIGINT
+    * arrays; each pair's cosine is one double expression over exact
+    * integer dot/norms.
+    *
+    * Scale shape: ONE corpus pass (partial aggregation keyed by the
+    * bounded label domain — the shuffle carries |labels|·dims·8 B, no
+    * vectors); the pairwise stage folds the centroid table into a
+    * single collected row and explodes its |labels|² bounded pairs —
+    * dimension-sized work, no join of scaling tables anywhere.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.ArrayOps._
+    val cents = Dedup.quantized(spark, dir)
+      .groupBy(col("label").cast("bigint").as("label"))
+      .agg(LongArraySumAgg.column(col("q")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("n"),
+        expr("transform(sv, x -> x div n)").as("cv"))
+      .withColumn("cnorm2", longArrayNormSq(col("cv")))
+    cents
+      .select(struct(col("label"), col("n"), col("cv"), col("cnorm2")).as("c"))
+      .agg(collect_list(col("c")).as("cs"))
+      .select(explode(expr(
+        """flatten(transform(array_sort(cs), (a, i) ->
+          |  transform(slice(array_sort(cs), i + 2, size(cs) - i - 1),
+          |    b -> struct(a.label AS label_a, b.label AS label_b,
+          |                a.n AS n_a, b.n AS n_b,
+          |                long_array_dot(a.cv, b.cv) AS dot,
+          |                a.cnorm2 AS na2, b.cnorm2 AS nb2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.label_a").as("label_a"), col("p.label_b").as("label_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"),
+        (col("p.dot").cast("double") /
+          (sqrt(col("p.na2").cast("double")) *
+            sqrt(col("p.nb2").cast("double")))).as("cos_ab"))
+  }
 }

@@ -421,4 +421,41 @@ object TextAnalysis {
     PiiPatterns.foldLeft(expr) { case (e, (_, pat, repl)) =>
       s"regexp_replace($e, '$pat', '$repl', 'g')"
     }
+
+  /** `corpus_source_overlap`: pairwise vocabulary Jaccard between
+    * sources — the exact cross-domain contamination/diversity matrix a
+    * mixing plan reads next to [[graft.functions.Sampling]]'s quotas
+    * (the sketched sibling is `kmv_segment_overlap`; this is the exact
+    * form over the bounded source domain).
+    *
+    * Scale shape: the corpus pass reduces to distinct (source, token)
+    * rows (partial agg on a token-keyed shuffle); pair counting then
+    * groups BY TOKEN, folds each token's source set (≤ |sources|) and
+    * explodes its bounded pairs — no vocab×vocab self-join, and the
+    * per-token fan-out is |sources-sharing-token|², capped by the
+    * domain squared, not by corpus size. Per-source vocabulary sizes
+    * join back as a broadcast. A thousand-source catalog would cap or
+    * bucket the per-token set; at the reference's domain size the
+    * exact fold is the right tool.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .distinct()
+    val sizes = st.groupBy($"source").agg(count(lit(1)).as("n"))
+    val pairs = st.groupBy($"tok")
+      .agg(sort_array(collect_set($"source")).as("srcs"))
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs) - i - 1),
+          |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("n_a"))), "src_a")
+      .join(broadcast(sizes.select($"source".as("src_b"), $"n".as("n_b"))), "src_b")
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_common",
+        ($"n_common".cast("double") /
+          ($"n_a" + $"n_b" - $"n_common").cast("double")).as("jaccard"))
+  }
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft._
+import graft.Tables._
+
+/** Distribution-monitoring and planner-statistics operators — the
+  * "is the data still what we trained/planned on" layer a production
+  * pipeline runs next to its DWS rollups (reference
+  * gmall-realtime/.../app/dws/VisitorStatsApp.java materializes the
+  * aggregates but has no drift/skew surface at all; these close that
+  * gap Spark-first).
+  *
+  * Exactness contract shared with the rest of the registry: every
+  * statistic is derived from exact integer counts (map-side-combined
+  * `groupBy.count`), with at most one floating-point division at the
+  * end or an integer ppm (parts-per-million) quotient — so the DuckDB
+  * oracle reproduces each value bit-for-bit regardless of partition
+  * order.
+  */
+object StatsOps {
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the `value`
+    * distributions of purchase vs click events — the standard "did the
+    * metric distribution shift" monitor between two event populations
+    * (week-over-week or A/B arms use the identical plan with a time
+    * predicate instead of a type predicate).
+    *
+    * D = max_x |F_a(x) - F_b(x)| is computed exactly in integer
+    * arithmetic: values quantize to cents, each side reduces to
+    * per-cent-value counts (map-side combined — the only corpus-sized
+    * pass), and the CDF difference is a cumulative window over the
+    * merged DISTINCT-VALUE domain; the maximized gap numerator
+    * |cum_a·n_b - cum_b·n_a| stays an exact long (overflow-safe to
+    * ~3·10^9 rows per side under ANSI), and only the final ppm scaling
+    * divides once in double. Output is the single max row plus the
+    * value where the gap peaks (smallest such value on ties).
+    *
+    * Scale shape: the global-order window runs over the bounded
+    * distinct-cent domain (|domain| ≤ value-range × 100, independent of
+    * row count), NOT over raw events — the classic histogram-then-CDF
+    * decomposition. At 100 TB the corpus pass is still one partial
+    * aggregation; only the domain-sized frame is single-partition, and
+    * it is dimension-sized by construction.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    val e = events(spark, dir)
+      .filter($"event_type".isin("purchase", "click"))
+      .select($"event_type", cents.as("v"))
+    val hist = e.groupBy($"v")
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("ca"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("cb"))
+    // one row; joined in as a broadcast so the totals are plan constants
+    val totals = e.groupBy()
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("na"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cuma", sum($"ca").over(w))
+      .withColumn("cumb", sum($"cb").over(w))
+      .join(broadcast(totals))
+      .select($"v",
+        abs($"cuma" * $"nb" - $"cumb" * $"na").as("gap_num"),
+        $"na", $"nb")
+      .groupBy()
+      .agg(max(struct($"gap_num", (-$"v").as("nv"), $"v", $"na", $"nb")).as("m"))
+      .select(($"m.gap_num".cast("double") /
+          ($"m.na".cast("double") * $"m.nb".cast("double")) *
+          1000000.0).as("ks_ppm"),
+        ($"m.v".cast("double") / 100.0).as("at_value"),
+        $"m.na".as("n_purchase"), $"m.nb".as("n_click"))
+  }
+
+  /** Join-cardinality estimate from per-key count histograms — the
+    * statistic a cost-based planner (or a human sizing a 100 TB join)
+    * needs BEFORE running the join: exact output rows of
+    * orders ⋈ lineitem on orderkey as Σ_k cnt_o(k)·cnt_l(k), the
+    * heaviest single key's contribution, and the skew ratio of that
+    * key against the mean in ppm.
+    *
+    * Scale shape: both sides reduce to per-key counts first (partial
+    * aggregation — the only corpus passes), then the key-count tables
+    * join on the key and fold to one row. The join of two count
+    * tables shuffles key-histogram-sized data, never fact rows; the
+    * output estimate is produced without materializing a single joined
+    * fact row. This is exactly how `ANALYZE`-style NDV/skew stats are
+    * gathered at scale.
+    */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val co = orders(spark, dir).groupBy($"o_orderkey".as("k"))
+      .agg(count(lit(1)).as("n_o"))
+    val cl = lineitem(spark, dir).groupBy($"l_orderkey".as("k"))
+      .agg(count(lit(1)).as("n_l"))
+    co.join(cl, "k")
+      .select($"k", ($"n_o" * $"n_l").as("contrib"))
+      .groupBy()
+      .agg(sum($"contrib").as("join_rows"),
+        count(lit(1)).as("matched_keys"),
+        max(struct($"contrib", (-$"k").as("nk"), $"k")).as("m"))
+      .select($"join_rows", $"matched_keys",
+        $"m.k".as("heaviest_key"), $"m.contrib".as("heaviest_rows"),
+        ($"m.contrib".cast("double") * $"matched_keys".cast("double") /
+          $"join_rows".cast("double") * 1000000.0).as("skew_ppm"))
+  }
+}

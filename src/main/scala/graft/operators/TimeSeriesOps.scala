@@ -282,4 +282,39 @@ object TimeSeriesOps {
         (sum(($"cents" * $"w").cast("decimal(38,0)")).cast("double") /
           (1L << MaxHalfLives).toDouble / 100.0).as("decayed_value"))
   }
+
+  /** Trailing window width for [[rollingUv]]. */
+  val RollingDays = 7
+
+  /** Trailing-7-day unique visitors per calendar day — the rolling UV
+    * the serving layer charts next to the per-day UV of
+    * [[graft.operators.EventOps.dailyUniqueVisitors]]. Exact distinct
+    * over a sliding frame is NOT window-expressible (no
+    * `count(DISTINCT) OVER RANGE` in either engine), and re-scanning 7
+    * days of facts per output day is 7 full passes; instead each
+    * distinct (user, active-day) pair is exploded to the ≤
+    * [[RollingDays]] window-anchor days it contributes to, re-distinct
+    * (one user active on several days inside a window must count
+    * once), and counted — the standard shift-and-count decomposition.
+    *
+    * Scale shape: the corpus pass is the (user, day) distinct (partial
+    * agg); everything after runs on per-user-day rows × 7 — a bounded
+    * fan-out of an already-reduced table, partitioned by the window
+    * day for the final count. Anchor days with no in-range history
+    * earlier than the corpus minimum still report (partial windows),
+    * matching the chart semantics; days after the corpus max do not
+    * exist by construction.
+    */
+  def rollingUv(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val span = byDay.agg(max($"d").as("dmax"))
+    byDay.join(broadcast(span))
+      .select($"user_id", explode(
+        sequence($"d", least(date_add($"d", RollingDays - 1), $"dmax")))
+        .as("wday"))
+      .distinct()
+      .groupBy(date_format($"wday", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("uv_7d"))
+  }
 }

@@ -162,4 +162,36 @@ class ClusteringSpec extends AnyFunSuite {
       assert(gmean === sum.toDouble / n.toDouble / Clustering.SilScale.toDouble)
     }
   }
+
+  test("labelCentroids: every unordered label pair once, driver-replayed cosines") {
+    val vecs = Dedup.quantized(spark, dir).collect()
+      .map(r => (r.getInt(1).toLong, r.getSeq[Long](2)))
+    val byLabel = vecs.groupBy(_._1)
+    val cents = byLabel.map { case (l, rows) =>
+      val dim = rows.head._2.length
+      val sums = new Array[Long](dim)
+      rows.foreach { case (_, q) => (0 until dim).foreach(i => sums(i) += q(i)) }
+      l -> (rows.length.toLong, sums.map(_ / rows.length))
+    }
+    val got = Clustering.labelCentroids(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val labels = cents.keys.toSeq.sorted
+    val expectPairs = for {
+      i <- labels.indices; j <- (i + 1) until labels.length
+    } yield (labels(i), labels(j))
+    assert(got.keySet === expectPairs.toSet)
+    expectPairs.foreach { case (a, b) =>
+      val (na, ca) = cents(a)
+      val (nb, cb) = cents(b)
+      val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+      val cos = dot.toDouble /
+        (math.sqrt(ca.map(x => x * x).sum.toDouble) *
+          math.sqrt(cb.map(x => x * x).sum.toDouble))
+      val (gna, gnb, gcos) = got((a, b))
+      assert((gna, gnb) === ((na, nb)), s"pair ($a,$b) counts")
+      assert(gcos === cos, s"pair ($a,$b) cosine")
+      assert(gcos >= -1.0 && gcos <= 1.0)
+    }
+  }
 }

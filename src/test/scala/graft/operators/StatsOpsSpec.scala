@@ -1,0 +1,97 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Distribution-drift and planner-statistics invariants: the KS
+  * statistic replayed by hand on a constructed two-sample corpus, and
+  * the join-cardinality estimate cross-checked against the join it
+  * predicts (which the operator itself never executes).
+  */
+class StatsOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def eventsDir(rows: Seq[(Long, Timestamp, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    spark.createDataFrame(rows.map { case (id, ts, u, t, v) => (id, ts, u, t, v, "{}") })
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("ksDrift reproduces a hand-computed two-sample KS statistic") {
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // purchase values {1.00, 2.00}, click values {2.00, 3.00}:
+    // CDF gap numerator |cum_a*nb - cum_b*na| is 2 at v=100 and v=200,
+    // 0 at v=300 -> D = 2/(2*2) = 0.5, reported at the SMALLEST
+    // arg-max value (1.00)
+    val dir = eventsDir(Seq(
+      (1L, ts, 1L, "purchase", 1.00),
+      (2L, ts, 2L, "purchase", 2.00),
+      (3L, ts, 3L, "click", 2.00),
+      (4L, ts, 4L, "click", 3.00),
+      (5L, ts, 5L, "view", 99.0))) // other types must be ignored
+    val r = StatsOps.ksDrift(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getDouble(0) === 500000.0) // ks_ppm
+    assert(r(0).getDouble(1) === 1.0) // at_value
+    assert(r(0).getLong(2) === 2L && r(0).getLong(3) === 2L)
+  }
+
+  test("ksDrift on two identical samples is zero") {
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    val dir = eventsDir(Seq(
+      (1L, ts, 1L, "purchase", 5.00),
+      (2L, ts, 2L, "purchase", 7.00),
+      (3L, ts, 3L, "click", 5.00),
+      (4L, ts, 4L, "click", 7.00)))
+    val r = StatsOps.ksDrift(spark, dir).collect()
+    assert(r(0).getDouble(0) === 0.0)
+  }
+
+  test("joinCardinality predicts the exact row count of the join it never runs") {
+    val predicted = StatsOps.joinCardinality(spark, sf).collect()(0)
+    val actual = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.lineitem(spark, sf),
+        $"o_orderkey" === $"l_orderkey").count()
+    assert(predicted.getLong(0) === actual)
+    // heaviest key's contribution is a real per-key maximum
+    val heaviest = graft.Tables.lineitem(spark, sf)
+      .groupBy($"l_orderkey").count().agg(max($"count")).collect()(0).getLong(0)
+    assert(predicted.getLong(3) === heaviest) // n_o is 1 per orderkey
+    assert(predicted.getDouble(4) >= 1000000.0 * 0.999) // skew >= mean
+  }
+
+  test("rollingUv counts each user once per trailing window and skips empty anchor days") {
+    val t = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // A active on day 1 only; B appears on day 10 (9 days later, outside
+    // A's 7-day reach). Anchor days 8-9 have no contributors and 1-7
+    // carry A exactly once despite the fan-out.
+    val dir = eventsDir(Seq(
+      (1L, t(1), 100L, "view", 1.0),
+      (2L, t(1), 100L, "click", 1.0), // same user+day: must not double-count
+      (3L, t(10), 200L, "view", 1.0)))
+    val got = TimeSeriesOps.rollingUv(spark, dir)
+      .orderBy($"day").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = (1 to 7).map(d => (f"2024-01-$d%02d", 1L)) :+ ("2024-01-10", 1L)
+    assert(got === expect)
+  }
+
+  test("rollingUv dominates the per-day UV and is bounded by the 7-day union") {
+    val rolling = TimeSeriesOps.rollingUv(spark, sf)
+    val daily = graft.Tables.events(spark, sf)
+      .select(date_format(to_date($"ts"), "yyyy-MM-dd").as("day"), $"user_id")
+      .distinct().groupBy($"day").agg(count(lit(1)).as("uv"))
+    val joined = rolling.join(daily, "day")
+    assert(joined.where($"uv_7d" < $"uv").count() === 0)
+    val total = graft.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(rolling.where($"uv_7d" > total).count() === 0)
+  }
+}
