@@ -107,7 +107,8 @@ object LlmRegistry {
     "pipeline_curriculum" -> (Sampling.curriculumOrder _),
     "pipeline_pack_sequences" -> (Sampling.packSequences _),
     "cluster_label_centroids" -> (Clustering.labelCentroids _),
-    "corpus_source_overlap" -> (TextAnalysis.sourceOverlap _))
+    "corpus_source_overlap" -> (TextAnalysis.sourceOverlap _),
+    "text_token_lang_chi2" -> (Relevance.tokenLangChi2 _))
 
   // ---- shared SQL fragments --------------------------------------------
 
@@ -1121,5 +1122,6 @@ object LlmRegistry {
          |FROM pairs
          |JOIN sizes sa ON pairs.src_a = sa.source
          |JOIN sizes sb ON pairs.src_b = sb.source
-         |ORDER BY src_a, src_b""".stripMargin)
+         |ORDER BY src_a, src_b""".stripMargin,
+    "text_token_lang_chi2" -> Relevance.sqlTokenLangChi2)
 }

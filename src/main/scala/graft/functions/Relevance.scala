@@ -152,4 +152,85 @@ object Relevance {
        |WHERE score > 0.0
        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
   }
+
+  /** Tokens reported by [[tokenLangChi2]]. */
+  val Chi2TopN = 50
+
+  /** `text_token_lang_chi2`: the [[Chi2TopN]] most language-discriminative
+    * tokens by the χ² statistic of the token-presence × language
+    * contingency table — the classic feature-selection ranking a
+    * language-ID or domain-classifier pipeline derives its feature list
+    * from (the trained counterpart of [[TextAnalysis]]'s fixed marker
+    * lists).
+    *
+    * χ² over the full language domain folds as
+    * Σ_obs[(o·N − df·n_l)²/(N·df·n_l) − df·n_l/N] + df — the zero-
+    * observation cells' Σe telescopes to df − Σ_obs e, so only observed
+    * cells are materialized. Every difference/product inside the fold
+    * is an exact BIGINT (headroom: o·N ≤ N², safe past 10^9 docs under
+    * ANSI); the per-cell term is a double with ONE fixed
+    * parenthesization, and the fold runs over the per-token cell array
+    * SORTED BY LANGUAGE, so the float sum has one canonical
+    * association order in both engines — the same shared-literal
+    * stance as [[bm25Search]], extended to a data-dependent (but
+    * bounded and sorted) term list.
+    *
+    * Scale shape: one corpus pass to distinct (doc, lang, token), one
+    * vocabulary-sized token-keyed aggregation folding each token's
+    * ≤|languages| cells, language totals as a broadcast; the final
+    * ranking is a top-[[Chi2TopN]] heap (TakeOrderedAndProject), never
+    * a global sort.
+    */
+  def tokenLangChi2(spark: SparkSession, dir: String): DataFrame = {
+    val dt = documents(spark, dir)
+      .select($"doc_id", $"lang", explode(TextAnalysis.tokens($"text")).as("tok"))
+      .distinct()
+    val obs = dt.groupBy($"tok", $"lang").agg(count(lit(1)).as("o"))
+    val langN = documents(spark, dir).groupBy($"lang")
+      .agg(count(lit(1)).as("nl"))
+    val totals = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    obs.join(broadcast(langN), "lang")
+      .groupBy($"tok")
+      .agg(sort_array(collect_list(struct($"lang", $"o", $"nl"))).as("cs"),
+        sum($"o").as("df"))
+      .join(broadcast(totals))
+      .select($"tok", $"df",
+        (expr(
+          """aggregate(cs, CAST(0 AS DOUBLE), (acc, c) -> acc + (
+            |  (CAST(c.o * n_docs - df * c.nl AS DOUBLE) *
+            |   CAST(c.o * n_docs - df * c.nl AS DOUBLE)) /
+            |    ((CAST(n_docs AS DOUBLE) * CAST(df AS DOUBLE)) *
+            |      CAST(c.nl AS DOUBLE)) -
+            |  CAST(df * c.nl AS DOUBLE) / CAST(n_docs AS DOUBLE)))"""
+            .stripMargin) + $"df".cast("double")).as("chi2"))
+      .orderBy($"chi2".desc, $"tok")
+      .limit(Chi2TopN)
+  }
+
+  /** DuckDB twin of [[tokenLangChi2]]: same sorted-cell fold, same
+    * literal parenthesization (list_reduce's left fold ≡ `aggregate`'s).
+    */
+  def sqlTokenLangChi2: String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, lang, tok FROM
+       |    (SELECT doc_id, lang, unnest($toks) AS tok FROM documents)),
+       |obs AS (SELECT tok, lang, count(*) AS o FROM tok GROUP BY 1, 2),
+       |ln AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+       |t AS (SELECT count(*) AS n_docs FROM documents),
+       |bytok AS (SELECT tok, CAST(sum(o) AS BIGINT) AS df,
+       |    list(struct_pack(lang := obs.lang, o := o, nl := nl)
+       |      ORDER BY obs.lang) AS cs
+       |  FROM obs JOIN ln ON obs.lang = ln.lang GROUP BY 1)
+       |SELECT tok, df,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(cs, c ->
+       |      (CAST(c.o * n_docs - df * c.nl AS DOUBLE) *
+       |       CAST(c.o * n_docs - df * c.nl AS DOUBLE)) /
+       |        ((CAST(n_docs AS DOUBLE) * CAST(df AS DOUBLE)) *
+       |          CAST(c.nl AS DOUBLE)) -
+       |      CAST(df * c.nl AS DOUBLE) / CAST(n_docs AS DOUBLE))),
+       |    (a, b) -> a + b) + CAST(df AS DOUBLE) AS chi2
+       |FROM bytok, t
+       |ORDER BY chi2 DESC, tok LIMIT $Chi2TopN""".stripMargin
+  }
 }

@@ -50,4 +50,44 @@ class RelevanceSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
+
+  test("tokenLangChi2 matches a driver-side chi-square replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chi2").toString
+    // 'hund' appears only in de (perfectly discriminative), 'the' in
+    // every doc (chi2 0), 'dos' in one of two es docs
+    spark.createDataFrame(Seq(
+      (1L, "the hund", "de", "s", 8L),
+      (2L, "the hund dog", "de", "s", 12L),
+      (3L, "the cat", "en", "s", 7L),
+      (4L, "the dog", "en", "s", 7L),
+      (5L, "the dos", "es", "s", 7L),
+      (6L, "the uno", "es", "s", 7L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Relevance.tokenLangChi2(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent replay, literally Σ (o-e)^2/e over ALL cells
+    val langs = Map("de" -> 2L, "en" -> 2L, "es" -> 2L)
+    val n = 6L
+    def chi2(obs: Map[String, Long]): Double = {
+      val df = obs.values.sum
+      langs.toSeq.sortBy(_._1).map { case (l, nl) =>
+        val o = obs.getOrElse(l, 0L).toDouble
+        val e = df.toDouble * nl.toDouble / n.toDouble
+        (o - e) * (o - e) / e
+      }.sum
+    }
+    val expect = Map(
+      "hund" -> Map("de" -> 2L), "the" -> Map("de" -> 2L, "en" -> 2L, "es" -> 2L),
+      "dos" -> Map("es" -> 1L), "dog" -> Map("de" -> 1L, "en" -> 1L))
+    expect.foreach { case (tok, obs) =>
+      val (gdf, gchi) = got(tok)
+      assert(gdf === obs.values.sum, s"df of $tok")
+      assert(math.abs(gchi - chi2(obs)) < 1e-9, s"chi2 of $tok: got $gchi expect ${chi2(obs)}")
+    }
+    // a token present in every doc of every language carries no signal
+    assert(math.abs(got("the")._2) < 1e-9)
+    // the perfectly-discriminative token dominates the shared one
+    assert(got("hund")._2 > got("dog")._2)
+  }
 }
