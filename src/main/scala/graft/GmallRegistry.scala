@@ -68,6 +68,8 @@ object GmallRegistry {
       WindowOps.uvPerHourApprox(s, d)),
     "dws_uv_sketch_rollup" -> ((s: SparkSession, d: String) =>
       WindowOps.uvSketchRollup(s, d)),
+    "dws_uv_bitmap_rollup" -> (WindowOps.uvBitmapRollup _),
+    "bitmap_segment_overlap" -> (AnalyticsOps.bitmapSegmentOverlap _),
     "dws_keyword_count" -> (WindowOps.keywordCount _),
     "dws_keyword_count_udtf" -> (WindowOps.keywordCountUdtf _),
     "agg_rollup" -> (AnalyticsOps.rollupSummary _),
@@ -655,6 +657,29 @@ object GmallRegistry {
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |  count(DISTINCT user_id) AS uv_exact, TRUE AS within_bounds
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bitmap rollup is EXACT, so the oracle is the plain distinct
+    // count — no tolerance column, unlike the sketch twins above
+    "dws_uv_bitmap_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS uv,
+        |  count(DISTINCT strftime(ts, '%Y-%m-%d %H')) AS n_hours
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bitmap_segment_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS card_inter
+        |  FROM s a JOIN s b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, ca.n AS card_a, cb.n AS card_b, card_inter,
+        |  CAST(ca.n + cb.n - card_inter AS BIGINT) AS card_union,
+        |  CAST(card_inter AS DOUBLE) /
+        |    CAST(ca.n + cb.n - card_inter AS DOUBLE) AS jaccard
+        |FROM i
+        |JOIN c ca ON i.type_a = ca.event_type
+        |JOIN c cb ON i.type_b = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "dws_keyword_count" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents) t

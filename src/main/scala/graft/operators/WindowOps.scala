@@ -140,6 +140,32 @@ object WindowOps {
           lit(tol) * $"uv_exact".cast("double")).as("within_bounds"))
   }
 
+  /** `dws_uv_bitmap_rollup`: EXACT daily UV rolled up from per-hour
+    * bitmap columns — the audit-grade sibling of [[uvSketchRollup]]
+    * (same hour→day re-aggregation contract, zero error instead of
+    * HLL's ~1%, because user_id is a dense surrogate domain where the
+    * chunked bitset costs ~1 bit/user — see
+    * [[org.apache.spark.sql.graftexpr.GraftBitmap]]). Unlike the
+    * sketch twin, the result is fully oracle-checkable: the rolled-up
+    * count IS `count(DISTINCT user_id)`.
+    *
+    * Scale shape: partial aggregation merges hour bitmaps word-wise,
+    * so the shuffle carries one blob per (hour, partition); the day
+    * rollup unions 24 blobs per key and never revisits events.
+    */
+  def uvBitmapRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftexpr.GraftBitmap
+    events(spark, dir)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"),
+        date_format($"ts", "yyyy-MM-dd HH").as("hour"),
+        $"user_id")
+      .groupBy($"day", $"hour")
+      .agg(GraftBitmap.build($"user_id").as("bm"))
+      .groupBy($"day")
+      .agg(GraftBitmap.card(GraftBitmap.union($"bm")).as("uv"),
+        count(lit(1)).as("n_hours"))
+  }
+
   /** Keyword tokenize → explode → count (the planned ikanalyzer keyword
     * job, reference pom.xml:179-183 + GmallConstant SEARCH/CLICK/CART/
     * ORDER). Tokenization = lowercase, split on non-alphanumerics —

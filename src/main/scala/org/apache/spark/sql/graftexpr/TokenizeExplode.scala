@@ -191,6 +191,23 @@ object GraftFunctions {
       require(exprs.length == 1,
         s"long_array_sum expects 1 argument, got ${exprs.length}")
       LongArraySumAgg(exprs.head)
+    },
+    "bitmap_build" -> { exprs =>
+      require(exprs.length == 1, s"bitmap_build expects 1 argument, got ${exprs.length}")
+      BitmapBuildAgg(exprs.head)
+    },
+    "bitmap_union" -> { exprs =>
+      require(exprs.length == 1, s"bitmap_union expects 1 argument, got ${exprs.length}")
+      BitmapUnionAgg(exprs.head)
+    },
+    "bitmap_card" -> { exprs =>
+      require(exprs.length == 1, s"bitmap_card expects 1 argument, got ${exprs.length}")
+      BitmapCardinality(exprs.head)
+    },
+    "bitmap_and_card" -> { exprs =>
+      require(exprs.length == 2,
+        s"bitmap_and_card expects 2 arguments, got ${exprs.length}")
+      BitmapAndCardinality(exprs.head, exprs(1))
     })
 
   /** Runtime registration of the full engine SQL surface (idempotent). */
