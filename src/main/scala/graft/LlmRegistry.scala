@@ -108,7 +108,8 @@ object LlmRegistry {
     "pipeline_pack_sequences" -> (Sampling.packSequences _),
     "cluster_label_centroids" -> (Clustering.labelCentroids _),
     "corpus_source_overlap" -> (TextAnalysis.sourceOverlap _),
-    "text_token_lang_chi2" -> (Relevance.tokenLangChi2 _))
+    "text_token_lang_chi2" -> (Relevance.tokenLangChi2 _),
+    "ir_inverted_index" -> (Relevance.invertedIndex _))
 
   // ---- shared SQL fragments --------------------------------------------
 
@@ -1123,5 +1124,6 @@ object LlmRegistry {
          |JOIN sizes sa ON pairs.src_a = sa.source
          |JOIN sizes sb ON pairs.src_b = sb.source
          |ORDER BY src_a, src_b""".stripMargin,
-    "text_token_lang_chi2" -> Relevance.sqlTokenLangChi2)
+    "text_token_lang_chi2" -> Relevance.sqlTokenLangChi2,
+    "ir_inverted_index" -> Relevance.sqlInvertedIndex)
 }

@@ -153,6 +153,54 @@ object Relevance {
        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  /** Postings kept per term by [[invertedIndex]]. */
+  val PostingsK = 10
+
+  /** `ir_inverted_index`: the materialized index artifact behind
+    * [[bm25Search]] — per term, document frequency, collection
+    * frequency, and the top-[[PostingsK]] posting list ranked by
+    * (tf DESC, doc_id ASC). This is the thing a search/retrieval
+    * serving layer actually stores; tf-idf/BM25 read their statistics
+    * straight off it instead of rescanning the corpus.
+    *
+    * Scale shape: one corpus pass to (term, doc) tf counts (partial
+    * agg), one vocabulary-keyed aggregation where `top_k_ids` bounded
+    * heaps cap each term's postings at [[PostingsK]] DURING partial
+    * aggregation — a hot term ships k rows per partition, never its
+    * full document list; df/cf fold in the same aggregate. No ranking
+    * window (which would sort every posting inside each partition).
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tf = documents(spark, dir)
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
+        expr(s"top_k_ids(doc_id, CAST(tf AS DOUBLE), $PostingsK)").as("p"))
+      .select($"term", $"df", $"cf",
+        expr("transform(p, x -> x.id)").as("postings"),
+        expr("transform(p, x -> CAST(x.score AS BIGINT))").as("tfs"))
+  }
+
+  /** DuckDB twin of [[invertedIndex]]: ranking window replay of the
+    * bounded heap (same (tf DESC, doc_id) order).
+    */
+  def sqlInvertedIndex: String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY term
+       |    ORDER BY tf DESC, doc_id) AS rn FROM tf),
+       |stats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       |  FROM tf GROUP BY 1),
+       |posts AS (SELECT term, list(doc_id ORDER BY rn) AS postings,
+       |    list(tf ORDER BY rn) AS tfs
+       |  FROM r WHERE rn <= $PostingsK GROUP BY 1)
+       |SELECT s.term, s.df, s.cf, p.postings, p.tfs
+       |FROM stats s JOIN posts p ON s.term = p.term
+       |ORDER BY s.term""".stripMargin
+  }
+
   /** Tokens reported by [[tokenLangChi2]]. */
   val Chi2TopN = 50
 

@@ -51,6 +51,27 @@ class RelevanceSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("invertedIndex: postings ranked (tf desc, doc asc), df/cf exact, capped, no window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ir").toString
+    spark.createDataFrame(Seq(
+      (1L, "a a a b", "en", "s", 7L),
+      (2L, "a b b", "en", "s", 5L),
+      (3L, "a a b c", "en", "s", 7L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Relevance.invertedIndex(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3), r.getSeq[Long](4))).toMap
+    // 'a': tf 3,1,2 -> postings [1,3,2]; 'b': tf 1,2,1 -> [2,1,3] (tie 1<3)
+    assert(got("a") === ((3L, 6L, Seq(1L, 3L, 2L), Seq(3L, 2L, 1L))))
+    assert(got("b") === ((3L, 4L, Seq(2L, 1L, 3L), Seq(2L, 1L, 1L))))
+    assert(got("c") === ((1L, 1L, Seq(3L), Seq(1L))))
+    val out = Relevance.invertedIndex(spark, "/root/testdata/sf0.001")
+    assert(out.collect().forall(_.getSeq[Long](3).length <= Relevance.PostingsK))
+    // the postings cap must come from the bounded heap, not a rank window
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("tokenLangChi2 matches a driver-side chi-square replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft-chi2").toString
     // 'hund' appears only in de (perfectly discriminative), 'the' in
