@@ -115,6 +115,26 @@ object WindowedAggs {
       .select($"w.start".as("window_start"), $"sketch",
         org.apache.spark.sql.graftexpr.GraftHll.cardinality($"sketch").as("uv_est"))
 
+  /** Streaming per-window EXACT UV bitmaps — the audit-grade twin of
+    * [[uvSketchPerWindow]] on the
+    * [[org.apache.spark.sql.graftexpr.GraftBitmap]] exact bitmap
+    * columns: each finalized window emits its blob plus the exact
+    * count, and a serving store rolls windows up via `bitmap_union`
+    * with zero error. State per open window is the bitmap itself
+    * (~1 bit per distinct user on dense id domains); partial buffers
+    * merge word-wise across micro-batches through the same
+    * ObjectHashAggregate path as the sketches.
+    */
+  def uvBitmapPerWindow(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis($"ts"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window($"event_time", "1 hour").as("w"))
+      .agg(org.apache.spark.sql.graftexpr.GraftBitmap
+        .build($"user_id").as("bm"))
+      .select($"w.start".as("window_start"), $"bm",
+        org.apache.spark.sql.graftexpr.GraftBitmap.card($"bm").as("uv"))
+
   /** Per-window Count-Min sketch — the frequency companion of
     * [[uvSketchPerWindow]]: each closed window emits its mergeable d×w
     * counter blob, so a serving store can answer "how often was key k in

@@ -140,6 +140,32 @@ class WindowedAggsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("uv bitmap window: cross-batch EXACT distinct; blob matches batch build") {
+    val ms = MemoryStream[E](enc, spark)
+    val out = WindowedAggs.uvBitmapPerWindow(ms.toDF())
+    val q = out.writeStream.format("memory").queryName("uvbm_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1 to 40).map(u => E(u.toLong, "c", h0 + u * 1000L)): _*)
+      q.processAllAvailable()
+      ms.addData((21 to 60).map(u => E(u.toLong, "c", h0 + u * 1000L)): _*)
+      q.processAllAvailable()
+      assert(spark.table("uvbm_out").count() === 0) // window still open
+      ms.addData(E(999, "z", h0 + 3 * 3600000L)) // watermark closes it
+      q.processAllAvailable()
+      val rows = spark.table("uvbm_out").filter($"uv" > 1).collect()
+      assert(rows.length === 1)
+      // exact, not approximate: 60 distinct across overlapping batches
+      assert(rows.head.getLong(2) === 60L)
+      // canonical blob: streamed state ≡ batch build, byte-for-byte
+      import spark.implicits.{localSeqToDatasetHolder, newLongEncoder}
+      val batch = (1L to 60L).toDF("k")
+        .agg(org.apache.spark.sql.graftexpr.GraftBitmap.build($"k"))
+        .head().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(rows.head.getAs[Array[Byte]](1), batch))
+    } finally q.stop()
+  }
+
   test("cm sketch window: cross-batch counts ADD; sketch matches batch build") {
     val ms = MemoryStream[E](enc, spark)
     val out = WindowedAggs.cmSketchPerWindow(ms.toDF(), depth = 4, width = 256)
