@@ -121,6 +121,8 @@ object GmallRegistry {
     "ts_rolling_uv_7d" -> (TimeSeriesOps.rollingUv _),
     "stats_ks_drift" -> (StatsOps.ksDrift _),
     "stats_join_cardinality" -> (StatsOps.joinCardinality _),
+    "stats_value_histogram" -> (StatsOps.valueHistogram _),
+    "agg_multi_distinct" -> (StatsOps.multiDistinctDaily _),
     "dq_constraints" -> (QualityOps.constraints _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1385,6 +1387,23 @@ object GmallRegistry {
         |  CAST(v AS DOUBLE) / 100.0 AS at_value,
         |  na AS n_purchase, nb AS n_click
         |FROM m""".stripMargin,
+    "stats_value_histogram" ->
+      s"""WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |t AS (SELECT count(*) AS n_total FROM e),
+        |h AS (SELECT v // ${StatsOps.HistBinCents} AS bin, count(*) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY 1)
+        |SELECT CAST(bin * ${StatsOps.HistBinCents} AS BIGINT) AS bin_lo_cents,
+        |  CAST((bin + 1) * ${StatsOps.HistBinCents} AS BIGINT) AS bin_hi_cents,
+        |  n, sum_cents,
+        |  CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) * 1000000.0 AS share_ppm
+        |FROM h, t ORDER BY bin_lo_cents""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS uv,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     // per-key count histograms joined key-on-key; the estimate never
     // materializes a joined fact row
     "stats_join_cardinality" ->

@@ -75,6 +75,56 @@ object StatsOps {
         $"m.na".as("n_purchase"), $"m.nb".as("n_click"))
   }
 
+  /** Bin width (cents) for [[valueHistogram]]. */
+  val HistBinCents = 5000L
+
+  /** Equal-width histogram of the event `value` column — the profiling
+    * primitive behind every distribution chart and the input to drift
+    * checks coarser than [[ksDrift]]. Bins are [[HistBinCents]]-cent
+    * wide; each emits exact count, exact cent sum, and the bin share
+    * in ppm-from-exact-integers.
+    *
+    * Scale shape: one map-side-combined aggregation onto the bounded
+    * bin domain — the same histogram decomposition as [[ksDrift]],
+    * kept as its own op because the binned (not per-distinct-value)
+    * form is what dashboards and equi-width pre-bucketing consume.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    val e = events(spark, dir).select(cents.as("v"))
+    val total = e.agg(count(lit(1)).as("n_total"))
+    e.groupBy(expr(s"v div $HistBinCents").as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum_cents"))
+      .join(broadcast(total))
+      .select(($"bin" * HistBinCents).as("bin_lo_cents"),
+        (($"bin" + 1L) * HistBinCents).as("bin_hi_cents"),
+        $"n", $"sum_cents",
+        ($"n".cast("double") / $"n_total".cast("double") * 1000000.0)
+          .as("share_ppm"))
+  }
+
+  /** Several exact distinct counts per day in ONE logical pass —
+    * WITHOUT the multi-`countDistinct` Expand trap: Spark rewrites
+    * `agg(countDistinct(a), countDistinct(b))` into an Expand that
+    * duplicates every input row per distinct aggregate (the measured
+    * 14× regression documented on `dws_uv_per_hour_approx` in
+    * COVERAGE). Here each distinct folds over its OWN pre-deduplicated
+    * projection — (day,user), (day,type) — and the day-keyed results
+    * join back to the plain row count; every aggregation is partial,
+    * nothing is duplicated.
+    */
+  def multiDistinctDaily(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"),
+        $"user_id", $"event_type")
+    val uv = e.select($"day", $"user_id").distinct()
+      .groupBy($"day").agg(count(lit(1)).as("uv"))
+    val types = e.select($"day", $"event_type").distinct()
+      .groupBy($"day").agg(count(lit(1)).as("n_types"))
+    val n = e.groupBy($"day").agg(count(lit(1)).as("n_events"))
+    n.join(uv, "day").join(types, "day")
+  }
+
   /** Join-cardinality estimate from per-key count histograms — the
     * statistic a cost-based planner (or a human sizing a 100 TB join)
     * needs BEFORE running the join: exact output rows of

@@ -83,6 +83,30 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("valueHistogram: bins partition the corpus exactly") {
+    val rows = StatsOps.valueHistogram(spark, sf).collect()
+    val total = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(1) - r.getLong(0) === StatsOps.HistBinCents)
+    }
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1000000.0) < 1.0)
+  }
+
+  test("multiDistinctDaily avoids the multi-countDistinct Expand") {
+    val df = StatsOps.multiDistinctDaily(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("Expand"),
+      "each distinct must fold over its own pre-deduplicated projection")
+    // values agree with the naive (Expand-rewritten) form
+    val naive = graft.Tables.events(spark, sf)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("uv"),
+        countDistinct($"event_type").as("n_types"))
+    assert(df.exceptAll(naive).count() === 0 && naive.exceptAll(df).count() === 0)
+  }
+
   test("rollingUv dominates the per-day UV and is bounded by the 7-day union") {
     val rolling = TimeSeriesOps.rollingUv(spark, sf)
     val daily = graft.Tables.events(spark, sf)
