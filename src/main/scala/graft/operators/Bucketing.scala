@@ -38,6 +38,25 @@ object Bucketing {
     l.join(r, l(lKey) === r(rKey))
   }
 
+  /** Fact ⋈ filtered-dim join over a [[writeDatePartitioned]] layout,
+    * shaped so Catalyst inserts DYNAMIC partition pruning: the dim
+    * filter's surviving partition keys are computed at runtime (from
+    * the reused broadcast) and pushed into the fact scan as a
+    * `dynamicpruning` partition filter, so the fact table lists and
+    * reads ONLY the matching partition directories — the difference
+    * between scanning 3 days and 3 years when a dashboard asks for a
+    * week, and a prune static predicates cannot express because the
+    * day set lives in the dim. BucketingSpec asserts the
+    * `dynamicpruning` expression reaches the scan's PartitionFilters,
+    * that fewer files are read than the full layout holds, and that
+    * rows match the statically-filtered equivalent.
+    */
+  def dppJoin(spark: SparkSession, factPath: String, dim: DataFrame,
+      partCol: String, dimPartCol: String): DataFrame = {
+    val fact = spark.read.parquet(factPath)
+    fact.join(dim, fact(partCol) === dim(dimPartCol))
+  }
+
   /** Hive-style date partitioning — the OTHER half of the 100 TB table
     * layout (bucketing co-locates joins; date partitions prune scans).
     * An event table written `.partitionBy(dateCol)` turns every

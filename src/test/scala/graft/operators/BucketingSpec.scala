@@ -110,6 +110,60 @@ class BucketingSpec extends AnyFunSuite {
     rm(new java.io.File(path))
   }
 
+  test("dim-driven join prunes fact partitions at RUNTIME (dynamic partition pruning)") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("dpp-part").toString
+    val events = Tables.events(spark, dir)
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+    Bucketing.writeDatePartitioned(events.repartition(col("dt")), path, "dt")
+
+    // the interesting day set exists only in the dim (a filter on a
+    // dim attribute) — static pruning cannot see it
+    val dim = events.select(col("dt")).distinct()
+      .withColumn("tag", length(col("dt")) + dayofmonth(col("dt")))
+      .filter(col("tag") <= 13) // days 01..03 survive
+      .select(col("dt").as("dim_dt"), col("tag"))
+    val wanted = dim.collect().map(_.getString(0)).toSet
+    assert(wanted.nonEmpty && wanted.size < 30, "dim filter must be selective")
+
+    val joined = Bucketing.dppJoin(spark, path, dim, "dt", "dim_dt")
+    joined.write.format("noop").mode("overwrite").save()
+
+    // plan-correct: a dynamicpruning expression in the fact scan's
+    // partition filters
+    val exec = joined.queryExecution.executedPlan
+    val inner = exec.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(exec)
+    val scan = inner.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(sys.error(s"no FileSourceScanExec in:\n$inner"))
+    assert(scan.toString.contains("dynamicpruning"),
+      s"no dynamicpruning filter in scan:\n$scan")
+
+    // effect-correct: strictly fewer files touched than the layout holds
+    val filesRead = scan.metrics("numFiles").value
+    val allFiles = {
+      val df = spark.read.parquet(path)
+      df.collect()
+      df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.get
+    }
+    assert(filesRead < allFiles,
+      s"DPP read $filesRead of $allFiles files — nothing pruned")
+
+    // row-correct vs the static filter
+    val expected = events.filter(col("dt").isin(wanted.toSeq: _*)).count()
+    assert(joined.count() === expected)
+
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   test("zone maps: z-order prunes both box dimensions, linear only one") {
     import org.apache.spark.sql.functions.col
     val rows = Bucketing.zoneMapPrune(spark, dir).collect()
