@@ -109,7 +109,8 @@ object LlmRegistry {
     "cluster_label_centroids" -> (Clustering.labelCentroids _),
     "corpus_source_overlap" -> (TextAnalysis.sourceOverlap _),
     "text_token_lang_chi2" -> (Relevance.tokenLangChi2 _),
-    "ir_inverted_index" -> (Relevance.invertedIndex _))
+    "ir_inverted_index" -> (Relevance.invertedIndex _),
+    "text_cooccurrence_pmi" -> (TextAnalysis.cooccurrencePmi _))
 
   // ---- shared SQL fragments --------------------------------------------
 
@@ -1125,5 +1126,6 @@ object LlmRegistry {
          |JOIN sizes sb ON pairs.src_b = sb.source
          |ORDER BY src_a, src_b""".stripMargin,
     "text_token_lang_chi2" -> Relevance.sqlTokenLangChi2,
-    "ir_inverted_index" -> Relevance.sqlInvertedIndex)
+    "ir_inverted_index" -> Relevance.sqlInvertedIndex,
+    "text_cooccurrence_pmi" -> TextAnalysis.sqlCooccurrencePmi)
 }

@@ -422,6 +422,82 @@ object TextAnalysis {
       s"regexp_replace($e, '$pat', '$repl', 'g')"
     }
 
+  /** Context-window radius for [[cooccurrencePmi]]. */
+  val CoocWindow = 2
+
+  /** Pairs reported by [[cooccurrencePmi]]. */
+  val CoocTopN = 100
+
+  /** `text_cooccurrence_pmi`: the top co-occurring token pairs within a
+    * ±[[CoocWindow]] context window, with the PMI ratio
+    * p(a,b)/(p(a)·p(b)) — the co-occurrence statistic embedding
+    * trainers (GloVe/PPMI-SVD) and collocation extractors consume (the
+    * documents-side sibling of `basket_lift_pairs`, with positional
+    * context instead of basket membership).
+    *
+    * Pair generation is NARROW: for each shift 1..[[CoocWindow]] the
+    * token array zips with its own shifted self (tail zip-nulls
+    * filtered before canonicalization — `least`/`greatest` IGNORE
+    * nulls in Spark, so filtering after would fabricate (a,a) pairs),
+    * so no positions table and no per-doc self-join ever exists.
+    * Counts are exact; the ratio is one double expression with fixed
+    * parenthesization over exact longs. Ranking is a top-[[CoocTopN]]
+    * heap on (n_ab DESC, w1, w2).
+    */
+  def cooccurrencePmi(spark: SparkSession, dir: String): DataFrame = {
+    val arr = documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("ts"))
+    val pairs = arr.select(explode(expr(
+      s"""flatten(transform(sequence(1, $CoocWindow), s ->
+         |  filter(zip_with(ts, slice(ts, s + 1, size(ts)), (a, b) ->
+         |    struct(a AS a, b AS b)), x -> x.b IS NOT NULL)))"""
+        .stripMargin)).as("p"))
+      .select(least($"p.a", $"p.b").as("w1"),
+        greatest($"p.a", $"p.b").as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+    val uni = arr.select(explode($"ts").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val tot = pairs.agg(sum($"n_ab").as("t"))
+    val utot = uni.agg(sum($"c").as("utot"))
+    pairs
+      .join(broadcast(uni.select($"w".as("w1"), $"c".as("ca"))), "w1")
+      .join(broadcast(uni.select($"w".as("w2"), $"c".as("cb"))), "w2")
+      .join(broadcast(tot)).join(broadcast(utot))
+      .select($"w1", $"w2", $"n_ab",
+        ((($"n_ab".cast("double") * $"utot".cast("double")) *
+          $"utot".cast("double")) /
+          (($"t".cast("double") * $"ca".cast("double")) *
+            $"cb".cast("double"))).as("pmi_ratio"))
+      .orderBy($"n_ab".desc, $"w1", $"w2")
+      .limit(CoocTopN)
+  }
+
+  /** DuckDB twin of [[cooccurrencePmi]] (positions self-join — value-
+    * equivalent to the engine's shifted-zip, which SQL lacks the HOF
+    * null semantics to mirror directly).
+    */
+  def sqlCooccurrencePmi: String = {
+    val toksE = sqlTokens("text")
+    s"""WITH pos AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+       |    ts[CAST(i AS BIGINT) + 1] AS w
+       |  FROM (SELECT doc_id, $toksE AS ts FROM documents) a,
+       |    unnest(range(len(a.ts))) AS t(i)),
+       |pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+       |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+       |    AND b.p - a.p BETWEEN 1 AND $CoocWindow),
+       |pairs AS (SELECT w1, w2, count(*) AS n_ab FROM pr GROUP BY 1, 2),
+       |uni AS (SELECT w, count(*) AS c FROM pos GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t FROM pairs),
+       |u AS (SELECT count(*) AS utot FROM pos)
+       |SELECT w1, w2, n_ab,
+       |  ((CAST(n_ab AS DOUBLE) * CAST(utot AS DOUBLE)) * CAST(utot AS DOUBLE)) /
+       |    ((CAST(t AS DOUBLE) * CAST(ca.c AS DOUBLE)) * CAST(cb.c AS DOUBLE))
+       |    AS pmi_ratio
+       |FROM pairs JOIN uni ca ON pairs.w1 = ca.w
+       |JOIN uni cb ON pairs.w2 = cb.w, tot, u
+       |ORDER BY n_ab DESC, w1, w2 LIMIT $CoocTopN""".stripMargin
+  }
+
   /** `corpus_source_overlap`: pairwise vocabulary Jaccard between
     * sources — the exact cross-domain contamination/diversity matrix a
     * mixing plan reads next to [[graft.functions.Sampling]]'s quotas
