@@ -459,9 +459,13 @@ object TextAnalysis {
       .groupBy($"w").agg(count(lit(1)).as("c"))
     val tot = pairs.agg(sum($"n_ab").as("t"))
     val utot = uni.agg(sum($"c").as("utot"))
+    // the unigram table is VOCABULARY-sized — sublinear in corpus but
+    // not driver-bounded at web scale, so it joins shuffle-side (the
+    // [[lmScore]] stance), never as a broadcast; only the two 1-row
+    // totals broadcast
     pairs
-      .join(broadcast(uni.select($"w".as("w1"), $"c".as("ca"))), "w1")
-      .join(broadcast(uni.select($"w".as("w2"), $"c".as("cb"))), "w2")
+      .join(uni.select($"w".as("w1"), $"c".as("ca")).hint("shuffle_hash"), "w1")
+      .join(uni.select($"w".as("w2"), $"c".as("cb")).hint("shuffle_hash"), "w2")
       .join(broadcast(tot)).join(broadcast(utot))
       .select($"w1", $"w2", $"n_ab",
         ((($"n_ab".cast("double") * $"utot".cast("double")) *
