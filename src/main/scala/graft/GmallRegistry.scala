@@ -86,6 +86,8 @@ object GmallRegistry {
     "q8_market_share" -> (AnalyticsOps.marketShare _),
     "window_range_frame" -> (AnalyticsOps.rangeFrameSum _),
     "set_intersect" -> (AnalyticsOps.setIntersect _),
+    "set_intersect_all" -> (AnalyticsOps.setIntersectAll _),
+    "set_except_all" -> (AnalyticsOps.setExceptAll _),
     "kmv_segment_overlap" -> (AnalyticsOps.segmentOverlap _),
     "cm_frequencies" -> ((s: SparkSession, d: String) =>
       AnalyticsOps.cmFrequencies(s, d)),
@@ -909,6 +911,16 @@ object GmallRegistry {
     "set_except" ->
       """SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events WHERE event_type = 'click'
         |EXCEPT
+        |SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, dt""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events WHERE event_type = 'click'
+        |INTERSECT ALL
+        |SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, dt""".stripMargin,
+    "set_except_all" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events WHERE event_type = 'click'
+        |EXCEPT ALL
         |SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, dt""".stripMargin,
     "sessionize" ->

@@ -355,6 +355,24 @@ object AnalyticsOps {
     userDays(spark, dir, "click")
       .except(userDays(spark, dir, "purchase"))
 
+  /** INTERSECT ALL: multiplicity-aware — a user-day with 3 clicks and
+    * 2 purchases contributes min(3,2)=2 rows, the bag semantics ANSI
+    * gives `INTERSECT ALL` and the one the DISTINCT form above throws
+    * away (event-count-weighted audience math needs it). Plans as one
+    * count-compare aggregate per key — no row explosion beyond the
+    * emitted multiplicity.
+    */
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame =
+    userDays(spark, dir, "click")
+      .intersectAll(userDays(spark, dir, "purchase"))
+
+  /** EXCEPT ALL: bag difference — max(clicks − purchases, 0) rows per
+    * user-day.
+    */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame =
+    userDays(spark, dir, "click")
+      .exceptAll(userDays(spark, dir, "purchase"))
+
   /** Session gap: a new session starts after 30 min of inactivity. */
   val SessionGapSec = 1800L
 
