@@ -33,7 +33,8 @@ class QueriesSpec extends AnyFunSuite {
     val semanticallyOrdered =
       Set("topk_orders", "q3_shipping_priority", "sample_uniform_k",
         "q10_returned_items", "rel_bm25_search", "basket_lift_pairs",
-        "events_path_analysis")
+        "events_path_analysis", "text_token_lang_chi2",
+        "text_cooccurrence_pmi")
     val unsorted = SparkEntry.queries.keySet -- Proto.order.keySet --
       semanticallyOrdered
     assert(unsorted.isEmpty,
