@@ -59,6 +59,12 @@ object StatsOps {
         sum(when($"event_type" === "click", 1L).otherwise(0L)).as("nb"))
     val w = Window.orderBy($"v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // argmax via the engine's bounded heap (greatest score, SMALLEST id
+    // on ties — exactly the smallest-arg-max-value contract), which
+    // plans as ObjectHashAggregate; a max(struct(...)) here would fall
+    // back to SortAggregate (structs have no mutable buffer) and sort
+    // the whole domain. gap_num rides as an exact double (< 2^53 up to
+    // ~10^7.5 rows per side; beyond that, pre-scale the counts).
     hist
       .withColumn("cuma", sum($"ca").over(w))
       .withColumn("cumb", sum($"cb").over(w))
@@ -66,13 +72,12 @@ object StatsOps {
       .select($"v",
         abs($"cuma" * $"nb" - $"cumb" * $"na").as("gap_num"),
         $"na", $"nb")
-      .groupBy()
-      .agg(max(struct($"gap_num", (-$"v").as("nv"), $"v", $"na", $"nb")).as("m"))
-      .select(($"m.gap_num".cast("double") /
-          ($"m.na".cast("double") * $"m.nb".cast("double")) *
+      .groupBy($"na", $"nb")
+      .agg(expr("element_at(top_k_ids(v, CAST(gap_num AS DOUBLE), 1), 1)").as("m"))
+      .select(($"m.score" / ($"na".cast("double") * $"nb".cast("double")) *
           1000000.0).as("ks_ppm"),
-        ($"m.v".cast("double") / 100.0).as("at_value"),
-        $"m.na".as("n_purchase"), $"m.nb".as("n_click"))
+        ($"m.id".cast("double") / 100.0).as("at_value"),
+        $"na".as("n_purchase"), $"nb".as("n_click"))
   }
 
   /** Bin width (cents) for [[valueHistogram]]. */
@@ -145,15 +150,21 @@ object StatsOps {
       .agg(count(lit(1)).as("n_o"))
     val cl = lineitem(spark, dir).groupBy($"l_orderkey".as("k"))
       .agg(count(lit(1)).as("n_l"))
-    co.join(cl, "k")
+    // bounded-heap argmax (see [[ksDrift]]): ObjectHashAggregate, no
+    // SortAggregate over the key histogram. The histograms are
+    // FACT-KEY-sized (not driver-bounded at 100 TB), so the key join is
+    // pinned shuffle-side — auto-broadcast of a per-key histogram is
+    // exactly the corpus-sized-broadcast trap
+    co.hint("shuffle_hash").join(cl, "k")
       .select($"k", ($"n_o" * $"n_l").as("contrib"))
       .groupBy()
       .agg(sum($"contrib").as("join_rows"),
         count(lit(1)).as("matched_keys"),
-        max(struct($"contrib", (-$"k").as("nk"), $"k")).as("m"))
+        expr("element_at(top_k_ids(k, CAST(contrib AS DOUBLE), 1), 1)").as("m"))
       .select($"join_rows", $"matched_keys",
-        $"m.k".as("heaviest_key"), $"m.contrib".as("heaviest_rows"),
-        ($"m.contrib".cast("double") * $"matched_keys".cast("double") /
+        $"m.id".as("heaviest_key"),
+        $"m.score".cast("bigint").as("heaviest_rows"),
+        ($"m.score" * $"matched_keys".cast("double") /
           $"join_rows".cast("double") * 1000000.0).as("skew_ppm"))
   }
 }
