@@ -121,6 +121,7 @@ object GmallRegistry {
     "basket_lift_pairs" -> (AnalyticsOps.basketLiftPairs _),
     "user_recency_score" -> (TimeSeriesOps.userRecencyScore _),
     "ts_rolling_uv_7d" -> (TimeSeriesOps.rollingUv _),
+    "ts_rolling_uv_bitmap" -> (TimeSeriesOps.rollingUvBitmap _),
     "stats_ks_drift" -> (StatsOps.ksDrift _),
     "stats_join_cardinality" -> (StatsOps.joinCardinality _),
     "stats_value_histogram" -> (StatsOps.valueHistogram _),
@@ -1374,6 +1375,17 @@ object GmallRegistry {
         |  FROM byday)
         |SELECT strftime(wday, '%Y-%m-%d') AS day, count(*) AS uv_7d
         |FROM fan GROUP BY 1 ORDER BY day""".stripMargin,
+    // anchors are event-bearing days only (the serving-store rows) —
+    // see the rollingUvBitmap scaladoc for the contrast with _7d
+    "ts_rolling_uv_bitmap" ->
+      s"""WITH byday AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d FROM byday)
+        |SELECT strftime(a.d, '%Y-%m-%d') AS day,
+        |  count(DISTINCT b.user_id) AS uv_7d
+        |FROM days a JOIN byday b
+        |  ON b.d BETWEEN a.d - ${TimeSeriesOps.RollingDays - 1} AND a.d
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     // exact-count KS: cumulative histogram gap maximized in longs, one
     // double division for the ppm scaling (same order of ops as Spark)
     "stats_ks_drift" ->

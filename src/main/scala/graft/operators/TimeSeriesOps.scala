@@ -317,4 +317,32 @@ object TimeSeriesOps {
       .groupBy(date_format($"wday", "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("uv_7d"))
   }
+
+  /** `ts_rolling_uv_bitmap`: trailing-[[RollingDays]] UV from the
+    * per-day EXACT bitmap store — the 100 TB path for rolling
+    * distincts. [[rollingUv]]'s shift-and-count pays
+    * [[RollingDays]]× the distinct (user, day) table per recompute;
+    * here the corpus is touched ONCE to build one bitmap blob per day
+    * (the same artifact
+    * [[graft.operators.WindowOps.uvBitmapRollup]] serves), and each
+    * anchor day unions ≤[[RollingDays]] blobs — day-domain-sized work,
+    * so refreshing the window after a new day lands costs 7 blob
+    * merges, not a corpus pass.
+    *
+    * Semantics note: anchors are days WITH events (the serving-store
+    * rows), whereas [[rollingUv]] also emits event-less days inside a
+    * contributor's reach; on gap-free calendars the two agree row for
+    * row (RollingUvSpec pins both).
+    */
+  def rollingUvBitmap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftexpr.GraftBitmap
+    val daily = events(spark, dir)
+      .select(to_date($"ts").as("d"), $"user_id")
+      .groupBy($"d").agg(GraftBitmap.build($"user_id").as("bm"))
+    val anchors = daily.select($"d".as("ad"))
+    anchors.join(daily,
+        datediff($"ad", $"d").between(0, RollingDays - 1))
+      .groupBy(date_format($"ad", "yyyy-MM-dd").as("day"))
+      .agg(GraftBitmap.card(GraftBitmap.union($"bm")).as("uv_7d"))
+  }
 }

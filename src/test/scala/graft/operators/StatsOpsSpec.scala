@@ -107,6 +107,23 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(df.exceptAll(naive).count() === 0 && naive.exceptAll(df).count() === 0)
   }
 
+  test("rollingUvBitmap equals rollingUv on a gap-free calendar; anchors only on event days") {
+    // fixture calendar is gap-free -> the two forms agree row for row
+    val a = TimeSeriesOps.rollingUv(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = TimeSeriesOps.rollingUvBitmap(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // with a calendar gap, the bitmap form anchors only on event days
+    val t = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val dir = eventsDir(Seq(
+      (1L, t(1), 100L, "view", 1.0),
+      (2L, t(10), 200L, "view", 1.0)))
+    val gotB = TimeSeriesOps.rollingUvBitmap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(gotB === Seq(("2024-01-01", 1L), ("2024-01-10", 1L)))
+  }
+
   test("rollingUv dominates the per-day UV and is bounded by the 7-day union") {
     val rolling = TimeSeriesOps.rollingUv(spark, sf)
     val daily = graft.Tables.events(spark, sf)
