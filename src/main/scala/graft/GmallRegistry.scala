@@ -126,6 +126,7 @@ object GmallRegistry {
     "stats_join_cardinality" -> (StatsOps.joinCardinality _),
     "stats_value_histogram" -> (StatsOps.valueHistogram _),
     "agg_multi_distinct" -> (StatsOps.multiDistinctDaily _),
+    "dq_functional_deps" -> (QualityOps.functionalDeps _),
     "dq_constraints" -> (QualityOps.constraints _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1187,6 +1188,19 @@ object GmallRegistry {
         |  a.n_parts AS a_parts, b.n_parts AS b_parts
         |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+    "dq_functional_deps" -> {
+      def dep(tbl: String, a: String, b: String) =
+        s"""SELECT '$tbl' AS tbl, '$a' AS lhs, '$b' AS rhs,
+           |  count(*) AS n_lhs,
+           |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           |  sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $a, count(DISTINCT $b) AS nb FROM $tbl GROUP BY 1)""".stripMargin
+      Seq(dep("part", "p_partkey", "p_brand"),
+        dep("part", "p_brand", "p_type"),
+        dep("customer", "c_nationkey", "c_mktsegment"),
+        dep("orders", "o_orderkey", "o_orderdate"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, lhs, rhs")
+    },
     // scalar-subquery replay: NOT EXISTS (not LEFT JOIN) so a duplicated
     // dimension key can never multiply the checked side
     "dq_constraints" ->

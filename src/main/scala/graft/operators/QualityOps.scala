@@ -117,4 +117,33 @@ object QualityOps {
       lineitem(spark, dir), "l_orderkey", orders(spark, dir), "o_orderkey")
     ev.union(li).union(cust).union(fkOrders).union(fkLine)
   }
+
+  /** `dq_functional_deps`: functional-dependency discovery over a fixed
+    * candidate list — does column A determine column B? The profiling
+    * primitive behind schema inference, normalization advice and silent
+    * denormalization-drift alarms (an FD that held for years breaking
+    * is usually an upstream join bug). A→B holds iff no A value maps
+    * to more than one distinct B; the report counts violating A values
+    * exactly.
+    *
+    * Scale shape: per candidate one (A-keyed, map-side-combined)
+    * aggregation with a single `countDistinct` — the one-distinct form
+    * rewrites WITHOUT the Expand multiplication — folded to a 1-row
+    * census; candidates union to a report of candidate-list size.
+    */
+  def functionalDeps(spark: SparkSession, dir: String): DataFrame = {
+    def dep(table: String, df: DataFrame, a: String, b: String): DataFrame =
+      df.select(col(a).as("a"), col(b).as("b"))
+        .groupBy($"a").agg(count_distinct($"b").as("nb"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when($"nb" > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(table).as("tbl"), lit(a).as("lhs"), lit(b).as("rhs"),
+          $"n_lhs", $"n_violating", ($"n_violating" === 0L).as("holds"))
+    dep("part", part(spark, dir), "p_partkey", "p_brand")
+      .unionByName(dep("part", part(spark, dir), "p_brand", "p_type"))
+      .unionByName(dep("customer", customer(spark, dir),
+        "c_nationkey", "c_mktsegment"))
+      .unionByName(dep("orders", orders(spark, dir),
+        "o_orderkey", "o_orderdate"))
+  }
 }

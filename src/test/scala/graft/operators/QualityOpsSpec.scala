@@ -78,4 +78,21 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(got("customer_custkey_unique")._1 === 0L)
     assert(got.size === 7)
   }
+
+  test("functional deps: keys hold, non-keys violate with exact counts") {
+    val got = QualityOps.functionalDeps(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // a primary key determines everything
+    val (nKeys, vKeys, holdsKeys) = got(("orders", "o_orderkey", "o_orderdate"))
+    assert(holdsKeys && vKeys === 0L)
+    assert(nKeys === graft.Tables.orders(spark, "/root/testdata/sf0.001").count())
+    // brand -> type does NOT hold; violation count replayed by hand
+    val expectViolating = graft.Tables.part(spark, "/root/testdata/sf0.001")
+      .select("p_brand", "p_type")
+      .distinct().groupBy("p_brand").count()
+      .filter("count > 1").count()
+    val (_, vBrand, holdsBrand) = got(("part", "p_brand", "p_type"))
+    assert(!holdsBrand && vBrand === expectViolating)
+  }
 }
