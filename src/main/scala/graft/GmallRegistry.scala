@@ -109,6 +109,7 @@ object GmallRegistry {
     "events_markov_transitions" -> (FunnelOps.markovTransitions _),
     "dq_documents" -> (QualityOps.documentConstraints _),
     "retention_cohorts" -> (FunnelOps.retentionCohorts _),
+    "retention_bitmap" -> (FunnelOps.retentionBitmap _),
     "j14_fuzzy_join" -> (RelationalOps.fuzzyBlockedJoin _),
     "j15_linear_attribution" -> (RelationalOps.linearAttribution _),
     "q9_product_profit" -> (AnalyticsOps.productTypeProfit _),
@@ -1090,6 +1091,18 @@ object GmallRegistry {
         |  (SELECT CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents),
         |  (SELECT count(*) FROM documents)""".stripMargin,
     "retention_cohorts" ->
+      """WITH byday AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohort AS (SELECT user_id, min(d) AS c0 FROM byday GROUP BY 1),
+        |sizes AS (SELECT c0, count(*) AS cohort_users FROM cohort GROUP BY 1),
+        |cells AS (SELECT c.c0, CAST(datediff('day', c.c0, b.d) AS BIGINT) AS day_offset,
+        |    count(*) AS users
+        |  FROM byday b JOIN cohort c ON c.user_id = b.user_id GROUP BY 1, 2)
+        |SELECT strftime(x.c0, '%Y-%m-%d') AS cohort, x.day_offset, x.users,
+        |  CAST(x.users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE) AS retained_share
+        |FROM cells x JOIN sizes s ON s.c0 = x.c0""".stripMargin,
+    // identical numbers to retention_cohorts (the bitmap-algebra path
+    // is an implementation strategy, not a semantic change)
+    "retention_bitmap" ->
       """WITH byday AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |cohort AS (SELECT user_id, min(d) AS c0 FROM byday GROUP BY 1),
         |sizes AS (SELECT c0, count(*) AS cohort_users FROM cohort GROUP BY 1),

@@ -101,6 +101,37 @@ object FunnelOps {
         $"users", ($"users".cast("double") / $"cohort_users".cast("double")).as("retained_share"))
   }
 
+  /** `retention_bitmap`: the day-N retention matrix computed as bitmap
+    * algebra — cohort bitmaps (users by FIRST-seen day) intersected
+    * with daily-activity bitmaps from the
+    * [[graft.operators.WindowOps.uvBitmapRollup]] store. Same numbers
+    * as [[retentionCohorts]] (the spec pins equality), but the join
+    * that produces them is DAY-DOMAIN-sized: after two corpus passes
+    * (first-seen fold, daily bitmaps) every (cohort, day) cell is one
+    * `bitmap_and_card` merge-walk of two blobs — recomputing the whole
+    * matrix after a new day lands touches no fact rows at all, which
+    * is why serving layers store the blobs.
+    */
+  def retentionBitmap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftexpr.GraftBitmap
+    val byDay = events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val cohorts = byDay.groupBy($"user_id").agg(min($"d").as("c0"))
+      .groupBy($"c0").agg(GraftBitmap.build($"user_id").as("cbm"),
+        count(lit(1)).as("cohort_users"))
+    val daily = byDay.groupBy($"d")
+      .agg(GraftBitmap.build($"user_id").as("dbm"))
+    cohorts.join(daily, datediff($"d", $"c0") >= 0)
+      .select(date_format($"c0", "yyyy-MM-dd").as("cohort"),
+        datediff($"d", $"c0").cast("bigint").as("day_offset"),
+        GraftBitmap.andCard($"cbm", $"dbm").as("users"),
+        $"cohort_users")
+      .filter($"users" > 0)
+      .select($"cohort", $"day_offset", $"users",
+        ($"users".cast("double") / $"cohort_users".cast("double"))
+          .as("retained_share"))
+  }
+
   /** Events kept per session for the path signature — production path
     * reporting always caps the prefix, both to bound the string and
     * because navigation interest is in how journeys START.

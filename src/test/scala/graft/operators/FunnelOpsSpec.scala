@@ -135,4 +135,15 @@ class FunnelOpsSpec extends AnyFunSuite {
     assert(expect.values.sum ===
       raw.groupBy(_._1).values.map(es => math.max(0, es.length - 1)).sum)
   }
+
+  test("retentionBitmap reproduces retentionCohorts cell for cell") {
+    val sf = "/root/testdata/sf0.001"
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val a = m(FunnelOps.retentionCohorts(spark, sf))
+    val b = m(FunnelOps.retentionBitmap(spark, sf))
+    assert(a === b,
+      "bitmap algebra is an implementation strategy, not a semantic change")
+  }
 }
