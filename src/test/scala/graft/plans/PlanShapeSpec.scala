@@ -328,4 +328,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("stats argmax folds are ObjectHashAggregate, never SortAggregate") {
+    // max(struct(...)) would silently plan SortAggregate (structs have
+    // no mutable buffer) and sort the whole key histogram / cent
+    // domain — the OHLC lesson at the fold edge; the bounded heap
+    // keeps the hash shape
+    Seq("stats_join_cardinality", "stats_ks_drift").foreach { name =>
+      val plan = planString(q(name))
+      assert(!plan.contains("SortAggregate"), s"$name:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"), s"$name:\n$plan")
+    }
+  }
+
+  test("join-cardinality histograms join shuffle-side, never broadcast") {
+    // both count histograms are fact-key-sized — not driver-bounded
+    val plan = planString(q("stats_join_cardinality"))
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("inverted index: postings capped by the heap, no rank window") {
+    val plan = planString(q("ir_inverted_index"))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("PMI pairs: generation is narrow; unigram joins shuffle-hash, not broadcast") {
+    val plan = planString(q("text_cooccurrence_pmi"))
+    // the vocabulary-sized unigram table must not broadcast; the two
+    // 1-row totals may
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastNestedLoopJoin BuildRight, Inner"), plan)
+  }
+
+  test("bitmap rollup: two keyed exchanges (hour build, day union), hash aggregates") {
+    val df = q("dws_uv_bitmap_rollup")
+    assert(countShuffles(df) === 2, planString(df))
+    assert(!planString(df).contains("SortAggregate"), planString(df))
+  }
 }
