@@ -126,6 +126,8 @@ object GmallRegistry {
     "stats_ks_drift" -> (StatsOps.ksDrift _),
     "stats_join_cardinality" -> (StatsOps.joinCardinality _),
     "stats_value_histogram" -> (StatsOps.valueHistogram _),
+    "stats_auc_exact" -> (StatsOps.rankSumDrift _),
+    "dq_recon_full_outer" -> (StatsOps.reconFullOuter _),
     "agg_multi_distinct" -> (StatsOps.multiDistinctDaily _),
     "dq_functional_deps" -> (QualityOps.functionalDeps _),
     "dq_constraints" -> (QualityOps.constraints _))
@@ -1450,6 +1452,45 @@ object GmallRegistry {
         |  n, sum_cents,
         |  CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) * 1000000.0 AS share_ppm
         |FROM h, t ORDER BY bin_lo_cents""".stripMargin,
+    // doubled midranks keep the tie-corrected rank sum integral; AUC is
+    // the one double division (same parenthesization as the operator)
+    "stats_auc_exact" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |h AS (SELECT v,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT v, ca, cb,
+        |    CAST(sum(ca + cb) OVER (ORDER BY v) AS BIGINT) AS cumall
+        |  FROM h),
+        |r AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(sum(ca * ((cumall - (ca + cb)) * 2 + (ca + cb) + 1)) AS BIGINT) AS sr2a
+        |  FROM c)
+        |SELECT na AS n_purchase, nb AS n_click,
+        |  CAST(sr2a - na * (na + 1) AS BIGINT) AS u2_purchase,
+        |  CAST(sr2a - na * (na + 1) AS DOUBLE) /
+        |    (2.0 * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS auc
+        |FROM r""".stripMargin,
+    "dq_recon_full_outer" ->
+      """WITH o AS (SELECT o_orderdate AS d,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS cents_orders
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT o.o_orderdate AS d,
+        |    CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS cents_lines
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1)
+        |SELECT strftime(coalesce(o.d, l.d), '%Y-%m-%d') AS day,
+        |  coalesce(cents_orders, 0) AS cents_orders,
+        |  coalesce(cents_lines, 0) AS cents_lines,
+        |  CAST(coalesce(cents_lines, 0) - coalesce(cents_orders, 0) AS BIGINT)
+        |    AS diff_cents
+        |FROM o FULL OUTER JOIN l ON o.d = l.d
+        |ORDER BY day""".stripMargin,
     "agg_multi_distinct" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
         |  count(DISTINCT user_id) AS uv,

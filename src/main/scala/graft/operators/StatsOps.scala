@@ -130,6 +130,77 @@ object StatsOps {
     n.join(uv, "day").join(types, "day")
   }
 
+  /** Exact Mann–Whitney U / AUC between the purchase and click `value`
+    * samples — the rank-based drift test next to [[ksDrift]], and
+    * simultaneously the EXACT ROC-AUC of `value` as a
+    * purchase-vs-click discriminator (U/(n_a·n_b) IS the AUC), the
+    * evaluation statistic every scoring pipeline reports.
+    *
+    * Tie-corrected and fully integer: with midranks doubled to stay
+    * integral, a value v with t_v tied rows contributes
+    * ca_v·(2·cum_before(v) + t_v + 1) to 2R_a, so 2U_a =
+    * Σ… − n_a(n_a+1) accumulates exactly; the only float op is the
+    * final AUC division. Same histogram-then-cumulative decomposition
+    * as [[ksDrift]] — the corpus pass is one partial aggregation, the
+    * rank walk runs over the bounded distinct-cent domain.
+    */
+  def rankSumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    val e = events(spark, dir)
+      .filter($"event_type".isin("purchase", "click"))
+      .select($"event_type", cents.as("v"))
+    val hist = e.groupBy($"v")
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("ca"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cumall", sum($"ca" + $"cb").over(w))
+      .select($"ca", $"cb",
+        ($"ca" * (($"cumall" - ($"ca" + $"cb")) * 2L + ($"ca" + $"cb") + 1L))
+          .as("r2a"))
+      .groupBy()
+      .agg(sum($"ca").as("na"), sum($"cb").as("nb"), sum($"r2a").as("sr2a"))
+      .select($"na".as("n_purchase"), $"nb".as("n_click"),
+        ($"sr2a" - $"na" * ($"na" + 1L)).as("u2_purchase"),
+        ((($"sr2a" - $"na" * ($"na" + 1L)).cast("double")) /
+          (lit(2.0) * ($"na".cast("double") * $"nb".cast("double"))))
+          .as("auc"))
+  }
+
+  /** Full-outer reconciliation of two revenue pipelines — daily totals
+    * from the order headers vs re-derived from the line items — the
+    * audit every dual-sourced warehouse runs to catch silent drift
+    * between a rollup and its recompute. Full-outer on the day key so
+    * a day present in only ONE pipeline surfaces as a row (coalesced
+    * zeros), never vanishes; the known header-vs-lines pricing gap
+    * (totalprice carries tax) makes the diff column honestly nonzero,
+    * which is exactly what the report is for.
+    *
+    * Scale shape: each side reduces to day-keyed cents first
+    * (map-side-combined; the lineitem side re-keys through its order
+    * join on the join key, not the fact); the full-outer joins two
+    * day-domain-sized aggregates.
+    */
+  def reconFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val fromOrders = orders(spark, dir)
+      .groupBy($"o_orderdate".as("d"))
+      .agg(sum((RelationalOps.dec($"o_totalprice") * 100).cast("long"))
+        .as("cents_orders"))
+    val fromLines = lineitem(spark, dir)
+      .select($"l_orderkey",
+        (RelationalOps.dec($"l_extendedprice") * 100).cast("long").as("cents"))
+      .join(orders(spark, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderdate".as("d"))
+      .agg(sum($"cents").as("cents_lines"))
+    fromOrders.join(fromLines, Seq("d"), "full_outer")
+      .select(date_format($"d", "yyyy-MM-dd").as("day"),
+        coalesce($"cents_orders", lit(0L)).as("cents_orders"),
+        coalesce($"cents_lines", lit(0L)).as("cents_lines"))
+      .withColumn("diff_cents", $"cents_lines" - $"cents_orders")
+  }
+
   /** Join-cardinality estimate from per-key count histograms — the
     * statistic a cost-based planner (or a human sizing a 100 TB join)
     * needs BEFORE running the join: exact output rows of

@@ -83,6 +83,39 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("rankSumDrift: exact AUC on separable, tied and interleaved samples") {
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // perfectly separable: every purchase outranks every click -> AUC 1
+    val sep = eventsDir(Seq(
+      (1L, ts, 1L, "purchase", 3.00), (2L, ts, 2L, "purchase", 4.00),
+      (3L, ts, 3L, "click", 1.00), (4L, ts, 4L, "click", 2.00)))
+    val r1 = StatsOps.rankSumDrift(spark, sep).collect()(0)
+    assert(r1.getLong(2) === 8L) // 2U = 2 * n_a*n_b
+    assert(r1.getDouble(3) === 1.0)
+    // all tied -> AUC exactly 0.5 via the midrank correction
+    val tie = eventsDir(Seq(
+      (1L, ts, 1L, "purchase", 2.00), (2L, ts, 2L, "click", 2.00)))
+    val r2 = StatsOps.rankSumDrift(spark, tie).collect()(0)
+    assert(r2.getLong(2) === 1L && r2.getDouble(3) === 0.5)
+    // interleaved: a=200 beats b=100, loses to b=300 -> U=1, AUC=0.5
+    val mix = eventsDir(Seq(
+      (1L, ts, 1L, "purchase", 2.00),
+      (2L, ts, 2L, "click", 1.00), (3L, ts, 3L, "click", 3.00)))
+    val r3 = StatsOps.rankSumDrift(spark, mix).collect()(0)
+    assert(r3.getLong(2) === 2L && r3.getDouble(3) === 0.5)
+  }
+
+  test("reconFullOuter: every order day appears; diffs equal the independent recompute") {
+    val out = StatsOps.reconFullOuter(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val nDays = graft.Tables.orders(spark, sf)
+      .select(date_format($"o_orderdate", "yyyy-MM-dd")).distinct().count()
+    assert(out.size.toLong === nDays)
+    out.foreach { case (_, (o, l, d)) => assert(d === l - o) }
+    // lines-side totals exclude tax -> at least one honest mismatch
+    assert(out.values.exists(_._3 != 0L))
+  }
+
   test("valueHistogram: bins partition the corpus exactly") {
     val rows = StatsOps.valueHistogram(spark, sf).collect()
     val total = graft.Tables.events(spark, sf).count()
