@@ -57,6 +57,7 @@ object LlmRegistry {
     "sim_knn_graph" -> (Similarity.knnGraph _),
     "sim_hard_negatives" -> (Similarity.hardNegatives _),
     "sim_knn_classify" -> (Similarity.knnClassify _),
+    "eval_confusion_matrix" -> (Similarity.confusionMatrix _),
     "graph_pagerank" -> (GraphRank.pagerank _),
     "graph_triangle_count" -> (GraphRank.triangleCount _),
     "graph_edge_jaccard" -> (GraphRank.edgeJaccard _),
@@ -169,6 +170,24 @@ object LlmRegistry {
 
   private lazy val knnGraphSql: String =
     knnLikeSql("TRUE", "neighbor", Similarity.KnnK)
+
+  /** k-NN classifier CTE chain ending in `pred(vec_id, label,
+    * predicted, votes, correct)` — shared by the classifier oracle and
+    * the confusion-matrix rollup built on it.
+    */
+  private lazy val knnClassifyCtes: String =
+    s"""knn AS ($knnGraphSql),
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+       |votes AS (SELECT k.vec_id, l.lbl, count(*) AS votes
+       |  FROM knn k JOIN lab l ON k.neighbor = l.vec_id GROUP BY 1, 2),
+       |best AS (SELECT vec_id, lbl AS predicted, votes,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, lbl) AS rn
+       |  FROM votes),
+       |pred AS (SELECT b.vec_id AS vec_id, a.lbl AS label, b.predicted,
+       |    CAST(b.votes AS BIGINT) AS votes,
+       |    CAST(CASE WHEN a.lbl = b.predicted THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |  FROM best b JOIN lab a ON a.vec_id = b.vec_id
+       |  WHERE b.rn = 1)""".stripMargin
 
   // the bigram-LM fluency body, ORDER-BY-free so text_lm_score and
   // pipeline_curriculum share one definition
@@ -862,18 +881,27 @@ object LlmRegistry {
     // majority vote over the knn CTE: most votes, lowest label — the
     // Spark struct-max (votes, -label) replayed as a ranking window
     "sim_knn_classify" ->
-      s"""WITH knn AS ($knnGraphSql),
-         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
-         |votes AS (SELECT k.vec_id, l.lbl, count(*) AS votes
-         |  FROM knn k JOIN lab l ON k.neighbor = l.vec_id GROUP BY 1, 2),
-         |best AS (SELECT vec_id, lbl AS predicted, votes,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, lbl) AS rn
-         |  FROM votes)
-         |SELECT b.vec_id AS vec_id, a.lbl AS label, b.predicted,
-         |  CAST(b.votes AS BIGINT) AS votes,
-         |  CAST(CASE WHEN a.lbl = b.predicted THEN 1 ELSE 0 END AS BIGINT) AS correct
-         |FROM best b JOIN lab a ON a.vec_id = b.vec_id
-         |WHERE b.rn = 1 ORDER BY b.vec_id""".stripMargin,
+      s"""WITH $knnClassifyCtes
+         |SELECT vec_id, label, predicted, votes, correct
+         |FROM pred ORDER BY vec_id""".stripMargin,
+    // confusion cells + per-cell shares of the actual-label row and the
+    // predicted-label column (recall / precision contributions); the
+    // label domain is bounded so the matrix is dimension-sized
+    "eval_confusion_matrix" ->
+      s"""WITH $knnClassifyCtes,
+         |cells AS (SELECT label, predicted, count(*) AS n
+         |  FROM pred GROUP BY 1, 2),
+         |rt AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_label
+         |  FROM cells GROUP BY 1),
+         |ct AS (SELECT predicted, CAST(sum(n) AS BIGINT) AS n_pred
+         |  FROM cells GROUP BY 1)
+         |SELECT c.label, c.predicted, c.n,
+         |  CAST(c.n AS DOUBLE) / CAST(rt.n_label AS DOUBLE) AS row_share,
+         |  CAST(c.n AS DOUBLE) / CAST(ct.n_pred AS DOUBLE) AS col_share
+         |FROM cells c
+         |JOIN rt ON c.label = rt.label
+         |JOIN ct ON c.predicted = ct.predicted
+         |ORDER BY c.label, c.predicted""".stripMargin,
     // exact fixed-point power iteration over the knn edges, unrolled —
     // every round re-CASTs to BIGINT because DuckDB sums widen to
     // HUGEINT while Spark stays in long

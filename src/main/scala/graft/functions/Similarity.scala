@@ -203,6 +203,30 @@ object Similarity {
         when($"lbl" === $"predicted", 1L).otherwise(0L).as("correct"))
   }
 
+  /** `eval_confusion_matrix`: exact confusion cells of the
+    * [[knnClassify]] predictions plus each cell's share of its
+    * actual-label row (the recall contribution) and predicted-label
+    * column (the precision contribution) — the model-eval artifact a
+    * labeling/distillation pipeline materializes next to its
+    * predictions.
+    *
+    * Scale shape: one pass over the prediction table into a
+    * label×label-bounded cell aggregate; the row/column totals derive
+    * from the cells themselves (dimension-sized) and join back as
+    * broadcasts.
+    */
+  def confusionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = knnClassify(spark, dir)
+      .groupBy($"label", $"predicted").agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy($"label").agg(sum($"n").as("n_label"))
+    val colTot = cells.groupBy($"predicted").agg(sum($"n").as("n_pred"))
+    cells.join(broadcast(rowTot), "label")
+      .join(broadcast(colTot), "predicted")
+      .select($"label", $"predicted", $"n",
+        ($"n".cast("double") / $"n_label".cast("double")).as("row_share"),
+        ($"n".cast("double") / $"n_pred".cast("double")).as("col_share"))
+  }
+
   /** Negatives kept per anchor in [[hardNegatives]]. */
   val HardNegK = 5
 
