@@ -13,6 +13,7 @@ import LogPipeline.LogEvent
   */
 class StateRestartSpec extends AnyFunSuite {
   case class O4(event_id: Long, event_type: String, value: Double, ts: Long)
+  case class E3(user_id: Long, event_type: String, ts: Long)
   lazy val spark = TestSpark.spark
   implicit lazy val enc = Encoders.product[LogEvent]
 
@@ -64,5 +65,38 @@ class StateRestartSpec extends AnyFunSuite {
       .select($"open", $"high", $"low", $"close", $"vol_cents")
       .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
     assert(got.toSeq === Seq((7.0, 9.0, 5.0, 9.0, 2100L)))
+  }
+
+  test("bitmap window state survives restart: exact UV across the stop, blob canonical") {
+    import graft.ColStr
+    val work = Files.createTempDirectory("restart-bm").toString
+    implicit val eEnc: org.apache.spark.sql.Encoder[E3] = Encoders.product[E3]
+    val h0 = 1700000000000L - (1700000000000L % 3600000L)
+    val ms = MemoryStream[E3](eEnc, spark)
+    val out = WindowedAggs.uvBitmapPerWindow(ms.toDF())
+    def start() = out.writeStream.outputMode("append")
+      .format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt").start()
+
+    val q1 = start()
+    ms.addData((1 to 30).map(u => E3(u.toLong, "c", h0 + u * 1000L)): _*)
+    q1.processAllAvailable(); q1.stop()
+
+    val q2 = start() // open window's bitmap buffer must be recovered
+    ms.addData((21 to 50).map(u => E3(u.toLong, "c", h0 + u * 1000L)): _*)
+    ms.addData(E3(999, "z", h0 + 3 * 3600000L)) // close the window
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(s"$work/out")
+      .where($"uv" > 1).collect()
+    assert(rows.length === 1)
+    // exact across the restart: 50 distinct, not 60 events
+    assert(rows.head.getLong(2) === 50L)
+    import spark.implicits.{localSeqToDatasetHolder, newLongEncoder}
+    val batch = (1L to 50L).toDF("k")
+      .agg(org.apache.spark.sql.graftexpr.GraftBitmap.build($"k"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(rows.head.getAs[Array[Byte]](1), batch),
+      "recovered-state blob must stay canonical")
   }
 }
