@@ -127,6 +127,7 @@ object GmallRegistry {
     "stats_join_cardinality" -> (StatsOps.joinCardinality _),
     "stats_value_histogram" -> (StatsOps.valueHistogram _),
     "stats_auc_exact" -> (StatsOps.rankSumDrift _),
+    "eval_pr_curve" -> (StatsOps.prCurve _),
     "dq_recon_full_outer" -> (StatsOps.reconFullOuter _),
     "agg_multi_distinct" -> (StatsOps.multiDistinctDaily _),
     "dq_functional_deps" -> (QualityOps.functionalDeps _),
@@ -1474,6 +1475,24 @@ object GmallRegistry {
         |  CAST(sr2a - na * (na + 1) AS DOUBLE) /
         |    (2.0 * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS auc
         |FROM r""".stripMargin,
+    "eval_pr_curve" ->
+      s"""WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |b AS (SELECT v // ${StatsOps.HistBinCents} AS bin,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pa,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS pb
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(pa) AS BIGINT) AS na FROM b),
+        |c AS (SELECT bin,
+        |    CAST(sum(pa) OVER (ORDER BY bin DESC) AS BIGINT) AS tp,
+        |    CAST(sum(pb) OVER (ORDER BY bin DESC) AS BIGINT) AS fp
+        |  FROM b)
+        |SELECT CAST(bin * ${StatsOps.HistBinCents} AS BIGINT) AS threshold_cents,
+        |  tp, fp,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        |  CAST(tp AS DOUBLE) / CAST(na AS DOUBLE) AS recall
+        |FROM c, t ORDER BY threshold_cents""".stripMargin,
     "dq_recon_full_outer" ->
       """WITH o AS (SELECT o_orderdate AS d,
         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)

@@ -168,6 +168,38 @@ object StatsOps {
           .as("auc"))
   }
 
+  /** Exact precision–recall curve for `value` as a purchase-vs-click
+    * score, evaluated at the [[HistBinCents]] bin thresholds — the
+    * operating-point table that turns [[rankSumDrift]]'s single AUC
+    * into deployable thresholds. At each threshold t: predict
+    * "purchase" iff value ≥ t; TP/FP come from cumulative-from-above
+    * sums over the bin histogram, so precision and recall are two
+    * double divisions over exact integers per row.
+    *
+    * Scale shape: one corpus pass onto the bounded bin domain; the
+    * descending cumulative window runs over bins only.
+    */
+  def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    val e = events(spark, dir)
+      .filter($"event_type".isin("purchase", "click"))
+      .select($"event_type", cents.as("v"))
+    val bins = e.groupBy(expr(s"v div $HistBinCents").as("bin"))
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("pa"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("pb"))
+    val totals = e.groupBy()
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("na"))
+    val w = Window.orderBy($"bin".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("tp", sum($"pa").over(w))
+      .withColumn("fp", sum($"pb").over(w))
+      .join(broadcast(totals))
+      .select(($"bin" * HistBinCents).as("threshold_cents"), $"tp", $"fp",
+        ($"tp".cast("double") / ($"tp" + $"fp").cast("double")).as("precision"),
+        ($"tp".cast("double") / $"na".cast("double")).as("recall"))
+  }
+
   /** Full-outer reconciliation of two revenue pipelines — daily totals
     * from the order headers vs re-derived from the line items — the
     * audit every dual-sourced warehouse runs to catch silent drift

@@ -105,6 +105,24 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(r3.getLong(2) === 2L && r3.getDouble(3) === 0.5)
   }
 
+  test("prCurve: monotone recall, lowest threshold recalls everything, counts exact") {
+    val rows = StatsOps.prCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // recall decreases as the threshold rises; at the lowest it's 1.0
+    assert(rows.head._5 === 1.0)
+    rows.sliding(2).foreach {
+      case Array(lo, hi) => assert(lo._5 >= hi._5); case _ =>
+    }
+    val na = graft.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(rows.head._2 === na, "lowest threshold's TP = all purchases")
+    rows.foreach { case (_, tp, fp, p, r) =>
+      assert(p === tp.toDouble / (tp + fp).toDouble && r === tp.toDouble / na.toDouble)
+    }
+  }
+
   test("reconFullOuter: every order day appears; diffs equal the independent recompute") {
     val out = StatsOps.reconFullOuter(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
