@@ -123,6 +123,7 @@ object GmallRegistry {
     "user_recency_score" -> (TimeSeriesOps.userRecencyScore _),
     "ts_rolling_uv_7d" -> (TimeSeriesOps.rollingUv _),
     "ts_rolling_uv_bitmap" -> (TimeSeriesOps.rollingUvBitmap _),
+    "ts_cusum_daily" -> (TimeSeriesOps.cusumDaily _),
     "stats_ks_drift" -> (StatsOps.ksDrift _),
     "stats_join_cardinality" -> (StatsOps.joinCardinality _),
     "stats_value_histogram" -> (StatsOps.valueHistogram _),
@@ -1416,6 +1417,30 @@ object GmallRegistry {
         |FROM days a JOIN byday b
         |  ON b.d BETWEEN a.d - ${TimeSeriesOps.RollingDays - 1} AND a.d
         |GROUP BY 1 ORDER BY day""".stripMargin,
+    // the clamped recursion replayed as a recursive CTE over the
+    // row_number-ordered day rows (bounded domain on both engines)
+    "ts_cusum_daily" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(sum(n) AS BIGINT) // count(*) AS mean_n FROM daily),
+        |dd AS (SELECT d, CAST(n AS BIGINT) AS n,
+        |    CAST(n - mean_n AS BIGINT) AS dev,
+        |    row_number() OVER (ORDER BY d) AS rn
+        |  FROM daily, m),
+        |c AS (
+        |  SELECT rn, d, n, dev,
+        |    greatest(CAST(0 AS BIGINT), dev) AS sp,
+        |    least(CAST(0 AS BIGINT), dev) AS sn
+        |  FROM dd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT dd.rn, dd.d, dd.n, dd.dev,
+        |    greatest(CAST(0 AS BIGINT), c.sp + dd.dev),
+        |    least(CAST(0 AS BIGINT), c.sn + dd.dev)
+        |  FROM dd JOIN c ON dd.rn = c.rn + 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, n AS n_events, dev,
+        |  sp AS cusum_pos, sn AS cusum_neg
+        |FROM c ORDER BY day""".stripMargin,
     // exact-count KS: cumulative histogram gap maximized in longs, one
     // double division for the ppm scaling (same order of ops as Spark)
     "stats_ks_drift" ->

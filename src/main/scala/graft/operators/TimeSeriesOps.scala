@@ -345,4 +345,46 @@ object TimeSeriesOps {
       .groupBy(date_format($"ad", "yyyy-MM-dd").as("day"))
       .agg(GraftBitmap.card(GraftBitmap.union($"bm")).as("uv_7d"))
   }
+
+  /** `ts_cusum_daily`: one-sided CUSUM change detectors over the daily
+    * event count — S⁺_d = max(0, S⁺_{d−1} + dev_d), S⁻_d = min(0,
+    * S⁻_{d−1} + dev_d) against the integer mean — the classic
+    * "did the level shift" monitor a plain cumulative sum cannot
+    * express (the clamp makes it a RECURSION, not a window frame).
+    *
+    * The recursion is legal at scale because it runs over the BOUNDED
+    * day domain: the corpus reduces to one count per day (partial
+    * agg), the day rows collect into a single sorted array, and one
+    * `aggregate` fold threads the clamped state through it — the same
+    * bounded-domain-fold stance as the χ² cell fold, extended to
+    * sequential state. The oracle replays it as a recursive CTE.
+    * Deviations are exact longs (mean is the truncating integer mean).
+    */
+  def cusumDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("n"))
+    val mean = daily.agg((sum($"n").cast("long")).as("tot"),
+      count(lit(1)).as("nd"))
+      .select(expr("tot div nd").as("mean_n"))
+    daily.join(broadcast(mean))
+      .select(struct($"d", $"n", ($"n" - $"mean_n").as("dev")).as("r"))
+      .agg(sort_array(collect_list($"r")).as("ds"))
+      // slice length = size(fold): over-long is clamped, and an
+      // Int.MaxValue literal would overflow start+length inside Slice
+      .select(explode(expr(
+        """slice(
+          |  aggregate(ds,
+          |    array(named_struct(
+          |      'd', CAST('1970-01-01' AS DATE), 'n', CAST(0 AS BIGINT),
+          |      'dev', CAST(0 AS BIGINT), 'sp', CAST(0 AS BIGINT),
+          |      'sn', CAST(0 AS BIGINT))),
+          |    (acc, x) -> concat(acc, array(named_struct(
+          |      'd', x.d, 'n', x.n, 'dev', x.dev,
+          |      'sp', greatest(CAST(0 AS BIGINT), element_at(acc, -1).sp + x.dev),
+          |      'sn', least(CAST(0 AS BIGINT), element_at(acc, -1).sn + x.dev))))),
+          |  2, size(ds))""".stripMargin)).as("c"))
+      .select(date_format($"c.d", "yyyy-MM-dd").as("day"),
+        $"c.n".as("n_events"), $"c.dev".as("dev"),
+        $"c.sp".as("cusum_pos"), $"c.sn".as("cusum_neg"))
+  }
 }

@@ -134,6 +134,24 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out.values.exists(_._3 != 0L))
   }
 
+  test("cusumDaily: clamped recursion replayed by hand; level shift accumulates") {
+    val t = (d: Int, i: Int) => Timestamp.valueOf(f"2024-01-$d%02d 0$i:00:00")
+    // days 1-2: one event/day; days 3-4: three events/day.
+    // mean = 8 div 4 = 2 -> devs -1,-1,+1,+1
+    val rows = (1 to 2).map(d => (d.toLong, t(d, 1), d.toLong, "view", 1.0)) ++
+      (3 to 4).flatMap(d => (1 to 3).map(i =>
+        (d * 10L + i, t(d, i), d.toLong, "view", 1.0)))
+    val dir = eventsDir(rows)
+    val got = TimeSeriesOps.cusumDaily(spark, dir)
+      .orderBy($"day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 1L, -1L, 0L, -1L),  // sp clamps at 0, sn tracks
+      ("2024-01-02", 1L, -1L, 0L, -2L),
+      ("2024-01-03", 3L, 1L, 1L, -1L),   // shift starts recovering sn
+      ("2024-01-04", 3L, 1L, 2L, 0L)))   // sn clamps back at 0
+  }
+
   test("valueHistogram: bins partition the corpus exactly") {
     val rows = StatsOps.valueHistogram(spark, sf).collect()
     val total = graft.Tables.events(spark, sf).count()
