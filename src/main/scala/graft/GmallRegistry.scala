@@ -129,6 +129,7 @@ object GmallRegistry {
     "stats_value_histogram" -> (StatsOps.valueHistogram _),
     "stats_auc_exact" -> (StatsOps.rankSumDrift _),
     "eval_pr_curve" -> (StatsOps.prCurve _),
+    "stats_trimmed_mean" -> (StatsOps.trimmedMean _),
     "dq_recon_full_outer" -> (StatsOps.reconFullOuter _),
     "agg_multi_distinct" -> (StatsOps.multiDistinctDaily _),
     "dq_functional_deps" -> (QualityOps.functionalDeps _),
@@ -1500,6 +1501,28 @@ object GmallRegistry {
         |  CAST(sr2a - na * (na + 1) AS DOUBLE) /
         |    (2.0 * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS auc
         |FROM r""".stripMargin,
+    // exact rank-run overlap with the kept band — ties at the cut are
+    // deterministic on both engines
+    "stats_trimmed_mean" ->
+      s"""WITH h AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    count(*) AS t
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, t,
+        |    CAST(sum(t) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum
+        |  FROM h),
+        |n AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n FROM h GROUP BY 1),
+        |k AS (SELECT c.event_type, c.v,
+        |    greatest(CAST(0 AS BIGINT),
+        |      least(c.cum, n.n * ${100 - StatsOps.TrimPct} // 100) -
+        |      greatest(c.cum - c.t + 1, n.n * ${StatsOps.TrimPct} // 100 + 1) + 1)
+        |      AS kept,
+        |    n.n AS n
+        |  FROM c JOIN n ON c.event_type = n.event_type)
+        |SELECT event_type, max(n) AS n, CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CAST(CAST(sum(kept * v) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(sum(kept) AS BIGINT) AS DOUBLE) / 100.0 AS trimmed_mean
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
     "eval_pr_curve" ->
       s"""WITH e AS (SELECT event_type,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v

@@ -168,6 +168,45 @@ object StatsOps {
           .as("auc"))
   }
 
+  /** Trim percent (each tail) for [[trimmedMean]]. */
+  val TrimPct = 5L
+
+  /** Exact [[TrimPct]]%-trimmed mean of `value` per event type — the
+    * robust central-tendency metric dashboards quote when outliers
+    * poison the plain mean. No sampling, no approx-percentile: rank
+    * cutoffs are exact integers (keep ranks in
+    * [n·p div 100 + 1, n·(100−p) div 100]) and each distinct cent
+    * value contributes the exact overlap of its rank run with the kept
+    * band — so ties at the cut are handled deterministically, which
+    * `percentile_approx`-based trimming is not.
+    *
+    * Scale shape: the same histogram-then-cumulative decomposition as
+    * [[ksDrift]], keyed by event type — per-type windows run over the
+    * bounded cent domain.
+    */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    val hist = events(spark, dir)
+      .select($"event_type", cents.as("v"))
+      .groupBy($"event_type", $"v").agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy($"event_type").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = hist.groupBy($"event_type").agg(sum($"t").as("n"))
+    hist
+      .withColumn("cum", sum($"t").over(w))
+      .join(totals.hint("shuffle_hash"), "event_type")
+      .withColumn("lo", expr(s"n * $TrimPct div 100"))
+      .withColumn("hi", expr(s"n * ${100 - TrimPct} div 100"))
+      .withColumn("kept", greatest(lit(0L),
+        least($"cum", $"hi") - greatest($"cum" - $"t" + 1L, $"lo" + 1L) + 1L))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), sum($"kept").as("n_kept"),
+        sum($"kept" * $"v").as("sum_kept_cents"))
+      .select($"event_type", $"n", $"n_kept",
+        ($"sum_kept_cents".cast("double") / $"n_kept".cast("double") / 100.0)
+          .as("trimmed_mean"))
+  }
+
   /** Exact precision–recall curve for `value` as a purchase-vs-click
     * score, evaluated at the [[HistBinCents]] bin thresholds — the
     * operating-point table that turns [[rankSumDrift]]'s single AUC

@@ -134,6 +134,36 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out.values.exists(_._3 != 0L))
   }
 
+  test("trimmedMean: outlier excluded at the exact rank cut; plain mean poisoned") {
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 20 purchases: nineteen at 1.00, one wild outlier. 5% trim keeps
+    // ranks 2..19 -> outlier (rank 20) and one 1.00 (rank 1) drop.
+    val dir = eventsDir(
+      (1 to 19).map(i => (i.toLong, ts, i.toLong, "purchase", 1.00)) :+
+        (20L, ts, 20L, "purchase", 400.00))
+    val r = StatsOps.trimmedMean(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (n, kept, tm) = r("purchase")
+    assert(n === 20L && kept === 18L)
+    assert(tm === 1.0, "trimmed mean must shrug off the outlier")
+    // per-row replay of the kept-band overlap on the fixture
+    val all = graft.Tables.events(spark, sf)
+      .select($"event_type", (RelationalOps.dec($"value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = StatsOps.trimmedMean(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    all.foreach { case (t, vs) =>
+      val nn = vs.length.toLong
+      val lo = nn * StatsOps.TrimPct / 100
+      val hi = nn * (100 - StatsOps.TrimPct) / 100
+      val keptVs = vs.slice(lo.toInt, hi.toInt)
+      assert(got(t)._1 === keptVs.length.toLong, s"kept count for $t")
+      assert(got(t)._2 === keptVs.sum.toDouble / keptVs.length.toDouble / 100.0,
+        s"trimmed mean for $t")
+    }
+  }
+
   test("cusumDaily: clamped recursion replayed by hand; level shift accumulates") {
     val t = (d: Int, i: Int) => Timestamp.valueOf(f"2024-01-$d%02d 0$i:00:00")
     // days 1-2: one event/day; days 3-4: three events/day.
