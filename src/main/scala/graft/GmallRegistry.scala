@@ -94,6 +94,9 @@ object GmallRegistry {
     "profile_documents" -> (AnalyticsOps.profileDocuments _),
     "set_except" -> (AnalyticsOps.setExcept _),
     "sessionize" -> (AnalyticsOps.sessionize _),
+    "sessionize_duration_hist" -> (AnalyticsOps.sessionDurationHist _),
+    "topk_with_ties" -> (AnalyticsOps.topRevenueBrandsWithTies _),
+    "hierarchy_shares" -> (AnalyticsOps.hierarchyShares _),
     "topk_orders" -> (AnalyticsOps.topKOrders _),
     "topk_orders_agg" -> (AnalyticsOps.topKOrdersAgg _),
     "q3_shipping_priority" -> (AnalyticsOps.shippingPriority _),
@@ -931,6 +934,55 @@ object GmallRegistry {
         |EXCEPT ALL
         |SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, dt""".stripMargin,
+    "sessionize_duration_hist" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS prev_sec
+        |  FROM events),
+        |s AS (SELECT user_id, sec,
+        |    CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS is_start
+        |  FROM e),
+        |g AS (SELECT user_id, sec,
+        |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM s),
+        |sess AS (SELECT user_id, session_no, count(*) AS n_events,
+        |    max(sec) - min(sec) AS dur FROM g GROUP BY 1, 2),
+        |t AS (SELECT count(*) AS n_total FROM sess),
+        |h AS (SELECT dur // ${AnalyticsOps.SessDurBinSec} AS bin,
+        |    count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events
+        |  FROM sess GROUP BY 1)
+        |SELECT CAST(bin * ${AnalyticsOps.SessDurBinSec} AS BIGINT) AS bin_lo_sec,
+        |  CAST((bin + 1) * ${AnalyticsOps.SessDurBinSec} AS BIGINT) AS bin_hi_sec,
+        |  n_sessions, n_events,
+        |  CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE) * 1000000.0 AS share_ppm
+        |FROM h, t ORDER BY bin_lo_sec""".stripMargin,
+    "topk_with_ties" ->
+      s"""WITH rev AS (SELECT p_brand,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS revenue_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        |SELECT p_brand, revenue_cents, rnk FROM (
+        |  SELECT *, CAST(rank() OVER (ORDER BY revenue_cents DESC, p_brand) AS BIGINT) AS rnk
+        |  FROM rev)
+        |WHERE rnk <= ${AnalyticsOps.TiesK}
+        |ORDER BY rnk, p_brand""".stripMargin,
+    "hierarchy_shares" ->
+      """WITH rev AS (SELECT r_name AS region, n_name AS nation,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS revenue_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, nation, revenue_cents,
+        |  CAST(revenue_cents AS DOUBLE) /
+        |    CAST(CAST(sum(revenue_cents) OVER (PARTITION BY region) AS BIGINT) AS DOUBLE)
+        |    AS share_of_region,
+        |  CAST(revenue_cents AS DOUBLE) /
+        |    CAST(CAST(sum(revenue_cents) OVER () AS BIGINT) AS DOUBLE) AS share_of_total
+        |FROM rev ORDER BY region, nation""".stripMargin,
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,

@@ -396,6 +396,85 @@ object AnalyticsOps {
       .select($"user_id", $"session_no", $"session_start", $"n_events", $"duration_sec")
   }
 
+  /** Session-duration bin width (seconds) for [[sessionDurationHist]]. */
+  val SessDurBinSec = 300L
+
+  /** `sessionize_duration_hist`: the session-length distribution —
+    * [[sessionize]]'s sessions binned into [[SessDurBinSec]]-second
+    * buckets with exact counts, event sums and share ppm; the
+    * engagement chart every product dashboard draws over the
+    * sessionized stream. Composes the shared sessionization (same
+    * one-user-exchange shape) with the bounded-bin histogram
+    * decomposition of [[StatsOps.valueHistogram]].
+    */
+  def sessionDurationHist(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionize(spark, dir)
+    val total = s.agg(count(lit(1)).as("n_total"))
+    s.groupBy(expr(s"duration_sec div $SessDurBinSec").as("bin"))
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .join(broadcast(total))
+      .select(($"bin" * SessDurBinSec).as("bin_lo_sec"),
+        (($"bin" + 1L) * SessDurBinSec).as("bin_hi_sec"),
+        $"n_sessions", $"n_events",
+        ($"n_sessions".cast("double") / $"n_total".cast("double") * 1000000.0)
+          .as("share_ppm"))
+  }
+
+  /** Brands reported by [[topRevenueBrandsWithTies]]. */
+  val TiesK = 5
+
+  /** `topk_with_ties`: the ANSI `FETCH FIRST k ROWS WITH TIES`
+    * semantics — top-[[TiesK]] part brands by exact revenue cents,
+    * INCLUDING every brand tied with the k-th (a `rank() <= k`
+    * predicate, where `row_number() <= k` would cut ties
+    * arbitrarily). The distinction matters exactly when the metric is
+    * coarse enough to tie — leaderboards, quota cuts, dedup-rank
+    * keeps.
+    *
+    * Scale shape: revenue reduces brand-keyed first (partial agg onto
+    * the bounded brand domain); the rank window runs over that
+    * dimension-sized rollup, never over facts.
+    */
+  def topRevenueBrandsWithTies(spark: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(spark, dir)
+      .join(part(spark, dir).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(sum((dec($"l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+    rev.withColumn("rnk",
+        rank().over(Window.orderBy($"revenue_cents".desc, $"p_brand"))
+          .cast("bigint"))
+      .filter($"rnk" <= TiesK)
+      .select($"p_brand", $"revenue_cents", $"rnk")
+  }
+
+  /** `hierarchy_shares`: ratio-to-parent and ratio-to-report over the
+    * region ⊃ nation hierarchy — each nation's revenue with its share
+    * of the parent region and of the grand total, the classic
+    * percent-of-parent OLAP report (MDX's ratio-to-parent, SQL's
+    * window-sum-over-partition). One fact pass; both denominators are
+    * window sums over the nation-domain rollup, so the report adds no
+    * second fact scan.
+    */
+  def hierarchyShares(spark: SparkSession, dir: String): DataFrame = {
+    val rev = orders(spark, dir)
+      .join(customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name".as("region"), $"n_name".as("nation"))
+      .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("revenue_cents"))
+    rev
+      .withColumn("region_cents",
+        sum($"revenue_cents").over(Window.partitionBy($"region")))
+      .withColumn("total_cents",
+        sum($"revenue_cents").over(Window.partitionBy()))
+      .select($"region", $"nation", $"revenue_cents",
+        ($"revenue_cents".cast("double") / $"region_cents".cast("double"))
+          .as("share_of_region"),
+        ($"revenue_cents".cast("double") / $"total_cents".cast("double"))
+          .as("share_of_total"))
+  }
+
   /** Global top-k: largest orders. Compiles to TakeOrderedAndProject —
     * per-partition heaps, k rows to the driver, no full sort.
     */

@@ -261,4 +261,30 @@ class AnalyticsExtSpec extends AnyFunSuite {
       assert(gs === n.toDouble / total.toDouble)
     }
   }
+
+  test("topk_with_ties: bounded ranks, equal revenue shares a rank") {
+    val out = AnalyticsOps.topRevenueBrandsWithTies(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(2)).max <= AnalyticsOps.TiesK)
+    out.groupBy(_.getLong(1)).values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).distinct.length === 1,
+        "equal revenue must share a rank")
+    }
+  }
+
+  test("hierarchy_shares: shares sum to 1 per region and overall") {
+    val out = AnalyticsOps.hierarchyShares(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    out.groupBy(_._1).foreach { case (reg, rows) =>
+      assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9, s"region $reg")
+    }
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-9)
+  }
+
+  test("session duration histogram accounts for every session") {
+    val sessions = AnalyticsOps.sessionize(spark, sf).count()
+    val hist = AnalyticsOps.sessionDurationHist(spark, sf).collect()
+    assert(hist.map(_.getLong(2)).sum === sessions)
+    assert(math.abs(hist.map(_.getDouble(4)).sum - 1000000.0) < 1.0)
+  }
 }
