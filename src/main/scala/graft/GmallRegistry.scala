@@ -95,6 +95,9 @@ object GmallRegistry {
     "set_except" -> (AnalyticsOps.setExcept _),
     "sessionize" -> (AnalyticsOps.sessionize _),
     "sessionize_duration_hist" -> (AnalyticsOps.sessionDurationHist _),
+    "agg_listagg" -> (AnalyticsOps.regionNationList _),
+    "cdc_latest_compaction" -> (AnalyticsOps.latestRowCompaction _),
+    "ts_wow_change" -> (AnalyticsOps.weekOverWeek _),
     "topk_with_ties" -> (AnalyticsOps.topRevenueBrandsWithTies _),
     "hierarchy_shares" -> (AnalyticsOps.hierarchyShares _),
     "topk_orders" -> (AnalyticsOps.topKOrders _),
@@ -957,6 +960,35 @@ object GmallRegistry {
         |  n_sessions, n_events,
         |  CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE) * 1000000.0 AS share_ppm
         |FROM h, t ORDER BY bin_lo_sec""".stripMargin,
+    "agg_listagg" ->
+      """SELECT r_name AS region, count(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY region""".stripMargin,
+    // latest-by-(ts, event_id) replayed as a ranking window; the engine
+    // side carries the same total order in a decimal-packed max
+    "cdc_latest_compaction" ->
+      """WITH r AS (SELECT user_id, event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  cents AS last_cents, CAST(n_versions AS BIGINT) AS n_versions
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "ts_wow_change" ->
+      """WITH w AS (SELECT event_type,
+        |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *, lag(cents) OVER (PARTITION BY event_type ORDER BY week) AS prev_cents
+        |  FROM w)
+        |SELECT event_type, week, cents, prev_cents,
+        |  CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+        |    THEN CAST(cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE)
+        |  END AS wow_change
+        |FROM l ORDER BY event_type, week""".stripMargin,
     "topk_with_ties" ->
       s"""WITH rev AS (SELECT p_brand,
         |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)

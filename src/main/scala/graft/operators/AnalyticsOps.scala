@@ -475,6 +475,65 @@ object AnalyticsOps {
           .as("share_of_total"))
   }
 
+  /** `agg_listagg`: ordered string aggregation (LISTAGG / string_agg)
+    * — per region, its nations joined ',' in alphabetical order. The
+    * one classic SQL aggregate the engine had not yet surfaced;
+    * determinism comes from sorting the collected array BEFORE the
+    * join (collect_list order is partition-dependent — the same
+    * discipline as the path-signature build).
+    */
+  def regionNationList(spark: SparkSession, dir: String): DataFrame =
+    nation(spark, dir)
+      .join(broadcast(region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name".as("region"))
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"))
+
+  /** `cdc_latest_compaction`: latest-row-per-key snapshot compaction —
+    * the batch twin of the dim store's streaming MERGE
+    * ([[graft.streaming.CdcRouter]]): from the event changelog, each
+    * user's most recent row wins, ties broken by highest event_id
+    * (the CDC sequence-number rule). Planned as ONE max_by-shaped
+    * aggregate over a decimal-packed total order — never a per-key
+    * ranking window, which would sort the whole changelog inside each
+    * partition (the OHLC lesson applied to compaction).
+    */
+  def latestRowCompaction(spark: SparkSession, dir: String): DataFrame = {
+    // pack (epoch-micros, event_id) into one DECIMAL(38,0) so max()
+    // carries the row's total order in a mutable (hash-agg) buffer
+    val ord = (unix_timestamp($"ts").cast("decimal(38,0)") * lit(1000000000L)
+      + $"event_id")
+    events(spark, dir)
+      .select($"user_id",
+        struct(ord.as("o"), $"event_id", $"event_type",
+          (dec($"value") * 100).cast("long").as("cents")).as("r"))
+      .groupBy($"user_id")
+      .agg(max($"r").as("m"), count(lit(1)).as("n_versions"))
+      .select($"user_id", $"m.event_id".as("last_event_id"),
+        $"m.event_type".as("last_type"), $"m.cents".as("last_cents"),
+        $"n_versions")
+  }
+
+  /** `ts_wow_change`: week-over-week revenue change per event type —
+    * weekly exact-cent rollup, previous week via `lag` over the
+    * (type × week)-bounded series, change as one double division
+    * (null on the first week, a 0-denominator week reports null).
+    */
+  def weekOverWeek(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = events(spark, dir)
+      .groupBy($"event_type",
+        date_format(date_trunc("week", $"ts"), "yyyy-MM-dd").as("week"))
+      .agg(sum((dec($"value") * 100).cast("long")).as("cents"))
+    weekly
+      .withColumn("prev_cents",
+        lag($"cents", 1).over(
+          Window.partitionBy($"event_type").orderBy($"week")))
+      .select($"event_type", $"week", $"cents", $"prev_cents",
+        when($"prev_cents".isNotNull && $"prev_cents" =!= 0L,
+          ($"cents" - $"prev_cents").cast("double") /
+            $"prev_cents".cast("double")).as("wow_change"))
+  }
+
   /** Global top-k: largest orders. Compiles to TakeOrderedAndProject —
     * per-partition heaps, k rows to the driver, no full sort.
     */

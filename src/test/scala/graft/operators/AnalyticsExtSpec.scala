@@ -281,6 +281,22 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(math.abs(out.map(_._3).sum - 1.0) < 1e-9)
   }
 
+  test("latest-row compaction is a hash aggregate (no per-key window) and matches the window form") {
+    val df = AnalyticsOps.latestRowCompaction(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "the decimal-packed max must keep the hash-agg shape")
+    // equivalence with the rank-window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val viaWindow = graft.Tables.events(spark, sf)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === viaWindow)
+  }
+
   test("session duration histogram accounts for every session") {
     val sessions = AnalyticsOps.sessionize(spark, sf).count()
     val hist = AnalyticsOps.sessionDurationHist(spark, sf).collect()
