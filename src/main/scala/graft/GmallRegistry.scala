@@ -136,6 +136,8 @@ object GmallRegistry {
     "stats_auc_exact" -> (StatsOps.rankSumDrift _),
     "eval_pr_curve" -> (StatsOps.prCurve _),
     "stats_trimmed_mean" -> (StatsOps.trimmedMean _),
+    "stats_stickiness" -> (StatsOps.stickiness _),
+    "stats_gini" -> (StatsOps.giniRevenue _),
     "dq_recon_full_outer" -> (StatsOps.reconFullOuter _),
     "agg_multi_distinct" -> (StatsOps.multiDistinctDaily _),
     "dq_functional_deps" -> (QualityOps.functionalDeps _),
@@ -1584,6 +1586,38 @@ object GmallRegistry {
         |  CAST(sr2a - na * (na + 1) AS BIGINT) AS u2_purchase,
         |  CAST(sr2a - na * (na + 1) AS DOUBLE) /
         |    (2.0 * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS auc
+        |FROM r""".stripMargin,
+    "stats_stickiness" ->
+      s"""WITH byday AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |daily AS (SELECT strftime(d, '%Y-%m-%d') AS day, count(*) AS dau
+        |  FROM byday GROUP BY 1),
+        |mx AS (SELECT max(d) AS dmax FROM byday),
+        |fan AS (SELECT DISTINCT user_id,
+        |    unnest(generate_series(d, least(d + INTERVAL ${TimeSeriesOps.RollingDays - 1} DAY,
+        |      (SELECT dmax FROM mx)), INTERVAL 1 DAY)) AS wday
+        |  FROM byday),
+        |roll AS (SELECT strftime(wday, '%Y-%m-%d') AS day, count(*) AS wau
+        |  FROM fan GROUP BY 1)
+        |SELECT r.day, d.dau, r.wau,
+        |  CAST(d.dau AS DOUBLE) / CAST(r.wau AS DOUBLE) AS stickiness
+        |FROM roll r JOIN daily d ON r.day = d.day
+        |ORDER BY r.day""".stripMargin,
+    // ascending (cents, custkey) rank replayed as a window; the engine
+    // derives it from a range exchange + zipWithIndex instead
+    "stats_gini" ->
+      """WITH c AS (SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS rk
+        |  FROM c)
+        |SELECT count(*) AS n,
+        |  CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE) / 100.0 AS total_revenue,
+        |  2.0 * CAST(CAST(sum(rk * cents) AS HUGEINT) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE)) -
+        |  CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gini
         |FROM r""".stripMargin,
     // exact rank-run overlap with the kept band — ties at the cut are
     // deterministic on both engines

@@ -168,6 +168,57 @@ object StatsOps {
           .as("auc"))
   }
 
+  /** `stats_stickiness`: per-day DAU / trailing-7-day UV — the growth
+    * team's engagement ratio, derived entirely from the two UV series
+    * the engine already maintains ([[graft.operators.EventOps]] daily
+    * UV, [[TimeSeriesOps.rollingUv]]); day-domain join, one double
+    * division.
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(date_format(to_date($"ts"), "yyyy-MM-dd").as("day"), $"user_id")
+      .distinct().groupBy($"day").agg(count(lit(1)).as("dau"))
+    TimeSeriesOps.rollingUv(spark, dir)
+      .join(daily, "day")
+      .select($"day", $"dau", $"uv_7d".as("wau"),
+        ($"dau".cast("double") / $"uv_7d".cast("double")).as("stickiness"))
+  }
+
+  /** `stats_gini`: exact Gini coefficient of revenue concentration
+    * across customers — G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over
+    * ascending-sorted per-customer cents. The global rank comes from
+    * the [[graft.functions.Sampling.curriculumOrder]] machinery —
+    * range exchange + in-partition sort + `zipWithIndex` partition
+    * offsets — NOT an empty-over() window, which would sort every
+    * customer in one task. Σ i·xᵢ accumulates in DECIMAL(38,0)
+    * (headroom: rank·cents ≈ 10⁹·10¹² per row, exact past 10¹⁵
+    * customers); the two final divisions are the only doubles.
+    */
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum((RelationalOps.dec($"o_totalprice") * 100).cast("long"))
+        .as("cents"))
+    val sorted = cust
+      .repartitionByRange($"cents".asc, $"o_custkey".asc)
+      .sortWithinPartitions($"cents".asc, $"o_custkey".asc)
+    val schema = sorted.schema
+      .add("rk", org.apache.spark.sql.types.LongType, nullable = false)
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, schema)
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum($"cents".cast("decimal(38,0)")).as("sx"),
+        sum(($"rk".cast("decimal(38,0)") * $"cents")).as("srx"))
+      .select($"n",
+        ($"sx".cast("double") / 100.0).as("total_revenue"),
+        (lit(2.0) * $"srx".cast("double") /
+          ($"n".cast("double") * $"sx".cast("double")) -
+          ($"n" + 1L).cast("double") / $"n".cast("double")).as("gini"))
+  }
+
   /** Trim percent (each tail) for [[trimmedMean]]. */
   val TrimPct = 5L
 

@@ -134,6 +134,38 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out.values.exists(_._3 != 0L))
   }
 
+  test("giniRevenue: 0 on perfect equality, known value on a hand case, no single-task window") {
+    val df = StatsOps.giniRevenue(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "the global rank must come from the range exchange, not an empty-over() window")
+    // hand replay on the fixture
+    val cents = graft.Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(sum((RelationalOps.dec($"o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = cents.length.toLong
+    val sx = cents.map(BigInt(_)).sum
+    val srx = cents.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val expect = 2.0 * srx.toDouble / (n.toDouble * sx.toDouble) -
+      (n + 1).toDouble / n.toDouble
+    val got = df.collect()(0)
+    assert(got.getLong(0) === n)
+    assert(math.abs(got.getDouble(2) - expect) < 1e-12)
+    assert(got.getDouble(2) > 0.0 && got.getDouble(2) < 1.0)
+  }
+
+  test("stickiness is DAU/WAU and bounded by (0, 1]") {
+    val rows = StatsOps.stickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau, s) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dau <= wau)
+      assert(s === dau.toDouble / wau.toDouble)
+      assert(s > 0.0 && s <= 1.0)
+    }
+  }
+
   test("trimmedMean: outlier excluded at the exact rank cut; plain mean poisoned") {
     val ts = Timestamp.valueOf("2024-01-01 00:00:00")
     // 20 purchases: nineteen at 1.00, one wild outlier. 5% trim keeps
