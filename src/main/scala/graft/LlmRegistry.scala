@@ -46,6 +46,7 @@ object LlmRegistry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "dedup_lsh_recall" -> (Dedup.lshRecall _),
     "dedup_ngram_containment" -> (Dedup.ngramContainmentPairs _),
     "dedup_span_coverage" -> (Dedup.spanCoverage _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
@@ -111,7 +112,9 @@ object LlmRegistry {
     "corpus_source_overlap" -> (TextAnalysis.sourceOverlap _),
     "text_token_lang_chi2" -> (Relevance.tokenLangChi2 _),
     "ir_inverted_index" -> (Relevance.invertedIndex _),
-    "text_cooccurrence_pmi" -> (TextAnalysis.cooccurrencePmi _))
+    "text_cooccurrence_pmi" -> (TextAnalysis.cooccurrencePmi _),
+    "text_readability" -> (TextAnalysis.readability _),
+    "vocab_coverage" -> (TextAnalysis.vocabCoverage _))
 
   // ---- shared SQL fragments --------------------------------------------
 
@@ -727,6 +730,50 @@ object LlmRegistry {
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
          |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
          |ORDER BY a, b""".stripMargin,
+    // candidates and truth share the sh CTE. EVERY expensive CTE is
+    // referenced exactly once (multi-reference CTEs re-evaluate under
+    // DuckDB's inlining — the first draft spilled >79 GB at sf1 from
+    // re-running the pair joins per reference); counts come from one
+    // union-tag aggregate over the two pair sets
+    "dedup_lsh_recall" ->
+      s"""$minhashCtes,
+         |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,
+         |  string_agg(mh, '_' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand0 AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id),
+         |lshp AS (SELECT a, b FROM (
+         |    SELECT c.a, c.b,
+         |      sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS eq
+         |    FROM cand0 c JOIN mh x ON x.doc_id = c.a
+         |      JOIN mh y ON y.doc_id = c.b AND y.j = x.j
+         |    GROUP BY 1, 2)
+         |  WHERE CAST(eq AS DOUBLE) / ${Dedup.NumPerm}.0 >= 0.5),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+         |        HAVING count(*) <= ${Dedup.DfCap}) f USING (shingle)),
+         |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT i.a, i.b FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+         |  WHERE CAST(n_inter AS DOUBLE) /
+         |    CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+         |tagged AS (
+         |  SELECT a, b, 1 AS in_truth, 0 AS in_lsh FROM truth
+         |  UNION ALL
+         |  SELECT a, b, 0, 1 FROM lshp),
+         |g AS (SELECT a, b, max(in_truth) AS t, max(in_lsh) AS l
+         |  FROM tagged GROUP BY 1, 2)
+         |SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+         |  CAST(sum(l) AS BIGINT) AS n_candidates,
+         |  CAST(sum(t * l) AS BIGINT) AS n_hit,
+         |  CAST(CAST(sum(t * l) AS BIGINT) AS DOUBLE) /
+         |    CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) AS recall,
+         |  CAST(CAST(sum(t * l) AS BIGINT) AS DOUBLE) /
+         |    CAST(CAST(sum(l) AS BIGINT) AS DOUBLE) AS precision
+         |FROM g""".stripMargin,
     // ordered pairs, per-source denominator: containment, not Jaccard
     "dedup_ngram_containment" ->
       s"""WITH sh AS (${Dedup.sqlShingles}),
@@ -1154,6 +1201,37 @@ object LlmRegistry {
          |JOIN sizes sb ON pairs.src_b = sb.source
          |ORDER BY src_a, src_b""".stripMargin,
     "text_token_lang_chi2" -> Relevance.sqlTokenLangChi2,
+    "text_readability" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+         |      s -> length(trim(s)) > 0)) AS BIGINT) AS n_sentences,
+         |    CAST(len($toks) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter($toks,
+         |      t -> length(t) > ${TextAnalysis.LixLongLen})) AS BIGINT) AS n_long_words
+         |  FROM documents)
+         |SELECT doc_id, n_sentences, n_words, n_long_words,
+         |  CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+         |    CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) +
+         |      100.0 * (CAST(n_long_words AS DOUBLE) / CAST(n_words AS DOUBLE))
+         |  END AS lix
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "vocab_coverage" -> {
+      val ks = TextAnalysis.CoverageKs.mkString("[", ", ", "]")
+      s"""WITH c AS (SELECT tok, count(*) AS n FROM
+         |    (SELECT unnest($toks) AS tok FROM documents) GROUP BY 1),
+         |r AS (SELECT tok, n,
+         |    CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rk,
+         |    CAST(sum(n) OVER (ORDER BY n DESC, tok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM c),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+         |f AS (SELECT CAST(k AS BIGINT) AS k, rk, cum
+         |  FROM r, (SELECT unnest($ks) AS k) ks WHERE rk <= k)
+         |SELECT k, max(rk) AS vocab_used, max(cum) AS covered_tokens,
+         |  max(n_total) AS n_total,
+         |  CAST(max(cum) AS DOUBLE) / CAST(max(n_total) AS DOUBLE) AS coverage
+         |FROM f, t GROUP BY 1 ORDER BY k""".stripMargin
+    },
     "ir_inverted_index" -> Relevance.sqlInvertedIndex,
     "text_cooccurrence_pmi" -> TextAnalysis.sqlCooccurrencePmi)
 }

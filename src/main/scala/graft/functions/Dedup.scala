@@ -420,6 +420,27 @@ object Dedup {
     * per-doc groupBy. A doc's flag rides on exact BIGINT counts; the
     * ratio divides them, so the double is engine-exact.
     */
+  /** `dedup_lsh_recall`: recall/precision QA of the MinHash+LSH
+    * candidate path against the exact n-gram-Jaccard ground truth at
+    * the shared 0.5 threshold — the missing recall op of the dedup
+    * family (the ANN side has had its `sim_*_recall` siblings since
+    * round 4). Embeds both sides by design, like every recall op: the
+    * production path stays [[minhashPairs]]; this measures it.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccardPairs(spark, dir).select($"a", $"b")
+    val cand = minhashPairs(spark, dir).select($"a", $"b")
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nHit = truth.join(cand.hint("shuffle_hash"), Seq("a", "b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nTruth.join(broadcast(nCand)).join(broadcast(nHit))
+      .select($"n_truth", $"n_candidates", $"n_hit",
+        ($"n_hit".cast("double") / $"n_truth".cast("double")).as("recall"),
+        ($"n_hit".cast("double") / $"n_candidates".cast("double"))
+          .as("precision"))
+  }
+
   def spanCoverage(spark: SparkSession, dir: String): DataFrame =
     spanCoverageOf(documents(spark, dir))
 

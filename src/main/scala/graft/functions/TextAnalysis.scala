@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft._
 import graft.Tables._
@@ -421,6 +422,73 @@ object TextAnalysis {
     PiiPatterns.foldLeft(expr) { case (e, (_, pat, repl)) =>
       s"regexp_replace($e, '$pat', '$repl', 'g')"
     }
+
+  /** Long-word length cutoff for [[readability]] (LIX definition). */
+  val LixLongLen = 6
+
+  /** `text_readability`: the LIX readability index per document —
+    * words/sentences + 100·(long words/words), long = more than
+    * [[LixLongLen]] characters. Chosen over Flesch because it needs no
+    * syllable model: every term is an exact integer count (sentences
+    * from a `[.!?]+` split with empty fragments dropped, words from
+    * the canonical tokenizer), so the score is two divisions over
+    * exact longs — deterministic cross-engine where syllable
+    * heuristics are not. Zero-sentence or zero-word docs report null.
+    * Pure narrow pass.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens($"text")
+    val sents = filter(split($"text", "[.!?]+"), s => length(trim(s)) > 0)
+    documents(spark, dir)
+      .select($"doc_id",
+        size(sents).cast("bigint").as("n_sentences"),
+        size(toks).cast("bigint").as("n_words"),
+        size(filter(toks, t => length(t) > LixLongLen)).cast("bigint")
+          .as("n_long_words"))
+      .withColumn("lix",
+        when($"n_sentences" > 0L && $"n_words" > 0L,
+          $"n_words".cast("double") / $"n_sentences".cast("double") +
+            lit(100.0) * ($"n_long_words".cast("double") /
+              $"n_words".cast("double"))))
+  }
+
+  /** Vocabulary sizes probed by [[vocabCoverage]]. */
+  val CoverageKs: Seq[Int] = Seq(10, 20, 50, 100)
+
+  /** `vocab_coverage`: corpus token coverage of the top-K vocabulary
+    * for each K in [[CoverageKs]] — the OOV-rate-vs-vocab-size curve a
+    * tokenizer design reads before fixing its vocab budget. Types rank
+    * by (count DESC, token); coverage at K = cumulative token count
+    * through rank K over the corpus total.
+    *
+    * Scale note: the rank/cumsum window runs over the VOCABULARY
+    * (corpus-sublinear but unbounded at web scale — there the same
+    * range-exchange rank as `pipeline_curriculum` substitutes); the
+    * corpus-sized pass is only the initial token count.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy($"n".desc, $"tok")
+    val cum = counts
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .withColumn("cum", sum($"n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = counts.agg(sum($"n").as("n_total"),
+      count(lit(1)).as("n_types"))
+    cum.join(broadcast(total))
+      .select($"rk", $"cum", $"n_total", $"n_types",
+        explode(typedlit(CoverageKs.map(_.toLong))).as("k"))
+      .filter($"rk" <= $"k")
+      .groupBy($"k")
+      .agg(max($"cum").as("covered_tokens"),
+        max($"rk").as("vocab_used"),
+        max($"n_total").as("n_total"))
+      .select($"k", $"vocab_used", $"covered_tokens", $"n_total",
+        ($"covered_tokens".cast("double") / $"n_total".cast("double"))
+          .as("coverage"))
+  }
 
   /** Context-window radius for [[cooccurrencePmi]]. */
   val CoocWindow = 2

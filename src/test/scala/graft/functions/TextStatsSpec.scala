@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Readability + vocabulary-coverage + LSH-recall invariants, with the
+  * LIX arithmetic replayed on a constructed corpus.
+  */
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("readability: LIX replayed by hand; degenerate docs report null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lix").toString
+    spark.createDataFrame(Seq(
+      (1L, "One two. Three!", "en", "s", 15L), // 2 sentences, 3 words, 0 long
+      (2L, "wonderful administration", "en", "s", 24L), // 1 sent, 2 words, 2 long
+      (3L, "", "en", "s", 0L))) // no words -> null
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.readability(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(1L) === ((2L, 3L, 0L, Some(3.0 / 2.0 + 0.0))))
+    assert(got(2L) === ((1L, 2L, 2L, Some(2.0 + 100.0 * 1.0))))
+    assert(got(3L)._4 === None)
+  }
+
+  test("vocabCoverage: monotone in K, bounded by 1, exact at the fixture") {
+    val rows = TextAnalysis.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._5 <= hi._5, "coverage must grow with K")
+      case _ =>
+    }
+    rows.foreach { case (k, used, covered, total, cov) =>
+      assert(used <= k && covered <= total)
+      assert(cov === covered.toDouble / total.toDouble)
+    }
+    // driver replay of the top-K cut for the smallest K
+    val counts = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        TextAnalysis.tokens($"text")).as("t"))
+      .groupBy($"t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }
+    val k0 = rows.head._1.toInt
+    val expect = counts.take(k0).map(_._2).sum
+    assert(rows.head._3 === expect)
+  }
+
+  test("lshRecall: counts consistent, ratios exact") {
+    val r = Dedup.lshRecall(spark, sf).collect()(0)
+    val (t, c, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(h <= math.min(t, c))
+    assert(r.getDouble(3) === h.toDouble / t.toDouble)
+    assert(r.getDouble(4) === h.toDouble / c.toDouble)
+    assert(t > 0, "fixture must contain near-dup ground truth")
+  }
+
+  private val Tables = graft.Tables
+}
