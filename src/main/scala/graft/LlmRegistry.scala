@@ -114,7 +114,8 @@ object LlmRegistry {
     "ir_inverted_index" -> (Relevance.invertedIndex _),
     "text_cooccurrence_pmi" -> (TextAnalysis.cooccurrencePmi _),
     "text_readability" -> (TextAnalysis.readability _),
-    "vocab_coverage" -> (TextAnalysis.vocabCoverage _))
+    "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
+    "graph_components" -> (GraphRank.knnComponents _))
 
   // ---- shared SQL fragments --------------------------------------------
 
@@ -884,6 +885,25 @@ object LlmRegistry {
          |  CAST(CAST(sum(sil) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |    / ${Clustering.SilScale}.0 AS mean_sil
          |FROM p GROUP BY 1 ORDER BY cluster""".stripMargin
+    },
+    // undirected closure over the knn edge set; component sizes by a
+    // second grouping over the labels
+    "graph_components" -> {
+      s"""WITH RECURSIVE knn AS ($knnGraphSql),
+         |und AS (SELECT DISTINCT least(vec_id, neighbor) AS a,
+         |    greatest(vec_id, neighbor) AS b FROM knn),
+         |edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+         |reach AS (
+         |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+         |  UNION
+         |  SELECT e.a AS id, q.r FROM edges e JOIN reach q ON q.id = e.b),
+         |lab AS (SELECT id AS vec_id, min(r) AS component_id
+         |  FROM reach GROUP BY 1),
+         |sz AS (SELECT component_id, count(*) AS component_size
+         |  FROM lab GROUP BY 1)
+         |SELECT lab.vec_id, lab.component_id, sz.component_size
+         |FROM lab JOIN sz ON lab.component_id = sz.component_id
+         |ORDER BY vec_id""".stripMargin
     },
     // plane count replayed from the corpus row count with the same
     // integer bit-length formula as Similarity.multiPlanes — length(bin(x))

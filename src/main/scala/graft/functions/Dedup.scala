@@ -205,15 +205,23 @@ object Dedup {
     * [[MaxClusterIters]] throws rather than returning a silently
     * inconsistent clustering (duplicate keepers).
     */
-  def minhashClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir).select($"a", $"b")
-    val edges = pairs.union(pairs.select($"b".as("a"), $"a".as("b")))
-      .localCheckpoint(true)
-    // Iterate over EDGE ENDPOINTS only: a document absent from the pair
+  /** Distributed connected components by min-label propagation with
+    * pointer jumping, over a DIRECTED edge frame (both directions
+    * present; columns `a`, `b`). Returns (doc_id, label) for every
+    * edge endpoint — singletons (nodes absent from the edge set) are
+    * the CALLER's join-back, because only the caller knows the full
+    * vertex universe. Shared by [[minhashClusters]] and the k-NN
+    * graph's `graph_components`; see the in-loop comments for the
+    * per-round materialization discipline.
+    */
+  private[graft] def components(edges0: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val edges = edges0.localCheckpoint(true)
+    // Iterate over EDGE ENDPOINTS only: a node absent from the pair
     // graph can never change label, so singletons — the overwhelming
     // majority of a deduped corpus — skip the loop entirely and join
     // back at the end. The per-round shuffles are bounded by the
-    // candidate-pair graph (≤ 2·|pairs| nodes), not corpus size: at
+    // candidate-pair graph (<= 2*|pairs| nodes), not corpus size: at
     // 100 TB that is the difference between iterating over billions of
     // rows O(log n) times and iterating over the near-dup minority.
     val nodes = edges.select($"a".as("doc_id")).distinct().localCheckpoint(true)
@@ -248,10 +256,17 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"minhashClusters did not converge in $MaxClusterIters rounds — " +
+        s"components did not converge in $MaxClusterIters rounds — " +
           "with pointer jumping this indicates a bug, not a long chain")
+    labels
+  }
+
+  def minhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select($"a", $"b")
+    val labels = components(
+      pairs.union(pairs.select($"b".as("a"), $"a".as("b"))))
     val singletons = documents(spark, dir).select($"doc_id")
-      .join(nodes, Seq("doc_id"), "left_anti")
+      .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
       .select($"doc_id", $"doc_id".as("label"))
     labels.union(singletons).select($"doc_id", $"label".as("cluster_id"),
       ($"doc_id" === $"label").as("keeper"))

@@ -195,4 +195,32 @@ object GraphRank {
           col("common").cast("double") / col("union_sz").cast("double"))
           .otherwise(lit(0.0)).as("jaccard"))
   }
+
+  /** `graph_components`: connected components of the k-NN similarity
+    * graph — the cluster structure SemDeDup-style semantic grouping
+    * reads off the neighbor relation (the graph-side sibling of
+    * [[graft.functions.Dedup.minhashClusters]], and the consumer of
+    * the SAME shared min-label-propagation engine,
+    * [[graft.functions.Dedup.components]]). Vectors absent from the
+    * edge set (alone in their LSH bucket) are their own singleton
+    * component; `component_size` rides along so downstream sampling
+    * can cluster-balance.
+    */
+  def knnComponents(spark: SparkSession, dir: String): DataFrame = {
+    val und = Similarity.knnGraph(spark, dir)
+      .select(least(col("vec_id"), col("neighbor")).as("a"),
+        greatest(col("vec_id"), col("neighbor")).as("b"))
+      .distinct()
+    val labels = Dedup.components(
+      und.union(und.select(col("b").as("a"), col("a").as("b"))))
+      .select(col("doc_id").as("vec_id"), col("label"))
+    val singletons = graft.Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(labels.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vec_id").as("label"))
+    val all = labels.union(singletons)
+    val sizes = all.groupBy(col("label")).agg(count(lit(1)).as("component_size"))
+    all.join(sizes.hint("shuffle_hash"), "label")
+      .select(col("vec_id"), col("label").as("component_id"),
+        col("component_size"))
+  }
 }
