@@ -115,7 +115,8 @@ object LlmRegistry {
     "text_cooccurrence_pmi" -> (TextAnalysis.cooccurrencePmi _),
     "text_readability" -> (TextAnalysis.readability _),
     "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
-    "graph_components" -> (GraphRank.knnComponents _))
+    "graph_components" -> (GraphRank.knnComponents _),
+    "sample_cluster_balanced" -> (Sampling.clusterBalancedSample _))
 
   // ---- shared SQL fragments --------------------------------------------
 
@@ -174,6 +175,26 @@ object LlmRegistry {
 
   private lazy val knnGraphSql: String =
     knnLikeSql("TRUE", "neighbor", Similarity.KnnK)
+
+  /** k-NN connected-components CTE chain ending in
+    * `comp(vec_id, component_id, component_size)` — shared by the
+    * components oracle and the cluster-balanced sampler built on it.
+    */
+  private lazy val knnComponentsCtes: String =
+    s"""WITH RECURSIVE knn AS ($knnGraphSql),
+       |und AS (SELECT DISTINCT least(vec_id, neighbor) AS a,
+       |    greatest(vec_id, neighbor) AS b FROM knn),
+       |edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+       |  UNION
+       |  SELECT e.a AS id, q.r FROM edges e JOIN reach q ON q.id = e.b),
+       |lab AS (SELECT id AS vec_id, min(r) AS component_id
+       |  FROM reach GROUP BY 1),
+       |sz AS (SELECT component_id, count(*) AS component_size
+       |  FROM lab GROUP BY 1),
+       |comp AS (SELECT lab.vec_id, lab.component_id, sz.component_size
+       |  FROM lab JOIN sz ON lab.component_id = sz.component_id)""".stripMargin
 
   /** k-NN classifier CTE chain ending in `pred(vec_id, label,
     * predicted, votes, correct)` — shared by the classifier oracle and
@@ -888,23 +909,28 @@ object LlmRegistry {
     },
     // undirected closure over the knn edge set; component sizes by a
     // second grouping over the labels
-    "graph_components" -> {
-      s"""WITH RECURSIVE knn AS ($knnGraphSql),
-         |und AS (SELECT DISTINCT least(vec_id, neighbor) AS a,
-         |    greatest(vec_id, neighbor) AS b FROM knn),
-         |edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
-         |reach AS (
-         |  SELECT vec_id AS id, vec_id AS r FROM embeddings
-         |  UNION
-         |  SELECT e.a AS id, q.r FROM edges e JOIN reach q ON q.id = e.b),
-         |lab AS (SELECT id AS vec_id, min(r) AS component_id
-         |  FROM reach GROUP BY 1),
-         |sz AS (SELECT component_id, count(*) AS component_size
-         |  FROM lab GROUP BY 1)
-         |SELECT lab.vec_id, lab.component_id, sz.component_size
-         |FROM lab JOIN sz ON lab.component_id = sz.component_id
-         |ORDER BY vec_id""".stripMargin
-    },
+    "graph_components" ->
+      s"""$knnComponentsCtes
+         |SELECT vec_id, component_id, component_size
+         |FROM comp ORDER BY vec_id""".stripMargin,
+    // sqrt-of-size quota per component, members ranked by salted-hash
+    // priority (the window replay of the engine's same rank)
+    "sample_cluster_balanced" ->
+      s"""$knnComponentsCtes,
+         |pri AS (SELECT vec_id, component_id, component_size,
+         |    ${Hashing.sqlMd5Prefix60("'cb:' || CAST(vec_id AS VARCHAR)")} AS pri
+         |  FROM comp),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY component_id
+         |    ORDER BY pri, vec_id) AS BIGINT) AS rk FROM pri),
+         |q0 AS (SELECT *, CAST(floor(sqrt(CAST(component_size AS DOUBLE))) AS BIGINT) AS s0
+         |  FROM rk),
+         |q1 AS (SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= component_size
+         |    THEN s0 + 1 ELSE s0 END AS s1 FROM q0),
+         |q AS (SELECT *, greatest(CAST(1 AS BIGINT),
+         |    CASE WHEN s1 * s1 > component_size THEN s1 - 1 ELSE s1 END) AS quota
+         |  FROM q1)
+         |SELECT vec_id, component_id, component_size, quota, rk
+         |FROM q WHERE rk <= quota ORDER BY vec_id""".stripMargin,
     // plane count replayed from the corpus row count with the same
     // integer bit-length formula as Similarity.multiPlanes — length(bin(x))
     // IS bitLength(x) in DuckDB, so no float log2 on either engine. The

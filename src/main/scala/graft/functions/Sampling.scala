@@ -499,4 +499,29 @@ object Sampling {
        |    ELSE (tok_end - 1) // $PackLen - (tok_end - n_tokens) // $PackLen + 1
        |  END AS BIGINT) AS n_packs
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** `sample_cluster_balanced`: cluster-balanced subsampling over the
+    * k-NN component structure — keep ~√(component size) members per
+    * component (floor-isqrt, min 1), members chosen by salted-hash
+    * priority. This is the D4/SemDeDup-style curation draw: giant
+    * near-duplicate clusters contribute sublinearly instead of
+    * swamping the mix, singletons always survive, and the draw is
+    * deterministic and stable under corpus growth (per-vector hash
+    * priorities, no RNG).
+    *
+    * Scale shape: [[GraphRank.knnComponents]] provides the labels; the
+    * rank window partitions BY COMPONENT (per-partition size = the
+    * component itself — the quantity being bounded), and the quota is
+    * the exact integer sqrt shared with the temperature sampler.
+    */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"component_id").orderBy($"pri", $"vec_id")
+    GraphRank.knnComponents(spark, dir)
+      .withColumn("pri", priority("cb:", $"vec_id"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .withColumn("quota", greatest(lit(1L), isqrt($"component_size")))
+      .filter($"rk" <= $"quota")
+      .select($"vec_id", $"component_id", $"component_size", $"quota", $"rk")
+  }
 }

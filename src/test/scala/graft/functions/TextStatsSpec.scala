@@ -55,6 +55,28 @@ class TextStatsSpec extends AnyFunSuite {
     assert(rows.head._3 === expect)
   }
 
+  test("clusterBalancedSample: sqrt quota honored, singletons always kept") {
+    val comp = GraphRank.knnComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    val kept = Sampling.clusterBalancedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byComp = kept.groupBy(_._2)
+    byComp.foreach { case (cid, rows) =>
+      val size = rows.head._3
+      val quota = math.max(1L, math.sqrt(size.toDouble).toLong)
+      assert(rows.length.toLong === math.min(quota, size), s"component $cid")
+      assert(rows.forall(_._4 == quota))
+    }
+    // every singleton survives
+    val singles = comp.filter(_._2._2 == 1L).map(_._1).toSet
+    val keptIds = kept.map(_._1).toSet
+    assert(singles.subsetOf(keptIds))
+    // components larger than 1 are subsampled sublinearly
+    comp.map(_._2).distinct.filter(_._2 > 3L).foreach { case (cid, size) =>
+      assert(byComp(cid).length < size)
+    }
+  }
+
   test("lshRecall: counts consistent, ratios exact") {
     val r = Dedup.lshRecall(spark, sf).collect()(0)
     val (t, c, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
