@@ -116,7 +116,8 @@ object LlmRegistry {
     "text_readability" -> (TextAnalysis.readability _),
     "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "graph_components" -> (GraphRank.knnComponents _),
-    "sample_cluster_balanced" -> (Sampling.clusterBalancedSample _))
+    "sample_cluster_balanced" -> (Sampling.clusterBalancedSample _),
+    "pipeline_dedup_funnel" -> (CorpusPipeline.dedupFunnel _))
 
   // ---- shared SQL fragments --------------------------------------------
 
@@ -1246,6 +1247,31 @@ object LlmRegistry {
          |JOIN sizes sa ON pairs.src_a = sa.source
          |JOIN sizes sb ON pairs.src_b = sb.source
          |ORDER BY src_a, src_b""".stripMargin,
+    // survivor sets attach as single-reference left-join flags; the
+    // expensive loser chain is evaluated once
+    "pipeline_dedup_funnel" ->
+      s"""$cleanCorpusCtes,
+         |flags AS (SELECT d.doc_id,
+         |    CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fq,
+         |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fe,
+         |    CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fl
+         |  FROM documents d
+         |  LEFT JOIN quality q ON q.doc_id = d.doc_id
+         |  LEFT JOIN exact_keep e ON e.doc_id = d.doc_id
+         |  LEFT JOIN losers l ON l.doc_id = d.doc_id),
+         |a AS (SELECT count(*) AS n_raw,
+         |    CAST(sum(fq) AS BIGINT) AS n_q,
+         |    CAST(sum(fq * fe) AS BIGINT) AS n_qe,
+         |    CAST(sum(fq * fe * (1 - fl)) AS BIGINT) AS n_clean
+         |  FROM flags)
+         |SELECT CAST(s.stage AS BIGINT) AS stage, s.stage_name,
+         |  CASE s.stage WHEN 1 THEN n_raw WHEN 2 THEN n_q
+         |    WHEN 3 THEN n_qe ELSE n_clean END AS n_docs,
+         |  CASE s.stage WHEN 1 THEN CAST(0 AS BIGINT) WHEN 2 THEN n_raw - n_q
+         |    WHEN 3 THEN n_q - n_qe ELSE n_qe - n_clean END AS dropped
+         |FROM a, (VALUES (1, 'raw'), (2, 'quality'), (3, 'exact_dedup'),
+         |  (4, 'near_dup')) AS s(stage, stage_name)
+         |ORDER BY stage""".stripMargin,
     "text_token_lang_chi2" -> Relevance.sqlTokenLangChi2,
     "text_readability" ->
       s"""WITH b AS (SELECT doc_id,

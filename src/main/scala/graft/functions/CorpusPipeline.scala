@@ -122,6 +122,44 @@ object CorpusPipeline {
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
+  /** `pipeline_dedup_funnel`: the curation funnel report — how many
+    * documents survive each stage of [[cleanCorpus]] (raw → quality →
+    * ∧ exact-dedup keeper → ∧ not-a-near-dup-loser), with per-stage
+    * drop counts. The observability table a pipeline owner checks
+    * before believing any downstream number: a stage suddenly eating
+    * 40% of the corpus is the first symptom of an upstream change.
+    *
+    * Shape: survivor sets attach as doc-keyed LEFT-join flags in ONE
+    * pass (each set computed once — the multi-reference re-evaluation
+    * trap twice documented on the oracle side applies to Catalyst
+    * subplans too), folded to a single row of stage counts, then
+    * `stack`ed to stage rows with inline drop arithmetic.
+    */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysis.qualityScore(spark, dir)
+      .filter($"quality" === 1L).select($"doc_id", lit(1L).as("fq"))
+    val exactKeep = Dedup.exact(spark, dir)
+      .select($"keep_doc_id".as("doc_id"), lit(1L).as("fe"))
+    val losers = Dedup.minhashPairs(spark, dir)
+      .select($"b".as("doc_id")).distinct().withColumn("fl", lit(1L))
+    documents(spark, dir).select($"doc_id")
+      .join(quality, Seq("doc_id"), "left")
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(coalesce($"fq", lit(0L))).as("n_q"),
+        sum(coalesce($"fq", lit(0L)) * coalesce($"fe", lit(0L))).as("n_qe"),
+        sum(coalesce($"fq", lit(0L)) * coalesce($"fe", lit(0L)) *
+          (lit(1L) - coalesce($"fl", lit(0L)))).as("n_clean"))
+      .selectExpr(
+        """stack(4,
+          |  CAST(1 AS BIGINT), 'raw', n_raw, CAST(0 AS BIGINT),
+          |  CAST(2 AS BIGINT), 'quality', n_q, n_raw - n_q,
+          |  CAST(3 AS BIGINT), 'exact_dedup', n_qe, n_q - n_qe,
+          |  CAST(4 AS BIGINT), 'near_dup', n_clean, n_qe - n_clean)
+          |AS (stage, stage_name, n_docs, dropped)""".stripMargin)
+  }
+
   /** The WHOLE training-data pipeline as one composed query — the
     * flagship integration a user of this library actually ships:
     * quality filter ∧ exact-dedup survivor ∧ near-dup loser removal

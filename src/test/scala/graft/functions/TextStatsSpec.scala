@@ -86,5 +86,21 @@ class TextStatsSpec extends AnyFunSuite {
     assert(t > 0, "fixture must contain near-dup ground truth")
   }
 
+  test("dedupFunnel: monotone survivors, drops reconcile, final stage = cleanCorpus") {
+    val rows = CorpusPipeline.dedupFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq === Seq("raw", "quality", "exact_dedup", "near_dup"))
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(cur._3 <= prev._3, "survivors cannot grow")
+        assert(cur._4 === prev._3 - cur._3, "drop must reconcile with the previous stage")
+      case _ =>
+    }
+    assert(rows.head._3 === Tables.documents(spark, sf).count())
+    assert(rows.last._3 === CorpusPipeline.cleanCorpus(spark, sf).count(),
+      "the funnel's final stage IS the clean corpus")
+  }
+
   private val Tables = graft.Tables
 }
