@@ -96,6 +96,7 @@ object GmallRegistry {
     "sessionize" -> (AnalyticsOps.sessionize _),
     "sessionize_duration_hist" -> (AnalyticsOps.sessionDurationHist _),
     "agg_listagg" -> (AnalyticsOps.regionNationList _),
+    "agg_rollup_time" -> (AnalyticsOps.rollupTime _),
     "cdc_latest_compaction" -> (AnalyticsOps.latestRowCompaction _),
     "ts_wow_change" -> (AnalyticsOps.weekOverWeek _),
     "topk_with_ties" -> (AnalyticsOps.topRevenueBrandsWithTies _),
@@ -962,6 +963,18 @@ object GmallRegistry {
         |  n_sessions, n_events,
         |  CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE) * 1000000.0 AS share_ppm
         |FROM h, t ORDER BY bin_lo_sec""".stripMargin,
+    "agg_rollup_time" ->
+      """SELECT coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS y,
+        |  coalesce(CAST(month(o_orderdate) AS BIGINT), -1) AS m,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  CASE WHEN GROUPING(year(o_orderdate)) = 1 THEN 'total'
+        |    WHEN GROUPING(month(o_orderdate)) = 1 THEN 'year'
+        |    ELSE 'month' END AS level
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+        |ORDER BY y, m""".stripMargin,
     "agg_listagg" ->
       """SELECT r_name AS region, count(*) AS n_nations,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations

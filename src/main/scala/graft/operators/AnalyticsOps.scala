@@ -475,6 +475,27 @@ object AnalyticsOps {
           .as("share_of_total"))
   }
 
+  /** `agg_rollup_time`: revenue rolled up the TIME hierarchy
+    * (year ⊃ month ⊃ grand total) with GROUPING-derived level tags —
+    * the calendar-drilldown twin of the dimension-keyed `agg_rollup`.
+    * One fact pass; the rollup expands over the bounded (year, month)
+    * domain.
+    */
+  def rollupTime(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(year($"o_orderdate").cast("bigint").as("y"),
+        month($"o_orderdate").cast("bigint").as("m"),
+        (dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .rollup($"y", $"m")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("revenue_cents"),
+        grouping($"y").cast("bigint").as("g_y"),
+        grouping($"m").cast("bigint").as("g_m"))
+      .select(coalesce($"y", lit(-1L)).as("y"),
+        coalesce($"m", lit(-1L)).as("m"),
+        $"n_orders", $"revenue_cents",
+        when($"g_y" === 1L, "total").when($"g_m" === 1L, "year")
+          .otherwise("month").as("level"))
+
   /** `agg_listagg`: ordered string aggregation (LISTAGG / string_agg)
     * — per region, its nations joined ',' in alphabetical order. The
     * one classic SQL aggregate the engine had not yet surfaced;
