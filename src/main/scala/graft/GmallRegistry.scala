@@ -142,7 +142,11 @@ object GmallRegistry {
     "dq_recon_full_outer" -> (StatsOps.reconFullOuter _),
     "agg_multi_distinct" -> (StatsOps.multiDistinctDaily _),
     "dq_functional_deps" -> (QualityOps.functionalDeps _),
-    "dq_constraints" -> (QualityOps.constraints _))
+    "dq_constraints" -> (QualityOps.constraints _),
+    "dq_k_anonymity" -> (QualityOps.kAnonymity _),
+    "mv_incremental_refresh" -> (AnalyticsOps.mvIncrementalRefresh _),
+    "ts_seasonal_decompose" -> (TimeSeriesOps.seasonalDecompose _),
+    "layout_compaction_plan" -> (Bucketing.compactionPlan _))
 
   val oracleSql: Map[String, String] = Map(
     // same unscaled-long money math as the operator: decimal(18,2) cast
@@ -1708,5 +1712,56 @@ object GmallRegistry {
         |  m.contrib AS heaviest_rows,
         |  CAST(m.contrib AS DOUBLE) * CAST(matched_keys AS DOUBLE) /
         |    CAST(join_rows AS DOUBLE) * 1000000.0 AS skew_ppm
-        |FROM a, m""".stripMargin)
+        |FROM a, m""".stripMargin,
+    // QI cohort census; floor (not trunc) bands negative balances
+    "dq_k_anonymity" ->
+      s"""SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) / 1000.0) AS BIGINT)
+        |    AS bal_band,
+        |  count(*) AS n, count(*) < ${QualityOps.KAnon} AS at_risk
+        |FROM customer GROUP BY 1, 2, 3
+        |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
+    // the oracle RECOMPUTES the view from scratch — equality with the
+    // engine's snapshot ⊎ delta merge is the self-maintainability proof
+    "mv_incremental_refresh" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+        |  count(*) AS pv
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // integer numerators/denominators until one final division each;
+    // dow = (d − 1970-01-05) mod 7 sidesteps dayofweek-origin drift
+    "ts_seasonal_decompose" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+        |    ((CAST(CAST(ts AS DATE) - DATE '1970-01-05' AS BIGINT) % 7) + 7) % 7 AS dow
+        |  FROM events GROUP BY 1, 3),
+        |tr AS (SELECT *,
+        |    CASE WHEN count(*) OVER w = 7
+        |        AND CAST(max(d) OVER w - min(d) OVER w AS BIGINT) = 6
+        |      THEN CAST(sum(cents) OVER w AS BIGINT) END AS t7
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (SELECT dow, CAST(sum(cents * 7 - t7) AS BIGINT) AS s_num,
+        |    count(*) AS s_den
+        |  FROM tr WHERE t7 IS NOT NULL GROUP BY 1)
+        |SELECT strftime(tr.d, '%Y-%m-%d') AS day,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(t7 AS DOUBLE) / 700.0 AS trend,
+        |  CAST(s_num AS DOUBLE) / CAST(s_den AS DOUBLE) / 700.0 AS seasonal,
+        |  CASE WHEN t7 IS NOT NULL THEN
+        |    CAST(cents * 7 - t7 AS DOUBLE) / 700.0 -
+        |    CAST(s_num AS DOUBLE) / CAST(s_den AS DOUBLE) / 700.0 END AS residual
+        |FROM tr LEFT JOIN se ON tr.dow = se.dow
+        |ORDER BY day""".stripMargin,
+    // linear packing: bin = cum-before-this-file // target, per partition
+    "layout_compaction_plan" ->
+      s"""WITH files AS (SELECT strftime(o_orderdate, '%Y-%m') AS part,
+        |    CAST(o_orderkey % ${Bucketing.CompactWriters} AS BIGINT) AS file_id,
+        |    count(*) AS bytes
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT part, file_id, bytes,
+        |  CAST(coalesce(sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // ${Bucketing.CompactTarget} AS BIGINT) AS bin
+        |FROM files ORDER BY part, file_id""".stripMargin)
 }

@@ -49,6 +49,7 @@ object LlmRegistry {
     "dedup_lsh_recall" -> (Dedup.lshRecall _),
     "dedup_ngram_containment" -> (Dedup.ngramContainmentPairs _),
     "dedup_span_coverage" -> (Dedup.spanCoverage _),
+    "text_ngram_novelty" -> (Dedup.ngramNovelty _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "sim_bruteforce_topk" -> (Similarity.bruteForceTopK _),
     "sim_lsh_buckets" -> ((s: SparkSession, d: String) =>
@@ -820,6 +821,16 @@ object LlmRegistry {
          |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS dup_coverage
          |FROM sh JOIN freq USING (shingle)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // first-occurrence attribution: min doc_id per shingle, joined back
+    "text_ngram_novelty" ->
+      s"""WITH sh AS (${Dedup.sqlShingles}),
+         |fst AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM sh JOIN fst USING (shingle)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH q AS (SELECT vec_id, $quantize AS q FROM embeddings),

@@ -472,6 +472,34 @@ object Dedup {
           .as("dup_coverage"))
   }
 
+  /** `text_ngram_novelty`: each document's novel contribution to the
+    * corpus — the share of its distinct shingles whose FIRST occurrence
+    * (minimum doc_id corpus-wide) is this document. The curation
+    * ordering signal dedup alone doesn't give: a document can be no
+    * one's near-duplicate yet add almost nothing new (novelty → 0),
+    * and crawl-ordered ingestion uses exactly this to prefer the
+    * earliest source of shared text. [[spanCoverage]] asks "how much of
+    * me is shared"; this asks "how much of me is MINE".
+    *
+    * Scale shape: first-occurrence attribution is a shingle-keyed
+    * `min(doc_id)` aggregate joined straight back to the shingle table
+    * — both sides hash on `shingle`, and the aggregate is DERIVED from
+    * the same exploded child, so the join consumes one exchange twice
+    * (ReusedExchange), never an all-pairs comparison. Output is one
+    * row per document.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesOf(documents(spark, dir))
+    val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+    sh.join(first.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        ($"n_novel".cast("double") / $"n_shingles".cast("double"))
+          .as("novelty"))
+  }
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Scalar-quantize an embedding into exact integer space: floor(x*1e6).

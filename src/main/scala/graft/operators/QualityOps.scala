@@ -146,4 +146,36 @@ object QualityOps {
       .unionByName(dep("orders", orders(spark, dir),
         "o_orderkey", "o_orderdate"))
   }
+
+  /** Re-identification threshold for [[kAnonymity]]: a quasi-identifier
+    * group with fewer than this many members is an at-risk cohort.
+    */
+  val KAnon = 10L
+
+  /** `dq_k_anonymity`: k-anonymity audit over the customer table's
+    * quasi-identifier tuple (nation, market segment, account-balance
+    * band) — the privacy census run before a dataset derived from user
+    * records is released for training. A row is re-identifiable when
+    * its QI combination is shared by fewer than [[KAnon]] rows; the
+    * report is one row per QI cohort with its population and risk
+    * flag, so both the dataset's k (min cohort size) and the exact
+    * at-risk population read directly off it.
+    *
+    * The balance band is `floor(acctbal / 1000)` on the exact decimal
+    * — floor (not truncation) so negative balances band correctly and
+    * both engines agree on the boundary.
+    *
+    * Scale shape: ONE map-side-combined hash aggregate over the scan;
+    * the output is bounded by the QI domain (nations × segments ×
+    * bands), not row count — the same census stance as [[census]].
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .groupBy($"c_nationkey",
+        $"c_mktsegment",
+        floor(RelationalOps.dec($"c_acctbal").cast("double") / 1000.0)
+          .cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("n"))
+      .select($"c_nationkey", $"c_mktsegment", $"bal_band", $"n",
+        ($"n" < KAnon).as("at_risk"))
 }

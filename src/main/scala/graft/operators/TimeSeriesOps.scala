@@ -387,4 +387,54 @@ object TimeSeriesOps {
         $"c.n".as("n_events"), $"c.dev".as("dev"),
         $"c.sp".as("cusum_pos"), $"c.sn".as("cusum_neg"))
   }
+
+  /** `ts_seasonal_decompose`: classical additive decomposition of the
+    * daily revenue series — trend = centered 7-day moving average
+    * (complete windows only), seasonal = per-day-of-week mean of the
+    * detrended series, residual = value − trend − seasonal. The
+    * STL-lite any weekly-cycled business series gets before anomaly
+    * thresholds are set on it.
+    *
+    * Exactness protocol: every intermediate stays an exact long —
+    * trend7 is the SUM of 7 days' cents (not the mean), the detrended
+    * value is `7·cents − trend7`, the per-DOW seasonal numerator and
+    * denominator are exact (sum of longs / row count) — and each
+    * output double is a SINGLE division of exact integers, so Spark
+    * and the oracle agree bit-for-bit (the shared-division rule used
+    * across the stats family). Day-of-week is computed as
+    * `(d − 1970-01-05) mod 7` (0 = Monday) — pure integer date
+    * arithmetic, immune to the engines' differing dayofweek origins.
+    *
+    * Scale shape: the corpus collapses to one exact-cent row per day
+    * FIRST (partial agg); the MA window, the DOW aggregate, and the
+    * 7-row seasonal broadcast-join all run over the bounded day
+    * domain. The trend window checks `max(d)−min(d) = 6` over its
+    * ROWS frame, so calendar gaps yield null trend instead of a
+    * silently short mean.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum((RelationalOps.dec($"value") * 100).cast("long")).as("cents"))
+      .withColumn("dow", pmod(datediff($"d", lit("1970-01-05")), lit(7)))
+    val w = Window.orderBy($"d").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("t7",
+        when(count(lit(1)).over(w) === 7 &&
+          datediff(max($"d").over(w), min($"d").over(w)) === 6,
+          sum($"cents").over(w)))
+      .withColumn("det7", $"cents" * 7 - $"t7")
+    val seasonal = trended.filter($"det7".isNotNull)
+      .groupBy($"dow")
+      .agg(sum($"det7").as("s_num"), count(lit(1)).as("s_den"))
+    trended.join(broadcast(seasonal), Seq("dow"), "left")
+      .select(date_format($"d", "yyyy-MM-dd").as("day"),
+        ($"cents".cast("double") / 100.0).as("revenue"),
+        ($"t7".cast("double") / 700.0).as("trend"),
+        ($"s_num".cast("double") / $"s_den".cast("double") / 700.0).as("seasonal"),
+        when($"t7".isNotNull,
+          ($"cents" * 7 - $"t7").cast("double") / 700.0 -
+            $"s_num".cast("double") / $"s_den".cast("double") / 700.0).as("residual"))
+  }
 }

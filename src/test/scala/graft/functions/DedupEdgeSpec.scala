@@ -57,4 +57,20 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(!byDoc.contains(1L) && !byDoc.contains(2L) && !byDoc.contains(3L))
     assert(byDoc(4L) === 2L) // 'a b c', 'b c d'
   }
+
+  test("ngram novelty: earliest doc is fully novel, novel counts sum to the vocabulary") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.ngramNovelty(spark, dir).collect()
+    assert(out.nonEmpty)
+    // every shingle's first occurrence is attributed exactly once
+    val vocab = Dedup.shingles(spark, dir)
+      .select($"shingle").distinct().count()
+    assert(out.map(_.getLong(2)).sum === vocab)
+    // the lowest doc_id holding shingles saw everything first
+    val first = out.minBy(_.getLong(0))
+    assert(first.getLong(1) === first.getLong(2) &&
+      first.getDouble(3) === 1.0)
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(1) &&
+      r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
 }

@@ -303,4 +303,20 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(hist.map(_.getLong(2)).sum === sessions)
     assert(math.abs(hist.map(_.getDouble(4)).sum - 1000000.0) < 1.0)
   }
+
+  test("incremental MV refresh is indistinguishable from a full recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val merged = AnalyticsOps.mvIncrementalRefresh(spark, sf)
+    val full = graft.Tables.events(spark, sf)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type")
+      .agg(sum((RelationalOps.dec($"value") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("pv"))
+    assert(merged.exceptAll(full).count() === 0)
+    assert(full.exceptAll(merged).count() === 0)
+    // the cutoff actually splits the domain: both legs non-empty
+    val days = merged.select($"day").distinct().collect().map(_.getString(0))
+    assert(days.exists(_ < AnalyticsOps.MvCutoff) &&
+      days.exists(_ >= AnalyticsOps.MvCutoff),
+      "cutoff fell outside the data's day span — the merge would be vacuous")
+  }
 }

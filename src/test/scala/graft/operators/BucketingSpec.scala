@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.SortExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.scalatest.funsuite.AnyFunSuite
-import graft.{Tables, TestSpark}
+import graft.{ColStr, Tables, TestSpark}
 
 /** Bucketed-write co-located join: the plan proof that the layout pays —
   * joining two tables bucketed+sorted on the join key must contain no
@@ -235,5 +235,24 @@ class BucketingSpec extends AnyFunSuite {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(new java.io.File(base))
+  }
+
+  test("compaction plan: linear packing fills bins to target in manifest order") {
+    val out = Bucketing.compactionPlan(spark, dir)
+      .orderBy($"part", $"file_id").collect()
+    assert(out.nonEmpty)
+    // replay the packing sequentially per partition
+    out.groupBy(_.getString(0)).foreach { case (_, files) =>
+      var cum = 0L
+      files.sortBy(_.getLong(1)).foreach { r =>
+        assert(r.getLong(3) === cum / Bucketing.CompactTarget, s"bin: $r")
+        cum += r.getLong(2)
+      }
+    }
+    // bins never split a file below target occupancy: bin ids are monotone
+    out.groupBy(_.getString(0)).foreach { case (_, files) =>
+      val bins = files.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(bins === bins.sorted)
+    }
   }
 }

@@ -95,4 +95,19 @@ class QualityOpsSpec extends AnyFunSuite {
     val (_, vBrand, holdsBrand) = got(("part", "p_brand", "p_type"))
     assert(!holdsBrand && vBrand === expectViolating)
   }
+
+  test("k-anonymity census partitions the table and flags exactly the sub-K cohorts") {
+    val sf = "/root/testdata/sf0.001"
+    val out = QualityOps.kAnonymity(spark, sf).collect()
+    assert(out.map(_.getLong(3)).sum ===
+      graft.Tables.customer(spark, sf).count(), "cohorts partition the table")
+    out.foreach { r =>
+      assert(r.getBoolean(4) === (r.getLong(3) < QualityOps.KAnon), s"risk flag: $r")
+    }
+    // QI tuples are unique report rows
+    // c_nationkey's physical type is the writer's (INT32 here) — compare
+    // generically rather than pinning a width the census doesn't define
+    val keys = out.map(r => (r.get(0), r.getString(1), r.getLong(2)))
+    assert(keys.distinct.length === keys.length)
+  }
 }

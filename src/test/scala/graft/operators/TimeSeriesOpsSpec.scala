@@ -198,4 +198,27 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       if (n > 1) assert(!r.isNullAt(4) && !r.isNullAt(5))
     }
   }
+
+  test("seasonal decompose: additive identity, edge nulls, DOW-constant seasonal") {
+    val out = TimeSeriesOps.seasonalDecompose(spark, sf).orderBy($"day").collect()
+    assert(out.length >= 14, "a month of events decomposes to its day domain")
+    // trend/residual exist exactly where the centered 7-day window is complete
+    out.take(3).foreach(r => assert(r.isNullAt(2) && r.isNullAt(4), s"leading edge: $r"))
+    out.takeRight(3).foreach(r => assert(r.isNullAt(2) && r.isNullAt(4), s"trailing edge: $r"))
+    out.drop(3).dropRight(3).foreach { r =>
+      assert(!r.isNullAt(2) && !r.isNullAt(4), s"interior day incomplete: $r")
+      // revenue = trend + seasonal + residual (exact-integer derivation -> tight tolerance)
+      val recon = r.getDouble(2) + r.getDouble(3) + r.getDouble(4)
+      assert(math.abs(recon - r.getDouble(1)) < 1e-6, s"additive identity: $r")
+    }
+    // seasonal is a pure function of day-of-week: 7 distinct values over the series
+    val eps = 1e-9
+    val byDow = out.filter(!_.isNullAt(3)).groupBy { r =>
+      java.time.LocalDate.parse(r.getString(0)).getDayOfWeek
+    }
+    byDow.values.foreach { rs =>
+      val vs = rs.map(_.getDouble(3))
+      assert(vs.max - vs.min < eps, "seasonal varies within one DOW")
+    }
+  }
 }
