@@ -114,6 +114,7 @@ object GmallRegistry {
     "events_funnel_windowed" -> (FunnelOps.funnelWindowed _),
     "events_path_analysis" -> (FunnelOps.pathAnalysis _),
     "events_markov_transitions" -> (FunnelOps.markovTransitions _),
+    "events_rfm_segments" -> (FunnelOps.rfmSegments _),
     "dq_documents" -> (QualityOps.documentConstraints _),
     "retention_cohorts" -> (FunnelOps.retentionCohorts _),
     "retention_bitmap" -> (FunnelOps.retentionBitmap _),
@@ -146,7 +147,9 @@ object GmallRegistry {
     "dq_k_anonymity" -> (QualityOps.kAnonymity _),
     "mv_incremental_refresh" -> (AnalyticsOps.mvIncrementalRefresh _),
     "ts_seasonal_decompose" -> (TimeSeriesOps.seasonalDecompose _),
-    "layout_compaction_plan" -> (Bucketing.compactionPlan _))
+    "layout_compaction_plan" -> (Bucketing.compactionPlan _),
+    "stats_psi_drift" -> (StatsOps.psiDrift _),
+    "stats_pareto_frontier" -> (StatsOps.paretoFrontier _))
 
   val oracleSql: Map[String, String] = Map(
     // same unscaled-long money math as the operator: decimal(18,2) cast
@@ -1763,5 +1766,86 @@ object GmallRegistry {
         |  CAST(coalesce(sum(bytes) OVER (PARTITION BY part ORDER BY file_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    // ${Bucketing.CompactTarget} AS BIGINT) AS bin
-        |FROM files ORDER BY part, file_id""".stripMargin)
+        |FROM files ORDER BY part, file_id""".stripMargin,
+    // per-bin PSI terms fold over the bin-sorted list (the χ² fold
+    // pattern) — never an order-unspecified double sum
+    "stats_psi_drift" ->
+      s"""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') < '${StatsOps.PsiCutoff}' AS base,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |w AS (SELECT v // ${StatsOps.HistBinCents} AS bin,
+        |    CAST(sum(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+        |    CAST(sum(CASE WHEN base THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        |  FROM e GROUP BY 1),
+        |a AS (SELECT list(struct_pack(bin := bin, cb := cb, cc := cc)
+        |      ORDER BY bin) AS bs,
+        |    CAST(sum(cb) AS BIGINT) AS nb, CAST(sum(cc) AS BIGINT) AS nc,
+        |    count(*) AS n_bins
+        |  FROM w)
+        |SELECT n_bins, nb, nc,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(bs, x ->
+        |    (CAST(x.cb + ${StatsOps.PsiSmooth} AS DOUBLE) / CAST(nb + ${StatsOps.PsiSmooth} * n_bins AS DOUBLE) -
+        |     CAST(x.cc + ${StatsOps.PsiSmooth} AS DOUBLE) / CAST(nc + ${StatsOps.PsiSmooth} * n_bins AS DOUBLE)) *
+        |    ln(CAST(x.cb + ${StatsOps.PsiSmooth} AS DOUBLE) * CAST(nc + ${StatsOps.PsiSmooth} * n_bins AS DOUBLE) /
+        |       (CAST(x.cc + ${StatsOps.PsiSmooth} AS DOUBLE) * CAST(nb + ${StatsOps.PsiSmooth} * n_bins AS DOUBLE))))),
+        |    (acc, x) -> acc + x) AS psi
+        |FROM a""".stripMargin,
+    // skyline via running max over the distinct-price domain, never a
+    // pairwise dominance join
+    "stats_pareto_frontier" ->
+      """WITH g AS (SELECT CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+        |    CAST(p_size AS BIGINT) AS size, count(*) AS n
+        |  FROM part GROUP BY 1, 2),
+        |m AS (SELECT price_c, max(size) AS mx FROM g GROUP BY 1),
+        |pts AS (SELECT g.price_c, g.size, g.n FROM g
+        |  JOIN m ON g.price_c = m.price_c AND g.size = m.mx),
+        |r AS (SELECT *, max(size) OVER (ORDER BY price_c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_mx
+        |  FROM pts)
+        |SELECT price_c, size, n AS n_parts FROM r
+        |WHERE prev_mx IS NULL OR size > prev_mx
+        |ORDER BY price_c""".stripMargin,
+    // quartile thresholds via cross-multiplied rank rule over bounded
+    // histograms (no ntile / global user sort); scores are integer
+    // comparisons against the three broadcast cutoffs
+    "events_rfm_segments" ->
+      s"""WITH users AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS mon
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT max(last_day) AS anchor, count(*) AS n FROM users),
+        |u AS (SELECT user_id, CAST(anchor - last_day AS BIGINT) AS r_days,
+        |    freq, mon // ${FunnelOps.RfmMonBand} AS m_band, mon
+        |  FROM users, a),
+        |rh AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM
+        |  (SELECT r_days AS v, count(*) AS c FROM u GROUP BY 1)),
+        |fh AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM
+        |  (SELECT freq AS v, count(*) AS c FROM u GROUP BY 1)),
+        |mh AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM
+        |  (SELECT m_band AS v, count(*) AS c FROM u GROUP BY 1)),
+        |rc AS (SELECT min(CASE WHEN cum * 4 >= n THEN v END) AS rt1,
+        |    min(CASE WHEN cum * 2 >= n THEN v END) AS rt2,
+        |    min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS rt3 FROM rh, a),
+        |fc AS (SELECT min(CASE WHEN cum * 4 >= n THEN v END) AS ft1,
+        |    min(CASE WHEN cum * 2 >= n THEN v END) AS ft2,
+        |    min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS ft3 FROM fh, a),
+        |mc AS (SELECT min(CASE WHEN cum * 4 >= n THEN v END) AS mt1,
+        |    min(CASE WHEN cum * 2 >= n THEN v END) AS mt2,
+        |    min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS mt3 FROM mh, a),
+        |s AS (SELECT user_id, r_days, freq, mon,
+        |    4 - (CASE WHEN r_days > rt1 THEN 1 ELSE 0 END)
+        |      - (CASE WHEN r_days > rt2 THEN 1 ELSE 0 END)
+        |      - (CASE WHEN r_days > rt3 THEN 1 ELSE 0 END) AS r_score,
+        |    1 + (CASE WHEN freq > ft1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN freq > ft2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN freq > ft3 THEN 1 ELSE 0 END) AS f_score,
+        |    1 + (CASE WHEN m_band > mt1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN m_band > mt2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN m_band > mt3 THEN 1 ELSE 0 END) AS m_score
+        |  FROM u, rc, fc, mc)
+        |SELECT user_id, r_days, freq, mon AS mon_cents,
+        |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+        |FROM s ORDER BY user_id""".stripMargin)
 }

@@ -79,6 +79,7 @@ object LlmRegistry {
     "cluster_silhouette" -> (Clustering.kmeansSilhouette _),
     "dedup_embedding_lsh" -> (Similarity.lshNearDupPairs _),
     "embed_int8" -> (Similarity.int8Quantize _),
+    "embed_gram_matrix" -> (Clustering.gramMatrix _),
     "dedup_embedding_lsh_multi" -> (Similarity.lshNearDupPairsMulti _),
     "mm_media_meta" -> (Multimodal.mediaMeta _),
     // codec-independent projection: mediaTable payloads are text bytes,
@@ -1113,6 +1114,16 @@ object LlmRegistry {
          |  CAST(list_min(v) AS BIGINT) AS v_min,
          |  CAST(list_max(v) AS BIGINT) AS v_max
          |FROM v ORDER BY vec_id""".stripMargin,
+    // exact second-moment matrix: per-dim unnest self-joined per vec —
+    // the row-explosion form the engine's array-buffer aggregate avoids
+    "embed_gram_matrix" ->
+      s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+         |e AS (SELECT vec_id, unnest(q) AS v,
+         |    generate_subscripts(q, 1) AS s FROM qz)
+         |SELECT CAST(a.s - 1 AS BIGINT) AS i, CAST(b.s - 1 AS BIGINT) AS j,
+         |  CAST(sum(a.v * b.v) AS BIGINT) AS gram
+         |FROM e a JOIN e b USING (vec_id)
+         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
     "mm_media_meta" ->
       s"""SELECT doc_id, $modality AS modality,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, source

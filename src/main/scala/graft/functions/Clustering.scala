@@ -217,4 +217,30 @@ object Clustering {
           (sqrt(col("p.na2").cast("double")) *
             sqrt(col("p.nb2").cast("double")))).as("cos_ab"))
   }
+
+  /** `embed_gram_matrix`: the exact second-moment (Gram) matrix of the
+    * quantized embedding corpus — G[i][j] = Σ_v q_i(v)·q_j(v) — the
+    * one-pass sufficient statistic behind PCA whitening, covariance
+    * shrinkage and OPQ rotation fitting: once G (and the dim sums, its
+    * first-moment sibling) exists, the 100 TB corpus never needs to be
+    * re-read to fit any of them.
+    *
+    * Scale shape: each row maps to its dims² outer product (a narrow
+    * codegen'd nested transform — no explode, no dims²-row blowup) and
+    * ONE `long_array_sum` partial aggregation folds the corpus to a
+    * single dims²-long buffer; the shuffle carries dims²·8 B per map
+    * partition, independent of corpus size — the k-means-update shape
+    * ([[step]]) applied to moment collection. Integer-exact: |q| ≤
+    * 2·10⁶ ⇒ a cell overflows only past ~2·10⁶ billion rows (ANSI
+    * faults loudly first). Output: (i, j, gram) over the full
+    * dims×dims grid, flat index recovered as (k div d, k mod d).
+    */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.quantized(spark, dir)
+      .select(expr("flatten(transform(q, x -> transform(q, y -> x * y)))").as("op"))
+      .agg(LongArraySumAgg.column(col("op")).as("g"))
+      .withColumn("d", expr("CAST(sqrt(CAST(size(g) AS DOUBLE)) AS BIGINT)"))
+      .select($"d", posexplode($"g").as(Seq("k", "gram")))
+      .select(expr("CAST(k div d AS BIGINT)").as("i"),
+        expr("CAST(k % d AS BIGINT)").as("j"), $"gram")
 }

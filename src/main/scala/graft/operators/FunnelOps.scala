@@ -213,4 +213,71 @@ object FunnelOps {
       .select($"src", $"dst", $"n",
         ($"n".cast("double") / $"row_total".cast("double")).as("p"))
   }
+
+  /** Monetary band width (cents) for [[rfmSegments]]' quartile domain. */
+  val RfmMonBand = 5000L
+
+  /** `events_rfm_segments`: Recency/Frequency/Monetary segmentation of
+    * the user base — every user scored 1–4 on each dimension against
+    * the population's quartiles, concatenated into the classic 111–444
+    * segment code marketing and retention models consume.
+    *
+    * NO GLOBAL SORT OF USERS: quartile thresholds are read off
+    * bounded-domain histograms with cumulative windows — recency in
+    * days (time-domain-bounded), frequency in per-user event counts
+    * (activity-bounded), monetary in [[RfmMonBand]]-cent bands (the
+    * [[StatsOps.valueHistogram]] binning) — then broadcast back and
+    * every user scores in a narrow pass. The ntile() formulation would
+    * range-sort the full user table three times; this is three
+    * dimension-sized windows plus one corpus aggregation. Thresholds
+    * use the integer-exact rank rule t_q = min v with cum·q⁻¹ ≥ n
+    * (cross-multiplied, so no division): score = 1 + #{thresholds
+    * strictly below} for F/M, inverted for R (recent = high).
+    *
+    * Scale shape: ONE corpus pass (map-side-combined per-user
+    * aggregate); histograms aggregate the USER table onto bounded
+    * domains; the three 1-row threshold frames broadcast-join back.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    val users = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(max(to_date($"ts")).as("last_day"),
+        count(lit(1)).as("freq"), sum(cents).as("mon"))
+    val anchor = users.agg(max($"last_day").as("anchor"))
+    val u = users.join(broadcast(anchor))
+      .select($"user_id",
+        datediff($"anchor", $"last_day").cast("long").as("r_days"),
+        $"freq", expr(s"mon div $RfmMonBand").as("m_band"), $"mon")
+
+    // 1-row (t1, t2, t3) quartile cutoffs of `v` over its bounded domain
+    def cuts(dim: DataFrame, pfx: String): DataFrame = {
+      val hist = dim.groupBy($"v").agg(count(lit(1)).as("c"))
+      val total = hist.agg(sum($"c").as("n"))
+      val w = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum($"c").over(w))
+        .join(broadcast(total))
+        .agg(min(when($"cum" * 4 >= $"n", $"v")).as(pfx + "1"),
+          min(when($"cum" * 2 >= $"n", $"v")).as(pfx + "2"),
+          min(when($"cum" * 4 >= $"n" * 3, $"v")).as(pfx + "3"))
+    }
+    val rc = cuts(u.select($"r_days".as("v")), "rt")
+    val fc = cuts(u.select($"freq".as("v")), "ft")
+    val mc = cuts(u.select($"m_band".as("v")), "mt")
+
+    def above(v: org.apache.spark.sql.Column, t: String): org.apache.spark.sql.Column =
+      when(v > col(t), 1L).otherwise(0L)
+    u.join(broadcast(rc)).join(broadcast(fc)).join(broadcast(mc))
+      .withColumn("r_score",
+        lit(4L) - above($"r_days", "rt1") - above($"r_days", "rt2") - above($"r_days", "rt3"))
+      .withColumn("f_score",
+        lit(1L) + above($"freq", "ft1") + above($"freq", "ft2") + above($"freq", "ft3"))
+      .withColumn("m_score",
+        lit(1L) + above($"m_band", "mt1") + above($"m_band", "mt2") + above($"m_band", "mt3"))
+      .select($"user_id", $"r_days", $"freq", $"mon".as("mon_cents"),
+        $"r_score", $"f_score", $"m_score",
+        ($"r_score" * 100L + $"f_score" * 10L + $"m_score").as("segment"))
+  }
 }

@@ -360,4 +360,86 @@ object StatsOps {
         ($"m.score" * $"matched_keys".cast("double") /
           $"join_rows".cast("double") * 1000000.0).as("skew_ppm"))
   }
+
+  /** Drift-split day for [[psiDrift]]: days before this are the baseline
+    * distribution, days on/after are the current one.
+    */
+  val PsiCutoff = "2024-01-16"
+
+  /** Laplace smoothing pseudo-count per bin in [[psiDrift]]. */
+  val PsiSmooth = 1L
+
+  /** `stats_psi_drift`: Population Stability Index between the baseline
+    * and current halves of the event-value distribution — THE
+    * industry-standard "has the input distribution shifted" monitor
+    * (PSI < 0.1 stable, > 0.25 action), complementing [[ksDrift]]'s
+    * max-gap statistic with a mass-weighted log-ratio one.
+    *
+    * Determinism: bin counts are exact longs with [[PsiSmooth]] Laplace
+    * smoothing (zero-proof denominators `N + smooth·bins` on BOTH
+    * sides); each bin's term is computed with one expression shape on
+    * both engines, and the cross-bin double sum folds over the
+    * bin-sorted array exactly like the χ² fold — never an
+    * order-unspecified SQL sum of doubles.
+    *
+    * Scale shape: ONE map-side-combined aggregation onto the bounded
+    * (bin × side) domain; the fold runs over the bin-count-sized array
+    * on a single row. Output: one row (n_bins, both Ns, psi).
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    val binned = events(spark, dir)
+      .select((date_format($"ts", "yyyy-MM-dd") < PsiCutoff).as("base"),
+        cents.as("v"))
+      .groupBy(expr(s"v div $HistBinCents").as("bin"), $"base")
+      .agg(count(lit(1)).as("n"))
+    val wide = binned.groupBy($"bin")
+      .agg(sum(when($"base", $"n").otherwise(0L)).as("cb"),
+        sum(when(!$"base", $"n").otherwise(0L)).as("cc"))
+    wide
+      .agg(sort_array(collect_list(struct($"bin", $"cb", $"cc"))).as("bs"),
+        sum($"cb").as("nb"), sum($"cc").as("nc"), count(lit(1)).as("n_bins"))
+      .select($"n_bins", $"nb", $"nc",
+        expr(s"""aggregate(bs, CAST(0 AS DOUBLE), (acc, x) -> acc +
+          |  (CAST(x.cb + $PsiSmooth AS DOUBLE) / CAST(nb + $PsiSmooth * n_bins AS DOUBLE) -
+          |   CAST(x.cc + $PsiSmooth AS DOUBLE) / CAST(nc + $PsiSmooth * n_bins AS DOUBLE)) *
+          |  ln(CAST(x.cb + $PsiSmooth AS DOUBLE) * CAST(nc + $PsiSmooth * n_bins AS DOUBLE) /
+          |     (CAST(x.cc + $PsiSmooth AS DOUBLE) * CAST(nb + $PsiSmooth * n_bins AS DOUBLE))))
+          |""".stripMargin).as("psi"))
+  }
+
+  /** `stats_pareto_frontier`: the 2-D skyline of the part catalog —
+    * every (retail price, size) point not dominated by a part that is
+    * both cheaper-or-equal and larger, with strict improvement in at
+    * least one dimension. The classic multi-objective shortlist query
+    * (cheapest part at every capability level).
+    *
+    * No pairwise dominance join: the table collapses to one row per
+    * DISTINCT PRICE (max size there, with the point's multiplicity)
+    * and the frontier is read off a running max over the price-sorted
+    * domain — a point survives iff its size strictly exceeds every
+    * cheaper point's max size. O(domain log domain), vs the O(n²)
+    * dominance anti-join the textbook formulation plans as a nested
+    * loop.
+    *
+    * Scale shape: two partial aggregations onto bounded domains
+    * (price × size grid, then price), one broadcast-sized running-max
+    * window over the distinct-price domain — the stats-family
+    * bounded-domain-window stance ([[trimmedMean]]).
+    */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val priceC = (RelationalOps.dec($"p_retailprice") * 100).cast("long")
+    val g = part(spark, dir)
+      .select(priceC.as("price_c"), $"p_size".cast("long").as("size"))
+      .groupBy($"price_c", $"size").agg(count(lit(1)).as("n"))
+    val m = g.groupBy($"price_c").agg(max($"size").as("mx"))
+    val pts = g.join(m.hint("shuffle_hash"), Seq("price_c"))
+      .filter($"size" === $"mx")
+      .select($"price_c", $"size", $"n")
+    val w = Window.orderBy($"price_c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("prev_mx", max($"size").over(w))
+      .filter($"prev_mx".isNull || $"size" > $"prev_mx")
+      .select($"price_c", $"size", $"n".as("n_parts"))
+  }
 }

@@ -194,4 +194,19 @@ class ClusteringSpec extends AnyFunSuite {
       assert(gcos >= -1.0 && gcos <= 1.0)
     }
   }
+
+  test("gram matrix: symmetric, PSD diagonal, trace = sum of squared norms") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Clustering.gramMatrix(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val d = math.sqrt(out.size.toDouble).toLong
+    assert(d * d === out.size.toLong, "full dims x dims grid")
+    out.foreach { case ((i, j), g) => assert(out((j, i)) === g, s"asymmetry at ($i,$j)") }
+    (0L until d).foreach(i => assert(out((i, i)) >= 0L))
+    // trace replayed from the per-vector quantized norms
+    val trace = Dedup.quantized(spark, dir)
+      .selectExpr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS n2")
+      .collect().map(_.getLong(0)).sum
+    assert((0L until d).map(i => out((i, i))).sum === trace)
+  }
 }

@@ -146,4 +146,27 @@ class FunnelOpsSpec extends AnyFunSuite {
     assert(a === b,
       "bitmap algebra is an implementation strategy, not a semantic change")
   }
+
+  test("RFM: scores in 1..4, monotone in their dimension, segment code composes") {
+    val out = FunnelOps.rfmSegments(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, _, r, f, m, seg) =>
+      assert(r >= 1 && r <= 4 && f >= 1 && f <= 4 && m >= 1 && m <= 4)
+      assert(seg === r * 100 + f * 10 + m)
+    }
+    // monotone: more recent never scores lower, more frequent never lower
+    val byR = out.sortBy(_._1)
+    byR.sliding(2).foreach { case Array(a, b) =>
+      if (a._1 < b._1) assert(a._4 >= b._4, s"recency monotonicity: $a vs $b"); ()
+    }
+    val byF = out.sortBy(_._2)
+    byF.sliding(2).foreach { case Array(a, b) =>
+      if (a._2 < b._2) assert(a._5 <= b._5, s"frequency monotonicity: $a vs $b"); ()
+    }
+    // every score class reachable from the rank rule: the top class is
+    // non-empty on any non-degenerate distribution
+    assert(out.exists(_._5 === 4L) || out.map(_._2).distinct.length < 4)
+  }
 }

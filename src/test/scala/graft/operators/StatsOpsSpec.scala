@@ -266,4 +266,60 @@ class StatsOpsSpec extends AnyFunSuite {
       .select($"user_id").distinct().count()
     assert(rolling.where($"uv_7d" > total).count() === 0)
   }
+
+  test("pareto frontier: output is mutually non-dominated and covers every non-dominated point") {
+    val sf = "/root/testdata/sf0.001"
+    val out = StatsOps.paretoFrontier(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // brute-force replay on the (price, size) grid
+    val pts = graft.Tables.part(spark, sf)
+      .selectExpr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        "CAST(p_size AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def dominated(p: (Long, Long)) = pts.exists(q =>
+      q._1 <= p._1 && q._2 >= p._2 && (q._1 < p._1 || q._2 > p._2))
+    out.foreach { case (pc, sz, _) =>
+      assert(!dominated((pc, sz)), s"dominated point on frontier: ($pc, $sz)")
+    }
+    val expect = pts.distinct.filterNot(dominated).toSet
+    assert(out.map(p => (p._1, p._2)).toSet === expect)
+    // multiplicity is the point's population
+    val byPoint = pts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { case (pc, sz, n) => assert(n === byPoint((pc, sz))) }
+  }
+
+  test("PSI is zero for identical halves and replays exactly on driver data") {
+    // identical base/current distributions -> every term (p-q)ln(p/q) = 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-psi").toString
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    spark.createDataFrame(Seq(
+      (1L, ts(2), 1L, "view", 10.00, "{}"), (2L, ts(2), 1L, "view", 80.00, "{}"),
+      (3L, ts(20), 1L, "view", 10.00, "{}"), (4L, ts(20), 1L, "view", 80.00, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val flat = StatsOps.psiDrift(spark, dir).collect().head
+    assert(flat.getDouble(3) === 0.0)
+    // driver data: fold replayed in bin order driver-side
+    val sf = "/root/testdata/sf0.001"
+    val got = StatsOps.psiDrift(spark, sf).collect().head
+    val bins = graft.Tables.events(spark, sf)
+      .selectExpr(s"date_format(ts, 'yyyy-MM-dd') < '${StatsOps.PsiCutoff}' AS base",
+        s"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div ${StatsOps.HistBinCents} AS bin")
+      .groupBy("bin").agg(
+        sum(when($"base", 1L).otherwise(0L)).as("cb"),
+        sum(when(!$"base", 1L).otherwise(0L)).as("cc"))
+      .orderBy("bin").collect()
+    val nb = bins.map(_.getLong(1)).sum; val nc = bins.map(_.getLong(2)).sum
+    val k = bins.length
+    var psi = 0.0
+    bins.foreach { r =>
+      val (cb, cc) = (r.getLong(1) + StatsOps.PsiSmooth, r.getLong(2) + StatsOps.PsiSmooth)
+      val (db, dc) = (nb + StatsOps.PsiSmooth * k, nc + StatsOps.PsiSmooth * k)
+      psi += (cb.toDouble / db - cc.toDouble / dc) *
+        math.log(cb.toDouble * dc / (cc.toDouble * db))
+    }
+    assert(got.getLong(0) === k.toLong && got.getLong(1) === nb && got.getLong(2) === nc)
+    assert(math.abs(got.getDouble(3) - psi) < 1e-12)
+  }
 }
