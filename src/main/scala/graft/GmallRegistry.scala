@@ -149,7 +149,8 @@ object GmallRegistry {
     "ts_seasonal_decompose" -> (TimeSeriesOps.seasonalDecompose _),
     "layout_compaction_plan" -> (Bucketing.compactionPlan _),
     "stats_psi_drift" -> (StatsOps.psiDrift _),
-    "stats_pareto_frontier" -> (StatsOps.paretoFrontier _))
+    "stats_pareto_frontier" -> (StatsOps.paretoFrontier _),
+    "ts_holt_smooth" -> (TimeSeriesOps.holtSmooth _))
 
   val oracleSql: Map[String, String] = Map(
     // same unscaled-long money math as the operator: decimal(18,2) cast
@@ -1847,5 +1848,33 @@ object GmallRegistry {
         |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
         |  CAST(m_score AS BIGINT) AS m_score,
         |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
-        |FROM s ORDER BY user_id""".stripMargin)
+        |FROM s ORDER BY user_id""".stripMargin,
+    // binary-exact smoothing constants (0.5/0.25/0.75), identical op
+    // order to the engine's fold -> bit-equal doubles (cusum contract)
+    "ts_holt_smooth" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT d, c, row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |h AS (
+        |  SELECT rn, d, c, CAST(c AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b,
+        |    CAST(c AS DOUBLE) AS f
+        |  FROM dd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT dd.rn, dd.d, dd.c,
+        |    CAST(0.5 AS DOUBLE) * CAST(dd.c AS DOUBLE) +
+        |      CAST(0.5 AS DOUBLE) * (h.l + h.b),
+        |    CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * CAST(dd.c AS DOUBLE) +
+        |        CAST(0.5 AS DOUBLE) * (h.l + h.b)) - h.l) +
+        |      CAST(0.75 AS DOUBLE) * h.b,
+        |    h.l + h.b
+        |  FROM dd JOIN h ON dd.rn = h.rn + 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+        |  l / CAST(100 AS DOUBLE) AS level,
+        |  b / CAST(100 AS DOUBLE) AS trend,
+        |  f / CAST(100 AS DOUBLE) AS fitted,
+        |  (CAST(c AS DOUBLE) - f) / CAST(100 AS DOUBLE) AS residual
+        |FROM h ORDER BY day""".stripMargin)
 }

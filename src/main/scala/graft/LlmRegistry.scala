@@ -115,9 +115,11 @@ object LlmRegistry {
     "text_token_lang_chi2" -> (Relevance.tokenLangChi2 _),
     "ir_inverted_index" -> (Relevance.invertedIndex _),
     "text_cooccurrence_pmi" -> (TextAnalysis.cooccurrencePmi _),
+    "text_keyphrase_rake" -> (Relevance.rakeKeyphrases _),
     "text_readability" -> (TextAnalysis.readability _),
     "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "graph_components" -> (GraphRank.knnComponents _),
+    "graph_label_propagation" -> (GraphRank.labelPropagation _),
     "sample_cluster_balanced" -> (Sampling.clusterBalancedSample _),
     "pipeline_dedup_funnel" -> (CorpusPipeline.dedupFunnel _))
 
@@ -926,6 +928,34 @@ object LlmRegistry {
       s"""$knnComponentsCtes
          |SELECT vec_id, component_id, component_size
          |FROM comp ORDER BY vec_id""".stripMargin,
+    // unrolled label-spreading rounds; per-round majority = highest
+    // count then smallest label (window replay of the packed argmax)
+    "graph_label_propagation" -> {
+      val rounds = (1 to GraphRank.LpRounds).map { r =>
+        s"""r$r AS (SELECT c.vec_id, c.seeded, c.truelab,
+           |  CASE WHEN c.seeded THEN c.truelab
+           |       ELSE coalesce(m.maj, c.lab) END AS lab
+           |  FROM r${r - 1} c LEFT JOIN (
+           |    SELECT dst, lab AS maj FROM (
+           |      SELECT e.dst, p.lab, count(*) AS c,
+           |        row_number() OVER (PARTITION BY e.dst
+           |          ORDER BY count(*) DESC, p.lab ASC) AS rn
+           |      FROM r${r - 1} p JOIN e ON p.vec_id = e.src
+           |      WHERE p.lab IS NOT NULL GROUP BY 1, 2)
+           |    WHERE rn = 1) m ON m.dst = c.vec_id)""".stripMargin
+      }
+      s"""WITH knn AS ($knnGraphSql),
+         |e AS (SELECT vec_id AS src, neighbor AS dst FROM knn),
+         |nd AS (SELECT DISTINCT src AS vec_id FROM e),
+         |r0 AS (SELECT nd.vec_id, nd.vec_id % ${GraphRank.LpSeedMod} = 0 AS seeded,
+         |    CAST(emb.label AS BIGINT) AS truelab,
+         |    CASE WHEN nd.vec_id % ${GraphRank.LpSeedMod} = 0
+         |      THEN CAST(emb.label AS BIGINT) END AS lab
+         |  FROM nd JOIN embeddings emb ON emb.vec_id = nd.vec_id),
+         |${rounds.mkString(",\n")}
+         |SELECT vec_id, seeded, lab AS label
+         |FROM r${GraphRank.LpRounds} ORDER BY vec_id""".stripMargin
+    },
     // sqrt-of-size quota per component, members ranked by salted-hash
     // priority (the window replay of the engine's same rank)
     "sample_cluster_balanced" ->
@@ -1295,6 +1325,32 @@ object LlmRegistry {
          |  (4, 'near_dup')) AS s(stage, stage_name)
          |ORDER BY stage""".stripMargin,
     "text_token_lang_chi2" -> Relevance.sqlTokenLangChi2,
+    // phrases re-derived via windowed group-and-concat (the engine uses
+    // a per-doc fold); integer ppm word scores keep phrase sums exact
+    "text_keyphrase_rake" -> {
+      val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, unnest(tk) AS tok,
+         |    generate_subscripts(tk, 1) AS s
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents)),
+         |g AS (SELECT doc_id, s, tok,
+         |    CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END AS st,
+         |    sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s) AS grp
+         |  FROM t),
+         |ph AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY s) AS phrase
+         |  FROM g WHERE st = 0 GROUP BY 1, 2),
+         |pd AS (SELECT phrase, count(*) AS n FROM ph GROUP BY 1),
+         |pw AS (SELECT phrase, n, unnest(string_split(phrase, ' ')) AS word,
+         |    CAST(len(string_split(phrase, ' ')) AS BIGINT) AS l FROM pd),
+         |ws AS (SELECT word,
+         |    CAST((CAST(sum(n * l) AS BIGINT) * 1000000) //
+         |      CAST(sum(n) AS BIGINT) AS BIGINT) AS w_score
+         |  FROM pw GROUP BY 1)
+         |SELECT phrase, min(n) AS n_occurrences,
+         |  CAST(sum(w_score) AS BIGINT) AS score_ppm
+         |FROM pw JOIN ws USING (word) GROUP BY 1
+         |ORDER BY score_ppm DESC, phrase LIMIT ${Relevance.RakeTopN}""".stripMargin
+    },
     "text_readability" ->
       s"""WITH b AS (SELECT doc_id,
          |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),

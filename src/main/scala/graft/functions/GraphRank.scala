@@ -223,4 +223,65 @@ object GraphRank {
       .select(col("vec_id"), col("label").as("component_id"),
         col("component_size"))
   }
+
+  /** Every [[LpSeedMod]]-th node keeps its true label as a clamped seed
+    * in [[labelPropagation]].
+    */
+  val LpSeedMod = 10L
+
+  /** Propagation rounds — fixed so the unrolled oracle is finite. */
+  val LpRounds = 3
+
+  /** `graph_label_propagation`: semi-supervised label spreading over
+    * the k-NN similarity graph — 10% of nodes keep their true label as
+    * clamped seeds, every other node takes the MAJORITY label among
+    * its current labeled neighbors each round (ties to the smallest
+    * label), [[LpRounds]] rounds. The standard trick for pushing a
+    * small amount of human labeling across a 100 TB corpus: labels
+    * ride the same similarity structure dedup and ANN already built.
+    *
+    * Determinism: counts are exact; the majority argmax packs
+    * (count, smallest-label) into one decimal(38,0) total order so
+    * `max()` keeps a mutable hash-agg buffer (a struct-ordered max
+    * would demote the round to SortAggregate — the OHLC lesson,
+    * [[graft.operators.TimeSeriesOps.ohlcDownsample]]), so every round
+    * is bit-identical across engines and the oracle replays all rounds
+    * as an unrolled CTE chain.
+    *
+    * Scale shape per round: labeled ranks ⋈ edges on the partitioned
+    * src key, one (dst, label)-keyed count, one dst-keyed argmax, one
+    * left join back — the [[pagerank]] iteration shape with a
+    * categorical payload; inter-round state is `localCheckpoint`ed for
+    * the same reasons documented there.
+    */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor").as("dst"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("vec_id")).distinct()
+      .join(graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("truelab")), "vec_id")
+      .select(col("vec_id"), (col("vec_id") % LpSeedMod === 0).as("seeded"),
+        col("truelab"))
+      .localCheckpoint()
+    val init = nodes.withColumn("lab", when(col("seeded"), col("truelab")))
+    val fin = (1 to LpRounds).foldLeft(init) { case (cur, _) =>
+      // (count, smallest-label) packed into one decimal so the argmax
+      // stays a HashAggregate; labels are bounded far below 10^9
+      val maj = cur.filter(col("lab").isNotNull)
+        .join(edges, cur("vec_id") === edges("src"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(col("c").cast("decimal(38,0)") * lit(1000000000L) +
+          (lit(999999999L) - col("lab"))).as("o"))
+        .select(col("dst"),
+          (lit(999999999L) - (col("o") % 1000000000L)).cast("long").as("maj"))
+      cur.join(maj, cur("vec_id") === maj("dst"), "left")
+        .select(cur("vec_id"), col("seeded"), col("truelab"),
+          when(col("seeded"), col("truelab"))
+            .otherwise(coalesce(col("maj"), col("lab"))).as("lab"))
+        .localCheckpoint()
+    }
+    fin.select(col("vec_id"), col("seeded"), col("lab").as("label"))
+  }
 }

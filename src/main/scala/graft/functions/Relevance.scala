@@ -281,4 +281,65 @@ object Relevance {
        |FROM bytok, t
        |ORDER BY chi2 DESC, tok LIMIT $Chi2TopN""".stripMargin
   }
+
+  /** Result size of [[rakeKeyphrases]]. */
+  val RakeTopN = 50
+
+  /** `text_keyphrase_rake`: corpus-level RAKE keyphrase extraction
+    * (Rose et al. 2010) — candidate phrases are the maximal stopword-
+    * free token runs, each word scores degree/frequency (degree = sum
+    * of lengths of phrases containing it, frequency = occurrences),
+    * and a phrase scores the sum of its words' scores. The classic
+    * unsupervised keyphrase surface next to [[tfidfTopTerms]]'s
+    * single-token ranking — RAKE is what surfaces "large language
+    * model" where tf-idf sees three unrelated tokens.
+    *
+    * Determinism: word scores are TRUNCATING integer ppm quotients
+    * (deg·10⁶ div freq), so the per-phrase sum is an exact long —
+    * never an order-unspecified double sum — and the final ordering
+    * ties deterministically on the phrase text.
+    *
+    * Scale shape: phrase assembly is a ZERO-SHUFFLE per-document
+    * array fold (the [[graft.functions.TextAnalysis]] tile-dedup
+    * stance); the corpus then shuffles once onto the distinct-phrase
+    * key, once onto the word key (stats + score join share that
+    * exchange), and the result is a `TakeOrderedAndProject` top-N.
+    * The oracle derives the same phrases independently via a
+    * windowed group-and-concat.
+    */
+  def rakeKeyphrases(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    val phrases = expr(
+      s"""aggregate(
+        |  toks,
+        |  named_struct('ph', CAST(array() AS ARRAY<STRING>),
+        |    'cur', CAST(array() AS ARRAY<STRING>)),
+        |  (acc, t) -> CASE WHEN t IN ($stopList)
+        |    THEN named_struct(
+        |      'ph', CASE WHEN size(acc.cur) > 0
+        |        THEN concat(acc.ph, array(concat_ws(' ', acc.cur)))
+        |        ELSE acc.ph END,
+        |      'cur', CAST(array() AS ARRAY<STRING>))
+        |    ELSE named_struct('ph', acc.ph,
+        |      'cur', concat(acc.cur, array(t))) END,
+        |  acc -> CASE WHEN size(acc.cur) > 0
+        |    THEN concat(acc.ph, array(concat_ws(' ', acc.cur)))
+        |    ELSE acc.ph END)""".stripMargin)
+    val ph = documents(spark, dir)
+      .select(TextAnalysis.tokens($"text").as("toks"))
+      .select(explode(phrases).as("phrase"))
+    val pd = ph.groupBy($"phrase").agg(count(lit(1)).as("n"))
+    val pw = pd.select($"phrase", $"n",
+        explode(split($"phrase", " ")).as("word"),
+        size(split($"phrase", " ")).cast("long").as("l"))
+    val ws = pw.groupBy($"word")
+      .agg(sum($"n").as("freq"), sum($"n" * $"l").as("deg"))
+      .select($"word", expr("(deg * 1000000L) div freq").as("w_score"))
+    pw.join(ws.hint("shuffle_hash"), Seq("word"))
+      .groupBy($"phrase")
+      .agg(min($"n").as("n_occurrences"), sum($"w_score").as("score_ppm"))
+      .orderBy($"score_ppm".desc, $"phrase".asc)
+      .limit(RakeTopN)
+      .select($"phrase", $"n_occurrences", $"score_ppm")
+  }
 }

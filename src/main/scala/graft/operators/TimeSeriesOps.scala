@@ -437,4 +437,54 @@ object TimeSeriesOps {
           ($"cents" * 7 - $"t7").cast("double") / 700.0 -
             $"s_num".cast("double") / $"s_den".cast("double") / 700.0).as("residual"))
   }
+
+  /** `ts_holt_smooth`: Holt’s linear (double-exponential) smoothing of
+    * the daily revenue series — level l_t = α·y_t + (1−α)(l_{t−1} +
+    * b_{t−1}), trend b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1} — the
+    * one-step-ahead forecaster (fitted_t = l_{t−1} + b_{t−1}) that
+    * [[ewmaSmooth]] cannot express because EWMA has no trend state.
+    * α = 0.5 and β = 0.25 are BINARY-EXACT doubles, and both engines
+    * evaluate the identical operation sequence over the day-sorted
+    * fold, so every smoothed value is bit-identical (the [[cusumDaily]]
+    * recursion contract extended to double state).
+    *
+    * Scale shape: identical to [[cusumDaily]] — the corpus collapses
+    * to one exact-cent row per day (partial agg), and the recursion
+    * folds once over the BOUNDED day-domain array; the oracle replays
+    * it as a recursive CTE.
+    */
+  def holtSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum((RelationalOps.dec($"value") * 100).cast("long")).as("c"))
+    daily.select(struct($"d", $"c").as("r"))
+      .agg(sort_array(collect_list($"r")).as("ds"))
+      .select(explode(expr(
+        """slice(
+          |  aggregate(ds,
+          |    array(named_struct(
+          |      'd', CAST('1970-01-01' AS DATE), 'c', CAST(0 AS BIGINT),
+          |      'l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+          |      'f', CAST(0 AS DOUBLE))),
+          |    (acc, x) -> concat(acc, array(CASE WHEN size(acc) = 1
+          |      THEN named_struct('d', x.d, 'c', x.c,
+          |        'l', CAST(x.c AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+          |        'f', CAST(x.c AS DOUBLE))
+          |      ELSE named_struct('d', x.d, 'c', x.c,
+          |        'l', 0.5D * CAST(x.c AS DOUBLE) +
+          |          0.5D * (element_at(acc, -1).l + element_at(acc, -1).b),
+          |        'b', 0.25D * ((0.5D * CAST(x.c AS DOUBLE) +
+          |            0.5D * (element_at(acc, -1).l + element_at(acc, -1).b)) -
+          |            element_at(acc, -1).l) +
+          |          0.75D * element_at(acc, -1).b,
+          |        'f', element_at(acc, -1).l + element_at(acc, -1).b)
+          |      END))),
+          |  2, size(ds))""".stripMargin)).as("h"))
+      .select(date_format($"h.d", "yyyy-MM-dd").as("day"),
+        ($"h.c".cast("double") / 100.0).as("revenue"),
+        ($"h.l" / 100.0).as("level"),
+        ($"h.b" / 100.0).as("trend"),
+        ($"h.f" / 100.0).as("fitted"),
+        (($"h.c".cast("double") - $"h.f") / 100.0).as("residual"))
+  }
 }

@@ -80,4 +80,22 @@ class GraphRankSpec extends AnyFunSuite {
     // triangles exist in the fixture, so some edge overlaps
     assert(got.values.exists(_._1 > 0L))
   }
+
+  test("label propagation: seeds clamped, labels from the label domain, spreading happened") {
+    val dir = "/root/testdata/sf0.001"
+    val out = GraphRank.labelPropagation(spark, dir).collect()
+    assert(out.nonEmpty)
+    val truth = graft.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (id, seeded) = (r.getLong(0), r.getBoolean(1))
+      assert(seeded === (id % GraphRank.LpSeedMod == 0))
+      if (seeded) assert(r.getLong(2) === truth(id), s"seed drifted: $r")
+      if (!r.isNullAt(2)) assert(truth.values.exists(_ == r.getLong(2)),
+        "label outside the domain")
+    }
+    assert(out.exists(r => !r.getBoolean(1) && !r.isNullAt(2)),
+      "no label ever propagated to a non-seed")
+  }
 }

@@ -111,4 +111,22 @@ class RelevanceSpec extends AnyFunSuite {
     // the perfectly-discriminative token dominates the shared one
     assert(got("hund")._2 > got("dog")._2)
   }
+
+  test("RAKE: phrase split at stopwords, degree/frequency scores replay by hand") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rake").toString
+    // "quick brown fox" twice, "lazy dog" once, "fox" once solo
+    spark.createDataFrame(Seq(
+      (1L, "the quick brown fox and a lazy dog", "en", "web", 34L),
+      (2L, "a quick brown fox in the fox", "en", "web", 28L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Relevance.rakeKeyphrases(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // word stats: quick/brown: freq 2, deg 6; fox: freq 3, deg 7; lazy/dog: 1/2
+    val quick = 6L * 1000000L / 2L; val fox = 7L * 1000000L / 3L
+    assert(out("quick brown fox") === ((2L, quick * 2 + fox)))
+    assert(out("lazy dog") === ((1L, 2L * 1000000L / 1L * 2)))
+    assert(out("fox") === ((1L, fox)))
+    assert(out.size === 3)
+  }
 }

@@ -221,4 +221,30 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       assert(vs.max - vs.min < eps, "seasonal varies within one DOW")
     }
   }
+
+  test("Holt smoothing replays bit-exactly against a driver-side fold") {
+    val out = TimeSeriesOps.holtSmooth(spark, sf).collect()
+      .sortBy(_.getString(0))
+    assert(out.length >= 14)
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("c"))
+      .orderBy($"d").collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    var (l, b) = (0.0, 0.0)
+    daily.zipWithIndex.foreach { case ((day, c), i) =>
+      val y = c.toDouble
+      val (f, l2, b2) =
+        if (i == 0) (y, y, 0.0)
+        else {
+          val nl = 0.5 * y + 0.5 * (l + b)
+          (l + b, nl, 0.25 * (nl - l) + 0.75 * b)
+        }
+      val row = out(i)
+      assert(row.getString(0) === day)
+      assert(row.getDouble(2) === l2 / 100.0, s"level at $day")
+      assert(row.getDouble(3) === b2 / 100.0, s"trend at $day")
+      assert(row.getDouble(4) === f / 100.0, s"fitted at $day")
+      l = l2; b = b2
+    }
+  }
 }
