@@ -120,6 +120,7 @@ object LlmRegistry {
     "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "graph_components" -> (GraphRank.knnComponents _),
     "graph_label_propagation" -> (GraphRank.labelPropagation _),
+    "eval_ndcg" -> (Similarity.evalNdcg _),
     "sample_cluster_balanced" -> (Sampling.clusterBalancedSample _),
     "pipeline_dedup_funnel" -> (CorpusPipeline.dedupFunnel _))
 
@@ -1011,6 +1012,36 @@ object LlmRegistry {
     // same candidate CTEs as dedup_embedding_lsh, no threshold; rank
     // tie-break (cos2 DESC, neighbor) mirrors TopKAgg's heap order
     "sim_knn_graph" -> knnGraphSql,
+    // DCG/IDCG fold in rank order over the SHARED precomputed discount
+    // literals (JVM Math.log vs DuckDB libm differ by an ulp on some
+    // integer args — no query-time log on either side)
+    "eval_ndcg" ->
+      s"""WITH knn AS ($knnGraphSql),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+         |w AS (SELECT [${Similarity.ndcgWeightsSqlBody}] AS ws),
+         |r AS (SELECT k.vec_id, k.rank,
+         |    CASE WHEN ql.lbl = nl.lbl THEN 1 ELSE 0 END AS rel
+         |  FROM knn k JOIN lab ql ON ql.vec_id = k.vec_id
+         |  JOIN lab nl ON nl.vec_id = k.neighbor),
+         |g AS (SELECT vec_id,
+         |    list(struct_pack(rank := rank, rel := rel) ORDER BY rank) AS rs
+         |  FROM r GROUP BY 1),
+         |s AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(rs, x -> x.rel)) AS BIGINT) AS n_rel,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(rs, x ->
+         |      CAST(x.rel AS DOUBLE) * ws[CAST(x.rank AS INT)])),
+         |      (a, b) -> a + b) AS dcg
+         |  FROM g, w),
+         |s2 AS (SELECT vec_id, n_rel, dcg,
+         |    CASE WHEN n_rel > 0 THEN
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(range(1, n_rel + 1), i ->
+         |          ws[CAST(i AS INT)])),
+         |        (a, b) -> a + b) END AS idcg
+         |  FROM s, w)
+         |SELECT vec_id, n_rel, dcg, idcg,
+         |  CASE WHEN n_rel > 0 THEN dcg / idcg END AS ndcg
+         |FROM s2 ORDER BY vec_id""".stripMargin,
     // same candidate plan with the cross-label predicate in the pair join
     "sim_hard_negatives" ->
       knnLikeSql("a.label <> b.label", "negative_id", Similarity.HardNegK),

