@@ -121,6 +121,7 @@ object LlmRegistry {
     "graph_components" -> (GraphRank.knnComponents _),
     "graph_label_propagation" -> (GraphRank.labelPropagation _),
     "eval_ndcg" -> (Similarity.evalNdcg _),
+    "sim_mmr_rerank" -> (Similarity.mmrRerank _),
     "sample_cluster_balanced" -> (Sampling.clusterBalancedSample _),
     "pipeline_dedup_funnel" -> (CorpusPipeline.dedupFunnel _))
 
@@ -1012,6 +1013,46 @@ object LlmRegistry {
     // same candidate CTEs as dedup_embedding_lsh, no threshold; rank
     // tie-break (cos2 DESC, neighbor) mirrors TopKAgg's heap order
     "sim_knn_graph" -> knnGraphSql,
+    // unrolled greedy MMR rounds; penalty is a MAX over pairwise cos2
+    // (no double summation), argmax replayed as a row_number window
+    "sim_mmr_rerank" -> {
+      val qz = quantize
+      val rounds = (2 to Similarity.MmrM).map { r =>
+        s"""sc$r AS (SELECT c.qid, c.cid,
+           |    CAST(0.5 AS DOUBLE) * c.rel2 -
+           |      CAST(0.5 AS DOUBLE) * max(coalesce(p.sim2, CAST(0 AS DOUBLE))) AS score
+           |  FROM cands c JOIN sel${r - 1} s ON s.qid = c.qid
+           |  LEFT JOIN pairs p ON p.qid = c.qid
+           |    AND p.ca = least(c.cid, s.cid) AND p.cb = greatest(c.cid, s.cid)
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
+           |    WHERE s2.qid = c.qid AND s2.cid = c.cid)
+           |  GROUP BY c.qid, c.cid, c.rel2),
+           |pk$r AS (SELECT qid, cid, score, CAST($r AS BIGINT) AS pos FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY score DESC, cid) AS rn FROM sc$r) WHERE rn = 1),
+           |sel$r AS (SELECT qid, cid, score, pos FROM sel${r - 1}
+           |  UNION ALL SELECT qid, cid, score, pos FROM pk$r)""".stripMargin
+      }
+      s"""WITH knn AS ($knnGraphSql),
+         |cands AS (SELECT vec_id AS qid, neighbor AS cid, cos2 AS rel2 FROM knn),
+         |qv AS (SELECT vec_id, $qz AS q FROM embeddings),
+         |pairs AS (SELECT t.qid, t.ca, t.cb,
+         |    CASE WHEN t.dot > 0 THEN
+         |      (CAST(t.dot AS DOUBLE) * CAST(t.dot AS DOUBLE)) /
+         |      (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))
+         |    ELSE CAST(0 AS DOUBLE) END AS sim2
+         |  FROM (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+         |      ${listDot("x.q", "y.q")} AS dot,
+         |      ${listNorm("x.q")} AS na, ${listNorm("y.q")} AS nb
+         |    FROM cands a JOIN cands b ON a.qid = b.qid AND a.cid < b.cid
+         |    JOIN qv x ON x.vec_id = a.cid JOIN qv y ON y.vec_id = b.cid) t),
+         |sel1 AS (SELECT qid, cid, rel2 AS score, CAST(1 AS BIGINT) AS pos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel2 DESC, cid) AS rn FROM cands) WHERE rn = 1),
+         |${rounds.mkString(",\n")}
+         |SELECT qid, cid, score, pos FROM sel${Similarity.MmrM}
+         |ORDER BY qid, pos""".stripMargin
+    },
     // DCG/IDCG fold in rank order over the SHARED precomputed discount
     // literals (JVM Math.log vs DuckDB libm differ by an ulp on some
     // integer args — no query-time log on either side)

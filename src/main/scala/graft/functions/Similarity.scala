@@ -752,4 +752,72 @@ object Similarity {
       .select($"vec_id", $"n_rel", $"dcg", $"idcg",
         when($"n_rel" > 0, $"dcg" / $"idcg").as("ndcg"))
   }
+
+  /** Diversified picks per query in [[mmrRerank]]. */
+  val MmrM = 3
+
+  /** `sim_mmr_rerank`: Maximal Marginal Relevance re-ranking of each
+    * query's k-NN candidates — greedy selection of [[MmrM]] results
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected
+    * (λ = 0.5, binary-exact) — the diversity-aware retrieval layer
+    * (Carbonell & Goldstein '98) a RAG/curation stack puts between ANN
+    * and the consumer so three near-identical hits don't fill the
+    * result page.
+    *
+    * The greedy recursion is UNROLLED into [[MmrM]] deterministic
+    * rounds of set algebra (the k-means/BPE/pagerank fixed-round
+    * contract): each round anti-joins the already-selected set,
+    * computes every remaining candidate's penalty as a max over its
+    * pairwise cos² to the selected (no double summation anywhere —
+    * max and one subtraction only), and picks per query with the
+    * bounded-heap argmax (greatest score, smallest id). Candidate and
+    * pair tables are query-bounded (≤ k and ≤ k²/2 rows per query)
+    * and `localCheckpoint`ed once; every round is joins over leaf
+    * relations.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftexpr.TopKAgg
+    val cands = knnGraph(spark, dir)
+      .select($"vec_id".as("qid"), $"neighbor".as("cid"), $"cos2".as("rel2"))
+      .localCheckpoint()
+    val qv = Dedup.quantized(spark, dir)
+      .select($"vec_id", $"q", graft.plans.ArrayOps.longArrayNormSq($"q").as("nrm"))
+    val pairs = cands.as("a")
+      .join(cands.as("b"),
+        col("a.qid") === col("b.qid") && col("a.cid") < col("b.cid"))
+      .join(qv.as("x"), col("a.cid") === col("x.vec_id"))
+      .join(qv.as("y"), col("b.cid") === col("y.vec_id"))
+      .select(col("a.qid").as("qid"), col("a.cid").as("ca"), col("b.cid").as("cb"),
+        graft.plans.ArrayOps.longArrayDot(col("x.q"), col("y.q")).as("dot"),
+        col("x.nrm").as("na"), col("y.nrm").as("nb"))
+      .select($"qid", $"ca", $"cb",
+        when($"dot" > 0,
+          ($"dot".cast("double") * $"dot".cast("double")) /
+            ($"na".cast("double") * $"nb".cast("double")))
+          .otherwise(lit(0.0)).as("sim2"))
+      .localCheckpoint()
+    val first = cands.groupBy($"qid")
+      .agg(expr("element_at(top_k_ids(cid, rel2, 1), 1)").as("m"))
+      .select($"qid", $"m.id".as("cid"), $"m.score".as("score"),
+        lit(1L).as("pos"))
+    (2 to MmrM).foldLeft(first) { case (sel, r) =>
+      val selSet = sel.select($"qid".as("sqid"), $"cid".as("sid"))
+      val remaining = cands.join(selSet,
+        $"qid" === $"sqid" && $"cid" === $"sid", "left_anti")
+      val scored = remaining.join(selSet, $"qid" === $"sqid")
+        .join(pairs.select($"qid".as("pqid"), $"ca", $"cb", $"sim2"),
+          $"pqid" === $"qid" &&
+            $"ca" === least($"cid", $"sid") &&
+            $"cb" === greatest($"cid", $"sid"), "left")
+        .groupBy($"qid", $"cid", $"rel2")
+        .agg(max(coalesce($"sim2", lit(0.0))).as("ms"))
+        .select($"qid", $"cid",
+          (lit(0.5) * $"rel2" - lit(0.5) * $"ms").as("score"))
+      val pick = scored.groupBy($"qid")
+        .agg(expr("element_at(top_k_ids(cid, score, 1), 1)").as("m"))
+        .select($"qid", $"m.id".as("cid"), $"m.score".as("score"),
+          lit(r.toLong).as("pos"))
+      sel.unionByName(pick)
+    }
+  }
 }

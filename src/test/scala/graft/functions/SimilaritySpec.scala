@@ -140,4 +140,40 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("MMR rerank replays the greedy selection exactly and diversifies") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.mmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.nonEmpty)
+    val cands = Similarity.knnGraph(spark, dir)
+      .selectExpr("vec_id", "neighbor", "cos2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    val vecs = Dedup.quantized(spark, dir).selectExpr("vec_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def sim2(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      var dot = 0L; var na = 0L; var nb = 0L
+      x.indices.foreach { i => dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i) }
+      if (dot > 0) (dot.toDouble * dot.toDouble) / (na.toDouble * nb.toDouble) else 0.0
+    }
+    cands.foreach { case (q, cs) =>
+      var selected = Vector.empty[(Long, Double)]
+      (1 to Similarity.MmrM).foreach { pos =>
+        val remaining = cs.filterNot(c => selected.exists(_._1 == c._1))
+        if (remaining.nonEmpty) {
+          val scoredCands = remaining.map { case (cid, rel2) =>
+            val pen = if (selected.isEmpty) Double.NaN
+              else selected.map(s => sim2(math.min(cid, s._1), math.max(cid, s._1))).max
+            val score = if (selected.isEmpty) rel2 else 0.5 * rel2 - 0.5 * pen
+            (cid, score)
+          }
+          val best = scoredCands.minBy { case (cid, sc) => (-sc, cid) }
+          assert(out((q, pos.toLong)) === best, s"query $q pos $pos")
+          selected :+= best
+        }
+      }
+    }
+  }
 }
