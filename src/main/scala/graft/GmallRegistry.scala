@@ -150,7 +150,8 @@ object GmallRegistry {
     "layout_compaction_plan" -> (Bucketing.compactionPlan _),
     "stats_psi_drift" -> (StatsOps.psiDrift _),
     "stats_pareto_frontier" -> (StatsOps.paretoFrontier _),
-    "ts_holt_smooth" -> (TimeSeriesOps.holtSmooth _))
+    "ts_holt_smooth" -> (TimeSeriesOps.holtSmooth _),
+    "stats_benford" -> (StatsOps.benfordDigits _))
 
   val oracleSql: Map[String, String] = Map(
     // same unscaled-long money math as the operator: decimal(18,2) cast
@@ -1876,5 +1877,28 @@ object GmallRegistry {
         |  b / CAST(100 AS DOUBLE) AS trend,
         |  f / CAST(100 AS DOUBLE) AS fitted,
         |  (CAST(c AS DOUBLE) - f) / CAST(100 AS DOUBLE) AS residual
-        |FROM h ORDER BY day""".stripMargin)
+        |FROM h ORDER BY day""".stripMargin,
+    // digit from the exact cent string (no float log10 on the value);
+    // expected shares are the shared Benford literals
+    "stats_benford" -> {
+      val eppb = StatsOps.BenfordExpectedPpb.zipWithIndex
+        .map { case (e, i) => s"WHEN ${i + 1} THEN CAST($e AS HUGEINT)" }
+        .mkString("CASE digit ", " ", " END")
+      s"""WITH d AS (SELECT CAST(substr(CAST(
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |h AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT count(*) AS nt FROM d),
+        |e AS (SELECT digit, n, nt, $eppb AS eppb,
+        |    CAST(n AS HUGEINT) * 1000000000 - CAST(nt AS HUGEINT) * ($eppb)
+        |      AS dev
+        |  FROM h, t)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS share,
+        |  CAST(eppb AS DOUBLE) / 1000000000.0 AS expected,
+        |  CAST(dev * dev AS DOUBLE) /
+        |    CAST(CAST(nt AS HUGEINT) * eppb * 1000000000 AS DOUBLE) AS chi2_term
+        |FROM e ORDER BY digit""".stripMargin
+    })
 }

@@ -442,4 +442,53 @@ object StatsOps {
       .filter($"prev_mx".isNull || $"size" > $"prev_mx")
       .select($"price_c", $"size", $"n".as("n_parts"))
   }
+
+  /** Benford expected first-digit shares as INTEGER parts-per-billion,
+    * round(10⁹·log10(1 + 1/d)) for d = 1..9 — precomputed once and
+    * injected into BOTH engines as shared integer literals (the NDCG
+    * lesson taken one step further: not only no query-time
+    * transcendental, no shared DOUBLE at all — a double literal kept
+    * the χ² term one multiply away from an ulp divergence between
+    * Spark codegen and DuckDB, measured on 1 of 9 digits).
+    */
+    lazy val BenfordExpectedPpb: Seq[Long] =
+    (1 to 9).map(d => math.round(1e9 * math.log10(1.0 + 1.0 / d)))
+
+  /** `stats_benford`: first-significant-digit census of order totals
+    * against Benford's law — the classic fabricated-numbers screen
+    * (auditing, fraud, synthetic-data QA: generator output that fails
+    * Benford when the real distribution obeys it is a tell). Reports
+    * per digit the exact count, observed share, expected share and the
+    * χ² contribution `(n_d − N·e_d)² / (N·e_d)`.
+    *
+    * Determinism: the digit is the first character of the exact cent
+    * count's decimal rendering (never float log10 of the value);
+    * shares and χ² terms are single expressions over exact longs and
+    * the shared literals, identical on both engines. Per-digit rows —
+    * no cross-digit double sum to order.
+    *
+    * Scale shape: ONE map-side-combined aggregation onto the 9-value
+    * digit domain.
+    */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (RelationalOps.dec($"o_totalprice") * 100).cast("long")
+    val eppb = BenfordExpectedPpb.zipWithIndex
+      .map { case (e, i) => s"WHEN ${i + 1} THEN ${e}L" }
+      .mkString("CASE digit ", " ", " END")
+    orders(spark, dir)
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .join(broadcast(orders(spark, dir).agg(count(lit(1)).as("nt"))))
+      .withColumn("eppb", expr(eppb))
+      // dev = 10⁹·n − nt·e_ppb stays an exact decimal; χ² term is
+      // dev² over the exact denominator, ONE double division
+      .withColumn("dev", ($"n".cast("decimal(38,0)") * 1000000000L -
+        $"nt".cast("decimal(38,0)") * $"eppb"))
+      .select($"digit", $"n",
+        ($"n".cast("double") / $"nt".cast("double")).as("share"),
+        ($"eppb".cast("double") / 1000000000.0).as("expected"),
+        (($"dev" * $"dev").cast("double") /
+          ($"nt".cast("decimal(38,0)") * $"eppb" * 1000000000L)
+            .cast("double")).as("chi2_term"))
+  }
 }

@@ -322,4 +322,19 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(got.getLong(0) === k.toLong && got.getLong(1) === nb && got.getLong(2) === nc)
     assert(math.abs(got.getDouble(3) - psi) < 1e-12)
   }
+
+  test("Benford census: digits partition orders, expected shares sum to ~1, chi2 replays") {
+    val sf = "/root/testdata/sf0.001"
+    val out = StatsOps.benfordDigits(spark, sf).orderBy($"digit").collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to 9L))
+    val nt = graft.Tables.orders(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum === nt, "digit census partitions the table")
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-8)
+    out.foreach { r =>
+      val (n, e) = (r.getLong(1), StatsOps.BenfordExpectedPpb(r.getLong(0).toInt - 1))
+      val dev = BigInt(n) * 1000000000L - BigInt(nt) * e
+      val expect = (dev * dev).toDouble / (BigInt(nt) * e * 1000000000L).toDouble
+      assert(r.getDouble(4) === expect, s"chi2 digit ${r.getLong(0)}")
+    }
+  }
 }
