@@ -91,6 +91,7 @@ object LlmRegistry {
         col("n_frames"), col("feat"))),
     "mm_image_roundtrip" -> (Multimodal.imageRoundtrip _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
+    "mm_image_ahash_pairs" -> (Multimodal.imageAHashPairs _),
     "rel_tfidf_top_terms" -> (Relevance.tfidfTopTerms _),
     "rel_bm25_search" -> (Relevance.bm25Search _),
     "pipeline_clean_corpus" -> (CorpusPipeline.cleanCorpus _),
@@ -1242,6 +1243,42 @@ object LlmRegistry {
     // pure doc_id arithmetic: the Spark side round-trips real PNG/BMP
     // bytes through javax.imageio, and solid-color fixtures make every
     // decoded stat (dims, band count, channel means) exactly predictable
+    // hash replayed from the generator formula (PNG is lossless, so
+    // the decoded raster IS the formula); pairs via the simhash-style
+    // 16-bit banded join
+    "mm_image_ahash_pairs" ->
+      s"""WITH px AS (SELECT doc_id,
+         |    CAST(tx.range AS BIGINT) AS x, CAST(ty.range AS BIGINT) AS y,
+         |    CAST(((doc_id // 2 * 37) % 256 +
+         |      (3 + doc_id // 2 * 2654435761 % 97 % 16) * tx.range +
+         |      (5 + doc_id // 2 * 40503 % 89 % 16) * ty.range +
+         |      (1 + doc_id // 2 * 69069 % 83 % 8) * tx.range * ty.range)
+         |      % 256 AS BIGINT) AS g
+         |  FROM documents CROSS JOIN range(16) tx CROSS JOIN range(16) ty),
+         |tot AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS total
+         |  FROM px GROUP BY 1),
+         |cells AS (SELECT doc_id, x // 2 AS i, y // 2 AS j,
+         |    CAST(sum(g) AS BIGINT) AS bs
+         |  FROM px GROUP BY 1, 2, 3),
+         |hashu AS (SELECT c.doc_id,
+         |    bit_or(CASE WHEN bs * 64 > total
+         |      THEN CAST(1 AS HUGEINT) << CAST(i * 8 + j AS INT)
+         |      ELSE CAST(0 AS HUGEINT) END) AS h
+         |  FROM cells c JOIN tot USING (doc_id) GROUP BY 1),
+         |hash AS (SELECT doc_id, CAST(CASE
+         |    WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+         |    THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END
+         |  AS BIGINT) AS ahash FROM hashu),
+         |blk AS (SELECT doc_id, ahash, unnest(range(4)) AS blk FROM hash),
+         |blkv AS (SELECT doc_id, ahash, blk,
+         |    (ahash >> CAST(blk * 16 AS INT)) & 65535 AS blkval FROM blk),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+         |    a.ahash AS ha, b.ahash AS hb
+         |  FROM blkv a JOIN blkv b ON a.blk = b.blk AND a.blkval = b.blkval
+         |    AND a.doc_id < b.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= ${Multimodal.AHashMaxHamming}
+         |ORDER BY a, b""".stripMargin,
     "mm_image_roundtrip" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS codec,

@@ -194,4 +194,118 @@ object Multimodal {
       .select($"doc_id", $"modality",
         explode(sequence(lit(0L), expr("(n_bytes - 1) div 1024"))).as("frame_id"))
       .filter($"frame_id" % 4 === 0)
+
+  /** Gray-gradient side of the fixture family: 16×16 grayscale PNGs
+    * whose pixel (x, y) is
+    * `(37b + cx(b)·x + cy(b)·y + cxy(b)·x·y) mod 256` with
+    * `b = id div 2` and wide-period mixed slopes (multipliers mod
+    * 97/89/83 then range-folded). Ids 2k and 2k+1 render IDENTICAL
+    * images (planted duplicate pairs, LINEAR in corpus size). The
+    * slope mixing matters: a shared smooth gradient collapses the
+    * aHash space (aHash is shift-invariant and sees only slope
+    * signs — first draft measured 6.5M hamming-0 pairs at sf1 from
+    * 256 distinct hashes); the x·y cross term plus long-cycle slopes
+    * yield ~24k distinct hashes over 25k bases, so the pair set is
+    * the planted dups plus a thin near-miss tail (184k at sf1). PNG is lossless, so the decoded raster is
+    * bit-identical to the formula and the oracle can replay the hash
+    * arithmetically while Spark reads genuine codec output.
+    */
+  def grayFixtures(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    val recEnc = org.apache.spark.sql.Encoders.product[MediaRecord]
+    Tables.spread(documents(spark, dir).select($"doc_id"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              raster.setSample(x, y, 0,
+                (((id / 2 * 37) % 256 +
+                  (3 + id / 2 * 2654435761L % 97 % 16) * x +
+                  (5 + id / 2 * 40503 % 89 % 16) * y +
+                  (1 + id / 2 * 69069 % 83 % 8) * x * y) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, "png", bos.toByteArray)
+        }
+      }(recEnc)
+  }
+
+  /** 8×8 average-hash of a decoded 16×16 grayscale raster: cell (i, j)
+    * is the 2×2 block sum, bit set iff `blockSum·64 > totalSum`
+    * (strict, integer-exact — never a float mean). Bit k = i·8 + j.
+    */
+  private def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val raster = img.getRaster
+    val px = Array.ofDim[Long](16, 16)
+    var total = 0L
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        px(x)(y) = raster.getSample(x, y, 0).toLong
+        total += px(x)(y)
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        val bs = px(2 * i)(2 * j) + px(2 * i + 1)(2 * j) +
+          px(2 * i)(2 * j + 1) + px(2 * i + 1)(2 * j + 1)
+        if (bs * 64 > total) hash |= 1L << (i * 8 + j)
+        j += 1
+      }
+      i += 1
+    }
+    hash
+  }
+
+  /** `mm_image_ahash_pairs`: perceptual (average-hash) near-duplicate
+    * image pairs — encode the gradient fixtures to real PNG bytes,
+    * decode through `javax.imageio`, hash the 8×8 block means, then
+    * find pairs at Hamming ≤ [[AHashMaxHamming]] with the SimHash
+    * banded join (4 × 16-bit blocks: Hamming ≤ 3 ⇒ at least one
+    * block equal — pigeonhole), never an all-pairs scan. The image
+    * twin of [[graft.functions.Dedup.simhashPairs]], with the hash
+    * derived from DECODED PIXELS (codec-fidelity proof: the oracle
+    * recomputes it from the generator formula instead).
+    */
+  val AHashMaxHamming = 3L
+
+  def imageAHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val recEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val hashes = grayFixtures(spark, dir)
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          (r.doc_id, aHash64(img))
+        }
+      }(recEnc)
+      .toDF("doc_id", "ahash")
+    val blk = hashes.select($"doc_id", $"ahash",
+      explode(expr("sequence(0, 3)")).as("blk"))
+      .withColumn("blkval",
+        expr("shiftright(ahash, CAST(blk * 16 AS INT)) & 65535"))
+    blk.as("x").join(blk.as("y").hint("shuffle_hash"),
+        expr("x.blk = y.blk AND x.blkval = y.blkval AND x.doc_id < y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("CAST(bit_count(x.ahash ^ y.ahash) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= AHashMaxHamming)
+  }
 }

@@ -56,4 +56,25 @@ class MultimodalSpec extends AnyFunSuite {
     val plan = imageRoundtrip(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("aHash pairs: every planted even/odd twin found at hamming 0, pairs symmetric-free") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Multimodal.imageAHashPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(out.nonEmpty)
+    val pairSet = out.map(_._1).toSet
+    assert(pairSet.size === out.length, "duplicate pair rows")
+    out.foreach { case ((a, b), h) =>
+      assert(a < b && h >= 0 && h <= Multimodal.AHashMaxHamming)
+    }
+    // ids 2k / 2k+1 encode identical images -> hamming 0 pair guaranteed
+    val ids = graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val twins = ids.filter(i => i % 2 == 0 && ids(i + 1)).map(i => (i, i + 1))
+    assert(twins.nonEmpty)
+    twins.foreach { t =>
+      assert(out.exists(p => p._1 == t && p._2 === 0L), s"missing planted twin $t")
+    }
+  }
 }
