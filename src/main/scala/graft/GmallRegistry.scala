@@ -151,7 +151,9 @@ object GmallRegistry {
     "stats_psi_drift" -> (StatsOps.psiDrift _),
     "stats_pareto_frontier" -> (StatsOps.paretoFrontier _),
     "ts_holt_smooth" -> (TimeSeriesOps.holtSmooth _),
-    "stats_benford" -> (StatsOps.benfordDigits _))
+    "stats_benford" -> (StatsOps.benfordDigits _),
+    "ts_autocorrelation" -> (TimeSeriesOps.autocorrelation _),
+    "stats_cramers_v" -> (StatsOps.cramersV _))
 
   val oracleSql: Map[String, String] = Map(
     // same unscaled-long money math as the operator: decimal(18,2) cast
@@ -1900,5 +1902,51 @@ object GmallRegistry {
         |  CAST(dev * dev AS DOUBLE) /
         |    CAST(CAST(nt AS HUGEINT) * eppb * 1000000000 AS DOUBLE) AS chi2_term
         |FROM e ORDER BY digit""".stripMargin
-    })
+    },
+    // exact scaled deviations (n*y - S); lag pairing joins the day
+    // table against itself, one double division per lag
+    "ts_autocorrelation" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS s FROM daily),
+        |dev AS (SELECT d, CAST(y * n - s AS BIGINT) AS dev FROM daily, t),
+        |den AS (SELECT CAST(sum(CAST(dev AS HUGEINT) * dev) AS HUGEINT) AS den
+        |  FROM dev),
+        |lag AS (SELECT CAST(k.range AS BIGINT) AS k, a.dev AS dev_a, b.dev AS dev_b
+        |  FROM dev a CROSS JOIN range(1, ${TimeSeriesOps.AcfMaxLag + 1}) k
+        |  JOIN dev b ON b.d = a.d + CAST(k.range AS INT))
+        |SELECT k, count(*) AS n_pairs,
+        |  CAST(CAST(sum(CAST(dev_a AS HUGEINT) * dev_b) AS HUGEINT) AS DOUBLE) /
+        |    CAST(den AS DOUBLE) AS acf
+        |FROM lag, den GROUP BY k, den ORDER BY k""".stripMargin,
+    // chi2 folded in (type, dow) cell order; sqrt is correctly rounded
+    // IEEE (engine-safe, unlike log)
+    "stats_cramers_v" ->
+      """WITH cells AS (SELECT event_type,
+        |    ((CAST(CAST(ts AS DATE) - DATE '1970-01-05' AS BIGINT) % 7) + 7) % 7 AS dow,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+        |    count(DISTINCT event_type) AS nr, count(DISTINCT dow) AS nc
+        |  FROM cells),
+        |cl AS (SELECT list(struct_pack(event_type := cells.event_type,
+        |      dow := cells.dow,
+        |      num2 := CAST(CAST(o * nn - r.r * c.c AS HUGEINT) *
+        |        (o * nn - r.r * c.c) AS HUGEINT),
+        |      den := CAST(CAST(nn AS HUGEINT) * r.r * c.c AS HUGEINT))
+        |      ORDER BY cells.event_type, cells.dow) AS cs, nn, nr, nc
+        |  FROM cells JOIN r USING (event_type) JOIN c USING (dow), t
+        |  GROUP BY nn, nr, nc),
+        |chi AS (SELECT nn AS n,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(cs, x ->
+        |      CAST(x.num2 AS DOUBLE) / CAST(x.den AS DOUBLE))),
+        |      (a, b) -> a + b) AS chi2, nr, nc
+        |  FROM cl)
+        |SELECT n, chi2,
+        |  sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(nr - 1, nc - 1) AS DOUBLE)))
+        |    AS cramers_v
+        |FROM chi""".stripMargin)
 }

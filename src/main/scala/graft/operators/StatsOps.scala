@@ -491,4 +491,47 @@ object StatsOps {
           ($"nt".cast("decimal(38,0)") * $"eppb" * 1000000000L)
             .cast("double")).as("chi2_term"))
   }
+
+  /** `stats_cramers_v`: Cramér's V association between event type and
+    * day-of-week — "does behavior depend on the weekday" as one
+    * normalized [0,1] number, the categorical-categorical counterpart
+    * of [[psiDrift]]'s numeric drift. χ² is computed from exact
+    * integers — cell term = (o·N − r·c)² / (N·r·c), numerator an
+    * exact decimal, ONE double division per cell — summed over the
+    * bounded (type × dow) grid in cell order (the χ² fold), and
+    * V = sqrt(χ²/(N·min(r−1,c−1))) costs one IEEE sqrt (correctly
+    * rounded, engine-safe — unlike log).
+    *
+    * Scale shape: one map-side-combined aggregation onto the bounded
+    * contingency grid; margins re-aggregate the CELLS, never the
+    * corpus; the fold runs on a single row.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .groupBy($"event_type",
+        pmod(datediff(to_date($"ts"), lit("1970-01-05")), lit(7)).as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy($"event_type").agg(sum($"o").as("r"))
+    val colsM = cells.groupBy($"dow").agg(sum($"o").as("c"))
+    val n = cells.agg(sum($"o").as("nn"),
+      count_distinct($"event_type").as("nr"),
+      count_distinct($"dow").as("nc"))
+    cells.join(rows.hint("broadcast"), "event_type")
+      .join(colsM.hint("broadcast"), "dow")
+      .join(broadcast(n))
+      .select(struct($"event_type", $"dow",
+          (($"o" * $"nn" - $"r" * $"c").cast("decimal(38,0)") *
+            ($"o" * $"nn" - $"r" * $"c")).as("num2"),
+          ($"nn".cast("decimal(38,0)") * $"r" * $"c").as("den")).as("cell"),
+        $"nn", $"nr", $"nc")
+      .groupBy($"nn", $"nr", $"nc")
+      .agg(sort_array(collect_list($"cell")).as("cs"))
+      .select($"nn".as("n"),
+        expr("""aggregate(cs, CAST(0 AS DOUBLE), (a, x) ->
+          a + CAST(x.num2 AS DOUBLE) / CAST(x.den AS DOUBLE))""").as("chi2"),
+        $"nr", $"nc")
+      .select($"n", $"chi2",
+        sqrt($"chi2" / ($"n".cast("double") *
+          least($"nr" - 1, $"nc" - 1).cast("double"))).as("cramers_v"))
+  }
 }

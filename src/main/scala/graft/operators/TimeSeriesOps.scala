@@ -487,4 +487,43 @@ object TimeSeriesOps {
         ($"h.f" / 100.0).as("fitted"),
         (($"h.c".cast("double") - $"h.f") / 100.0).as("residual"))
   }
+
+  /** Max lag (days) reported by [[autocorrelation]]. */
+  val AcfMaxLag = 7
+
+  /** `ts_autocorrelation`: the daily-revenue autocorrelation function
+    * at lags 1..[[AcfMaxLag]] — the "is there a weekly cycle" /
+    * "how fast does the series forget" diagnostic that decides
+    * whether [[seasonalDecompose]]'s period-7 assumption is even
+    * right. acf(k) = Σ_t d_t·d_{t+k} / Σ_t d_t², computed on
+    * EXACT scaled deviations d_t = n·y_t − Σy (longs; products
+    * accumulate in decimal(38,0)), one double division per lag.
+    *
+    * Scale shape: the corpus collapses to the bounded day domain
+    * first; lag pairing is an equi-join of that table against itself
+    * on `d + k` over the exploded lag frame (7·days rows) — never a
+    * window over raw events; the shared denominator is a 1-row
+    * broadcast.
+    */
+  def autocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum((RelationalOps.dec($"value") * 100).cast("long")).as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val dev = daily.join(broadcast(tot))
+      .select($"d", ($"y" * $"n" - $"s").as("dev"))
+    val den = dev
+      .agg(sum($"dev".cast("decimal(38,0)") * $"dev").as("den"))
+    val lagged = dev.crossJoin(
+        spark.range(1, AcfMaxLag + 1).select($"id".as("k")))
+      .select($"k", expr("date_add(d, CAST(k AS INT))").as("dk"),
+        $"dev".as("dev_a"))
+    lagged.join(dev.select($"d".as("dk"), $"dev".as("dev_b")), "dk")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"dev_a".cast("decimal(38,0)") * $"dev_b").as("num"))
+      .join(broadcast(den))
+      .select($"k", $"n_pairs",
+        ($"num".cast("double") / $"den".cast("double")).as("acf"))
+  }
 }

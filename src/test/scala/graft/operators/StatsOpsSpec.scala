@@ -337,4 +337,28 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(r.getDouble(4) === expect, s"chi2 digit ${r.getLong(0)}")
     }
   }
+
+  test("Cramer's V: bounded in [0,1], chi2 replays from the contingency table") {
+    val sf = "/root/testdata/sf0.001"
+    val row = StatsOps.cramersV(spark, sf).collect().head
+    val cells = graft.Tables.events(spark, sf)
+      .groupBy($"event_type",
+        pmod(datediff(to_date($"ts"), lit("1970-01-05")), lit(7)).as("dow"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+    val nn = cells.values.sum
+    val rSum = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cSum = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    var chi2 = 0.0
+    cells.toSeq.sortBy(_._1).foreach { case ((t, d), o) =>
+      val diff = BigInt(o) * nn - BigInt(rSum(t)) * cSum(d)
+      chi2 += (diff * diff).toDouble / (BigInt(nn) * rSum(t) * cSum(d)).toDouble
+    }
+    assert(row.getLong(0) === nn)
+    assert(row.getDouble(1) === chi2)
+    val v = row.getDouble(2)
+    assert(v >= 0.0 && v <= 1.0)
+    assert(v === math.sqrt(chi2 / (nn.toDouble *
+      math.min(rSum.size - 1, cSum.size - 1).toDouble)))
+  }
 }

@@ -247,4 +247,24 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       l = l2; b = b2
     }
   }
+
+  test("ACF: lag-0 identity implied, driver-side replay exact, pair counts shrink with lag") {
+    val out = TimeSeriesOps.autocorrelation(spark, sf).orderBy($"k").collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to TimeSeriesOps.AcfMaxLag.toLong))
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("y"))
+      .orderBy($"d").collect().map(_.getLong(1))
+    val n = daily.length
+    val sTot = daily.sum
+    val dev = daily.map(y => BigInt(y) * n - sTot)
+    val den = dev.map(d => d * d).sum
+    out.foreach { r =>
+      val k = r.getLong(0).toInt
+      // contiguous day domain in this dataset -> pairs = n - k
+      assert(r.getLong(1) === (n - k).toLong)
+      val num = (0 until n - k).map(t => dev(t) * dev(t + k)).sum
+      assert(r.getDouble(2) === num.toDouble / den.toDouble, s"lag $k")
+    }
+  }
 }
