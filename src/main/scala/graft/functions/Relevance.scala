@@ -328,7 +328,11 @@ object Relevance {
     val ph = documents(spark, dir)
       .select(TextAnalysis.tokens($"text").as("toks"))
       .select(explode(phrases).as("phrase"))
+    // materialize the distinct-phrase table: the word-stats branch and
+    // the scoring branch both consume it — lazily each re-ran the
+    // corpus phrase fold (two full scans on .explain)
     val pd = ph.groupBy($"phrase").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val pw = pd.select($"phrase", $"n",
         explode(split($"phrase", " ")).as("word"),
         size(split($"phrase", " ")).cast("long").as("l"))

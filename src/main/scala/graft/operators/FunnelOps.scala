@@ -246,10 +246,14 @@ object FunnelOps {
       .agg(max(to_date($"ts")).as("last_day"),
         count(lit(1)).as("freq"), sum(cents).as("mon"))
     val anchor = users.agg(max($"last_day").as("anchor"))
+    // materialize the per-user rollup ONCE: three histogram branches
+    // and the final scoring all consume it — lazily it re-planned the
+    // corpus aggregation per branch (4 full scans on .explain)
     val u = users.join(broadcast(anchor))
       .select($"user_id",
         datediff($"anchor", $"last_day").cast("long").as("r_days"),
         $"freq", expr(s"mon div $RfmMonBand").as("m_band"), $"mon")
+      .localCheckpoint()
 
     // 1-row (t1, t2, t3) quartile cutoffs of `v` over its bounded domain
     def cuts(dim: DataFrame, pfx: String): DataFrame = {
