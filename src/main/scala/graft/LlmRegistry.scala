@@ -123,6 +123,8 @@ object LlmRegistry {
     "graph_label_propagation" -> (GraphRank.labelPropagation _),
     "eval_ndcg" -> (Similarity.evalNdcg _),
     "sim_mmr_rerank" -> (Similarity.mmrRerank _),
+    "eval_calibration_bins" -> (Similarity.calibrationBins _),
+    "embed_whiten_diag" -> (Similarity.whitenDiag _),
     "sample_cluster_balanced" -> (Sampling.clusterBalancedSample _),
     "pipeline_dedup_funnel" -> (CorpusPipeline.dedupFunnel _))
 
@@ -1096,7 +1098,18 @@ object LlmRegistry {
     // confusion cells + per-cell shares of the actual-label row and the
     // predicted-label column (recall / precision contributions); the
     // label domain is bounded so the matrix is dimension-sized
-    "eval_confusion_matrix" ->
+        "eval_calibration_bins" ->
+      s"""WITH $knnClassifyCtes,
+         |b AS (SELECT votes, count(*) AS n,
+         |    CAST(sum(correct) AS BIGINT) AS n_correct
+         |  FROM pred GROUP BY 1)
+         |SELECT votes, n, n_correct,
+         |  CAST(votes AS DOUBLE) / ${Similarity.KnnK}.0 AS confidence,
+         |  CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+         |  CAST(votes AS DOUBLE) / ${Similarity.KnnK}.0 -
+         |    CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS gap
+         |FROM b ORDER BY votes""".stripMargin,
+"eval_confusion_matrix" ->
       s"""WITH $knnClassifyCtes,
          |cells AS (SELECT label, predicted, count(*) AS n
          |  FROM pred GROUP BY 1, 2),
@@ -1217,6 +1230,27 @@ object LlmRegistry {
          |  CAST(list_min(v) AS BIGINT) AS v_min,
          |  CAST(list_max(v) AS BIGINT) AS v_max
          |FROM v ORDER BY vec_id""".stripMargin,
+    // per-dim stats from the exploded view; the whitening expression
+    // mirrors the engine's double-op order (mul, mul, sqrt, div, floor)
+    "embed_whiten_diag" ->
+      s"""WITH qz AS (SELECT vec_id, $quantize AS q FROM embeddings),
+         |e AS (SELECT vec_id, unnest(q) AS v,
+         |    generate_subscripts(q, 1) AS i FROM qz),
+         |st AS (SELECT i, CAST(sum(v) AS BIGINT) AS s,
+         |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+         |  FROM e GROUP BY 1),
+         |t AS (SELECT count(*) AS n FROM qz),
+         |w AS (SELECT e.vec_id, e.i,
+         |    CASE WHEN CAST(t.n AS HUGEINT) * st.ss -
+         |        CAST(st.s AS HUGEINT) * st.s = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(floor(CAST(e.v AS DOUBLE) * 1000.0 * CAST(t.n AS DOUBLE) /
+         |        sqrt(CAST(CAST(t.n AS HUGEINT) * st.ss -
+         |          CAST(st.s AS HUGEINT) * st.s AS DOUBLE))) AS BIGINT) END AS w
+         |  FROM e JOIN st USING (i), t)
+         |SELECT vec_id,
+         |  CAST(sum(w * i) AS BIGINT) AS checksum,
+         |  CAST(min(w) AS BIGINT) AS w_min, CAST(max(w) AS BIGINT) AS w_max
+         |FROM w GROUP BY 1 ORDER BY vec_id""".stripMargin,
     // exact second-moment matrix: per-dim unnest self-joined per vec —
     // the row-explosion form the engine's array-buffer aggregate avoids
     "embed_gram_matrix" ->

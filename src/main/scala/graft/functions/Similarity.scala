@@ -820,4 +820,64 @@ object Similarity {
       sel.unionByName(pick)
     }
   }
+
+  /** `eval_calibration_bins`: reliability diagram of the k-NN
+    * classifier — predictions grouped by their vote margin
+    * (confidence = votes/k), each bin reporting population, exact
+    * accuracy and the confidence–accuracy gap. THE well-calibrated-
+    * or-not check a weak-supervision pipeline runs before trusting
+    * vote shares as probabilities (votes/k ≈ P(correct) iff the gap
+    * column hovers near zero).
+    *
+    * Everything is exact integers until three single divisions per
+    * bin; bins are bounded by k+1 values. One pass over the
+    * prediction table (itself the bucketed [[knnClassify]] plan).
+    */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame =
+    knnClassify(spark, dir)
+      .groupBy($"votes")
+      .agg(count(lit(1)).as("n"), sum($"correct").as("n_correct"))
+      .select($"votes", $"n", $"n_correct",
+        ($"votes".cast("double") / KnnK.toDouble).as("confidence"),
+        ($"n_correct".cast("double") / $"n".cast("double")).as("accuracy"),
+        ($"votes".cast("double") / KnnK.toDouble -
+          $"n_correct".cast("double") / $"n".cast("double")).as("gap"))
+
+  /** `embed_whiten_diag`: diagonal whitening of the quantized corpus —
+    * every dimension rescaled by its corpus standard deviation,
+    * emitted as integer-quantized coordinates (checksum/min/max per
+    * vector, the [[int8Quantize]] reporting shape). The preprocessing
+    * step before cosine/PQ when dimensions have wildly uneven
+    * variance; the statistics come from ONE `long_array_sum` pass
+    * (Σq and Σq² together), broadcast back as a 1-row frame — the
+    * corpus is never re-read and never shuffled.
+    *
+    * Determinism: variance numerators n·SS_i − S_i² stay exact
+    * decimals; each whitened coordinate is
+    * `floor(x·1000·n / sqrt(var_num))` — double multiply chain in a
+    * fixed order, one correctly-rounded sqrt, one division, one
+    * floor — identical IEEE on both engines. Zero-variance
+    * dimensions whiten to 0 by contract.
+    */
+  def whitenDiag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftexpr.LongArraySumAgg
+    val q = Dedup.quantized(spark, dir).select($"vec_id", $"q")
+    val stats = q.agg(
+      LongArraySumAgg.column($"q").as("s"),
+      LongArraySumAgg.column(expr("transform(q, x -> x * x)")).as("ss"),
+      count(lit(1)).as("n"))
+    val varNum = "CAST(n AS DECIMAL(38,0)) * element_at(ss, i + 1) - " +
+      "CAST(element_at(s, i + 1) AS DECIMAL(38,0)) * element_at(s, i + 1)"
+    q.join(broadcast(stats))
+      .withColumn("w", expr(
+        s"""transform(q, (x, i) -> CASE WHEN $varNum = 0 THEN CAST(0 AS BIGINT)
+           |  ELSE CAST(floor(CAST(x AS DOUBLE) * 1000.0 * CAST(n AS DOUBLE) /
+           |    sqrt(CAST($varNum AS DOUBLE))) AS BIGINT) END)""".stripMargin))
+      .select($"vec_id",
+        expr("""aggregate(zip_with(w, sequence(CAST(1 AS BIGINT),
+          CAST(size(w) AS BIGINT)), (a, b) -> a * b),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("checksum"),
+        expr("array_min(w)").as("w_min"),
+        expr("array_max(w)").as("w_max"))
+  }
 }

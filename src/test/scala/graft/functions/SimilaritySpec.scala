@@ -176,4 +176,47 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("calibration bins partition the predictions and replay accuracy exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val preds = Similarity.knnClassify(spark, dir)
+      .selectExpr("votes", "correct").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = Similarity.calibrationBins(spark, dir).collect()
+    assert(out.map(_.getLong(1)).sum === preds.length.toLong)
+    out.foreach { r =>
+      val v = r.getLong(0)
+      val inBin = preds.filter(_._1 == v)
+      assert(r.getLong(1) === inBin.length.toLong)
+      assert(r.getLong(2) === inBin.map(_._2).sum)
+      assert(r.getDouble(3) === v.toDouble / Similarity.KnnK)
+      assert(r.getDouble(4) === inBin.map(_._2).sum.toDouble / inBin.length)
+    }
+  }
+
+  test("diagonal whitening replays driver-side (stats, sqrt, floor) exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = Dedup.quantized(spark, dir).selectExpr("vec_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val n = vecs.size
+    val dims = vecs.head._2.length
+    val s = Array.ofDim[BigInt](dims); val ss = Array.ofDim[BigInt](dims)
+    (0 until dims).foreach { i =>
+      s(i) = vecs.values.map(v => BigInt(v(i))).sum
+      ss(i) = vecs.values.map(v => BigInt(v(i)) * v(i)).sum
+    }
+    val out = Similarity.whitenDiag(spark, dir).collect()
+    assert(out.length === n)
+    out.foreach { r =>
+      val q = vecs(r.getLong(0))
+      val w = (0 until dims).map { i =>
+        val varNum = BigInt(n) * ss(i) - s(i) * s(i)
+        if (varNum == 0) 0L
+        else math.floor(q(i).toDouble * 1000.0 * n.toDouble /
+          math.sqrt(varNum.toDouble)).toLong
+      }
+      assert(r.getLong(1) === w.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum)
+      assert(r.getLong(2) === w.min && r.getLong(3) === w.max)
+    }
+  }
 }
