@@ -117,6 +117,7 @@ object LlmRegistry {
     "ir_inverted_index" -> (Relevance.invertedIndex _),
     "text_cooccurrence_pmi" -> (TextAnalysis.cooccurrencePmi _),
     "text_keyphrase_rake" -> (Relevance.rakeKeyphrases _),
+    "ir_query_expansion" -> (Relevance.queryExpansion _),
     "text_readability" -> (TextAnalysis.readability _),
     "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "graph_components" -> (GraphRank.knnComponents _),
@@ -1468,6 +1469,24 @@ object LlmRegistry {
          |  (4, 'near_dup')) AS s(stage, stage_name)
          |ORDER BY stage""".stripMargin,
     "text_token_lang_chi2" -> Relevance.sqlTokenLangChi2,
+    // feedback docs re-ranked from the embedded BM25 CTE; integer RSV
+    "ir_query_expansion" -> {
+      val qTermPred = Relevance.QueryTerms
+        .map(t => s"term = '$t'").mkString(" OR ")
+      s"""WITH bm AS (${Relevance.sqlBm25Search}),
+         |fb AS (SELECT doc_id FROM bm ORDER BY score DESC, doc_id
+         |  LIMIT ${Relevance.PrfDocs}),
+         |dt AS (SELECT DISTINCT doc_id, unnest(${TextAnalysis.sqlTokens("text")}) AS term
+         |  FROM documents),
+         |cdf AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+         |t AS (SELECT count(*) AS n_docs FROM documents),
+         |fdf AS (SELECT term, count(*) AS df_fb FROM dt JOIN fb USING (doc_id)
+         |  WHERE NOT ($qTermPred) GROUP BY 1)
+         |SELECT fdf.term, df_fb, df,
+         |  CAST((df_fb * n_docs) // df AS BIGINT) AS score
+         |FROM fdf JOIN cdf ON fdf.term = cdf.term, t
+         |ORDER BY score DESC, fdf.term LIMIT ${Relevance.PrfTerms}""".stripMargin
+    },
     // phrases re-derived via windowed group-and-concat (the engine uses
     // a per-doc fold); integer ppm word scores keep phrase sums exact
     "text_keyphrase_rake" -> {

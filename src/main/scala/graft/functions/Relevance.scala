@@ -346,4 +346,39 @@ object Relevance {
       .limit(RakeTopN)
       .select($"phrase", $"n_occurrences", $"score_ppm")
   }
+
+  /** Feedback depth / output size for [[queryExpansion]]. */
+  val PrfDocs = 10
+  val PrfTerms = 20
+
+  /** `ir_query_expansion`: pseudo-relevance-feedback expansion — run
+    * the seeded BM25 query, assume its top-[[PrfDocs]] results are
+    * relevant, and surface the [[PrfTerms]] terms that are common in
+    * that feedback set but rare in the corpus (score =
+    * `df_fb · N div df`, an integer RSV: feedback support × inverse
+    * corpus frequency, truncating — no float in the ranking). The
+    * retrieval loop-closer: these are the terms a second-round query
+    * adds ("spark" pulls in "shuffle", "partition", …).
+    *
+    * Scale shape: the feedback doc-id set is [[PrfDocs]] rows
+    * (broadcast); corpus document frequencies are ONE vocabulary-
+    * bounded aggregate; feedback term stats aggregate 10 documents.
+    * Result is a TakeOrderedAndProject top-[[PrfTerms]].
+    */
+  def queryExpansion(spark: SparkSession, dir: String): DataFrame = {
+    val fb = bm25Search(spark, dir).limit(PrfDocs).select($"doc_id")
+    val docTok = documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(TextAnalysis.tokens($"text"))).as("term"))
+    val corpusDf = docTok.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val fbDf = docTok.join(broadcast(fb), "doc_id")
+      .groupBy($"term").agg(count(lit(1)).as("df_fb"))
+      .filter(!$"term".isin(QueryTerms: _*))
+    fbDf.join(corpusDf.hint("shuffle_hash"), "term")
+      .join(broadcast(nDocs))
+      .select($"term", $"df_fb", $"df",
+        expr("(df_fb * n_docs) div df").as("score"))
+      .orderBy($"score".desc, $"term".asc)
+      .limit(PrfTerms)
+  }
 }

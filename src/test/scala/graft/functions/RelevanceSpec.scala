@@ -129,4 +129,24 @@ class RelevanceSpec extends AnyFunSuite {
     assert(out("fox") === ((1L, fox)))
     assert(out.size === 3)
   }
+
+  test("query expansion: no query terms, scores replay, terms come from feedback docs") {
+    val dir = "/root/testdata/sf0.01"
+    val out = Relevance.queryExpansion(spark, dir).collect()
+    assert(out.length === Relevance.PrfTerms)
+    val fbIds = Relevance.bm25Search(spark, dir).limit(Relevance.PrfDocs)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val fbVocab = graft.Tables.documents(spark, dir)
+      .filter($"doc_id".isin(fbIds.toSeq: _*))
+      .select(explode(array_distinct(TextAnalysis.tokens($"text"))).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val n = graft.Tables.documents(spark, dir).count()
+    out.foreach { r =>
+      val term = r.getString(0)
+      assert(!Relevance.QueryTerms.contains(term), s"query term leaked: $term")
+      assert(fbVocab(term), s"term outside feedback vocabulary: $term")
+      assert(r.getLong(3) === r.getLong(1) * n / r.getLong(2))
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= Relevance.PrfDocs)
+    }
+  }
 }
