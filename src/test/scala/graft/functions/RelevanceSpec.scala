@@ -1,7 +1,8 @@
 package graft.functions
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.TestSpark
+import graft.{ColStr, TestSpark}
 
 /** Relevance-scoring contracts: ranking semantics, scale-shaped plans
   * (value-level parity with DuckDB is the CORRECTNESS gate's job).
