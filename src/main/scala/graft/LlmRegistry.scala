@@ -105,6 +105,7 @@ object LlmRegistry {
     "sample_stratified" -> (Sampling.stratified _),
     "sample_weighted" -> (Sampling.weightedSample _),
     "pipeline_mix_sources" -> (Sampling.mixSources _),
+    "pipeline_mix_schedule" -> (Sampling.mixSchedule _),
     "sample_temperature" -> (Sampling.temperatureMix _),
     "pipeline_source_quota" -> (Sampling.sourceQuota _),
     "pipeline_source_quota_agg" -> (Sampling.sourceQuotaHeap _),
@@ -603,6 +604,19 @@ object LlmRegistry {
     "sample_split_assign" -> Sampling.sqlSplitAssign,
     "sample_stratified" -> Sampling.sqlStratified,
     "sample_weighted" -> Sampling.sqlWeightedSample,
+        "pipeline_mix_schedule" ->
+      s"""WITH w AS (SELECT source, count(*) AS w FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+         |occ AS (SELECT source, CAST(k AS BIGINT) AS k,
+         |    (CAST(k AS BIGINT) * tw) // w AS vtime
+         |  FROM (SELECT source, w, tw,
+         |      unnest(range(1, (${Sampling.ScheduleSteps} * w) // tw + 3)) AS k
+         |    FROM w, t)),
+         |r AS (SELECT *, row_number() OVER (ORDER BY vtime, source, k) AS step
+         |  FROM occ)
+         |SELECT CAST(step AS BIGINT) AS step, source, k AS occurrence, CAST(vtime AS BIGINT) AS vtime
+         |FROM r WHERE step <= ${Sampling.ScheduleSteps}
+         |ORDER BY step""".stripMargin,
     "pipeline_mix_sources" -> Sampling.sqlMixSources,
     "sample_temperature" -> Sampling.sqlTemperatureMix,
     "pipeline_source_quota" -> Sampling.sqlSourceQuota,

@@ -524,4 +524,38 @@ object Sampling {
       .filter($"rk" <= $"quota")
       .select($"vec_id", $"component_id", $"component_size", $"quota", $"rk")
   }
+
+  /** Schedule horizon (steps emitted) for [[mixSchedule]]. */
+  val ScheduleSteps = 1000
+
+  /** `pipeline_mix_schedule`: the deterministic data-loader interleave
+    * — WHICH source feeds training step t, for the first
+    * [[ScheduleSteps]] steps, proportional to corpus share. Weighted
+    * fair queuing: source s's k-th occurrence gets virtual time
+    * `v = (k·W) div w_s` (w_s = source doc count, W = total), and the
+    * schedule is the (v, source)-ascending order of all occurrences —
+    * the smooth interleave (A B A C A B …) a round-robin-by-block
+    * loader cannot give, with no RNG and no sequential state.
+    *
+    * Scale shape: weights are ONE source-bounded aggregate; occurrence
+    * generation explodes `quota+2` rows per source (horizon-bounded,
+    * never corpus-bounded); ranking is a window over the ≤ K·2-row
+    * candidate set. The corpus itself is read once for the counts.
+    */
+  def mixSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("w"))
+    val tot = w.agg(sum($"w").as("tw"))
+    val occ = w.join(broadcast(tot))
+      .select($"source", $"w", $"tw",
+        explode(expr(s"sequence(CAST(1 AS BIGINT), ($ScheduleSteps * w) div tw + 2)"))
+          .as("k"))
+      .select($"source", $"k", expr("(k * tw) div w").as("vtime"))
+    occ.withColumn("step",
+        row_number().over(Window.orderBy($"vtime".asc, $"source".asc, $"k".asc))
+          .cast("long"))
+      .filter($"step" <= ScheduleSteps)
+      .select($"step", $"source", $"k".as("occurrence"), $"vtime")
+  }
 }

@@ -166,4 +166,26 @@ class SamplingSpec extends AnyFunSuite {
         s"kept $kept vs budget ${Sampling.TempBudget}")
     } finally out.unpersist()
   }
+
+  test("mix schedule: contiguous steps, per-source shares track corpus shares, smooth interleave") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Sampling.mixSchedule(spark, dir)
+      .orderBy(org.apache.spark.sql.functions.col("step")).collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to Sampling.ScheduleSteps.toLong))
+    val weights = graft.Tables.documents(spark, dir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tw = weights.values.sum
+    val served = out.map(_.getString(1)).groupBy(identity).view.mapValues(_.size).toMap
+    weights.foreach { case (src, w) =>
+      val expect = Sampling.ScheduleSteps.toDouble * w / tw
+      assert(math.abs(served.getOrElse(src, 0) - expect) <= weights.size + 1,
+        s"$src served ${served.getOrElse(src, 0)} vs quota $expect")
+    }
+    // occurrences of each source appear in order (k strictly increasing)
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val ks = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+      assert(ks.toSeq === ks.sorted.toSeq && ks.distinct.length === ks.length)
+    }
+  }
 }
