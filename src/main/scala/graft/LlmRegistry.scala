@@ -123,6 +123,7 @@ object LlmRegistry {
     "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "graph_components" -> (GraphRank.knnComponents _),
     "graph_label_propagation" -> (GraphRank.labelPropagation _),
+    "graph_modularity" -> (GraphRank.modularity _),
     "eval_ndcg" -> (Similarity.evalNdcg _),
     "sim_mmr_rerank" -> (Similarity.mmrRerank _),
     "eval_calibration_bins" -> (Similarity.calibrationBins _),
@@ -948,6 +949,32 @@ object LlmRegistry {
       s"""$knnComponentsCtes
          |SELECT vec_id, component_id, component_size
          |FROM comp ORDER BY vec_id""".stripMargin,
+    // per-community Newman terms; emitting rows (not Sum q) avoids an
+    // ordered cross-community float sum
+    "graph_modularity" ->
+      s"""$knnComponentsCtes,
+         |elab AS (SELECT e.a, e.b, ca.component_id AS ca, cb.component_id AS cb
+         |  FROM und e JOIN comp ca ON ca.vec_id = e.a
+         |  JOIN comp cb ON cb.vec_id = e.b),
+         |mm AS (SELECT count(*) AS m FROM und),
+         |intra AS (SELECT ca AS community, count(*) AS intra_edges
+         |  FROM elab WHERE ca = cb GROUP BY 1),
+         |deg AS (SELECT community, count(*) AS deg_sum FROM (
+         |    SELECT ca AS community FROM elab
+         |    UNION ALL SELECT cb AS community FROM elab) GROUP BY 1),
+         |csz AS (SELECT component_id AS community, count(*) AS n_nodes
+         |  FROM comp GROUP BY 1)
+         |SELECT csz.community, csz.n_nodes,
+         |  coalesce(intra_edges, 0) AS intra_edges,
+         |  coalesce(deg_sum, 0) AS deg_sum,
+         |  CAST(coalesce(intra_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE) -
+         |    (CAST(coalesce(deg_sum, 0) AS DOUBLE) /
+         |      (CAST(2 AS DOUBLE) * CAST(m AS DOUBLE))) *
+         |    (CAST(coalesce(deg_sum, 0) AS DOUBLE) /
+         |      (CAST(2 AS DOUBLE) * CAST(m AS DOUBLE))) AS q_term
+         |FROM csz LEFT JOIN intra ON intra.community = csz.community
+         |LEFT JOIN deg ON deg.community = csz.community, mm
+         |ORDER BY csz.community""".stripMargin,
     // unrolled label-spreading rounds; per-round majority = highest
     // count then smallest label (window replay of the packed argmax)
     "graph_label_propagation" -> {

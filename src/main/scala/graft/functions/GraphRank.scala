@@ -284,4 +284,56 @@ object GraphRank {
     }
     fin.select(col("vec_id"), col("seeded"), col("lab").as("label"))
   }
+
+  /** `graph_modularity`: per-community modularity terms of the
+    * connected-component partition over the k-NN graph — for each
+    * community its node count, internal edge count, degree mass and
+    * the Newman term q = e_c/m − (deg_c/(2m))², the "is this cluster
+    * denser than chance" score that ranks which near-dup communities
+    * are real structure vs LSH noise. (Σq over communities is THE
+    * modularity; the per-community rows are emitted so no
+    * cross-community float sum has to be ordered.)
+    *
+    * All inputs exact integers (edge counts, degree sums, one 1-row
+    * m broadcast); each row does two double divisions and one
+    * multiply in a fixed shape. Edge labeling is two hash joins on
+    * the partitioned vertex key.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val und = Similarity.knnGraph(spark, dir)
+      .select(least(col("vec_id"), col("neighbor")).as("a"),
+        greatest(col("vec_id"), col("neighbor")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val labels = knnComponents(spark, dir)
+      .select(col("vec_id"), col("component_id"))
+      .localCheckpoint()
+    val m = broadcast(und.agg(count(lit(1)).as("m")))
+    val labeled = und
+      .join(labels.select(col("vec_id").as("a"), col("component_id").as("ca")), "a")
+      .join(labels.select(col("vec_id").as("b"), col("component_id").as("cb")), "b")
+    val intra = labeled.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = labeled
+      .select(explode(array(
+        struct(col("ca").as("community")), struct(col("cb").as("community")))).as("e"))
+      .select(col("e.community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("deg_sum"))
+    val sizes = labels.groupBy(col("component_id").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    sizes
+      .join(intra.hint("shuffle_hash"), Seq("community"), "left")
+      .join(deg.hint("shuffle_hash"), Seq("community"), "left")
+      .join(m)
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        (coalesce(col("intra_edges"), lit(0L)).cast("double") /
+          col("m").cast("double") -
+          (coalesce(col("deg_sum"), lit(0L)).cast("double") /
+            (lit(2.0) * col("m").cast("double"))) *
+          (coalesce(col("deg_sum"), lit(0L)).cast("double") /
+            (lit(2.0) * col("m").cast("double")))).as("q_term"))
+  }
 }

@@ -98,4 +98,20 @@ class GraphRankSpec extends AnyFunSuite {
     assert(out.exists(r => !r.getBoolean(1) && !r.isNullAt(2)),
       "no label ever propagated to a non-seed")
   }
+
+  test("modularity: communities partition nodes, edge masses reconcile, q terms replay") {
+    val dir = "/root/testdata/sf0.001"
+    val out = GraphRank.modularity(spark, dir).collect()
+    assert(out.nonEmpty)
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    assert(out.map(_.getLong(1)).sum === nVecs, "communities partition the node set")
+    val m = out.map(_.getLong(3)).sum / 2  // degree mass counts each edge twice
+    assert(out.map(_.getLong(2)).sum <= m, "intra edges bounded by edge count")
+    out.foreach { r =>
+      val (ie, ds) = (r.getLong(2), r.getLong(3))
+      val q = ie.toDouble / m - (ds.toDouble / (2.0 * m)) * (ds.toDouble / (2.0 * m))
+      assert(r.getDouble(4) === q, s"community ${r.getLong(0)}")
+      assert(ie * 2 <= ds, "internal degree bounded by degree mass")
+    }
+  }
 }
