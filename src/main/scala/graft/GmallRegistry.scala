@@ -153,7 +153,9 @@ object GmallRegistry {
     "ts_holt_smooth" -> (TimeSeriesOps.holtSmooth _),
     "stats_benford" -> (StatsOps.benfordDigits _),
     "ts_autocorrelation" -> (TimeSeriesOps.autocorrelation _),
-    "stats_cramers_v" -> (StatsOps.cramersV _))
+    "stats_cramers_v" -> (StatsOps.cramersV _),
+    "retention_ltv" -> (FunnelOps.retentionLtv _),
+    "events_activity_streaks" -> (FunnelOps.activityStreaks _))
 
   val oracleSql: Map[String, String] = Map(
     // same unscaled-long money math as the operator: decimal(18,2) cast
@@ -1948,5 +1950,36 @@ object GmallRegistry {
         |SELECT n, chi2,
         |  sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(nr - 1, nc - 1) AS DOUBLE)))
         |    AS cramers_v
-        |FROM chi""".stripMargin)
+        |FROM chi""".stripMargin,
+    // cumulative window over the (cohort x offset) matrix, never events
+    "retention_ltv" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS day_cents
+        |  FROM events GROUP BY 1, 2),
+        |cohort AS (SELECT user_id, min(d) AS c0 FROM daily GROUP BY 1),
+        |sizes AS (SELECT c0, count(*) AS cohort_users FROM cohort GROUP BY 1),
+        |cells AS (SELECT c0, CAST(d - c0 AS BIGINT) AS day_offset,
+        |    CAST(sum(day_cents) AS BIGINT) AS cents
+        |  FROM daily JOIN cohort USING (user_id) GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(sum(cents) OVER (PARTITION BY c0
+        |    ORDER BY day_offset) AS BIGINT) AS cum_cents FROM cells)
+        |SELECT strftime(c0, '%Y-%m-%d') AS cohort, day_offset, cents,
+        |  cum_cents, cohort_users,
+        |  CAST(cum_cents AS DOUBLE) / CAST(cohort_users AS DOUBLE) /
+        |    CAST(100 AS DOUBLE) AS ltv_per_user
+        |FROM cum JOIN sizes USING (c0)
+        |ORDER BY cohort, day_offset""".stripMargin,
+    // gaps-and-islands: consecutive days share d - row_number
+    "events_activity_streaks" ->
+      """WITH bd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |a AS (SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+        |      AS anchor
+        |  FROM bd)
+        |SELECT user_id, strftime(min(d), '%Y-%m-%d') AS streak_start,
+        |  strftime(max(d), '%Y-%m-%d') AS streak_end,
+        |  count(*) AS streak_days
+        |FROM a GROUP BY user_id, anchor
+        |ORDER BY user_id, streak_start""".stripMargin)
 }

@@ -284,4 +284,61 @@ object FunnelOps {
         $"r_score", $"f_score", $"m_score",
         ($"r_score" * 100L + $"f_score" * 10L + $"m_score").as("segment"))
   }
+
+  /** `retention_ltv`: cumulative revenue per cohort over cohort age —
+    * the LTV curve next to [[retentionCohorts]]' count matrix: for
+    * each (first-seen day, day offset), the cohort's exact cumulative
+    * cents and per-user average. The number a growth model fits.
+    *
+    * Exact cents throughout; the cumulative window runs over the
+    * (cohort × offset) matrix — day-domain² bounded, never raw
+    * events. Two corpus passes (first-seen, daily revenue), both
+    * map-side-combined and both keyed by user_id (one co-partitioning).
+    */
+  def retentionLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (RelationalOps.dec($"value") * 100).cast("long")
+    val daily = events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"), cents.as("c"))
+      .groupBy($"user_id", $"d").agg(sum($"c").as("day_cents"))
+    val cohort = daily.groupBy($"user_id").agg(min($"d").as("c0"))
+    val sizes = cohort.groupBy($"c0").agg(count(lit(1)).as("cohort_users"))
+    val cells = daily.join(cohort, "user_id")
+      .groupBy($"c0", datediff($"d", $"c0").cast("bigint").as("day_offset"))
+      .agg(sum($"day_cents").as("cents"))
+    val w = Window.partitionBy($"c0").orderBy($"day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum($"cents").over(w))
+      .join(sizes, "c0")
+      .select(date_format($"c0", "yyyy-MM-dd").as("cohort"), $"day_offset",
+        $"cents", $"cum_cents", $"cohort_users",
+        ($"cum_cents".cast("double") / $"cohort_users".cast("double") / 100.0)
+          .as("ltv_per_user"))
+  }
+
+  /** `events_activity_streaks`: gaps-and-islands over each user's
+    * active days — every maximal run of CONSECUTIVE calendar days,
+    * with start/end/length — the engagement-streak feature (and the
+    * classic SQL islands problem, solved with the day−row_number
+    * anchor: consecutive days share `d − rn`, so one per-user window
+    * plus a group-by finds every island with no self-join).
+    *
+    * Scale shape: one distinct pass to (user, day) — the only
+    * corpus-scale work — then a per-user window over that user's
+    * day-bounded rows and an island-keyed aggregate on the same
+    * partitioning.
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    byDay
+      .withColumn("anchor", expr("date_sub(d, CAST(row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY d) AS INT))"))
+      .groupBy($"user_id", $"anchor")
+      .agg(min($"d").as("s"), max($"d").as("e"), count(lit(1)).as("len"))
+      .select($"user_id", date_format($"s", "yyyy-MM-dd").as("streak_start"),
+        date_format($"e", "yyyy-MM-dd").as("streak_end"),
+        $"len".as("streak_days"))
+  }
 }

@@ -34,7 +34,8 @@ class QueriesSpec extends AnyFunSuite {
       Set("topk_orders", "q3_shipping_priority", "sample_uniform_k",
         "q10_returned_items", "rel_bm25_search", "basket_lift_pairs",
         "events_path_analysis", "text_token_lang_chi2",
-        "text_cooccurrence_pmi")
+        "text_cooccurrence_pmi", "text_keyphrase_rake",
+        "ir_query_expansion")
     val unsorted = SparkEntry.queries.keySet -- Proto.order.keySet --
       semanticallyOrdered
     assert(unsorted.isEmpty,

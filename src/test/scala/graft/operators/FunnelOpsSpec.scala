@@ -169,4 +169,40 @@ class FunnelOpsSpec extends AnyFunSuite {
     // non-empty on any non-degenerate distribution
     assert(out.exists(_._5 === 4L) || out.map(_._2).distinct.length < 4)
   }
+
+  test("LTV curve: cumulative is monotone, final cum equals cohort total revenue") {
+    val sf = "/root/testdata/sf0.001"
+    val out = FunnelOps.retentionLtv(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._3).sum === sorted.last._4, "cum accumulates the cells")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(b._4 === a._4 + b._3); ()
+      }
+    }
+    out.foreach(r => assert(r._6 === r._4.toDouble / r._5 / 100.0))
+  }
+
+  test("streaks: consecutive-day runs are maximal and partition active days") {
+    val sf = "/root/testdata/sf0.001"
+    val out = FunnelOps.activityStreaks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val active = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(ts AS DATE) AS d").distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSet
+    out.foreach { case (u, s0, e0, len) =>
+      val start = java.time.LocalDate.parse(s0)
+      val end = java.time.LocalDate.parse(e0)
+      assert(java.time.temporal.ChronoUnit.DAYS.between(start, end) + 1 === len)
+      (0L until len).foreach(i => assert(active((u, start.plusDays(i)))))
+      // maximality: the days just outside the streak are inactive
+      assert(!active((u, start.minusDays(1))), s"streak $u not left-maximal")
+      assert(!active((u, end.plusDays(1))), s"streak $u not right-maximal")
+    }
+    assert(out.map(_._4).sum === active.size.toLong, "streaks partition active days")
+  }
 }
