@@ -124,6 +124,7 @@ object LlmRegistry {
     "graph_components" -> (GraphRank.knnComponents _),
     "graph_label_propagation" -> (GraphRank.labelPropagation _),
     "graph_modularity" -> (GraphRank.modularity _),
+    "graph_assortativity" -> (GraphRank.assortativity _),
     "eval_ndcg" -> (Similarity.evalNdcg _),
     "sim_mmr_rerank" -> (Similarity.mmrRerank _),
     "eval_calibration_bins" -> (Similarity.calibrationBins _),
@@ -949,6 +950,25 @@ object LlmRegistry {
       s"""$knnComponentsCtes
          |SELECT vec_id, component_id, component_size
          |FROM comp ORDER BY vec_id""".stripMargin,
+    // cross-multiplied Newman r: exact hugeint terms, one division
+    "graph_assortativity" ->
+      s"""WITH knn AS ($knnGraphSql),
+         |undx AS (SELECT DISTINCT least(vec_id, neighbor) AS a,
+         |    greatest(vec_id, neighbor) AS b FROM knn),
+         |degx AS (SELECT v, count(*) AS deg FROM (
+         |    SELECT a AS v FROM undx UNION ALL SELECT b AS v FROM undx)
+         |  GROUP BY 1),
+         |sm AS (SELECT count(*) AS m,
+         |    CAST(sum(x.deg + y.deg) AS BIGINT) AS s1,
+         |    CAST(sum(CAST(x.deg AS HUGEINT) * y.deg) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(x.deg AS HUGEINT) * x.deg +
+         |      CAST(y.deg AS HUGEINT) * y.deg) AS HUGEINT) AS s2
+         |  FROM undx JOIN degx x ON x.v = undx.a JOIN degx y ON y.v = undx.b)
+         |SELECT m, s1, CAST(sxy AS BIGINT) AS sxy, CAST(s2 AS BIGINT) AS s2,
+         |  CAST(4 * m * sxy - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) /
+         |  CAST(2 * m * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+         |    AS assortativity
+         |FROM sm""".stripMargin,
     // per-community Newman terms; emitting rows (not Sum q) avoids an
     // ordered cross-community float sum
     "graph_modularity" ->

@@ -336,4 +336,47 @@ object GraphRank {
           (coalesce(col("deg_sum"), lit(0L)).cast("double") /
             (lit(2.0) * col("m").cast("double")))).as("q_term"))
   }
+
+  /** `graph_assortativity`: the degree-assortativity coefficient of
+    * the k-NN graph — do well-connected nodes link to other
+    * well-connected nodes (r > 0, hub cores: typical of near-dup
+    * families) or to leaves (r < 0, star topology)? One number that
+    * summarizes what [[triangleCount]] reports per vertex.
+    *
+    * EXACT to the last bit: with S1 = Σ(da+db), Sxy = Σ da·db,
+    * S2 = Σ(da²+db²) over undirected edges and M the edge count,
+    * Newman's r over ordered pairs algebraically reduces to
+    * `(4·M·Sxy − S1²) / (2·M·S2 − S1²)` — every term an exact
+    * decimal, ONE double division at the end. (The textbook form has
+    * three nested means; cross-multiplying removes every intermediate
+    * float.)
+    *
+    * Scale shape: degrees are one aggregate of the edge explode; the
+    * per-edge pass joins degrees twice on the partitioned vertex key
+    * and folds to a single row.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val und = Similarity.knnGraph(spark, dir)
+      .select(least(col("vec_id"), col("neighbor")).as("a"),
+        greatest(col("vec_id"), col("neighbor")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val sums = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(col("da") + col("db")).as("s1"),
+        sum(col("da").cast("decimal(38,0)") * col("db")).as("sxy"),
+        sum(col("da").cast("decimal(38,0)") * col("da") +
+          col("db").cast("decimal(38,0)") * col("db")).as("s2"))
+    sums.select(col("m"), col("s1"),
+      col("sxy").cast("long").as("sxy"), col("s2").cast("long").as("s2"),
+      ((lit(4L) * col("m") * col("sxy") -
+          col("s1").cast("decimal(38,0)") * col("s1")).cast("double") /
+        (lit(2L) * col("m") * col("s2") -
+          col("s1").cast("decimal(38,0)") * col("s1")).cast("double"))
+        .as("assortativity"))
+  }
 }

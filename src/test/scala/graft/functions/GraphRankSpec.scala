@@ -114,4 +114,24 @@ class GraphRankSpec extends AnyFunSuite {
       assert(ie * 2 <= ds, "internal degree bounded by degree mass")
     }
   }
+
+  test("assortativity replays from the edge list and lands in [-1, 1]") {
+    val dir = "/root/testdata/sf0.001"
+    val row = GraphRank.assortativity(spark, dir).collect().head
+    val edges = Similarity.knnGraph(spark, dir)
+      .selectExpr("least(vec_id, neighbor) AS a", "greatest(vec_id, neighbor) AS b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val m = edges.length.toLong
+    val s1 = edges.map(e => deg(e._1) + deg(e._2)).sum
+    val sxy = edges.map(e => BigInt(deg(e._1)) * deg(e._2)).sum
+    val s2 = edges.map(e => BigInt(deg(e._1)) * deg(e._1) + BigInt(deg(e._2)) * deg(e._2)).sum
+    assert(row.getLong(0) === m && row.getLong(1) === s1)
+    assert(row.getLong(2) === sxy.toLong && row.getLong(3) === s2.toLong)
+    val r = (BigInt(4) * m * sxy - BigInt(s1) * s1).toDouble /
+      (BigInt(2) * m * s2 - BigInt(s1) * s1).toDouble
+    assert(row.getDouble(4) === r)
+    assert(r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12)
+  }
 }
