@@ -23,6 +23,8 @@ object LlmRegistry {
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_langid" -> (TextAnalysis.langId _),
+    "eval_langid_confusion" -> (TextAnalysis.langIdConfusion _),
+    "pipeline_budget_fill" -> (Sampling.budgetFill _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_normalize" -> (TextAnalysis.normalizeCorpus _),
     "url_canonicalize" -> (UrlOps.urlCanonicalize _),
@@ -554,6 +556,52 @@ object LlmRegistry {
          |  coalesce(b.hits, 0) AS marker_hits
          |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // langId CTEs shared shape; cells over the bounded lang grid
+    "eval_langid_confusion" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |hits AS (SELECT doc_id, cand_lang, count(*) AS hits
+         |  FROM tok JOIN (VALUES $markerValues) AS m(cand_lang, marker) ON tok = marker
+         |  GROUP BY 1, 2),
+         |best AS (SELECT doc_id, cand_lang, hits,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+         |  FROM hits),
+         |pred AS (SELECT d.doc_id, d.lang AS true_lang,
+         |    coalesce(b.cand_lang, 'und') AS pred_lang
+         |  FROM documents d
+         |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)),
+         |cells AS (SELECT true_lang, pred_lang, count(*) AS n
+         |  FROM pred GROUP BY 1, 2),
+         |rw AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS row_n
+         |  FROM cells GROUP BY 1)
+         |SELECT c.true_lang, c.pred_lang, c.n,
+         |  CAST(c.n AS DOUBLE) / CAST(r.row_n AS DOUBLE) AS recall_share,
+         |  c.true_lang = c.pred_lang AS correct
+         |FROM cells c JOIN rw r USING (true_lang)
+         |ORDER BY c.true_lang, c.pred_lang""".stripMargin,
+    // integer quality flag (n_alpha*2 > n_chars), exclusive-prefix
+    // greedy within each source
+    "pipeline_budget_fill" ->
+      s"""WITH base AS (SELECT doc_id, source,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter($toks, x -> x IN (${TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stop,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents),
+         |q AS (SELECT *, CASE WHEN n_tokens >= 10 AND n_stop > 0
+         |    AND n_alpha * 2 > n_chars THEN 1 ELSE 0 END AS quality FROM base),
+         |c AS (SELECT *, coalesce(CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY quality DESC, n_tokens DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |      AS cum_before
+         |  FROM q),
+         |k AS (SELECT *, CASE WHEN cum_before < ${Sampling.FillBudget}
+         |    THEN 1 ELSE 0 END AS kept FROM c)
+         |SELECT source, CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  count(*) AS n_total,
+         |  CAST(sum(kept * n_tokens) AS BIGINT) AS tokens_kept,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(${Sampling.FillBudget} AS BIGINT) AS budget
+         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($normText) AS fp_md5,
          |  ${sqlMd5Prefix60(normText)} AS fp60

@@ -558,4 +558,46 @@ object Sampling {
       .filter($"step" <= ScheduleSteps)
       .select($"step", $"source", $"k".as("occurrence"), $"vtime")
   }
+
+  /** Per-source token budget for [[budgetFill]]. */
+  val FillBudget = 5000L
+
+  /** `pipeline_budget_fill`: assemble at most [[FillBudget]] tokens of
+    * the best data PER SOURCE — documents ranked (quality flag desc,
+    * tokens desc, doc_id) within their source, kept while the
+    * EXCLUSIVE running token total is under budget (first doc always
+    * fits; ≤ one overshoot, the standard greedy knapsack-by-priority).
+    * The "give me exactly B tokens of the good stuff" op a training
+    * run starts with; per-source summary out.
+    *
+    * Scale shape: one corpus pass computes tokens + the quality flag
+    * narrow; the greedy is a per-source cumulative window (partitioned
+    * by source, never global); output is source-bounded.
+    */
+  def budgetFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens($"text")
+    val nStop = size(filter(toks,
+      t => t.isInCollection(TextAnalysis.stopwords))).cast("bigint")
+    val nAlpha = length(regexp_replace(lower($"text"), "[^a-z]", "")).cast("bigint")
+    val base = documents(spark, dir)
+      .select($"doc_id", $"source", size(toks).cast("bigint").as("n_tokens"),
+        nStop.as("n_stop"), nAlpha.as("n_alpha"),
+        length($"text").cast("bigint").as("n_chars"))
+      .withColumn("quality",
+        when($"n_tokens" >= 10 &&
+          $"n_stop" > 0 && $"n_alpha" * 2 > $"n_chars", 1L).otherwise(0L))
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality".desc, $"n_tokens".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("kept", ($"cum_before" < FillBudget).cast("long"))
+      .groupBy($"source")
+      .agg(sum($"kept").as("n_kept"), count(lit(1)).as("n_total"),
+        sum($"kept" * $"n_tokens").as("tokens_kept"),
+        sum($"n_tokens").as("tokens_total"))
+      .select($"source", $"n_kept", $"n_total", $"tokens_kept",
+        $"tokens_total", lit(FillBudget).as("budget"))
+  }
 }

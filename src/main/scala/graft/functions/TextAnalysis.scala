@@ -606,4 +606,26 @@ object TextAnalysis {
         ($"n_common".cast("double") /
           ($"n_a" + $"n_b" - $"n_common").cast("double")).as("jaccard"))
   }
+
+  /** `eval_langid_confusion`: confusion matrix of [[langId]] against
+    * the documents table's ground-truth `lang` column — exact cell
+    * counts plus each cell's recall contribution (share of its true-
+    * lang row). The language-ID twin of the k-NN classifier's
+    * confusion report: the drift alarm when a crawl's language mix
+    * shifts under a fixed marker profile.
+    *
+    * One pass over the prediction table (itself one corpus pass) onto
+    * the lang×lang-bounded grid; row totals re-aggregate the CELLS.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .join(documents(spark, dir).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang".as("true_lang"), $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy($"true_lang").agg(sum($"n").as("row_n"))
+    cells.join(rows.hint("broadcast"), "true_lang")
+      .select($"true_lang", $"pred_lang", $"n",
+        ($"n".cast("double") / $"row_n".cast("double")).as("recall_share"),
+        ($"true_lang" === $"pred_lang").as("correct"))
+  }
 }

@@ -103,4 +103,30 @@ class TextStatsSpec extends AnyFunSuite {
   }
 
   private val Tables = graft.Tables
+
+  test("langid confusion: cells partition docs, recall shares sum to 1 per true lang") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.langIdConfusion(spark, dir).collect()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(out.map(_.getLong(2)).sum === nDocs)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    }
+    out.foreach(r => assert(r.getBoolean(4) === (r.getString(0) == r.getString(1))))
+  }
+
+  test("budget fill: kept prefix respects the exclusive-prefix budget rule") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Sampling.budgetFill(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nKept, nTotal, tKept, tTotal) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nKept >= 1 && nKept <= nTotal, "first doc always fits")
+      assert(tKept <= tTotal)
+      // at most one overshoot doc: tokens_kept minus its last doc is < budget
+      if (nKept < nTotal) assert(tKept >= Sampling.FillBudget,
+        "stopped early despite remaining budget")
+    }
+  }
 }
