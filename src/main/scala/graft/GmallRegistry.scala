@@ -155,7 +155,8 @@ object GmallRegistry {
     "ts_autocorrelation" -> (TimeSeriesOps.autocorrelation _),
     "stats_cramers_v" -> (StatsOps.cramersV _),
     "retention_ltv" -> (FunnelOps.retentionLtv _),
-    "events_activity_streaks" -> (FunnelOps.activityStreaks _))
+    "events_activity_streaks" -> (FunnelOps.activityStreaks _),
+    "dws_sql_surface" -> (WindowOps.sqlSurface _))
 
   val oracleSql: Map[String, String] = Map(
     // same unscaled-long money math as the operator: decimal(18,2) cast
@@ -1981,5 +1982,20 @@ object GmallRegistry {
         |  strftime(max(d), '%Y-%m-%d') AS streak_end,
         |  count(*) AS streak_days
         |FROM a GROUP BY user_id, anchor
-        |ORDER BY user_id, streak_start""".stripMargin)
+        |ORDER BY user_id, streak_start""".stripMargin,
+    // bitmap UV = exact distinct; heap argmax = row_number(ORDER BY
+    // score DESC, id) = 1 — the SQL-surface op replayed exactly
+    "dws_sql_surface" ->
+      """WITH pu AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (SELECT day, count(*) AS uv, CAST(sum(c) AS BIGINT) AS cents
+        |  FROM pu GROUP BY 1),
+        |top AS (SELECT day, user_id AS top_user FROM (
+        |    SELECT day, user_id, row_number() OVER (PARTITION BY day
+        |      ORDER BY CAST(c AS DOUBLE) DESC, user_id) AS rn FROM pu)
+        |  WHERE rn = 1)
+        |SELECT a.day, a.uv, a.cents, t.top_user
+        |FROM agg a JOIN top t USING (day)
+        |ORDER BY a.day""".stripMargin)
 }

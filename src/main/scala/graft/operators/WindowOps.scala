@@ -242,4 +242,32 @@ object WindowOps {
         coalesce($"sv", lit(0L)).as("sv"),
         coalesce($"dur_sec", lit(0L)).as("dur_sec"))
   }
+
+  /** `dws_sql_surface`: the daily visitor/revenue rollup driven by SQL
+    * TEXT ALONE — one `spark.sql` string over a temp view, computing
+    * exact UV through the registered `bitmap_build`/`bitmap_card`
+    * extension aggregates and the day's top-revenue user through the
+    * bounded-heap `top_k_ids` — the proof a SQL-first consumer (BI
+    * tool, notebook, `spark-sql` shell) can reach the engine's custom
+    * Catalyst surface with no Scala imports ([[graft.Session]]
+    * registers the functions; a deployed cluster sets
+    * `spark.sql.extensions=...GraftExtensions`).
+    *
+    * Scale shape is what the SQL planner derives: per-(day, user)
+    * partial aggregate, then a day-keyed aggregate whose UV is a
+    * mergeable bitmap union and whose argmax is a k=1 heap — no
+    * ranking window, no distinct-expand.
+    */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.events(spark, dir).createOrReplaceTempView("graft_events_v")
+    spark.sql(
+      """WITH pu AS (SELECT date_format(ts, 'yyyy-MM-dd') AS day, user_id,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+        |  FROM graft_events_v GROUP BY 1, 2)
+        |SELECT day,
+        |  bitmap_card(bitmap_build(user_id)) AS uv,
+        |  CAST(sum(c) AS BIGINT) AS cents,
+        |  element_at(top_k_ids(user_id, CAST(c AS DOUBLE), 1), 1).id AS top_user
+        |FROM pu GROUP BY day""".stripMargin)
+  }
 }
