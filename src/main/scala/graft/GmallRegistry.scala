@@ -156,7 +156,8 @@ object GmallRegistry {
     "stats_cramers_v" -> (StatsOps.cramersV _),
     "retention_ltv" -> (FunnelOps.retentionLtv _),
     "events_activity_streaks" -> (FunnelOps.activityStreaks _),
-    "dws_sql_surface" -> (WindowOps.sqlSurface _))
+    "dws_sql_surface" -> (WindowOps.sqlSurface _),
+    "dq_bot_users" -> (QualityOps.botUsers _))
 
   val oracleSql: Map[String, String] = Map(
     // same unscaled-long money math as the operator: decimal(18,2) cast
@@ -1997,5 +1998,16 @@ object GmallRegistry {
         |  WHERE rn = 1)
         |SELECT a.day, a.uv, a.cents, t.top_user
         |FROM agg a JOIN top t USING (day)
-        |ORDER BY a.day""".stripMargin)
+        |ORDER BY a.day""".stripMargin,
+    // two-level (user x minute) -> user rollup, never a raw-event window
+    "dq_bot_users" ->
+      s"""WITH pm AS (SELECT user_id,
+        |    strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS m,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS max_per_minute,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  count(*) AS active_minutes,
+        |  max(n) >= ${QualityOps.BotBurst} AS is_bot
+        |FROM pm GROUP BY 1 ORDER BY user_id""".stripMargin)
 }

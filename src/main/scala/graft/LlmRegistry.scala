@@ -44,6 +44,7 @@ object LlmRegistry {
     "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "dedup_clusters" -> (Dedup.minhashClusters _),
+    "dedup_cluster_size_hist" -> (Dedup.clusterSizeHist _),
     "dedup_incremental" -> (Dedup.incrementalMinhash _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
@@ -778,6 +779,29 @@ object LlmRegistry {
          |ORDER BY doc_id""".stripMargin,
     // connected components via transitive closure (WITH RECURSIVE + UNION
     // dedup guarantees termination); cluster id = min reachable doc
+    "dedup_cluster_size_hist" ->
+      s"""${minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,
+         |  string_agg(mh, '_' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id),
+         |dup AS (SELECT c.a, c.b FROM cand c
+         |  JOIN mh x ON x.doc_id = c.a
+         |  JOIN mh y ON y.doc_id = c.b AND y.j = x.j
+         |  GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+         |    >= ${Dedup.NumPerm} * 0.5),
+         |edges AS (SELECT a, b FROM dup UNION ALL SELECT b, a FROM dup),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.a AS id, q.r FROM edges e JOIN reach q ON q.id = e.b),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |szs AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(sz * count(*) AS BIGINT) AS n_docs
+         |FROM szs GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "dedup_clusters" ->
       s"""${minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
          |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,

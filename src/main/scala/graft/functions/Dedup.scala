@@ -548,4 +548,20 @@ object Dedup {
       .filter($"dot" > 0 && $"cos2" >= Cos2Threshold)
       .select($"a", $"b", $"cos2")
   }
+
+  /** `dedup_cluster_size_hist`: the size distribution of near-dup
+    * clusters — how much of the corpus sits in singletons vs pairs vs
+    * mega-families. THE one-glance dedup health chart: a fat tail
+    * here means boilerplate or crawl loops; all-singletons means the
+    * near-dup thresholds bind nothing. Derived from
+    * [[minhashClusters]] by two bounded aggregations (cluster → size,
+    * size → counts); output is size-domain bounded.
+    */
+  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame =
+    minhashClusters(spark, dir)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select($"cluster_size", $"n_clusters",
+        ($"cluster_size" * $"n_clusters").as("n_docs"))
 }

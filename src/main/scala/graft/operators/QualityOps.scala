@@ -178,4 +178,30 @@ object QualityOps {
       .agg(count(lit(1)).as("n"))
       .select($"c_nationkey", $"c_mktsegment", $"bal_band", $"n",
         ($"n" < KAnon).as("at_risk"))
+
+  /** Burst threshold (events within one minute) for [[botUsers]]. */
+  val BotBurst = 5L
+
+  /** `dq_bot_users`: traffic-quality census — each user's peak
+    * events-per-minute burst, total volume, active minutes, and a bot
+    * flag when the peak burst reaches [[BotBurst]] — the rate-based
+    * automation screen run before behavioral data feeds a model (the
+    * reference pipeline has jsonMalformed dirty-side-out; this is the
+    * semantic layer above it).
+    *
+    * Scale shape: two-level aggregation — (user × minute) counts with
+    * map-side combine, then a user-keyed max/sum rollup; both hash on
+    * user_id so AQE reuses one co-partitioning. Never a window over
+    * raw events.
+    */
+  def botUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy($"user_id",
+        date_format(date_trunc("minute", $"ts"), "yyyy-MM-dd HH:mm").as("m"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_id")
+      .agg(max($"n").as("max_per_minute"), sum($"n").as("n_events"),
+        count(lit(1)).as("active_minutes"))
+      .select($"user_id", $"max_per_minute", $"n_events", $"active_minutes",
+        ($"max_per_minute" >= BotBurst).as("is_bot"))
 }

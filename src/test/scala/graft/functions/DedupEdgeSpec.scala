@@ -73,4 +73,17 @@ class DedupEdgeSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(2) <= r.getLong(1) &&
       r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
+
+  test("cluster size histogram reconciles with the cluster table") {
+    val dir = "/root/testdata/sf0.01"
+    val sizes = Dedup.minhashClusters(spark, dir)
+      .groupBy($"cluster_id").count().collect().map(_.getLong(1))
+    val out = Dedup.clusterSizeHist(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = sizes.groupBy(identity).view
+      .mapValues(v => (v.size.toLong, v.size.toLong * v.head)).toMap
+    assert(out === expect)
+    assert(out.values.map(_._2).sum ===
+      graft.Tables.documents(spark, dir).count())
+  }
 }

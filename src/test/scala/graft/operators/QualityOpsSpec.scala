@@ -110,4 +110,19 @@ class QualityOpsSpec extends AnyFunSuite {
     val keys = out.map(r => (r.get(0), r.getString(1), r.getLong(2)))
     assert(keys.distinct.length === keys.length)
   }
+
+  test("bot census: burst replay on a constructed burst, totals reconcile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bot").toString
+    val ts = (m: Int, s: Int) => java.sql.Timestamp.valueOf(f"2024-01-02 10:$m%02d:$s%02d")
+    // user 1: 6 events in one minute (bot); user 2: spread out (human)
+    val rows = (1 to 6).map(i => (i.toLong, ts(0, i), 1L, "view", 1.0, "{}")) ++
+      Seq((7L, ts(1, 0), 2L, "view", 1.0, "{}"), (8L, ts(5, 0), 2L, "view", 1.0, "{}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = QualityOps.botUsers(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((6L, 6L, 1L, true)))
+    assert(out(2L) === ((1L, 2L, 2L, false)))
+  }
 }
