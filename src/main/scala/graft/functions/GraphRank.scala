@@ -305,8 +305,17 @@ object GraphRank {
         greatest(col("vec_id"), col("neighbor")).as("b"))
       .distinct()
       .localCheckpoint()
-    val labels = knnComponents(spark, dir)
-      .select(col("vec_id"), col("component_id"))
+    // label from THIS edge set — calling knnComponents here would run
+    // the whole LSH candidate join a second time (measured: the op was
+    // the suite's slowest at 4.3 s with two graph derivations)
+    val comp = Dedup.components(
+        und.union(und.select(col("b").as("a"), col("a").as("b"))))
+      .select(col("doc_id").as("vec_id"), col("label"))
+    val singletons = graft.Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(comp.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vec_id").as("label"))
+    val labels = comp.union(singletons)
+      .select(col("vec_id"), col("label").as("component_id"))
       .localCheckpoint()
     val m = broadcast(und.agg(count(lit(1)).as("m")))
     val labeled = und
