@@ -196,8 +196,15 @@ object Similarity {
       .groupBy($"vec_id", $"lbl")
       .agg(count(lit(1)).as("votes"))
       .groupBy($"vec_id")
-      .agg(max(struct($"votes", (-$"lbl").as("nl"))).as("m"))
-      .select($"vec_id", (-$"m.nl").as("predicted"), $"m.votes".as("votes"))
+      // (votes, smallest-label) packed into one decimal: a struct-
+      // ordered max has no mutable buffer and demoted this aggregate
+      // to SortAggregate (caught by the PlanShapeSpec contract — the
+      // OHLC lesson, applied here as in labelPropagation)
+      .agg(max($"votes".cast("decimal(38,0)") * lit(1000000000L) +
+        (lit(999999999L) - $"lbl")).as("o"))
+      .select($"vec_id",
+        (lit(999999999L) - ($"o" % 1000000000L)).cast("long").as("predicted"),
+        expr("CAST(o div 1000000000L AS BIGINT)").as("votes"))
     best.join(labels.hint("shuffle_hash"), Seq("vec_id"))
       .select($"vec_id", $"lbl".as("label"), $"predicted", $"votes",
         when($"lbl" === $"predicted", 1L).otherwise(0L).as("correct"))

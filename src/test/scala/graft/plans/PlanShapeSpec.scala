@@ -367,4 +367,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countShuffles(df) === 2, planString(df))
     assert(!planString(df).contains("SortAggregate"), planString(df))
   }
+
+  test("gram matrix: one scan, partial array-sum aggregation, no extra exchange") {
+    val df = q("embed_gram_matrix")
+    val plan = planString(df)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(countShuffles(df) <= 1, "gram must shuffle only the 1-row partials")
+    assert(!plan.contains("SortAggregate"), "array-sum agg demoted to SortAggregate")
+  }
+
+  test("RAKE ends in a bounded TakeOrderedAndProject, not a global sort") {
+    val plan = planString(q("text_keyphrase_rake"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("budget fill windows per source, never an empty-frame global window") {
+    val df = q("pipeline_budget_fill")
+    val inner = {
+      val p = df.queryExecution.executedPlan
+      p.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }.getOrElse(p)
+    }
+    val windows = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "window without PARTITION BY = single-task funnel"))
+  }
+
+  test("bot census is two hash aggregations sharing the user_id partitioning") {
+    val df = q("dq_bot_users")
+    assert(countShuffles(df) <= 2)
+    assert(!planString(df).contains("WindowExec"), "burst census must not window raw events")
+  }
+
+  test("calibration bins keep the classifier's argmax a hash aggregate") {
+    val plan = planString(q("eval_calibration_bins"))
+    assert(!plan.contains("SortAggregate"), plan.linesIterator.take(30).mkString("\n"))
+  }
 }
