@@ -21,6 +21,18 @@ object Verify {
       // the dump edge, not inside the operators — see [[Proto]]
       try {
         val df = fn(spark, sfDir)
+        // dump-edge contract: scalar columns only. The driver's checker
+        // sorts dump rows by EVERY column; array/map/struct cells are
+        // unsortable there (r7's ir_inverted_index red row) — fail the
+        // query loudly here instead of shipping an uncheckable dump.
+        val nested = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        require(nested.isEmpty, s"non-scalar dump columns: " +
+          nested.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
         Proto.order.get(name).map(c => df.orderBy(c: _*)).getOrElse(df)
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }

@@ -163,12 +163,19 @@ object Relevance {
     * serving layer actually stores; tf-idf/BM25 read their statistics
     * straight off it instead of rescanning the corpus.
     *
+    * Output is LONG FORM — one row per (term, posting rank) with scalar
+    * columns only: `(term, df, cf, rnk, doc_id, tf)`. The serving
+    * artifact's array shape is a trivial re-group of this; scalar rows
+    * keep the dump sortable by the driver's whole-row compare (array
+    * cells are not, which kept this query red in r7).
+    *
     * Scale shape: one corpus pass to (term, doc) tf counts (partial
     * agg), one vocabulary-keyed aggregation where `top_k_ids` bounded
     * heaps cap each term's postings at [[PostingsK]] DURING partial
     * aggregation — a hot term ships k rows per partition, never its
     * full document list; df/cf fold in the same aggregate. No ranking
-    * window (which would sort every posting inside each partition).
+    * window (which would sort every posting inside each partition);
+    * the final posexplode is over k-bounded arrays.
     */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
     val tf = documents(spark, dir)
@@ -177,13 +184,15 @@ object Relevance {
     tf.groupBy($"term")
       .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
         expr(s"top_k_ids(doc_id, CAST(tf AS DOUBLE), $PostingsK)").as("p"))
+      .select($"term", $"df", $"cf", posexplode($"p"))
       .select($"term", $"df", $"cf",
-        expr("transform(p, x -> x.id)").as("postings"),
-        expr("transform(p, x -> CAST(x.score AS BIGINT))").as("tfs"))
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("doc_id"),
+        col("col.score").cast("long").as("tf"))
   }
 
   /** DuckDB twin of [[invertedIndex]]: ranking window replay of the
-    * bounded heap (same (tf DESC, doc_id) order).
+    * bounded heap (same (tf DESC, doc_id) order), emitted long-form.
     */
   def sqlInvertedIndex: String = {
     val toks = TextAnalysis.sqlTokens("text")
@@ -192,13 +201,12 @@ object Relevance {
        |r AS (SELECT *, row_number() OVER (PARTITION BY term
        |    ORDER BY tf DESC, doc_id) AS rn FROM tf),
        |stats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
-       |  FROM tf GROUP BY 1),
-       |posts AS (SELECT term, list(doc_id ORDER BY rn) AS postings,
-       |    list(tf ORDER BY rn) AS tfs
-       |  FROM r WHERE rn <= $PostingsK GROUP BY 1)
-       |SELECT s.term, s.df, s.cf, p.postings, p.tfs
-       |FROM stats s JOIN posts p ON s.term = p.term
-       |ORDER BY s.term""".stripMargin
+       |  FROM tf GROUP BY 1)
+       |SELECT s.term, s.df, s.cf, CAST(r.rn AS BIGINT) AS rnk,
+       |  r.doc_id, CAST(r.tf AS BIGINT) AS tf
+       |FROM stats s JOIN r ON s.term = r.term
+       |WHERE r.rn <= $PostingsK
+       |ORDER BY s.term, rnk""".stripMargin
   }
 
   /** Tokens reported by [[tokenLangChi2]]. */

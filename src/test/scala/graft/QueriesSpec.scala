@@ -21,6 +21,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("every query dumps scalar columns only (Verify dump-edge contract)") {
+    // the driver's checker sorts dump rows by every column; array/map/
+    // struct cells are unsortable there (r7 ir_inverted_index red row)
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}:${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty, s"non-scalar dump columns: $offenders")
+  }
+
   test("every oracle key has a query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
