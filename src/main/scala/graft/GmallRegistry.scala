@@ -1775,8 +1775,10 @@ object GmallRegistry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    // ${Bucketing.CompactTarget} AS BIGINT) AS bin
         |FROM files ORDER BY part, file_id""".stripMargin,
-    // per-bin PSI terms fold over the bin-sorted list (the χ² fold
-    // pattern) — never an order-unspecified double sum
+    // exact integer sufficient statistic only — the scalar PSI needs
+    // ln(), whose last ulp differs between JVM and libm, so it lives
+    // engine-side in StatsOps.psiValue (ScalaTest-verified), never in
+    // the hash-exact gate
     "stats_psi_drift" ->
       s"""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') < '${StatsOps.PsiCutoff}' AS base,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
@@ -1785,19 +1787,10 @@ object GmallRegistry {
         |    CAST(sum(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT) AS cb,
         |    CAST(sum(CASE WHEN base THEN 0 ELSE 1 END) AS BIGINT) AS cc
         |  FROM e GROUP BY 1),
-        |a AS (SELECT list(struct_pack(bin := bin, cb := cb, cc := cc)
-        |      ORDER BY bin) AS bs,
-        |    CAST(sum(cb) AS BIGINT) AS nb, CAST(sum(cc) AS BIGINT) AS nc,
-        |    count(*) AS n_bins
-        |  FROM w)
-        |SELECT n_bins, nb, nc,
-        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(bs, x ->
-        |    (CAST(x.cb + ${StatsOps.PsiSmooth} AS DOUBLE) / CAST(nb + ${StatsOps.PsiSmooth} * n_bins AS DOUBLE) -
-        |     CAST(x.cc + ${StatsOps.PsiSmooth} AS DOUBLE) / CAST(nc + ${StatsOps.PsiSmooth} * n_bins AS DOUBLE)) *
-        |    ln(CAST(x.cb + ${StatsOps.PsiSmooth} AS DOUBLE) * CAST(nc + ${StatsOps.PsiSmooth} * n_bins AS DOUBLE) /
-        |       (CAST(x.cc + ${StatsOps.PsiSmooth} AS DOUBLE) * CAST(nb + ${StatsOps.PsiSmooth} * n_bins AS DOUBLE))))),
-        |    (acc, x) -> acc + x) AS psi
-        |FROM a""".stripMargin,
+        |a AS (SELECT CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(sum(cc) AS BIGINT) AS nc, count(*) AS n_bins FROM w)
+        |SELECT CAST(bin AS BIGINT) AS bin, cb, cc, nb, nc, n_bins
+        |FROM w, a ORDER BY bin""".stripMargin,
     // skyline via running max over the distinct-price domain, never a
     // pairwise dominance join
     "stats_pareto_frontier" ->

@@ -657,11 +657,11 @@ object LlmRegistry {
     "sample_weighted" -> Sampling.sqlWeightedSample,
         "pipeline_mix_schedule" ->
       s"""WITH w AS (SELECT source, count(*) AS w FROM documents GROUP BY 1),
-         |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw, count(*) AS ns FROM w),
          |occ AS (SELECT source, CAST(k AS BIGINT) AS k,
          |    (CAST(k AS BIGINT) * tw) // w AS vtime
          |  FROM (SELECT source, w, tw,
-         |      unnest(range(1, (${Sampling.ScheduleSteps} * w) // tw + 3)) AS k
+         |      unnest(range(1, (${Sampling.ScheduleSteps} * w) // tw + ns + 2)) AS k
          |    FROM w, t)),
          |r AS (SELECT *, row_number() OVER (ORDER BY vtime, source, k) AS step
          |  FROM occ)
@@ -856,23 +856,29 @@ object LlmRegistry {
     // DuckDB's inlining — the first draft spilled >79 GB at sf1 from
     // re-running the pair joins per reference); counts come from one
     // union-tag aggregate over the two pair sets
+    // both sides restricted to the deterministic 1-in-RecallSampleMod
+    // doc_id-hash subcorpus (shs/mhs) — mirrors Dedup.recallSample
     "dedup_lsh_recall" ->
       s"""$minhashCtes,
+         |shs AS (SELECT * FROM sh WHERE
+         |  ${sqlMd5Prefix60("'lshrecall:' || CAST(doc_id AS VARCHAR)")} % ${Dedup.RecallSampleMod} = 0),
+         |mhs AS (SELECT * FROM mh WHERE
+         |  ${sqlMd5Prefix60("'lshrecall:' || CAST(doc_id AS VARCHAR)")} % ${Dedup.RecallSampleMod} = 0),
          |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,
-         |  string_agg(mh, '_' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |  string_agg(mh, '_' ORDER BY j) AS sig FROM mhs GROUP BY 1, 2),
          |cand0 AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
          |    AND a.doc_id < b.doc_id),
          |lshp AS (SELECT a, b FROM (
          |    SELECT c.a, c.b,
          |      sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS eq
-         |    FROM cand0 c JOIN mh x ON x.doc_id = c.a
-         |      JOIN mh y ON y.doc_id = c.b AND y.j = x.j
+         |    FROM cand0 c JOIN mhs x ON x.doc_id = c.a
+         |      JOIN mhs y ON y.doc_id = c.b AND y.j = x.j
          |    GROUP BY 1, 2)
          |  WHERE CAST(eq AS DOUBLE) / ${Dedup.NumPerm}.0 >= 0.5),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |rare AS (SELECT sh.doc_id, sh.shingle FROM sh
-         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
+         |rare AS (SELECT shs.doc_id, shs.shingle FROM shs
+         |  JOIN (SELECT shingle FROM shs GROUP BY shingle
          |        HAVING count(*) <= ${Dedup.DfCap}) f USING (shingle)),
          |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
          |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -893,7 +899,8 @@ object LlmRegistry {
          |  CAST(CAST(sum(t * l) AS BIGINT) AS DOUBLE) /
          |    CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) AS recall,
          |  CAST(CAST(sum(t * l) AS BIGINT) AS DOUBLE) /
-         |    CAST(CAST(sum(l) AS BIGINT) AS DOUBLE) AS precision
+         |    CAST(CAST(sum(l) AS BIGINT) AS DOUBLE) AS precision,
+         |  CAST(${Dedup.RecallSampleMod} AS BIGINT) AS sample_mod
          |FROM g""".stripMargin,
     // ordered pairs, per-source denominator: containment, not Jaccard
     "dedup_ngram_containment" ->
@@ -1417,10 +1424,10 @@ object LlmRegistry {
     "mm_image_ahash_pairs" ->
       s"""WITH px AS (SELECT doc_id,
          |    CAST(tx.range AS BIGINT) AS x, CAST(ty.range AS BIGINT) AS y,
-         |    CAST(((doc_id // 2 * 37) % 256 +
-         |      (3 + doc_id // 2 * 2654435761 % 97 % 16) * tx.range +
-         |      (5 + doc_id // 2 * 40503 % 89 % 16) * ty.range +
-         |      (1 + doc_id // 2 * 69069 % 83 % 8) * tx.range * ty.range)
+         |    CAST(((doc_id // 2 % 256 * 37) % 256 +
+         |      (3 + doc_id // 2 % 97 * 2654435761 % 97 % 16) * tx.range +
+         |      (5 + doc_id // 2 % 89 * 40503 % 89 % 16) * ty.range +
+         |      (1 + doc_id // 2 % 83 * 69069 % 83 % 8) * tx.range * ty.range)
          |      % 256 AS BIGINT) AS g
          |  FROM documents CROSS JOIN range(16) tx CROSS JOIN range(16) ty),
          |tot AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS total

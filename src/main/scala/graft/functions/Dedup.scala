@@ -120,11 +120,15 @@ object Dedup {
     * Only candidate pairs (≥1 colliding band) are scored — the LSH
     * contract that avoids the all-pairs product at scale.
     */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(documents(spark, dir))
+
+  /** Core of [[minhashPairs]] over any (doc_id, text) frame. */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
     // no cache(): the self-join reuses the signature subplan via
     // Catalyst's ReusedExchange; an operator-held cache would pin
     // storage for the session lifetime (library leak)
-    val sig = minhashSignatureArray(spark, dir)
+    val sig = withMinhashSig(docs).select($"doc_id", $"sig")
     // band signatures by array slice — pure projection, no re-aggregation
     val bands = sig.select($"doc_id", $"sig", bandsigCols("sig"))
       .select($"doc_id", $"sig", $"pos".as("band"), $"col".as("bandsig"))
@@ -362,8 +366,12 @@ object Dedup {
     * sizes aggregation and no post-join size lookups. Shuffles: the DF
     * count, the shingle-key candidate join, the pair groupBy.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleArrays(documents(spark, dir))
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsOf(documents(spark, dir))
+
+  /** Core of [[ngramJaccardPairs]] over any (doc_id, text) frame. */
+  def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
+    val sh = shingleArrays(docs)
       .select($"doc_id", size($"sh_arr").cast("bigint").as("n_sh"),
         explode($"sh_arr").as("shingle"))
     val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
@@ -435,16 +443,35 @@ object Dedup {
     * per-doc groupBy. A doc's flag rides on exact BIGINT counts; the
     * ratio divides them, so the double is engine-exact.
     */
+  /** 1-in-[[RecallSampleMod]] doc_id-hash sample taken by [[lshRecall]]
+    * before BOTH sides of the measurement. */
+  val RecallSampleMod = 4L
+
+  def recallSample(docs: DataFrame): DataFrame =
+    docs.filter(pmod(
+      Hashing.md5Prefix60(concat(lit("lshrecall:"), $"doc_id".cast("string"))),
+      lit(RecallSampleMod)) === 0)
+
   /** `dedup_lsh_recall`: recall/precision QA of the MinHash+LSH
     * candidate path against the exact n-gram-Jaccard ground truth at
     * the shared 0.5 threshold — the missing recall op of the dedup
     * family (the ANN side has had its `sim_*_recall` siblings since
     * round 4). Embeds both sides by design, like every recall op: the
     * production path stays [[minhashPairs]]; this measures it.
+    *
+    * Both sides run on a deterministic 1-in-[[RecallSampleMod]]
+    * doc_id-hash subcorpus: the exact truth side is quadratic-ish in
+    * pair volume, and recall over a hash-uniform doc sample has the
+    * same statistical meaning (each truth pair survives independently
+    * with p = 1/mod², so the hit RATE is an unbiased estimate) while
+    * bounding the QA op's cost at any corpus size — it was the suite's
+    * most expensive sf1 entry unsampled. `sample_mod` rides in the
+    * output row so readers know the denominator's basis.
     */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val truth = ngramJaccardPairs(spark, dir).select($"a", $"b")
-    val cand = minhashPairs(spark, dir).select($"a", $"b")
+    val docs = recallSample(documents(spark, dir))
+    val truth = ngramJaccardPairsOf(docs).select($"a", $"b")
+    val cand = minhashPairsOf(docs).select($"a", $"b")
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
     val nHit = truth.join(cand.hint("shuffle_hash"), Seq("a", "b"))
@@ -453,7 +480,8 @@ object Dedup {
       .select($"n_truth", $"n_candidates", $"n_hit",
         ($"n_hit".cast("double") / $"n_truth".cast("double")).as("recall"),
         ($"n_hit".cast("double") / $"n_candidates".cast("double"))
-          .as("precision"))
+          .as("precision"),
+        lit(RecallSampleMod).as("sample_mod"))
   }
 
   def spanCoverage(spark: SparkSession, dir: String): DataFrame =
@@ -525,8 +553,23 @@ object Dedup {
     * cos ≥ [[CosThreshold]]. Brute-force is the correctness baseline;
     * the LSH bucket path in [[Similarity]] is the scale path.
     */
+  /** Hard input cap for [[embeddingNearDup]]: beyond this the O(n²)
+    * pair product (≈ cap²/2 candidates) stops being a runnable
+    * baseline and the LSH siblings ([[Similarity.lshNearDupPairs]],
+    * [[Similarity.lshNearDupPairsMulti]]) are the only sane path.
+    */
+  val BruteForceMaxVectors = 100000L
+
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.ArrayOps._
+    // enforce the documented baseline-only contract LOUDLY: a silent
+    // O(n²) run on a production-sized corpus is a cluster outage, not
+    // a slow query. One cheap narrow count against the vector table.
+    val n = embeddings(spark, dir).count()
+    require(n <= BruteForceMaxVectors,
+      s"embeddingNearDup is the O(n²) correctness baseline: $n vectors " +
+        s"exceeds BruteForceMaxVectors=$BruteForceMaxVectors; use " +
+        "Similarity.lshNearDupPairs(Multi) — the bucketed production path")
     // Norms once per vector (not per pair); dot via the codegen'd
     // LongArrayDot — the pair join is then a single tight loop per row.
     // The stream side is hash-spread before the O(n²) nested-loop join:

@@ -223,11 +223,16 @@ object Multimodal {
           while (y < 16) {
             var x = 0
             while (x < 16) {
+              // base id reduced mod each mixing modulus BEFORE the
+              // multiply: same residues (mod distributes), but neither
+              // engine's BIGINT product can overflow at any doc_id —
+              // JVM Long wraps silently while DuckDB raises, so the
+              // unreduced form diverged cross-engine past ~7e9 ids
               raster.setSample(x, y, 0,
-                (((id / 2 * 37) % 256 +
-                  (3 + id / 2 * 2654435761L % 97 % 16) * x +
-                  (5 + id / 2 * 40503 % 89 % 16) * y +
-                  (1 + id / 2 * 69069 % 83 % 8) * x * y) % 256).toInt)
+                (((id / 2 % 256 * 37) % 256 +
+                  (3 + id / 2 % 97 * 2654435761L % 97 % 16) * x +
+                  (5 + id / 2 % 89 * 40503 % 89 % 16) * y +
+                  (1 + id / 2 % 83 * 69069 % 83 % 8) * x * y) % 256).toInt)
               x += 1
             }
             y += 1

@@ -538,18 +538,27 @@ object Sampling {
     * loader cannot give, with no RNG and no sequential state.
     *
     * Scale shape: weights are ONE source-bounded aggregate; occurrence
-    * generation explodes `quota+2` rows per source (horizon-bounded,
-    * never corpus-bounded); ranking is a window over the ≤ K·2-row
-    * candidate set. The corpus itself is read once for the counts.
+    * generation explodes `quota + nSources + 1` rows per source
+    * (horizon-bounded, never corpus-bounded); ranking is a window over
+    * the ≤ K·2-row candidate set. The corpus itself is read once.
+    *
+    * Quota soundness: the first [[ScheduleSteps]] steps all have
+    * vtime ≤ Steps + nSources (each source contributes ≥ V·w/tw − 1
+    * occurrences with vtime ≤ V, so ≥ Steps occurrences exist by
+    * V = Steps + ns), and source s reaches that vtime within
+    * k ≤ (Steps·w) div tw + ns + 1 occurrences — the fixed `+2`
+    * margin used before round 8 could under-generate on skewed mixes,
+    * letting a wrong source fill a tail step.
     */
   def mixSchedule(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = documents(spark, dir)
       .groupBy($"source").agg(count(lit(1)).as("w"))
-    val tot = w.agg(sum($"w").as("tw"))
+    val tot = w.agg(sum($"w").as("tw"), count(lit(1)).as("ns"))
     val occ = w.join(broadcast(tot))
       .select($"source", $"w", $"tw",
-        explode(expr(s"sequence(CAST(1 AS BIGINT), ($ScheduleSteps * w) div tw + 2)"))
+        explode(expr(
+          s"sequence(CAST(1 AS BIGINT), ($ScheduleSteps * w) div tw + ns + 1)"))
           .as("k"))
       .select($"source", $"k", expr("(k * tw) div w").as("vtime"))
     occ.withColumn("step",

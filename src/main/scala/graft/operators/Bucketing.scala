@@ -299,10 +299,13 @@ object Bucketing {
       .agg(count(lit(1)).as("bytes"))
     val w = Window.partitionBy($"part").orderBy($"file_id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // integer division, matching the oracle's `//` exactly at any
+    // cumulative-byte magnitude (a double quotient loses to `//` past
+    // 2^53; sizes are non-negative so trunc == floor here)
     files
       .withColumn("bin",
-        (coalesce(sum($"bytes").over(w), lit(0L)) / CompactTarget)
-          .cast("long"))
+        call_function("div",
+          coalesce(sum($"bytes").over(w), lit(0L)), lit(CompactTarget)))
       .select($"part", $"file_id", $"bytes", $"bin")
   }
 }

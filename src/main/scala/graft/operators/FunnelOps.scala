@@ -252,7 +252,7 @@ object FunnelOps {
     val u = users.join(broadcast(anchor))
       .select($"user_id",
         datediff($"anchor", $"last_day").cast("long").as("r_days"),
-        $"freq", expr(s"mon div $RfmMonBand").as("m_band"), $"mon")
+        $"freq", RelationalOps.floorDiv($"mon", RfmMonBand).as("m_band"), $"mon")
       .localCheckpoint()
 
     // 1-row (t1, t2, t3) quartile cutoffs of `v` over its bounded domain

@@ -28,6 +28,20 @@ object RelationalOps {
   /** Decimal cast used for exact, order-independent money aggregation. */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Floor division by a positive constant, in pure integer arithmetic.
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    * they differ on negative numerators, so every oracle-compared
+    * binning uses this instead of `div`: `pmod` makes the numerator
+    * exactly divisible, after which truncation IS floor. No double
+    * round-trip, so exact at any magnitude (the lone edge — numerators
+    * within `d` of Long.MinValue — fails loudly under ANSI instead of
+    * silently diverging).
+    */
+  def floorDiv(n: Column, d: Long): Column = {
+    val nn = n.cast("long")
+    call_function("div", nn - pmod(nn, lit(d)), lit(d))
+  }
+
   /** Pricing-summary aggregation (TPC-H Q1 shape) — the hash-aggregate
     * workhorse. Partial aggregation (map-side combine) happens
     * automatically; cardinality of the group key is tiny so the final

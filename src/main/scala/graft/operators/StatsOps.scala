@@ -98,7 +98,7 @@ object StatsOps {
     val cents = (RelationalOps.dec($"value") * 100).cast("long")
     val e = events(spark, dir).select(cents.as("v"))
     val total = e.agg(count(lit(1)).as("n_total"))
-    e.groupBy(expr(s"v div $HistBinCents").as("bin"))
+    e.groupBy(RelationalOps.floorDiv($"v", HistBinCents).as("bin"))
       .agg(count(lit(1)).as("n"), sum($"v").as("sum_cents"))
       .join(broadcast(total))
       .select(($"bin" * HistBinCents).as("bin_lo_cents"),
@@ -274,7 +274,7 @@ object StatsOps {
     val e = events(spark, dir)
       .filter($"event_type".isin("purchase", "click"))
       .select($"event_type", cents.as("v"))
-    val bins = e.groupBy(expr(s"v div $HistBinCents").as("bin"))
+    val bins = e.groupBy(RelationalOps.floorDiv($"v", HistBinCents).as("bin"))
       .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("pa"),
         sum(when($"event_type" === "click", 1L).otherwise(0L)).as("pb"))
     val totals = e.groupBy()
@@ -369,36 +369,54 @@ object StatsOps {
   /** Laplace smoothing pseudo-count per bin in [[psiDrift]]. */
   val PsiSmooth = 1L
 
-  /** `stats_psi_drift`: Population Stability Index between the baseline
-    * and current halves of the event-value distribution — THE
+  /** `stats_psi_drift`: Population Stability Index inputs between the
+    * baseline and current halves of the event-value distribution — THE
     * industry-standard "has the input distribution shifted" monitor
     * (PSI < 0.1 stable, > 0.25 action), complementing [[ksDrift]]'s
     * max-gap statistic with a mass-weighted log-ratio one.
     *
-    * Determinism: bin counts are exact longs with [[PsiSmooth]] Laplace
-    * smoothing (zero-proof denominators `N + smooth·bins` on BOTH
-    * sides); each bin's term is computed with one expression shape on
-    * both engines, and the cross-bin double sum folds over the
-    * bin-sorted array exactly like the χ² fold — never an
-    * order-unspecified SQL sum of doubles.
+    * Determinism: the ORACLED output is the exact integer sufficient
+    * statistic — one row per bin `(bin, cb, cc)` plus the global
+    * `(nb, nc, n_bins)` totals, all BIGINT. The scalar PSI needs
+    * `ln()`, whose last ulp differs between JVM Math.log and DuckDB
+    * libm on some arguments (measured; see the NDCG/Benford log-free
+    * reworks), so it is computed engine-side by [[psiValue]] from this
+    * exact table and verified by ScalaTest against an independent
+    * fold, never hash-compared cross-engine. Bins use floor division
+    * ([[RelationalOps.floorDiv]]) so negative values bin identically
+    * to DuckDB's `//`.
     *
     * Scale shape: ONE map-side-combined aggregation onto the bounded
-    * (bin × side) domain; the fold runs over the bin-count-sized array
-    * on a single row. Output: one row (n_bins, both Ns, psi).
+    * (bin × side) domain, one bounded-domain regroup, a 1-row totals
+    * broadcast back. Output: bin-count rows of exact longs.
     */
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     val cents = (RelationalOps.dec($"value") * 100).cast("long")
     val binned = events(spark, dir)
       .select((date_format($"ts", "yyyy-MM-dd") < PsiCutoff).as("base"),
         cents.as("v"))
-      .groupBy(expr(s"v div $HistBinCents").as("bin"), $"base")
+      .groupBy(RelationalOps.floorDiv($"v", HistBinCents).as("bin"), $"base")
       .agg(count(lit(1)).as("n"))
     val wide = binned.groupBy($"bin")
       .agg(sum(when($"base", $"n").otherwise(0L)).as("cb"),
         sum(when(!$"base", $"n").otherwise(0L)).as("cc"))
-    wide
+    val tot = wide.agg(sum($"cb").as("nb"), sum($"cc").as("nc"),
+      count(lit(1)).as("n_bins"))
+    wide.join(broadcast(tot))
+      .select($"bin", $"cb", $"cc", $"nb", $"nc", $"n_bins")
+  }
+
+  /** Scalar PSI from [[psiDrift]]'s exact per-bin table, with
+    * [[PsiSmooth]] Laplace smoothing (zero-proof denominators
+    * `N + smooth·bins` on both sides). Engine-side capability — the
+    * one transcendental in the stats family, deliberately OUTSIDE the
+    * hash-exact oracle gate (see [[psiDrift]] determinism note).
+    */
+  def psiValue(spark: SparkSession, dir: String): DataFrame =
+    psiDrift(spark, dir)
       .agg(sort_array(collect_list(struct($"bin", $"cb", $"cc"))).as("bs"),
-        sum($"cb").as("nb"), sum($"cc").as("nc"), count(lit(1)).as("n_bins"))
+        first($"nb").as("nb"), first($"nc").as("nc"),
+        first($"n_bins").as("n_bins"))
       .select($"n_bins", $"nb", $"nc",
         expr(s"""aggregate(bs, CAST(0 AS DOUBLE), (acc, x) -> acc +
           |  (CAST(x.cb + $PsiSmooth AS DOUBLE) / CAST(nb + $PsiSmooth * n_bins AS DOUBLE) -
@@ -406,7 +424,6 @@ object StatsOps {
           |  ln(CAST(x.cb + $PsiSmooth AS DOUBLE) * CAST(nc + $PsiSmooth * n_bins AS DOUBLE) /
           |     (CAST(x.cc + $PsiSmooth AS DOUBLE) * CAST(nb + $PsiSmooth * n_bins AS DOUBLE))))
           |""".stripMargin).as("psi"))
-  }
 
   /** `stats_pareto_frontier`: the 2-D skyline of the part catalog —
     * every (retail price, size) point not dominated by a part that is

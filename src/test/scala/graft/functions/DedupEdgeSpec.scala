@@ -74,6 +74,36 @@ class DedupEdgeSpec extends AnyFunSuite {
       r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("embeddingNearDup refuses a corpus beyond the brute-force cap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-brute").toString
+    spark.range(Dedup.BruteForceMaxVectors + 1)
+      .selectExpr("id AS vec_id", "CAST(id % 7 AS INT) AS label",
+        "array(CAST(id % 13 AS FLOAT), CAST(1 AS FLOAT)) AS embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("BruteForceMaxVectors"))
+  }
+
+  test("lshRecall runs on the hash subcorpus: counts bounded by the unsampled run") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Dedup.lshRecall(spark, dir).collect().head
+    val (nTruth, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(r.getLong(5) === Dedup.RecallSampleMod)
+    assert(nHit <= nTruth && nHit <= nCand)
+    // sampled truth/candidates are SUBSETS of the full-corpus pair sets
+    val fullTruth = Dedup.ngramJaccardPairs(spark, dir)
+      .select($"a", $"b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val fullCand = Dedup.minhashPairs(spark, dir)
+      .select($"a", $"b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val sampledDocs = Dedup.recallSample(graft.Tables.documents(spark, dir))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val expTruth = fullTruth.filter(p => sampledDocs(p._1) && sampledDocs(p._2))
+    assert(nTruth === expTruth.size.toLong)
+    assert(nCand === fullCand.count(p => sampledDocs(p._1) && sampledDocs(p._2)).toLong)
+  }
+
   test("cluster size histogram reconciles with the cluster table") {
     val dir = "/root/testdata/sf0.01"
     val sizes = Dedup.minhashClusters(spark, dir)

@@ -60,15 +60,21 @@ class RelevanceSpec extends AnyFunSuite {
       (3L, "a a b c", "en", "s", 7L)))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
-    val got = Relevance.invertedIndex(spark, dir).collect()
-      .map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getSeq[Long](3), r.getSeq[Long](4))).toMap
+    // long form (term, df, cf, rnk, doc_id, tf); regroup per term here
+    val rows = Relevance.invertedIndex(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val got = rows.groupBy(_._1).map { case (t, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to rs.length))
+      t -> (rs.head._2, rs.head._3, sorted.map(_._5).toSeq, sorted.map(_._6).toSeq)
+    }
     // 'a': tf 3,1,2 -> postings [1,3,2]; 'b': tf 1,2,1 -> [2,1,3] (tie 1<3)
     assert(got("a") === ((3L, 6L, Seq(1L, 3L, 2L), Seq(3L, 2L, 1L))))
     assert(got("b") === ((3L, 4L, Seq(2L, 1L, 3L), Seq(2L, 1L, 1L))))
     assert(got("c") === ((1L, 1L, Seq(3L), Seq(1L))))
     val out = Relevance.invertedIndex(spark, "/root/testdata/sf0.001")
-    assert(out.collect().forall(_.getSeq[Long](3).length <= Relevance.PostingsK))
+    assert(out.collect().forall(_.getLong(3) <= Relevance.PostingsK))
     // the postings cap must come from the bounded heap, not a rank window
     assert(!out.queryExecution.executedPlan.toString.contains("Window"))
   }

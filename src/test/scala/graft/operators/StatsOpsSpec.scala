@@ -298,29 +298,52 @@ class StatsOpsSpec extends AnyFunSuite {
       (3L, ts(20), 1L, "view", 10.00, "{}"), (4L, ts(20), 1L, "view", 80.00, "{}")))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val flat = StatsOps.psiDrift(spark, dir).collect().head
+    val flat = StatsOps.psiValue(spark, dir).collect().head
     assert(flat.getDouble(3) === 0.0)
-    // driver data: fold replayed in bin order driver-side
+    // driver data: per-bin integer table replayed driver-side, then the
+    // psiValue scalar against an independent bin-ordered fold
     val sf = "/root/testdata/sf0.001"
-    val got = StatsOps.psiDrift(spark, sf).collect().head
-    val bins = graft.Tables.events(spark, sf)
+    val binsExp = graft.Tables.events(spark, sf)
       .selectExpr(s"date_format(ts, 'yyyy-MM-dd') < '${StatsOps.PsiCutoff}' AS base",
         s"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div ${StatsOps.HistBinCents} AS bin")
       .groupBy("bin").agg(
         sum(when($"base", 1L).otherwise(0L)).as("cb"),
         sum(when(!$"base", 1L).otherwise(0L)).as("cc"))
       .orderBy("bin").collect()
-    val nb = bins.map(_.getLong(1)).sum; val nc = bins.map(_.getLong(2)).sum
-    val k = bins.length
+    val nb = binsExp.map(_.getLong(1)).sum; val nc = binsExp.map(_.getLong(2)).sum
+    val k = binsExp.length
+    val binsGot = StatsOps.psiDrift(spark, sf).orderBy($"bin").collect()
+    assert(binsGot.length === k)
+    binsGot.zip(binsExp).foreach { case (g, e) =>
+      assert(g.getLong(0) === e.getLong(0) && g.getLong(1) === e.getLong(1) &&
+        g.getLong(2) === e.getLong(2))
+      assert(g.getLong(3) === nb && g.getLong(4) === nc && g.getLong(5) === k.toLong)
+    }
     var psi = 0.0
-    bins.foreach { r =>
+    binsExp.foreach { r =>
       val (cb, cc) = (r.getLong(1) + StatsOps.PsiSmooth, r.getLong(2) + StatsOps.PsiSmooth)
       val (db, dc) = (nb + StatsOps.PsiSmooth * k, nc + StatsOps.PsiSmooth * k)
       psi += (cb.toDouble / db - cc.toDouble / dc) *
         math.log(cb.toDouble * dc / (cc.toDouble * db))
     }
+    val got = StatsOps.psiValue(spark, sf).collect().head
     assert(got.getLong(0) === k.toLong && got.getLong(1) === nb && got.getLong(2) === nc)
     assert(math.abs(got.getDouble(3) - psi) < 1e-12)
+  }
+
+  test("floorDiv floors like DuckDB's // on negative numerators at long scale") {
+    val rows = spark.range(1).selectExpr(
+      "-3L AS a", "3L AS b", "-5000L AS c", "-4999L AS d",
+      "-9223372036854775000L AS e")
+    val r = rows.select(
+      RelationalOps.floorDiv(col("a"), 5000L),
+      RelationalOps.floorDiv(col("b"), 5000L),
+      RelationalOps.floorDiv(col("c"), 5000L),
+      RelationalOps.floorDiv(col("d"), 5000L),
+      RelationalOps.floorDiv(col("e"), 5000L)).collect().head
+    assert(r.getLong(0) === -1L && r.getLong(1) === 0L && r.getLong(2) === -1L
+      && r.getLong(3) === -1L)
+    assert(r.getLong(4) === Math.floorDiv(-9223372036854775000L, 5000L))
   }
 
   test("Benford census: digits partition orders, expected shares sum to ~1, chi2 replays") {
