@@ -842,7 +842,7 @@ object LlmRegistry {
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          |rare AS (SELECT sh.doc_id, sh.shingle FROM sh
          |  JOIN (SELECT shingle FROM sh GROUP BY shingle
-         |        HAVING count(*) <= ${Dedup.DfCap}) f USING (shingle)),
+         |        HAVING count(*) <= ${Dedup.sqlDfCap("documents")}) f USING (shingle)),
          |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
          |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
@@ -879,7 +879,8 @@ object LlmRegistry {
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
          |rare AS (SELECT shs.doc_id, shs.shingle FROM shs
          |  JOIN (SELECT shingle FROM shs GROUP BY shingle
-         |        HAVING count(*) <= ${Dedup.DfCap}) f USING (shingle)),
+         |        HAVING count(*) <= ${Dedup.sqlDfCap(
+                   s"(SELECT doc_id FROM documents WHERE ${sqlMd5Prefix60("'lshrecall:' || CAST(doc_id AS VARCHAR)")} % ${Dedup.RecallSampleMod} = 0)")}) f USING (shingle)),
          |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
          |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
@@ -908,7 +909,7 @@ object LlmRegistry {
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          |rare AS (SELECT sh.doc_id, sh.shingle FROM sh
          |  JOIN (SELECT shingle FROM sh GROUP BY shingle
-         |        HAVING count(*) <= ${Dedup.DfCap}) f USING (shingle)),
+         |        HAVING count(*) <= ${Dedup.sqlDfCap("documents")}) f USING (shingle)),
          |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
          |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
          |  GROUP BY 1, 2)

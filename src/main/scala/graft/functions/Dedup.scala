@@ -349,12 +349,64 @@ object Dedup {
 
   // ---- n-gram Jaccard ---------------------------------------------------
 
-  /** Document frequency cap for candidate generation: shingles occurring
-    * in more than this many docs are dropped from pairing (standard
+  /** Corpus-adaptive document-frequency cap for candidate generation:
+    * shingles occurring in more than `clamp(DfCapBudget / n_docs,
+    * DfCapMin, DfCapMax)` docs are dropped from pairing (standard
     * "stop-shingle" cap — at corpus scale a boilerplate shingle would
     * otherwise pair everything with everything).
+    *
+    * Why adaptive: with a FIXED cap c the candidate volume is
+    * Σ_shingle C(df,2) ≤ shingles × C(c,2) — linear in corpus size but
+    * with a constant ~c²/2 that makes the pair scorers the suite's
+    * steepest 10×-data entries (9.7–9.8× wall at 10× data under the
+    * old fixed 100). Shrinking the cap as the corpus grows keeps the
+    * per-shingle pair budget inversely proportional to N, so total
+    * candidate volume grows sub-linearly past [[DfCapBudget]]/
+    * [[DfCapMax]] documents. The formula is exact integer arithmetic
+    * (BIGINT `div`), replayed verbatim by the DuckDB oracles via
+    * [[sqlDfCap]]; recall loss at the low clamp is measured by the
+    * gated `dedup_lsh_recall` QA op, which applies the same cap to its
+    * truth side over the same (sampled) corpus.
     */
-  val DfCap = 100
+  val DfCapMax = 100L
+  val DfCapMin = 25L
+  val DfCapBudget = 500000L
+
+  /** 1-row `(df_cap)` frame with the adaptive cap for `docs` — a
+    * broadcast-able aggregate, attached to the DF filter via a 1-row
+    * crossJoin (never a driver-side collect).
+    */
+  def dfCapOf(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).cast("bigint").as("n_docs"))
+      .select(greatest(lit(DfCapMin),
+        least(lit(DfCapMax), expr(s"$DfCapBudget div n_docs"))).as("df_cap"))
+
+  /** DuckDB twin of [[dfCapOf]] as a scalar expression; `docsRel` is a
+    * FROM-able relation (table or filtered subquery) whose row count is
+    * the corpus size. `//` floors like `div` truncates — identical on
+    * the positive counts here.
+    */
+  def sqlDfCap(docsRel: String): String =
+    s"GREATEST($DfCapMin, LEAST($DfCapMax, $DfCapBudget // (SELECT count(*) FROM $docsRel)))"
+
+  /** Shared candidate-generation core of the n-gram pair scorers:
+    * exploded shingle rows (per-doc set size riding along) restricted
+    * to shingles under the adaptive DF cap. One DF groupBy + one
+    * shingle-key join; the self-join downstream reuses the shingle
+    * partitioning (ReusedExchange), never a corpus broadcast.
+    */
+  private def rareShingleRows(docs: DataFrame): DataFrame = {
+    val sh = shingleArrays(docs)
+      .select($"doc_id", size($"sh_arr").cast("bigint").as("n_sh"),
+        explode($"sh_arr").as("shingle"))
+    val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(dfCapOf(docs)))
+      .filter($"df" <= $"df_cap")
+    // shuffle_hash, NOT broadcast: `df` is the full shingle vocabulary —
+    // at corpus scale it cannot broadcast, and shuffling both joins on
+    // the shingle key lets the pair self-join reuse the partitioning
+    sh.join(df.select($"shingle").hint("shuffle_hash"), Seq("shingle"))
+  }
 
   /** Exact n-gram Jaccard near-dup pairs: candidate pairs share ≥1
     * non-stop shingle; J = |∩| / |∪| computed exactly from per-doc
@@ -371,17 +423,7 @@ object Dedup {
 
   /** Core of [[ngramJaccardPairs]] over any (doc_id, text) frame. */
   def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
-    val sh = shingleArrays(docs)
-      .select($"doc_id", size($"sh_arr").cast("bigint").as("n_sh"),
-        explode($"sh_arr").as("shingle"))
-    val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-      .filter($"df" <= DfCap)
-    // shuffle_hash, NOT broadcast: `df` is the full shingle vocabulary —
-    // at corpus scale it cannot broadcast, and shuffling both joins on
-    // the shingle key lets the self-join below reuse the partitioning
-    // (one exchange, ReusedExchange on the second side) instead of
-    // broadcasting the exploded corpus.
-    val rare = sh.join(df.select($"shingle").hint("shuffle_hash"), Seq("shingle"))
+    val rare = rareShingleRows(docs)
     rare.as("x").join(rare.as("y").hint("shuffle_hash"),
         expr("x.shingle = y.shingle AND x.doc_id < y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -404,12 +446,7 @@ object Dedup {
     * because containment is the "is A essentially inside B" question.
     */
   def ngramContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleArrays(documents(spark, dir))
-      .select($"doc_id", size($"sh_arr").cast("bigint").as("n_sh"),
-        explode($"sh_arr").as("shingle"))
-    val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-      .filter($"df" <= DfCap)
-    val rare = sh.join(df.select($"shingle").hint("shuffle_hash"), Seq("shingle"))
+    val rare = rareShingleRows(documents(spark, dir))
     // intersections computed ONCE per unordered pair (a < b — half the
     // join and aggregation volume), then both directed rows emitted with
     // their own denominators; a <> join would re-count every

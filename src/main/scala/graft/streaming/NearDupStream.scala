@@ -36,7 +36,7 @@ object NearDupStream {
 
   /** Max candidates emitted per band signature per micro-batch — the
     * streaming mirror of the batch operators' bucket-width caps
-    * ([[Dedup.DfCap]]): a boilerplate band signature shared by millions
+    * ([[Dedup.DfCapMax]]): a boilerplate band signature shared by millions
     * of docs must not quadratic-blow one state task. Docs beyond the
     * cap in a batch are not flagged (they are overwhelmingly duplicates
     * of an already-flagged template; an exact post-pass catches stragglers).

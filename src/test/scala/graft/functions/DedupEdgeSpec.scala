@@ -104,6 +104,18 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(nCand === fullCand.count(p => sampledDocs(p._1) && sampledDocs(p._2)).toLong)
   }
 
+  test("adaptive df cap: clamped high on small corpora, shrinks past the budget") {
+    def capFor(n: Long): Long = {
+      val docs = spark.range(n).selectExpr("id AS doc_id", "'x' AS text")
+      Dedup.dfCapOf(docs).collect().head.getLong(0)
+    }
+    assert(capFor(500L) === Dedup.DfCapMax)       // sf0.01 corpus: unchanged
+    assert(capFor(5000L) === Dedup.DfCapMax)      // sf0.1 corpus: unchanged
+    assert(capFor(10000L) === 50L)                // budget / n, mid-range
+    assert(capFor(50000L) === Dedup.DfCapMin)     // sf1 corpus: low clamp
+    assert(capFor(1000000L) === Dedup.DfCapMin)   // never below the floor
+  }
+
   test("cluster size histogram reconciles with the cluster table") {
     val dir = "/root/testdata/sf0.01"
     val sizes = Dedup.minhashClusters(spark, dir)
