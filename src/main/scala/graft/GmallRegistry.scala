@@ -22,6 +22,7 @@ object GmallRegistry {
     "p11_coalesce_merge" -> (RelationalOps.coalesceMerge _),
     "q5_above_avg" -> (RelationalOps.aboveCustomerAverage _),
     "q6_cheapest_supplier" -> (RelationalOps.cheapestSupplier _),
+    "q2_min_cost_region" -> (RelationalOps.minCostRegionSupplier _),
     "q7_nation_revenue" -> (RelationalOps.nationRevenue _),
     "j5_semi_join" -> (RelationalOps.semiJoin _),
     "j6_anti_join" -> (RelationalOps.antiJoin _),
@@ -231,6 +232,28 @@ object GmallRegistry {
         |  CAST(any_value(m.min_price) AS DOUBLE) AS min_price
         |FROM l JOIN m ON l.l_partkey = m.mp AND l.price = m.min_price
         |GROUP BY 1 ORDER BY partkey""".stripMargin,
+    // eps is referenced once; the per-part min replays as a window min
+    // (QUALIFY-style) so the expensive CTE is not re-evaluated under
+    // DuckDB's CTE inlining — values identical to the engine's
+    // aggregate-and-join decorrelation (both exact DECIMAL)
+    "q2_min_cost_region" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (SELECT s_suppkey, s_name, s_acctbal, n.n_name
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |eps AS (SELECT ps.l_partkey, ps.cost, eu.s_name, eu.s_acctbal, eu.n_name,
+        |    min(ps.cost) OVER (PARTITION BY ps.l_partkey) AS min_cost
+        |  FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey)
+        |SELECT e.s_acctbal, e.s_name AS supp_name, e.n_name AS nation_name,
+        |  e.l_partkey AS partkey, p.p_brand AS brand,
+        |  CAST(e.cost AS DOUBLE) AS supply_cost
+        |FROM eps e JOIN part p ON e.l_partkey = p.p_partkey
+        |WHERE e.cost = e.min_cost AND p.p_type = 'ECONOMY'
+        |ORDER BY partkey, supp_name""".stripMargin,
     "q7_nation_revenue" ->
       """SELECT r.r_name AS region_name, n.n_name AS nation_name,
         |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *

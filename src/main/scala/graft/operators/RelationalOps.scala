@@ -213,6 +213,42 @@ object RelationalOps {
         $"min_price".cast("double").as("min_price"))
   }
 
+  /** Correlated min-cost-per-group lookup (TPC-H Q2 shape, adapted to
+    * this schema's missing partsupp: supply cost per (part, supplier) =
+    * min line price for the pair, derived once from lineitem). For each
+    * ECONOMY-type part, every EUROPE-region supplier offering that
+    * part's minimum regional cost, with supplier account/nation detail
+    * — the textbook correlated scalar subquery ("cost = (SELECT
+    * min(cost) ... WHERE same part AND same region)"), decorrelated to
+    * ONE aggregate over the region-restricted cost set, recovered by
+    * equi-join on (partkey, cost).
+    *
+    * Scale shape: the fact table collapses to the (part, supplier) cost
+    * grid FIRST (shuffle on the pair key), dims broadcast onto the
+    * grid, the per-part min is a second aggregate of the SAME restricted
+    * grid (no window over fact rows, no fact broadcast), and the
+    * min-recovery join hashes both derivations on partkey. Ties (two
+    * suppliers at the same min cost) all surface, as in Q2.
+    */
+  def minCostRegionSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = lineitem(spark, dir)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min(dec($"l_extendedprice")).as("cost"))
+    val eu = supplier(spark, dir)
+      .join(broadcast(nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region(spark, dir).filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val eps = ps.join(broadcast(eu), $"l_suppkey" === $"s_suppkey")
+    val minc = eps.groupBy($"l_partkey".as("mp")).agg(min($"cost").as("min_cost"))
+    eps.join(minc, $"l_partkey" === $"mp" && $"cost" === $"min_cost")
+      .join(part(spark, dir).filter($"p_type" === "ECONOMY"),
+        $"l_partkey" === $"p_partkey")
+      .select($"s_acctbal", $"s_name".as("supp_name"), $"n_name".as("nation_name"),
+        $"l_partkey".as("partkey"), $"p_brand".as("brand"),
+        $"cost".cast("double").as("supply_cost"))
+  }
+
   /** Local-supplier revenue by nation (TPC-H Q5 shape): the six-way
     * join customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region
     * with the customer-and-supplier-same-nation condition. Facts

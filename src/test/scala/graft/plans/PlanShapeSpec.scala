@@ -408,4 +408,25 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planString(q("eval_calibration_bins"))
     assert(!plan.contains("SortAggregate"), plan.linesIterator.take(30).mkString("\n"))
   }
+
+  test("q2 min-cost lookup: decorrelated to one aggregate pass, fact never broadcast") {
+    val df = q("q2_min_cost_region")
+    val plan = planString(df)
+    // the correlated "= (SELECT min ...)" must NOT plan as a window over
+    // the cost grid or a fact-side broadcast: the cost grid and its
+    // per-part min both hash-shuffle on partkey
+    assert(!plan.contains("WindowExec"), "correlated min must be an aggregate, not a window")
+    // every BroadcastExchange input is dim-sized: supplier dim star and
+    // nothing derived from lineitem (the fact). The lineitem scan feeds
+    // only hash aggregates + shuffled joins.
+    val inner = df.queryExecution.executedPlan.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(df.queryExecution.executedPlan)
+    val badBroadcast = inner.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if b.child.toString.contains("lineitem") => b
+    }
+    assert(badBroadcast.isEmpty, "fact-derived subtree under a BroadcastExchange")
+  }
 }
