@@ -50,6 +50,8 @@ object LlmRegistry {
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
     "dedup_lsh_recall" -> (Dedup.lshRecall _),
+    "eval_split_leakage" -> (Dedup.splitLeakage _),
+    "text_gopher_rules" -> (TextAnalysis.gopherRules _),
     "dedup_ngram_containment" -> (Dedup.ngramContainmentPairs _),
     "dedup_span_coverage" -> (Dedup.spanCoverage _),
     "text_ngram_novelty" -> (Dedup.ngramNovelty _),
@@ -903,6 +905,60 @@ object LlmRegistry {
          |    CAST(CAST(sum(l) AS BIGINT) AS DOUBLE) AS precision,
          |  CAST(${Dedup.RecallSampleMod} AS BIGINT) AS sample_mod
          |FROM g""".stripMargin,
+    // near-dup pair set ⋈ split tags; exactly-one-side-train filter
+    "eval_split_leakage" ->
+      s"""$minhashCtes,
+         |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,
+         |  string_agg(mh, '_' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT c.a, c.b,
+         |    sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS eq
+         |  FROM cand c JOIN mh x ON x.doc_id = c.a
+         |    JOIN mh y ON y.doc_id = c.b AND y.j = x.j
+         |  GROUP BY 1, 2),
+         |near AS (SELECT a, b, CAST(eq AS DOUBLE) / ${Dedup.NumPerm}.0 AS est_jaccard
+         |  FROM pairs WHERE CAST(eq AS DOUBLE) / ${Dedup.NumPerm}.0 >= 0.5),
+         |sp AS (SELECT doc_id, split FROM (${Sampling.sqlSplitAssign}) s),
+         |t AS (SELECT n.a, n.b, n.est_jaccard,
+         |    sa.split AS split_a, sb.split AS split_b
+         |  FROM near n JOIN sp sa ON sa.doc_id = n.a
+         |    JOIN sp sb ON sb.doc_id = n.b)
+         |SELECT CASE WHEN split_a = 'train' THEN a ELSE b END AS train_doc,
+         |  CASE WHEN split_a = 'train' THEN b ELSE a END AS eval_doc,
+         |  CASE WHEN split_a = 'train' THEN split_b ELSE split_a END AS eval_split,
+         |  est_jaccard
+         |FROM t WHERE (split_a = 'train') <> (split_b = 'train')
+         |ORDER BY train_doc, eval_doc""".stripMargin,
+    // per-rule exact-integer boundaries; left join covers zero-token docs
+    "text_gopher_rules" -> {
+      import TextAnalysis._
+      val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_chars,
+         |    CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS BIGINT) AS n_stop
+         |  FROM toks),
+         |tf AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tf FROM (
+         |    SELECT doc_id, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+         |    GROUP BY doc_id, tok) GROUP BY 1)
+         |SELECT b.doc_id, b.n_words, b.sum_chars,
+         |  coalesce(t.max_tf, 0) AS max_tf, b.n_stop,
+         |  b.n_words >= $GopherMinWords AND b.n_words <= $GopherMaxWords AS r_word_count,
+         |  b.sum_chars >= $GopherMinMeanLen * b.n_words
+         |    AND b.sum_chars <= $GopherMaxMeanLen * b.n_words AS r_mean_len,
+         |  coalesce(t.max_tf, 0) * $GopherRepMultiplier <= b.n_words AS r_repetition,
+         |  b.n_stop >= $GopherMinStopwords AS r_stopwords,
+         |  (b.n_words >= $GopherMinWords AND b.n_words <= $GopherMaxWords)
+         |    AND (b.sum_chars >= $GopherMinMeanLen * b.n_words
+         |      AND b.sum_chars <= $GopherMaxMeanLen * b.n_words)
+         |    AND (coalesce(t.max_tf, 0) * $GopherRepMultiplier <= b.n_words)
+         |    AND (b.n_stop >= $GopherMinStopwords) AS keep
+         |FROM base b LEFT JOIN tf t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     // ordered pairs, per-source denominator: containment, not Jaccard
     "dedup_ngram_containment" ->
       s"""WITH sh AS (${Dedup.sqlShingles}),

@@ -521,6 +521,40 @@ object Dedup {
         lit(RecallSampleMod).as("sample_mod"))
   }
 
+  /** `eval_split_leakage`: benchmark-contamination QA — held-out (val/
+    * test) documents that are MinHash near-duplicates of a training
+    * document under the corpus's deterministic split
+    * ([[Sampling.splitAssign]]). Decontamination
+    * (`pipeline_decontaminate`) asks "does training text quote the
+    * benchmark"; this asks the converse leak question every pretraining
+    * eval audit runs: "is the held-out set effectively IN the training
+    * set", where a near-dup (not just an exact quote) inflates eval.
+    * Output: one row per leaking (train, eval) pair with the eval
+    * side's split and the estimated Jaccard.
+    *
+    * Scale shape: the pair set is the banded [[minhashPairs]] join
+    * (bounded band buckets, never all-pairs); the split tag is a
+    * narrow per-doc hash, attached by two doc-keyed shuffle-hash joins
+    * onto the (small) pair set — the corpus never broadcasts. Pairs
+    * within the same side (train×train, heldout×heldout) drop.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val splits = Sampling.splitAssign(spark, dir).select($"doc_id", $"split")
+    val pairs = minhashPairs(spark, dir)
+    pairs
+      .join(splits.select($"doc_id".as("a"), $"split".as("split_a"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(splits.select($"doc_id".as("b"), $"split".as("split_b"))
+        .hint("shuffle_hash"), Seq("b"))
+      .filter(($"split_a" === "train") =!= ($"split_b" === "train"))
+      .select(
+        when($"split_a" === "train", $"a").otherwise($"b").as("train_doc"),
+        when($"split_a" === "train", $"b").otherwise($"a").as("eval_doc"),
+        when($"split_a" === "train", $"split_b").otherwise($"split_a")
+          .as("eval_split"),
+        $"est_jaccard")
+  }
+
   def spanCoverage(spark: SparkSession, dir: String): DataFrame =
     spanCoverageOf(documents(spark, dir))
 

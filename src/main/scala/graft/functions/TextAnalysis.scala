@@ -57,6 +57,67 @@ object TextAnalysis {
           lit(1L)).otherwise(lit(0L)))
   }
 
+  // ---- Gopher-style rule filter ----------------------------------------
+
+  /** Word-count bounds for [[gopherRules]] (Gopher used 50..100k; the
+    * floor is scaled to this corpus's ~30-word docs so both rule
+    * outcomes stay live).
+    */
+  val GopherMinWords = 10L
+  val GopherMaxWords = 100000L
+
+  /** Mean-word-length bounds (chars), compared cross-multiplied so the
+    * boundary is exact integer arithmetic.
+    */
+  val GopherMinMeanLen = 3L
+  val GopherMaxMeanLen = 10L
+
+  /** Max share of the most frequent token, as the multiplier M in
+    * `max_tf · M ≤ n_words` (5 ⇒ 20% — the token-level analogue of
+    * Gopher's top-n-gram-fraction caps).
+    */
+  val GopherRepMultiplier = 5L
+
+  /** Minimum stopword OCCURRENCES (Gopher: ≥ 2 of a fixed list). */
+  val GopherMinStopwords = 2L
+
+  /** `text_gopher_rules`: the rule-based document filter of the
+    * Gopher/C4 lineage — per-doc boolean rules over exact integer
+    * counts (word-count bounds, mean word length, single-token
+    * repetition cap, stopword presence) and the conjunction `keep`.
+    * Every boundary is cross-multiplied integer arithmetic, never a
+    * float ratio, so the keep set is engine-exact.
+    *
+    * Scale shape: one narrow projection over the corpus — the token
+    * statistics are per-row HOFs (no explode, no shuffle at all), which
+    * is what lets the filter run inline ahead of every other pipeline
+    * stage at 100 TB.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .select(
+        $"doc_id",
+        size($"toks").cast("bigint").as("n_words"),
+        expr("aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc + length(t))")
+          .as("sum_chars"),
+        coalesce(
+          expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))"),
+          lit(0)).cast("bigint").as("max_tf"),
+        size(filter($"toks", t => array_contains(stopArr, t))).cast("bigint")
+          .as("n_stop"))
+      .withColumn("r_word_count",
+        $"n_words" >= GopherMinWords && $"n_words" <= GopherMaxWords)
+      .withColumn("r_mean_len",
+        $"sum_chars" >= lit(GopherMinMeanLen) * $"n_words" &&
+          $"sum_chars" <= lit(GopherMaxMeanLen) * $"n_words")
+      .withColumn("r_repetition", $"max_tf" * GopherRepMultiplier <= $"n_words")
+      .withColumn("r_stopwords", $"n_stop" >= GopherMinStopwords)
+      .withColumn("keep",
+        $"r_word_count" && $"r_mean_len" && $"r_repetition" && $"r_stopwords")
+  }
+
   /** Language-marker lists for the n-gram-profile-style language ID
     * heuristic (scaled-down word-level profiles; a production system
     * would use character n-gram profiles — the pipeline shape is the

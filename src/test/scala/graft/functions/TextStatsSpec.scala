@@ -115,6 +115,53 @@ class TextStatsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getBoolean(4) === (r.getString(0) == r.getString(1))))
   }
 
+  test("gopher rules: each rule fires on its canonical violation, clean doc keeps") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("gopher").toString
+    val docs = Seq(
+      (1L, "the a quick brown fox jumps over the lazy dog again today"), // clean: 12 words
+      (2L, "the a word"),                                      // too few words
+      (3L, "the a " + Seq.fill(10)("go").mkString(" ")),       // mean len < 3
+      (4L, "the a extraordinarily " + Seq.fill(9)("supercalifragilistic").mkString(" ")), // mean len > 10
+      (5L, "the the the the the the a b c d e f"),             // repetition: 'the' 6/12
+      (6L, "fox jumps over lazy dog again today quick brown paws tail bark"), // no stopwords
+      (7L, ""))                                                // empty
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .write.parquet(s"$work/documents.parquet")
+    val out = TextAnalysis.gopherRules(spark, work).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))).toMap
+    assert(out(1L) === ((true, true, true, true, true)))
+    assert(out(2L)._1 === false && out(2L)._5 === false)
+    assert(out(3L)._2 === false, "short-token doc must fail mean length")
+    assert(out(4L)._2 === false, "long-token doc must fail mean length")
+    assert(out(5L)._3 === false, "'the'-heavy doc must fail repetition")
+    assert(out(6L)._4 === false, "stopword-free doc must fail stopwords")
+    assert(out(7L) === ((false, true, true, false, false)),
+      "empty doc: word-count+stopword rules fail, vacuous bounds hold")
+  }
+
+  test("split leakage pairs are minhash near-dups with exactly one train side") {
+    val dir = "/root/testdata/sf0.01"
+    val splits = Sampling.splitAssign(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = Dedup.minhashPairs(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val out = Dedup.splitLeakage(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (t, e, sp, j) = (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))
+      assert(splits(t) === "train" && splits(e) === sp && sp != "train")
+      val key = if (t < e) (t, e) else (e, t)
+      assert(pairs(key) === j, "leak pair must carry the pair set's estimate")
+    }
+    // completeness: every cross-split near-dup pair surfaces
+    val expected = pairs.keys.count { case (a, b) =>
+      (splits(a) == "train") != (splits(b) == "train")
+    }
+    assert(out.length === expected)
+  }
+
   test("budget fill: kept prefix respects the exclusive-prefix budget rule") {
     val dir = "/root/testdata/sf0.001"
     val out = Sampling.budgetFill(spark, dir).collect()
