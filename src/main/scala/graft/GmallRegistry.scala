@@ -121,6 +121,7 @@ object GmallRegistry {
     "retention_bitmap" -> (FunnelOps.retentionBitmap _),
     "j14_fuzzy_join" -> (RelationalOps.fuzzyBlockedJoin _),
     "j15_linear_attribution" -> (RelationalOps.linearAttribution _),
+    "j16_ushape_attribution" -> (RelationalOps.ushapeAttribution _),
     "q9_product_profit" -> (AnalyticsOps.productTypeProfit _),
     "q11_important_parts" -> (AnalyticsOps.importantPartValues _),
     "q20_dominant_suppliers" -> (AnalyticsOps.dominantPartSuppliers _),
@@ -146,6 +147,7 @@ object GmallRegistry {
     "dq_functional_deps" -> (QualityOps.functionalDeps _),
     "dq_constraints" -> (QualityOps.constraints _),
     "dq_k_anonymity" -> (QualityOps.kAnonymity _),
+    "dq_l_diversity" -> (QualityOps.lDiversity _),
     "mv_incremental_refresh" -> (AnalyticsOps.mvIncrementalRefresh _),
     "ts_seasonal_decompose" -> (TimeSeriesOps.seasonalDecompose _),
     "layout_compaction_plan" -> (Bucketing.compactionPlan _),
@@ -1401,6 +1403,31 @@ object GmallRegistry {
         |    ELSE 1000000 // n + CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END
         |  END AS BIGINT) AS weight_ppm
         |FROM w ORDER BY purchase_id, view_id""".stripMargin,
+    // U-shaped: 40/20/40 in exact ppm; n=1 → all, n=2 → even split,
+    // middle remainder to the earliest middle touch (rk = 2)
+    "j16_ushape_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.purchase_id, p.user_id, v.view_id, v.v_ts
+        |  FROM p LEFT JOIN v ON p.user_id = v.v_user
+        |    AND v.v_ts < p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 7 DAY),
+        |w AS (SELECT purchase_id, user_id, view_id, v_ts,
+        |    count(view_id) OVER (PARTITION BY purchase_id) AS n,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY v_ts, view_id) AS rk
+        |  FROM j)
+        |SELECT purchase_id, user_id,
+        |  coalesce(view_id, CAST(-1 AS BIGINT)) AS view_id,
+        |  CAST(CASE WHEN view_id IS NULL THEN 1000000
+        |    WHEN n = 1 THEN 1000000
+        |    WHEN n = 2 THEN 500000
+        |    WHEN rk = 1 OR rk = n THEN 400000
+        |    ELSE 200000 // (n - 2) +
+        |      CASE WHEN rk = 2 THEN 200000 % (n - 2) ELSE 0 END
+        |  END AS BIGINT) AS weight_ppm
+        |FROM w ORDER BY purchase_id, view_id""".stripMargin,
     "q9_product_profit" ->
       """WITH l AS (SELECT l_orderkey, l_partkey, l_suppkey,
         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
@@ -1755,6 +1782,16 @@ object GmallRegistry {
         |  count(*) AS n, count(*) < ${QualityOps.KAnon} AS at_risk
         |FROM customer GROUP BY 1, 2, 3
         |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
+    // l-diversity: same QI banding, sensitive attribute = mktsegment
+    "dq_l_diversity" ->
+      s"""SELECT c_nationkey,
+        |  CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) / 1000.0) AS BIGINT)
+        |    AS bal_band,
+        |  count(*) AS n,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+        |  count(DISTINCT c_mktsegment) < ${QualityOps.LDiv} AS at_risk
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, bal_band""".stripMargin,
     // the oracle RECOMPUTES the view from scratch — equality with the
     // engine's snapshot ⊎ delta merge is the self-maintainability proof
     "mv_incremental_refresh" ->

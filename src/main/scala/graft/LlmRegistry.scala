@@ -25,6 +25,7 @@ object LlmRegistry {
     "text_langid" -> (TextAnalysis.langId _),
     "eval_langid_confusion" -> (TextAnalysis.langIdConfusion _),
     "pipeline_budget_fill" -> (Sampling.budgetFill _),
+    "pipeline_dsir_weights" -> (Sampling.dsirWeights _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_normalize" -> (TextAnalysis.normalizeCorpus _),
     "url_canonicalize" -> (UrlOps.urlCanonicalize _),
@@ -124,6 +125,7 @@ object LlmRegistry {
     "text_cooccurrence_pmi" -> (TextAnalysis.cooccurrencePmi _),
     "text_keyphrase_rake" -> (Relevance.rakeKeyphrases _),
     "ir_query_expansion" -> (Relevance.queryExpansion _),
+    "ir_phrase_search" -> (Relevance.phraseSearch _),
     "text_readability" -> (TextAnalysis.readability _),
     "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "graph_components" -> (GraphRank.knnComponents _),
@@ -1472,6 +1474,8 @@ object LlmRegistry {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "rel_tfidf_top_terms" -> Relevance.sqlTfidfTopTerms,
     "rel_bm25_search" -> Relevance.sqlBm25Search,
+    "ir_phrase_search" -> Relevance.sqlPhraseSearch,
+    "pipeline_dsir_weights" -> Sampling.sqlDsirWeights,
     // pure doc_id arithmetic: the Spark side round-trips real PNG/BMP
     // bytes through javax.imageio, and solid-color fixtures make every
     // decoded stat (dims, band count, channel means) exactly predictable

@@ -389,4 +389,74 @@ object Relevance {
       .orderBy($"score".desc, $"term".asc)
       .limit(PrfTerms)
   }
+
+  /** Query phrase for [[phraseSearch]] (two adjacent corpus-vocabulary
+    * tokens; "table hash" occurs across SFs in the driver fixtures).
+    */
+  val Phrase: (String, String) = ("table", "hash")
+
+  /** Result cap for [[phraseSearch]]. */
+  val PhraseK = 50
+
+  /** `ir_phrase_search`: positional phrase matching — the retrieval
+    * operation an inverted index alone cannot answer (it knows WHICH
+    * docs contain both terms, not whether they are ADJACENT). Reports
+    * the top-[[PhraseK]] documents by exact phrase occurrence count,
+    * with the 1-based token position of the first occurrence.
+    *
+    * Design choice vs the classic positional-postings join: positions
+    * are evaluated INSIDE the scan as a per-row codegen kernel — the
+    * token array zipped against its own tail gives the adjacency mask,
+    * and count/first-position fold from that mask — so the operator is
+    * ZERO-shuffle up to the final top-k. A positional-index self-join
+    * (postings(term1) ⋈ postings(term2) ON pos+1) shuffles two
+    * corpus-sized posting streams to answer the same question; the
+    * scan-side kernel reads each document once where it already lives.
+    * At 100 TB this is the difference between a narrow map stage and
+    * two exchanges.
+    *
+    * Scale shape: narrow scan → mask fold → filter(count>0) →
+    * TakeOrderedAndProject (top-k, never a global sort of the corpus).
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (w1, w2) = Phrase
+    val toks = TextAnalysis.tokens($"text")
+    documents(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      // adjacency mask: m(i) ⇔ t(i)=w1 ∧ t(i+1)=w2; zip_with pads the
+      // shorter tail with null → last cell folds to null, dropped by
+      // both the count filter and array_position
+      .select($"doc_id", size($"t").cast("long").as("n_tokens"),
+        zip_with($"t", slice($"t", lit(2), greatest(size($"t") - 1, lit(0))),
+          (a, b) => a === lit(w1) && b === lit(w2)).as("m"))
+      .select($"doc_id",
+        size(filter($"m", x => x)).cast("long").as("phrase_count"),
+        array_position($"m", true).cast("long").as("first_pos"),
+        $"n_tokens")
+      .filter($"phrase_count" > 0L)
+      .orderBy($"phrase_count".desc, $"doc_id")
+      .limit(PhraseK)
+  }
+
+  /** DuckDB twin of [[phraseSearch]] — same zip-against-tail mask
+    * (list_zip pads with NULL exactly like zip_with) and the same
+    * 1-based first-occurrence position.
+    */
+  def sqlPhraseSearch: String = {
+    val (w1, w2) = Phrase
+    val toks = TextAnalysis.sqlTokens("text")
+    s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+       |m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    list_transform(list_zip(t, t[2:]),
+       |      p -> p[1] = '$w1' AND p[2] = '$w2') AS mask
+       |  FROM base),
+       |c AS (SELECT doc_id,
+       |    CAST(len(list_filter(mask, x -> x)) AS BIGINT) AS phrase_count,
+       |    CAST(coalesce(list_position(mask, true), 0) AS BIGINT) AS first_pos,
+       |    n_tokens
+       |  FROM m)
+       |SELECT doc_id, phrase_count, first_pos, n_tokens
+       |FROM c WHERE phrase_count > 0
+       |ORDER BY phrase_count DESC, doc_id LIMIT $PhraseK""".stripMargin
+  }
 }

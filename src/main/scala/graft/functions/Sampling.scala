@@ -609,4 +609,81 @@ object Sampling {
       .select($"source", $"n_kept", $"n_total", $"tokens_kept",
         $"tokens_total", lit(FillBudget).as("budget"))
   }
+
+  /** Hashed-bigram bucket count for [[dsirWeights]] — small enough that
+    * the bucket tables broadcast, large enough that collisions spread.
+    */
+  val DsirBuckets = 1024L
+
+  /** Target-domain sources for [[dsirWeights]] (the "wiki-like" slice a
+    * DSIR selection would aim the corpus at).
+    */
+  val DsirTargets: Seq[String] = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** `pipeline_dsir_weights`: Data Selection via Importance Resampling
+    * (Xie et al. 2023) weights — per document, how target-like its
+    * hashed-bigram profile is. Both the target and raw corpus n-gram
+    * distributions live in [[DsirBuckets]] hash buckets; a document's
+    * weight is the ratio of its bigrams' summed target counts to summed
+    * raw counts (add-one smoothed, ONE double division at the end, so
+    * the score is bit-identical across engines — the same log-free
+    * stance as the NDCG/Benford reworks).
+    *
+    * Scale shape: the bucket histogram is ONE corpus-sized bigram
+    * aggregation onto a FIXED [[DsirBuckets]]-row table (target and raw
+    * counts fold in the same pass via a conditional sum) which then
+    * BROADCASTS back to the per-doc bigram stream — the per-doc side
+    * never shuffles on the bucket key; its only exchange is the final
+    * doc-keyed sum. At 100 TB: two narrow passes over the corpus and a
+    * kilobyte broadcast, no vocabulary-sized state anywhere.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens($"text")
+    val bigrams = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    val bg = documents(spark, dir)
+      .select($"doc_id", $"source", explode(bigrams).as("bg"))
+      .select($"doc_id", $"source",
+        (Hashing.md5Hash31($"bg") % DsirBuckets).as("bucket"))
+    val hist = bg.groupBy($"bucket")
+      .agg(count(lit(1)).as("raw_cnt"),
+        sum(when($"source".isin(DsirTargets: _*), 1L).otherwise(0L))
+          .as("target_cnt"))
+    bg.join(broadcast(hist), Seq("bucket"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"target_cnt").as("t_num"), sum($"raw_cnt").as("t_den"))
+      .select($"doc_id", $"n_bigrams", $"t_num", $"t_den",
+        (($"t_num" + 1L).cast("double") / ($"t_den" + 1L).cast("double"))
+          .as("weight"))
+  }
+
+  /** DuckDB twin of [[dsirWeights]] — same bigram formation (zip against
+    * the tail, NULL-padded last cell dropped), same md5-prefix bucket
+    * hash, same single final division.
+    */
+  def sqlDsirWeights: String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    val targets = DsirTargets.map(s => s"'$s'").mkString(", ")
+    s"""WITH base AS (SELECT doc_id, source, $toks AS t FROM documents),
+       |bg0 AS (SELECT doc_id, source,
+       |    unnest(list_filter(list_transform(list_zip(t, t[2:]),
+       |      p -> p[1] || ' ' || p[2]), x -> x IS NOT NULL)) AS bg
+       |  FROM base),
+       |bg AS (SELECT doc_id, source,
+       |    ${Hashing.sqlMd5Hash31("bg")} % $DsirBuckets AS bucket FROM bg0),
+       |hist AS (SELECT bucket, count(*) AS raw_cnt,
+       |    CAST(sum(CASE WHEN source IN ($targets) THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS target_cnt
+       |  FROM bg GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(target_cnt) AS BIGINT) AS t_num,
+       |  CAST(sum(raw_cnt) AS BIGINT) AS t_den,
+       |  CAST(sum(target_cnt) + 1 AS DOUBLE) / CAST(sum(raw_cnt) + 1 AS DOUBLE)
+       |    AS weight
+       |FROM bg JOIN hist USING (bucket)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -179,6 +179,33 @@ object QualityOps {
       .select($"c_nationkey", $"c_mktsegment", $"bal_band", $"n",
         ($"n" < KAnon).as("at_risk"))
 
+  /** Distinct-sensitive-value threshold for [[lDiversity]]. */
+  val LDiv = 3L
+
+  /** `dq_l_diversity`: l-diversity audit — the privacy check k-anonymity
+    * alone cannot make. A QI cohort can be large (k-anonymous) yet leak
+    * the sensitive attribute anyway when every member shares the same
+    * value (the homogeneity attack); this census reports, per
+    * quasi-identifier cohort (nation × balance band), the population AND
+    * the number of distinct sensitive values (market segment), flagging
+    * cohorts below [[LDiv]] as at-risk. Run alongside [[kAnonymity]]
+    * before releasing user-derived training data.
+    *
+    * Scale shape: ONE hash aggregate over the scan with a single exact
+    * count-distinct (Spark expands it to a two-level aggregate on the
+    * same QI keys — no extra shuffle beyond the QI exchange); output is
+    * QI-domain-bounded, never row-count-sized.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .groupBy($"c_nationkey",
+        floor(RelationalOps.dec($"c_acctbal").cast("double") / 1000.0)
+          .cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"c_mktsegment").as("n_sensitive"))
+      .select($"c_nationkey", $"bal_band", $"n", $"n_sensitive",
+        ($"n_sensitive" < LDiv).as("at_risk"))
+
   /** Burst threshold (events within one minute) for [[botUsers]]. */
   val BotBurst = 5L
 

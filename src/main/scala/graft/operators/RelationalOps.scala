@@ -401,6 +401,51 @@ object RelationalOps {
           .as("weight_ppm"))
   }
 
+  /** `j16_ushape_attribution`: position-based (U-shaped) multi-touch
+    * attribution — 40% of each purchase's credit to the FIRST view in
+    * the 7-day lookback, 40% to the LAST, the remaining 20% split
+    * across the middle touches; the industry-standard complement to
+    * [[linearAttribution]] (equal split) and [[asofAttribution]]
+    * (last-touch-takes-all).
+    *
+    * Weights are exact ppm integers with a deterministic remainder
+    * rule, so every purchase sums to exactly 1,000,000:
+    *   n = 1 → 1,000,000; n = 2 → 500,000 each;
+    *   n ≥ 3 → first/last 400,000, middles 200,000 div (n−2) with the
+    *   division remainder on the EARLIEST middle (rank 2).
+    * A purchase with no views keeps its mass on view_id −1.
+    *
+    * Plan: the same user-keyed range join as [[linearAttribution]];
+    * count + rank share ONE purchase-keyed window exchange (per-group
+    * size bounded by views-per-user-week, no skew blowup).
+    */
+  def ushapeAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+    val v = e.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("v_user"),
+        $"ts".as("v_ts"))
+    val j = p.join(v,
+      $"user_id" === $"v_user" && $"v_ts" < $"p_ts" &&
+        $"v_ts" >= $"p_ts" - expr("INTERVAL 7 DAYS"), "left")
+    val byPurchase =
+      org.apache.spark.sql.expressions.Window.partitionBy($"purchase_id")
+    val touchOrder = byPurchase.orderBy($"v_ts", $"view_id")
+    j.withColumn("n", count($"view_id").over(byPurchase))
+      .withColumn("touch_rank", row_number().over(touchOrder))
+      .select($"purchase_id", $"user_id",
+        coalesce($"view_id", lit(-1L)).as("view_id"),
+        when($"view_id".isNull, lit(1000000L))
+          .when($"n" === 1L, lit(1000000L))
+          .when($"n" === 2L, lit(500000L))
+          .when($"touch_rank" === 1L || $"touch_rank" === $"n", lit(400000L))
+          .otherwise(expr("200000 div (n - 2)") +
+            when($"touch_rank" === 2L, expr("200000 % (n - 2)"))
+              .otherwise(lit(0L)))
+          .as("weight_ppm"))
+  }
+
   /** J10: Bloom-prefiltered fact join — the explicit runtime-filter
     * pattern (see [[org.apache.spark.sql.graftexpr.GraftBloom]]).
     * Revenue of lineitems belonging to URGENT orders, by order month:

@@ -137,6 +137,31 @@ class RelevanceSpec extends AnyFunSuite {
     assert(out.size === 3)
   }
 
+  test("phrase search: adjacency only, exact counts and first positions, zero-shuffle plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+    import spark.implicits._
+    // doc 1: two hits, first at pos 1; doc 2: one hit at pos 2; doc 3:
+    // both terms present but NOT adjacent (the inverted-index false
+    // positive this op exists to reject); doc 4: phrase at the very end
+    // (the zip-tail edge); doc 5: single token
+    Seq(
+      (1L, "table hash table hash", "en", "src0", 21L),
+      (2L, "x table hash y", "en", "src0", 14L),
+      (3L, "table x hash", "en", "src0", 12L),
+      (4L, "z table hash", "en", "src0", 12L),
+      (5L, "table", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Relevance.phraseSearch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 1L), (2L, 1L, 2L), (4L, 1L, 2L)))
+    // scan-side kernel: no exchange anywhere — top-k is TakeOrdered
+    val plan = Relevance.phraseSearch(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"phrase search shuffled:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("query expansion: no query terms, scores replay, terms come from feedback docs") {
     val dir = "/root/testdata/sf0.01"
     val out = Relevance.queryExpansion(spark, dir).collect()

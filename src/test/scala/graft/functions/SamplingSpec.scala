@@ -188,4 +188,34 @@ class SamplingSpec extends AnyFunSuite {
       assert(ks.toSeq === ks.sorted.toSeq && ks.distinct.length === ks.length)
     }
   }
+
+  test("dsir weights: hand-computed bucket-count ratios, sub-2-token docs drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    import spark.implicits._
+    // bigram buckets verified collision-free for {a b, b a, b c, c c}.
+    // target counts: "a b"=2, "b a"=1; raw: "a b"=3, "b a"=1, "b c"=1,
+    // "c c"=2. doc1 (target): (5+1)/(7+1); doc2: (2+1)/(4+1);
+    // doc3: (0+1)/(4+1); doc4 has no bigrams -> no row
+    Seq(
+      (1L, "a b a b", "en", "src0", 7L),
+      (2L, "a b c", "en", "src9", 5L),
+      (3L, "c c c", "en", "src9", 5L),
+      (4L, "a", "en", "src9", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Sampling.dsirWeights(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 5L, 7L, 6.0 / 8.0)),
+      2L -> ((2L, 2L, 4L, 3.0 / 5.0)),
+      3L -> ((2L, 0L, 4L, 1.0 / 5.0))))
+  }
+
+  test("dsir weights: bucket histogram broadcasts; doc side never shuffles on bucket") {
+    val plan = Sampling.dsirWeights(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"hist join not broadcast:\n$plan")
+  }
 }

@@ -159,6 +159,43 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(sums.where($"s" =!= 1000000L).count() === 0)
   }
 
+  test("u-shape attribution: 40/20/40 split, middle remainder to rank 2, degenerate n") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ushape").toString
+    import spark.implicits._
+    val t = (d: Int, h: Int) => Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // user 7: 5 touches -> first/last 400000, middles 200000 div 3 =
+    // 66666 rem 2 (earliest middle gets 66668); user 8: 2 touches ->
+    // 500000 each; user 9: 1 touch -> 1000000; user 10: none -> -1
+    Seq(
+      (1L, t(2, 0), 7L, "view", 1.0, "{}"),
+      (2L, t(2, 1), 7L, "view", 1.0, "{}"),
+      (3L, t(2, 2), 7L, "view", 1.0, "{}"),
+      (4L, t(2, 3), 7L, "view", 1.0, "{}"),
+      (5L, t(2, 4), 7L, "view", 1.0, "{}"),
+      (6L, t(3, 0), 7L, "purchase", 9.0, "{}"),
+      (7L, t(2, 0), 8L, "view", 1.0, "{}"),
+      (8L, t(2, 1), 8L, "view", 1.0, "{}"),
+      (9L, t(3, 0), 8L, "purchase", 5.0, "{}"),
+      (10L, t(2, 0), 9L, "view", 1.0, "{}"),
+      (11L, t(3, 0), 9L, "purchase", 5.0, "{}"),
+      (12L, t(3, 0), 10L, "purchase", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = RelationalOps.ushapeAttribution(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (6L, 1L, 400000L), (6L, 2L, 66668L), (6L, 3L, 66666L),
+      (6L, 4L, 66666L), (6L, 5L, 400000L),
+      (9L, 7L, 500000L), (9L, 8L, 500000L),
+      (11L, 10L, 1000000L), (12L, -1L, 1000000L)))
+  }
+
+  test("u-shape attribution weights sum to exactly 1e6 per purchase on real data") {
+    val sums = RelationalOps.ushapeAttribution(spark, sf)
+      .groupBy($"purchase_id").agg(sum($"weight_ppm").as("s"))
+    assert(sums.where($"s" =!= 1000000L).count() === 0)
+  }
+
   test("basket lift: planted baskets give the hand-computed support and lift") {
     // o1:{100,200} twice via two lines of 100? no — distinct per order.
     // orders: o1 {100,200}, o2 {100,200}, o3 {100}. pairs: (100,200)

@@ -111,6 +111,24 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(keys.distinct.length === keys.length)
   }
 
+  test("l-diversity census partitions the table; flag matches distinct-sensitive count") {
+    val sf = "/root/testdata/sf0.001"
+    val out = QualityOps.lDiversity(spark, sf).collect()
+    assert(out.map(_.getLong(2)).sum ===
+      graft.Tables.customer(spark, sf).count(), "cohorts partition the table")
+    out.foreach { r =>
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= r.getLong(2),
+        s"distinct-sensitive bounded by population: $r")
+      assert(r.getBoolean(4) === (r.getLong(3) < QualityOps.LDiv),
+        s"risk flag: $r")
+    }
+    // a cohort can be k-anonymous yet not l-diverse — the two censuses
+    // must disagree on SOME cohort shape for the op to add information;
+    // at minimum the QI domains differ (no segment key here)
+    val keys = out.map(r => (r.get(0), r.getLong(1)))
+    assert(keys.distinct.length === keys.length)
+  }
+
   test("bot census: burst replay on a constructed burst, totals reconcile") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bot").toString
     val ts = (m: Int, s: Int) => java.sql.Timestamp.valueOf(f"2024-01-02 10:$m%02d:$s%02d")
