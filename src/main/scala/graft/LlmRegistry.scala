@@ -126,6 +126,8 @@ object LlmRegistry {
     "text_keyphrase_rake" -> (Relevance.rakeKeyphrases _),
     "ir_query_expansion" -> (Relevance.queryExpansion _),
     "ir_phrase_search" -> (Relevance.phraseSearch _),
+    "ir_proximity_search" -> (Relevance.proximitySearch _),
+    "graph_kcore" -> (GraphRank.kCore _),
     "text_readability" -> (TextAnalysis.readability _),
     "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "graph_components" -> (GraphRank.knnComponents _),
@@ -1475,7 +1477,45 @@ object LlmRegistry {
     "rel_tfidf_top_terms" -> Relevance.sqlTfidfTopTerms,
     "rel_bm25_search" -> Relevance.sqlBm25Search,
     "ir_phrase_search" -> Relevance.sqlPhraseSearch,
+    "ir_proximity_search" -> Relevance.sqlProximitySearch,
     "pipeline_dsir_weights" -> Sampling.sqlDsirWeights,
+    // k-core: CoreRounds unrolled peel rounds, exactly as the engine runs
+    "graph_kcore" -> {
+      val k = GraphRank.CoreK
+      val r = GraphRank.CoreRounds
+      // MATERIALIZED: each round references its predecessor three times
+      // (FROM + two NOT INs); inlined CTEs would re-evaluate the chain
+      // exponentially (3^rounds scans — observed as fd exhaustion)
+      val roundCtes = (0 until r).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+           |    SELECT a AS v FROM e$i UNION ALL SELECT b AS v FROM e$i)
+           |  GROUP BY 1),
+           |x$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg < $k),
+           |e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
+           |  WHERE e.a NOT IN (SELECT v FROM x$i)
+           |    AND e.b NOT IN (SELECT v FROM x$i))""".stripMargin
+      }.mkString(",\n")
+      val peelUnion = (0 until r)
+        .map(i => s"SELECT v, ${i + 1} AS peel_round FROM x$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH knn AS MATERIALIZED ($knnGraphSql),
+         |und AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor) AS a,
+         |    greatest(vec_id, neighbor) AS b FROM knn),
+         |e0 AS MATERIALIZED (SELECT a, b FROM und),
+         |$roundCtes,
+         |peel AS ($peelUnion),
+         |fdeg AS (SELECT v, count(*) AS deg FROM (
+         |    SELECT a AS v FROM e$r UNION ALL SELECT b AS v FROM e$r)
+         |  GROUP BY 1)
+         |SELECT emb.vec_id,
+         |  coalesce(fdeg.deg, 0) >= $k AS in_core,
+         |  CAST(coalesce(fdeg.deg, 0) AS BIGINT) AS core_deg,
+         |  CAST(coalesce(peel.peel_round, 0) AS BIGINT) AS peel_round
+         |FROM embeddings emb
+         |LEFT JOIN fdeg ON fdeg.v = emb.vec_id
+         |LEFT JOIN peel ON peel.v = emb.vec_id
+         |ORDER BY emb.vec_id""".stripMargin
+    },
     // pure doc_id arithmetic: the Spark side round-trips real PNG/BMP
     // bytes through javax.imageio, and solid-color fixtures make every
     // decoded stat (dims, band count, channel means) exactly predictable

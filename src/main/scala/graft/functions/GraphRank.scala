@@ -388,4 +388,66 @@ object GraphRank {
           col("s1").cast("decimal(38,0)") * col("s1")).cast("double"))
         .as("assortativity"))
   }
+
+  /** Core order for [[kCore]]: nodes must keep ≥ this many neighbors. */
+  val CoreK = 3L
+
+  /** Peeling rounds for [[kCore]] — fixed so the unrolled oracle is
+    * finite; both engines run EXACTLY this many rounds, so the result
+    * is well-defined (and equal) even before convergence, and the spec
+    * asserts the fixture graph converges within the budget.
+    */
+  val CoreRounds = 6
+
+  /** `graph_kcore`: [[CoreK]]-core decomposition of the k-NN similarity
+    * graph by [[CoreRounds]] rounds of synchronous peeling — drop every
+    * node whose surviving degree is under K, remove its edges, repeat.
+    * The density screen layered on the same edge set as
+    * components/modularity: a near-dup community that survives the
+    * 3-core is mutually-supported structure, while chains and stars of
+    * LSH noise peel away. Per node: in-core flag, degree within the
+    * surviving subgraph, and the 1-based round it was peeled (0 =
+    * survived).
+    *
+    * Scale shape per round: one degree aggregate of the edge explode +
+    * two semi-joins of the edge set against the survivor set, all on
+    * the partitioned vertex key; rounds are a fixed constant and
+    * inter-round state is `localCheckpoint`ed (the [[pagerank]]
+    * lineage-truncation discipline). Peeling is monotone — edge sets
+    * only shrink — so round cost is bounded by the first.
+    */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val und0 = Similarity.knnGraph(spark, dir)
+      .select(least(col("vec_id"), col("neighbor")).as("a"),
+        greatest(col("vec_id"), col("neighbor")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    def degrees(und: DataFrame): DataFrame =
+      und.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // peeled(v, round) accumulates; edges shrink each round
+    import spark.implicits._
+    val init = (und0, Seq.empty[(Long, Long)].toDF("v", "peel_round"))
+    val (finalEdges, peeled) = (1 to CoreRounds).foldLeft(init) {
+      case ((und, gone), round) =>
+        val deg = degrees(und)
+        val drop = deg.filter(col("deg") < CoreK).select(col("v"))
+          .localCheckpoint()
+        val kept = und
+          .join(drop.select(col("v").as("a")), Seq("a"), "left_anti")
+          .join(drop.select(col("v").as("b")), Seq("b"), "left_anti")
+          .select(col("a"), col("b"))
+          .localCheckpoint()
+        (kept, gone.union(drop.select(col("v"), lit(round.toLong).as("peel_round"))))
+    }
+    val coreDeg = degrees(finalEdges)
+    graft.Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(coreDeg.select(col("v").as("vec_id"), col("deg")), Seq("vec_id"), "left")
+      .join(peeled.select(col("v").as("vec_id"), col("peel_round")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        (col("deg").isNotNull && col("deg") >= CoreK).as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"),
+        coalesce(col("peel_round"), lit(0L)).as("peel_round"))
+  }
 }

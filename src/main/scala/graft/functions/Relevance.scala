@@ -459,4 +459,72 @@ object Relevance {
        |FROM c WHERE phrase_count > 0
        |ORDER BY phrase_count DESC, doc_id LIMIT $PhraseK""".stripMargin
   }
+
+  /** Token-distance window for [[proximitySearch]]. */
+  val ProxWindow = 5
+
+  /** `ir_proximity_search`: proximity retrieval — documents where the
+    * two [[Phrase]] terms occur within [[ProxWindow]] tokens of each
+    * other, ranked by the number of near pairs then closest distance.
+    * Generalizes [[phraseSearch]] (adjacency = distance 1): the
+    * "terms NEAR each other" operator of classic IR.
+    *
+    * Same zero-shuffle stance as the phrase kernel: each term's
+    * position list is extracted inside the scan (1-based, matching the
+    * SQL twin's lambda index), and the pair fold runs over those two
+    * SMALL lists (bounded by per-doc term frequency, not doc length).
+    * Narrow scan → filter(both present) → TakeOrderedAndProject.
+    */
+  def proximitySearch(spark: SparkSession, dir: String): DataFrame = {
+    val (t1, t2) = Phrase
+    val toks = TextAnalysis.tokens($"text")
+    def positions(term: String): Column = filter(
+      transform(toks, (x, i) => when(x === lit(term), i + 1).otherwise(lit(-1))),
+      p => p >= 0)
+    documents(spark, dir)
+      .select($"doc_id", positions(t1).as("pa"), positions(t2).as("pb"))
+      .filter(size($"pa") > 0 && size($"pb") > 0)
+      .select($"doc_id",
+        size($"pa").cast("long").as("n_a"),
+        size($"pb").cast("long").as("n_b"),
+        array_min(transform($"pa",
+          i => array_min(transform($"pb", j => abs(i - j)))))
+          .cast("long").as("min_dist"),
+        aggregate(
+          transform($"pa",
+            i => size(filter($"pb", j => abs(i - j) <= ProxWindow))),
+          lit(0L), (acc, x) => acc + x.cast("long")).as("near_pairs"))
+      .filter($"near_pairs" > 0L)
+      .orderBy($"near_pairs".desc, $"min_dist".asc, $"doc_id")
+      .limit(PhraseK)
+  }
+
+  /** DuckDB twin of [[proximitySearch]] — 1-based index lambdas mirror
+    * the Spark kernel's `i + 1`.
+    */
+  def sqlProximitySearch: String = {
+    val (t1, t2) = Phrase
+    val toks = TextAnalysis.sqlTokens("text")
+    def pos(term: String) =
+      s"""list_filter(list_transform(t,
+         |      (x, i) -> CASE WHEN x = '$term' THEN i ELSE -1 END),
+         |      p -> p >= 0)""".stripMargin
+    s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+       |p AS (SELECT doc_id,
+       |    ${pos(t1)} AS pa,
+       |    ${pos(t2)} AS pb
+       |  FROM base),
+       |c AS (SELECT doc_id,
+       |    CAST(len(pa) AS BIGINT) AS n_a, CAST(len(pb) AS BIGINT) AS n_b,
+       |    CAST(list_min(list_transform(pa,
+       |      i -> list_min(list_transform(pb, j -> abs(i - j))))) AS BIGINT)
+       |      AS min_dist,
+       |    CAST(list_sum(list_transform(pa,
+       |      i -> len(list_filter(pb, j -> abs(i - j) <= $ProxWindow)))) AS BIGINT)
+       |      AS near_pairs
+       |  FROM p WHERE len(pa) > 0 AND len(pb) > 0)
+       |SELECT doc_id, n_a, n_b, min_dist, near_pairs
+       |FROM c WHERE near_pairs > 0
+       |ORDER BY near_pairs DESC, min_dist, doc_id LIMIT $PhraseK""".stripMargin
+  }
 }

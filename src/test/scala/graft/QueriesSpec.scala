@@ -50,7 +50,7 @@ class QueriesSpec extends AnyFunSuite {
         "q10_returned_items", "rel_bm25_search", "basket_lift_pairs",
         "events_path_analysis", "text_token_lang_chi2",
         "text_cooccurrence_pmi", "text_keyphrase_rake",
-        "ir_query_expansion", "ir_phrase_search")
+        "ir_query_expansion", "ir_phrase_search", "ir_proximity_search")
     val unsorted = SparkEntry.queries.keySet -- Proto.order.keySet --
       semanticallyOrdered
     assert(unsorted.isEmpty,

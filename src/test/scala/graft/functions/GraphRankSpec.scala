@@ -134,4 +134,37 @@ class GraphRankSpec extends AnyFunSuite {
     assert(row.getDouble(4) === r)
     assert(r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12)
   }
+
+  test("k-core: driver-side peel replay matches exactly; fixture converges in budget") {
+    val dir = "/root/testdata/sf0.001"
+    val und = Similarity.knnGraph(spark, dir)
+      .selectExpr("least(vec_id, neighbor) AS a", "greatest(vec_id, neighbor) AS b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var edges = und
+    var peeled = Map.empty[Long, Long]
+    def degrees(es: Set[(Long, Long)]): Map[Long, Long] =
+      es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (round <- 1 to GraphRank.CoreRounds) {
+      val deg = degrees(edges)
+      val drop = deg.filter(_._2 < GraphRank.CoreK).keySet
+      peeled ++= drop.map(_ -> round.toLong)
+      edges = edges.filter { case (a, b) => !drop(a) && !drop(b) }
+    }
+    val finalDeg = degrees(edges)
+    assert(finalDeg.values.forall(_ >= GraphRank.CoreK),
+      "fixture graph must converge within CoreRounds")
+    val got = GraphRank.kCore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    assert(got.length.toLong === nVecs, "one row per embedding")
+    got.foreach { case (v, inCore, cdeg, pr) =>
+      assert(cdeg === finalDeg.getOrElse(v, 0L), s"core_deg of $v")
+      assert(inCore === (finalDeg.getOrElse(v, 0L) >= GraphRank.CoreK),
+        s"in_core of $v")
+      assert(pr === peeled.getOrElse(v, 0L), s"peel_round of $v")
+    }
+    assert(got.exists(_._2) && got.exists(!_._2),
+      "fixture should have both core and peeled nodes")
+  }
 }

@@ -162,6 +162,30 @@ class RelevanceSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("proximity search: window cut, pair counts, ranking; zero-shuffle plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prox").toString
+    import spark.implicits._
+    // d1: dist 4 (inside the 5-token window); d2: dist 6 (outside ->
+    // excluded); d3: reversed order still counts (|i-j|); d4: two "table"
+    // against one "hash" -> 2 near pairs, ranked first; d5: one term only
+    Seq(
+      (1L, "table x x x hash", "en", "src0", 16L),
+      (2L, "table x x x x x hash", "en", "src0", 20L),
+      (3L, "hash table", "en", "src0", 10L),
+      (4L, "table hash table", "en", "src0", 16L),
+      (5L, "table only", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Relevance.proximitySearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === Seq(
+      (4L, 2L, 1L, 1L, 2L), (3L, 1L, 1L, 1L, 1L), (1L, 1L, 1L, 4L, 1L)))
+    val plan = Relevance.proximitySearch(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"proximity search shuffled:\n$plan")
+  }
+
   test("query expansion: no query terms, scores replay, terms come from feedback docs") {
     val dir = "/root/testdata/sf0.01"
     val out = Relevance.queryExpansion(spark, dir).collect()
