@@ -1479,7 +1479,10 @@ object LlmRegistry {
     "ir_phrase_search" -> Relevance.sqlPhraseSearch,
     "ir_proximity_search" -> Relevance.sqlProximitySearch,
     "pipeline_dsir_weights" -> Sampling.sqlDsirWeights,
-    // k-core: CoreRounds unrolled peel rounds, exactly as the engine runs
+    // k-core: CoreRounds unrolled peel rounds, exactly as the engine
+    // runs — degrees over the survivor VERTEX set (zero-degree
+    // survivors peel in the round they become isolated), plus the
+    // graph-constant converged flag (would round r+1 peel anyone?)
     "graph_kcore" -> {
       val k = GraphRank.CoreK
       val r = GraphRank.CoreRounds
@@ -1487,10 +1490,13 @@ object LlmRegistry {
       // (FROM + two NOT INs); inlined CTEs would re-evaluate the chain
       // exponentially (3^rounds scans — observed as fd exhaustion)
       val roundCtes = (0 until r).map { i =>
-        s"""d$i AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
-           |    SELECT a AS v FROM e$i UNION ALL SELECT b AS v FROM e$i)
-           |  GROUP BY 1),
+        s"""d$i AS MATERIALIZED (SELECT s.v, coalesce(ed.deg, 0) AS deg
+           |  FROM s$i s LEFT JOIN (SELECT v, count(*) AS deg FROM (
+           |      SELECT a AS v FROM e$i UNION ALL SELECT b AS v FROM e$i)
+           |    GROUP BY 1) ed ON ed.v = s.v),
            |x$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg < $k),
+           |s${i + 1} AS MATERIALIZED (SELECT v FROM s$i
+           |  WHERE v NOT IN (SELECT v FROM x$i)),
            |e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
            |  WHERE e.a NOT IN (SELECT v FROM x$i)
            |    AND e.b NOT IN (SELECT v FROM x$i))""".stripMargin
@@ -1502,18 +1508,24 @@ object LlmRegistry {
          |und AS MATERIALIZED (SELECT DISTINCT least(vec_id, neighbor) AS a,
          |    greatest(vec_id, neighbor) AS b FROM knn),
          |e0 AS MATERIALIZED (SELECT a, b FROM und),
+         |s0 AS MATERIALIZED (SELECT DISTINCT v FROM (
+         |    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)),
          |$roundCtes,
          |peel AS ($peelUnion),
-         |fdeg AS (SELECT v, count(*) AS deg FROM (
-         |    SELECT a AS v FROM e$r UNION ALL SELECT b AS v FROM e$r)
-         |  GROUP BY 1)
+         |fdeg AS MATERIALIZED (SELECT s.v, coalesce(ed.deg, 0) AS deg
+         |  FROM s$r s LEFT JOIN (SELECT v, count(*) AS deg FROM (
+         |      SELECT a AS v FROM e$r UNION ALL SELECT b AS v FROM e$r)
+         |    GROUP BY 1) ed ON ed.v = s.v),
+         |conv AS (SELECT coalesce(min(deg >= $k), true) AS converged FROM fdeg)
          |SELECT emb.vec_id,
-         |  coalesce(fdeg.deg, 0) >= $k AS in_core,
+         |  coalesce(fdeg.deg >= $k, false) AS in_core,
          |  CAST(coalesce(fdeg.deg, 0) AS BIGINT) AS core_deg,
-         |  CAST(coalesce(peel.peel_round, 0) AS BIGINT) AS peel_round
+         |  CAST(coalesce(peel.peel_round, 0) AS BIGINT) AS peel_round,
+         |  conv.converged
          |FROM embeddings emb
          |LEFT JOIN fdeg ON fdeg.v = emb.vec_id
          |LEFT JOIN peel ON peel.v = emb.vec_id
+         |CROSS JOIN conv
          |ORDER BY emb.vec_id""".stripMargin
     },
     // pure doc_id arithmetic: the Spark side round-trips real PNG/BMP

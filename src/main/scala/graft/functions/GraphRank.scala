@@ -401,20 +401,35 @@ object GraphRank {
 
   /** `graph_kcore`: [[CoreK]]-core decomposition of the k-NN similarity
     * graph by [[CoreRounds]] rounds of synchronous peeling — drop every
-    * node whose surviving degree is under K, remove its edges, repeat.
+    * surviving node whose degree is under K, remove its edges, repeat.
     * The density screen layered on the same edge set as
     * components/modularity: a near-dup community that survives the
     * 3-core is mutually-supported structure, while chains and stars of
     * LSH noise peel away. Per node: in-core flag, degree within the
-    * surviving subgraph, and the 1-based round it was peeled (0 =
-    * survived).
+    * surviving subgraph, the 1-based round it was peeled, and a
+    * graph-constant `converged` flag.
     *
-    * Scale shape per round: one degree aggregate of the edge explode +
-    * two semi-joins of the edge set against the survivor set, all on
-    * the partitioned vertex key; rounds are a fixed constant and
-    * inter-round state is `localCheckpoint`ed (the [[pagerank]]
-    * lineage-truncation discipline). Peeling is monotone — edge sets
-    * only shrink — so round cost is bounded by the first.
+    * Degrees are taken over the SURVIVOR VERTEX SET (survivors absent
+    * from the shrinking edge set count as degree 0), so a node whose
+    * neighbors all peel in one round is itself peeled in the round it
+    * becomes isolated — textbook peeling. Hence `peel_round = 0` with
+    * `in_core = false` means exactly "never in the k-NN graph at all"
+    * (no LSH edge incident), never "peeled to isolation".
+    *
+    * `converged` reports whether a (CoreRounds+1)-th round would peel
+    * nobody — i.e. the fixed round budget actually reached the k-core
+    * fixpoint. On a larger graph where peeling hasn't settled, the flag
+    * flips false instead of silently shipping an unconverged cut
+    * labeled `in_core`; it is a single boolean broadcast onto every
+    * row, costing one more survivor-degree aggregate.
+    *
+    * Scale shape per round: one degree aggregate of the edge explode
+    * left-joined to the survivor vertex set + two anti-joins of the
+    * edge set against the drop set, all on the partitioned vertex key;
+    * rounds are a fixed constant and inter-round state is
+    * `localCheckpoint`ed (the [[pagerank]] lineage-truncation
+    * discipline). Peeling is monotone — vertex and edge sets only
+    * shrink — so round cost is bounded by the first.
     */
   def kCore(spark: SparkSession, dir: String): DataFrame = {
     val und0 = Similarity.knnGraph(spark, dir)
@@ -422,32 +437,47 @@ object GraphRank {
         greatest(col("vec_id"), col("neighbor")).as("b"))
       .distinct()
       .localCheckpoint()
-    def degrees(und: DataFrame): DataFrame =
-      und.select(explode(array(col("a"), col("b"))).as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    // peeled(v, round) accumulates; edges shrink each round
+    val verts0 = und0.select(explode(array(col("a"), col("b"))).as("v"))
+      .distinct()
+      .localCheckpoint()
+    // degree of every SURVIVOR, zero-degree survivors included
+    def survivorDegrees(und: DataFrame, verts: DataFrame): DataFrame =
+      verts.join(
+        und.select(explode(array(col("a"), col("b"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("edge_deg")),
+        Seq("v"), "left")
+        .select(col("v"), coalesce(col("edge_deg"), lit(0L)).as("deg"))
+    // peeled(v, round) accumulates; vertices + edges shrink each round
     import spark.implicits._
-    val init = (und0, Seq.empty[(Long, Long)].toDF("v", "peel_round"))
-    val (finalEdges, peeled) = (1 to CoreRounds).foldLeft(init) {
-      case ((und, gone), round) =>
-        val deg = degrees(und)
+    val init = (und0, verts0, Seq.empty[(Long, Long)].toDF("v", "peel_round"))
+    val (finalEdges, finalVerts, peeled) = (1 to CoreRounds).foldLeft(init) {
+      case ((und, verts, gone), round) =>
+        val deg = survivorDegrees(und, verts)
         val drop = deg.filter(col("deg") < CoreK).select(col("v"))
+          .localCheckpoint()
+        val keptVerts = verts.join(drop, Seq("v"), "left_anti")
           .localCheckpoint()
         val kept = und
           .join(drop.select(col("v").as("a")), Seq("a"), "left_anti")
           .join(drop.select(col("v").as("b")), Seq("b"), "left_anti")
           .select(col("a"), col("b"))
           .localCheckpoint()
-        (kept, gone.union(drop.select(col("v"), lit(round.toLong).as("peel_round"))))
+        (kept, keptVerts,
+          gone.union(drop.select(col("v"), lit(round.toLong).as("peel_round"))))
     }
-    val coreDeg = degrees(finalEdges)
+    val finalDeg = survivorDegrees(finalEdges, finalVerts).localCheckpoint()
+    // would a round CoreRounds+1 peel anyone? (1 row, broadcast)
+    val convergence = finalDeg
+      .agg(coalesce(min(col("deg") >= CoreK), lit(true)).as("converged"))
     graft.Tables.embeddings(spark, dir).select(col("vec_id"))
-      .join(coreDeg.select(col("v").as("vec_id"), col("deg")), Seq("vec_id"), "left")
+      .join(finalDeg.select(col("v").as("vec_id"), col("deg")), Seq("vec_id"), "left")
       .join(peeled.select(col("v").as("vec_id"), col("peel_round")),
         Seq("vec_id"), "left")
+      .crossJoin(broadcast(convergence))
       .select(col("vec_id"),
         (col("deg").isNotNull && col("deg") >= CoreK).as("in_core"),
         coalesce(col("deg"), lit(0L)).as("core_deg"),
-        coalesce(col("peel_round"), lit(0L)).as("peel_round"))
+        coalesce(col("peel_round"), lit(0L)).as("peel_round"),
+        col("converged"))
   }
 }

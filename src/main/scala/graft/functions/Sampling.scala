@@ -629,6 +629,19 @@ object Sampling {
     * the score is bit-identical across engines — the same log-free
     * stance as the NDCG/Benford reworks).
     *
+    * Fidelity note (ADVICE r8): this is a summed-count-ratio
+    * APPROXIMATION of DSIR, not the paper's estimator. Xie et al.
+    * weight by the product of per-feature probability ratios (a sum of
+    * per-bucket log ratios); here the weight is (Σ target_cnt + 1) /
+    * (Σ raw_cnt + 1) over the doc's bigram buckets, which a doc's
+    * highest-frequency buckets dominate, and "target" is a slice of
+    * the SAME corpus ([[DsirTargets]]) rather than a held-out target
+    * distribution. Chosen deliberately: the summed form stays in exact
+    * integer arithmetic until one final division (cross-engine
+    * bit-identical), where a log-sum would reintroduce float-order
+    * sensitivity. Rankings agree with exact DSIR when bucket profiles
+    * are near-uniform; they can diverge on skewed profiles.
+    *
     * Scale shape: the bucket histogram is ONE corpus-sized bigram
     * aggregation onto a FIXED [[DsirBuckets]]-row table (target and raw
     * counts fold in the same pass via a conditional sum) which then

@@ -141,30 +141,47 @@ class GraphRankSpec extends AnyFunSuite {
       .selectExpr("least(vec_id, neighbor) AS a", "greatest(vec_id, neighbor) AS b")
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     var edges = und
+    var verts = und.flatMap { case (a, b) => Seq(a, b) }
     var peeled = Map.empty[Long, Long]
-    def degrees(es: Set[(Long, Long)]): Map[Long, Long] =
+    def edgeDegrees(es: Set[(Long, Long)]): Map[Long, Long] =
       es.toSeq.flatMap { case (a, b) => Seq(a, b) }
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // survivor-set degrees: zero-degree survivors peel in the round
+    // they become isolated (ADVICE r8 textbook-peeling semantics)
+    def survivorDegrees(): Map[Long, Long] = {
+      val ed = edgeDegrees(edges)
+      verts.map(v => v -> ed.getOrElse(v, 0L)).toMap
+    }
     for (round <- 1 to GraphRank.CoreRounds) {
-      val deg = degrees(edges)
+      val deg = survivorDegrees()
       val drop = deg.filter(_._2 < GraphRank.CoreK).keySet
       peeled ++= drop.map(_ -> round.toLong)
+      verts = verts -- drop
       edges = edges.filter { case (a, b) => !drop(a) && !drop(b) }
     }
-    val finalDeg = degrees(edges)
-    assert(finalDeg.values.forall(_ >= GraphRank.CoreK),
-      "fixture graph must converge within CoreRounds")
+    val finalDeg = survivorDegrees()
+    val expectConverged = finalDeg.values.forall(_ >= GraphRank.CoreK)
+    assert(expectConverged, "fixture graph must converge within CoreRounds")
     val got = GraphRank.kCore(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
     val nVecs = graft.Tables.embeddings(spark, dir).count()
     assert(got.length.toLong === nVecs, "one row per embedding")
-    got.foreach { case (v, inCore, cdeg, pr) =>
+    got.foreach { case (v, inCore, cdeg, pr, conv) =>
       assert(cdeg === finalDeg.getOrElse(v, 0L), s"core_deg of $v")
       assert(inCore === (finalDeg.getOrElse(v, 0L) >= GraphRank.CoreK),
         s"in_core of $v")
       assert(pr === peeled.getOrElse(v, 0L), s"peel_round of $v")
+      assert(conv === expectConverged, s"converged flag of $v")
     }
     assert(got.exists(_._2) && got.exists(!_._2),
       "fixture should have both core and peeled nodes")
+    // peel_round = 0 with in_core = false now means exactly "never in
+    // the k-NN graph": every in-graph non-core node has a round
+    val inGraph = und.flatMap { case (a, b) => Seq(a, b) }
+    got.foreach { case (v, inCore, _, pr, _) =>
+      if (pr === 0L && !inCore)
+        assert(!inGraph(v), s"$v: peel_round=0 non-core must be off-graph")
+    }
   }
 }

@@ -189,6 +189,49 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("WFQ quota margin: bounded generation matches unbounded schedule on 1200 random weight mixes") {
+    // The ADVICE-r8 simulation found the pre-round-8 fixed `+2` margin
+    // wrong on 187/3000 random mixes (a source's occurrence list ran
+    // dry before its last in-horizon vtime, letting a wrong source
+    // fill a tail step). This pins the fixed margin
+    // `k <= (Steps*w) div tw + ns + 1` as a ScalaCheck property: for
+    // random weight vectors, the quota-bounded occurrence set must
+    // yield EXACTLY the same first-Steps schedule as the unbounded
+    // one (reference: every source gets a full horizon of
+    // occurrences, k = 1..Steps — enough for any source to fill every
+    // step alone). Same (vtime, source, k) tie-break as mixSchedule.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val steps = Sampling.ScheduleSteps.toLong
+    val genMix: Gen[Seq[Long]] = for {
+      ns <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(ns, Gen.frequency(
+        3 -> Gen.choose(1L, 20L),          // heavy skew regime
+        3 -> Gen.choose(1L, 1000L),
+        2 -> Gen.choose(1L, 1000000L)))
+    } yield ws
+    def schedule(occ: Seq[(Long, String, Long)]): Seq[(Long, String, Long)] =
+      occ.sortBy { case (v, s, k) => (v, s, k) }.take(steps.toInt)
+    var checked = 0
+    (0 until 1200).foreach { i =>
+      genMix(Gen.Parameters.default, Seed(4242L + i)).foreach { ws =>
+        val sources = ws.indices.map(j => f"s$j%02d")
+        val tw = ws.sum
+        val ns = ws.size.toLong
+        val unbounded = sources.zip(ws).flatMap { case (s, w) =>
+          (1L to steps).map(k => ((k * tw) / w, s, k))
+        }
+        val bounded = sources.zip(ws).flatMap { case (s, w) =>
+          (1L to ((steps * w) / tw + ns + 1)).map(k => ((k * tw) / w, s, k))
+        }
+        assert(schedule(bounded) === schedule(unbounded),
+          s"mix ${ws.mkString(",")} diverges under the quota bound")
+        checked += 1
+      }
+    }
+    assert(checked >= 1000, s"only $checked mixes sampled")
+  }
+
   test("dsir weights: hand-computed bucket-count ratios, sub-2-token docs drop") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
     import spark.implicits._
