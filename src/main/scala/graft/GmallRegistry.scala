@@ -28,6 +28,7 @@ object GmallRegistry {
     "j6_anti_join" -> (RelationalOps.antiJoin _),
     "j7_asof_attribution" -> (RelationalOps.asofAttribution _),
     "j8_asof_native" -> (RelationalOps.asofAttributionNative _),
+    "j8_asof_sql" -> (RelationalOps.asofAttributionSql _),
     "u1_tagged_union" -> (RelationalOps.taggedUnion _),
     "p1_json_parse" -> (EventOps.jsonParse _),
     "p6_datetime_derive" -> (EventOps.datetimeDerive _),
@@ -43,6 +44,7 @@ object GmallRegistry {
     "skew_heavy_hitters" -> (EventOps.heavyHitterScan _),
     "j10_bloom_prefilter" -> (RelationalOps.bloomPrefilterJoin _),
     "j11_range_join" -> (RelationalOps.rangeJoinShipments _),
+    "j11_range_sql" -> (RelationalOps.rangeJoinShipmentsSql _),
     "q14_promo_share" -> (AnalyticsOps.promoRevenue _),
     "q19_disjunctive" -> (AnalyticsOps.disjunctiveRevenue _),
     "q4_order_priority" -> (AnalyticsOps.orderPriorityCensus _),
@@ -302,6 +304,21 @@ object GmallRegistry {
     // (strict lexicographic (ts, event_id) predecessor), so its oracle
     // is the same query
     "j8_asof_native" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (SELECT event_id, user_id, event_type,
+        |    last_value(view_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_id
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id,
+        |  coalesce(last_view_id, -1) AS attributed_view_id
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+    // the SQL marker form compiles to the same AsOfJoinExec — same oracle
+    "j8_asof_sql" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, ts,
         |    CASE WHEN event_type = 'view' THEN event_id END AS view_id
@@ -638,6 +655,13 @@ object GmallRegistry {
     // the binned range join is exact (bin candidate ⊇ matches, exact
     // predicate re-checked), so the oracle is the naive theta join
     "j11_range_join" ->
+      """SELECT o.o_orderkey, count(*) AS n_shipments
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the SQL marker form rewrites to the same binned equi join — same oracle
+    "j11_range_sql" ->
       """SELECT o.o_orderkey, count(*) AS n_shipments
         |FROM orders o JOIN lineitem l
         |  ON l.l_shipdate >= o.o_orderdate

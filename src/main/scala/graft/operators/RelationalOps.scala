@@ -365,6 +365,55 @@ object RelationalOps {
         coalesce($"view_id", lit(-1L)).as("attributed_view_id"))
   }
 
+  /** `j8_asof_sql`: the [[asofAttributionNative]] attribution driven by
+    * SQL TEXT ALONE — the `asof_match` join-condition marker
+    * ([[org.apache.spark.sql.graftexpr.AsOfMark]]) is rewritten by
+    * `RewriteMarkerJoins` into the native
+    * [[org.apache.spark.sql.graftexpr.AsOfJoinExec]], so a SQL-first
+    * consumer reaches the sort-merge as-of operator with no Scala
+    * imports (the session registers the marker; a deployed cluster sets
+    * `spark.sql.extensions=...GraftExtensions`). Identical key/order/
+    * strictness contract to the native form — same oracle.
+    */
+  def asofAttributionSql(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("graft_events_v")
+    spark.sql(
+      """WITH p AS (SELECT event_id, user_id, ts FROM graft_events_v
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id AS view_user_id,
+        |    ts AS view_ts FROM graft_events_v WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |  coalesce(v.view_id, -1L) AS attributed_view_id
+        |FROM p LEFT JOIN v
+        |  ON asof_match(p.user_id, v.view_user_id,
+        |    struct(p.ts, p.event_id), struct(v.view_ts, v.view_id), true)""".stripMargin)
+  }
+
+  /** `j11_range_sql`: the [[rangeJoinShipments]] interval-stabbing query
+    * driven by SQL TEXT ALONE — the `range_bin_match` marker
+    * ([[org.apache.spark.sql.graftexpr.RangeBinMark]]) is rewritten by
+    * `RewriteMarkerJoins` into the binned equi join (intervals exploded
+    * into 7-day bins, points hashed to their bin, exact range re-check),
+    * so the natural SQL range predicate plans as a hash join instead of
+    * the nested-loop cliff Catalyst would otherwise emit. Same
+    * aggregate-below-the-join shape as the Scala form — the points side
+    * is the distinct-ship-date histogram — and the same oracle as
+    * `j11_range_join`.
+    */
+  def rangeJoinShipmentsSql(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("graft_orders_v")
+    lineitem(spark, dir).createOrReplaceTempView("graft_lineitem_v")
+    spark.sql(
+      s"""WITH iv AS (SELECT o_orderkey, o_orderdate AS win_lo,
+         |    o_orderdate + INTERVAL 7 DAYS AS win_hi FROM graft_orders_v),
+         |pts AS (SELECT l_shipdate, count(*) AS w FROM graft_lineitem_v
+         |  GROUP BY l_shipdate)
+         |SELECT o_orderkey, sum(w) AS n_shipments
+         |FROM iv JOIN pts
+         |  ON range_bin_match(pts.l_shipdate, iv.win_lo, iv.win_hi, ${7L * 86400}L)
+         |GROUP BY o_orderkey""".stripMargin)
+  }
+
   /** Linear multi-touch attribution: each purchase's credit split
     * evenly across the user's views in the 7 days strictly before it —
     * the fractional counterpart of [[asofAttribution]]'s last-touch.

@@ -1,0 +1,188 @@
+package org.apache.spark.sql.graftexpr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Expression, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
+import org.apache.spark.sql.functions.{col, explode, floor, sequence, unix_timestamp}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType}
+
+/** SQL surface for the engine's two non-equi join operators. A SQL-first
+  * consumer (BI tool, `spark-sql` shell) writes the join condition with
+  * a MARKER function, and [[RewriteMarkerJoins]] — the `Rule[LogicalPlan]`
+  * tier, installed by [[GraftFunctions.registerAll]] /
+  * [[GraftExtensions]] — rewrites the marked join into the scale-out
+  * plan before physical planning:
+  *
+  *   - `... FROM l LEFT JOIN r ON asof_match(lkeys, rkeys, lorder,
+  *     rorder[, strict[, tolerance]])` → the native [[AsOfJoin]]
+  *     (sort-merge as-of, [[AsOfJoinExec]]) — the operator a plain-SQL
+  *     theta-join formulation would plan as a quadratic nested loop.
+  *     Multi-column keys/orders are passed as `struct(...)`; `strict`
+  *     (default true) excludes equal order tuples; `tolerance` bounds
+  *     the lookback on an integral primary order column.
+  *   - `... FROM iv JOIN pts ON range_bin_match(pt, lo, hi,
+  *     bin_seconds)` → the binned equi join of
+  *     `RelationalOps.rangeBinJoin` (intervals exploded into fixed
+  *     time bins, points mapped to their bin, hash join on the bin
+  *     key, exact range re-check) — Catalyst alone can only plan the
+  *     pure range predicate as a nested-loop/cartesian join, the
+  *     canonical 100 TB cliff. Extra equi/filter conjuncts may ride
+  *     along in the ON clause; they re-apply above the binned join.
+  *
+  * The markers are ordinary registered functions so analysis succeeds
+  * with no parser changes; they are not themselves evaluable — if the
+  * rewrite rule is not installed the query fails loudly at runtime
+  * with installation guidance rather than silently planning a
+  * cartesian product.
+  */
+abstract class JoinMarker extends Expression with CodegenFallback {
+  def markerName: String
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any =
+    throw new UnsupportedOperationException(
+      s"$markerName is a join-condition marker rewritten by RewriteMarkerJoins; " +
+        "it cannot be evaluated directly. Install the engine extensions " +
+        "(GraftFunctions.registerAll or spark.sql.extensions=" +
+        "org.apache.spark.sql.graftexpr.GraftExtensions) and use it only " +
+        "in a JOIN ... ON condition.")
+}
+
+/** `asof_match(lkeys, rkeys, lorder, rorder[, strict[, tolerance]])` —
+  * see [[JoinMarker]]. Key/order groups are single columns or
+  * `struct(...)` tuples; each must reference only its own join side.
+  */
+case class AsOfMark(children: Seq[Expression]) extends JoinMarker {
+  override def markerName: String = "asof_match"
+  require(children.length >= 4 && children.length <= 6,
+    s"asof_match expects 4-6 arguments " +
+      "(lkeys, rkeys, lorder, rorder[, strict[, tolerance]]), got " +
+      children.length)
+
+  private def fields(e: Expression): Seq[Expression] = e match {
+    case s: CreateNamedStruct => s.valExprs
+    case other => Seq(other)
+  }
+  def leftKeys: Seq[Expression] = fields(children(0))
+  def rightKeys: Seq[Expression] = fields(children(1))
+  def leftOrder: Seq[Expression] = fields(children(2))
+  def rightOrder: Seq[Expression] = fields(children(3))
+  def strict: Boolean = children.lift(4) match {
+    case None => true
+    case Some(Literal(b: Boolean, BooleanType)) => b
+    case Some(e) => throw new IllegalArgumentException(
+      s"asof_match: strict must be a boolean literal, got ${e.sql}")
+  }
+  def toleranceOpt: Option[Long] = children.lift(5).map {
+    case Literal(t: Long, LongType) => t
+    case Literal(t: Int, IntegerType) => t.toLong
+    case e => throw new IllegalArgumentException(
+      s"asof_match: tolerance must be an integral literal, got ${e.sql}")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AsOfMark = copy(children = newChildren)
+}
+
+/** `range_bin_match(point, lo, hi, bin_seconds)` — see [[JoinMarker]].
+  * `point` references one join side, `lo`/`hi` the other;
+  * `bin_seconds` is a positive integral literal (~the typical interval
+  * span: ≤ 2 bins per interval).
+  */
+case class RangeBinMark(point: Expression, lo: Expression, hi: Expression,
+    binSeconds: Expression) extends JoinMarker {
+  override def markerName: String = "range_bin_match"
+  override def children: Seq[Expression] = Seq(point, lo, hi, binSeconds)
+  def width: Long = binSeconds match {
+    case Literal(w: Long, LongType) => w
+    case Literal(w: Int, IntegerType) => w.toLong
+    case e => throw new IllegalArgumentException(
+      s"range_bin_match: bin_seconds must be an integral literal, got ${e.sql}")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RangeBinMark =
+    copy(point = newChildren(0), lo = newChildren(1), hi = newChildren(2),
+      binSeconds = newChildren(3))
+}
+
+/** Rewrites marker-join conditions ([[AsOfMark]], [[RangeBinMark]]) into
+  * the engine's scale-out join plans. Runs in the user-optimizer batch
+  * (after the main optimization batches), so both rewrites preserve the
+  * join's output attributes exactly — attribute ids, order, and
+  * nullability (`LEFT JOIN` for as-of, `INNER` for range-bin) — and
+  * downstream operators resolve unchanged.
+  */
+object RewriteMarkerJoins extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(l, r, joinType, Some(m: AsOfMark), _) =>
+      if (joinType != LeftOuter) throw new IllegalArgumentException(
+        s"asof_match joins must be LEFT OUTER (left rows kept, unmatched get " +
+          s"nulls) — got $joinType. Filter v-side nulls above the join for " +
+          "inner semantics.")
+      sideCheck("asof_match", "lkeys/lorder", m.leftKeys ++ m.leftOrder, l)
+      sideCheck("asof_match", "rkeys/rorder", m.rightKeys ++ m.rightOrder, r)
+      require(m.leftKeys.map(_.dataType) == m.rightKeys.map(_.dataType),
+        "asof_match: key types must match pairwise")
+      require(m.leftOrder.map(_.dataType) == m.rightOrder.map(_.dataType),
+        "asof_match: order types must match pairwise")
+      AsOfJoin(l, r, m.leftKeys, m.rightKeys, m.leftOrder, m.rightOrder,
+        m.strict, m.toleranceOpt)
+
+    case j @ Join(l, r, Inner, Some(cond), _)
+        if splitConjunctivePredicates(cond).exists(_.isInstanceOf[RangeBinMark]) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (markers, rest) = conjuncts.partition(_.isInstanceOf[RangeBinMark])
+      require(markers.length == 1,
+        s"range_bin_match: exactly one marker per join, got ${markers.length}")
+      val m = markers.head.asInstanceOf[RangeBinMark]
+      rewriteRangeBin(j, l, r, m, rest)
+  }
+
+  private def sideCheck(fn: String, label: String, exprs: Seq[Expression],
+      side: LogicalPlan): Unit =
+    exprs.foreach { e =>
+      require(e.references.subsetOf(side.outputSet),
+        s"$fn: $label expression ${e.sql} must reference only columns of its " +
+          s"own join side [${side.output.map(_.name).mkString(", ")}]")
+    }
+
+  /** Replays `RelationalOps.rangeBinJoin`'s construction on the logical
+    * children: explode the interval side into its overlapping bins, map
+    * each point to its single bin, join on the bin key, re-check the
+    * exact range. Output is projected back to the original join's
+    * column order; non-marker conjuncts re-apply as a filter above.
+    */
+  private def rewriteRangeBin(j: Join, l: LogicalPlan, r: LogicalPlan,
+      m: RangeBinMark, rest: Seq[Expression]): LogicalPlan = {
+    val width = m.width
+    require(width > 0, s"range_bin_match: bin_seconds must be positive, got $width")
+    val ivRefs = m.lo.references ++ m.hi.references
+    val (ivPlan, ptPlan) =
+      if (ivRefs.subsetOf(l.outputSet) && m.point.references.subsetOf(r.outputSet))
+        (l, r)
+      else if (ivRefs.subsetOf(r.outputSet) && m.point.references.subsetOf(l.outputSet))
+        (r, l)
+      else throw new IllegalArgumentException(
+        "range_bin_match: lo/hi must come from one join side and point from " +
+          "the other")
+    val spark = SparkSession.active.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def c(e: Expression) = ExpressionUtils.column(e)
+    def bin(e: Expression) = floor(unix_timestamp(c(e)) / width).cast("long")
+    val iv = Dataset.ofRows(spark, ivPlan)
+      .withColumn("__graft_bin_iv", explode(sequence(bin(m.lo), bin(m.hi))))
+    val pts = Dataset.ofRows(spark, ptPlan)
+      .withColumn("__graft_bin_pt", bin(m.point))
+    val joined = iv.join(pts, col("__graft_bin_iv") === col("__graft_bin_pt"))
+      .filter(c(m.point) >= c(m.lo) && c(m.point) <= c(m.hi))
+    // original column order (and, for a flipped orientation, sides)
+    val reordered = Project(j.output, joined.queryExecution.analyzed)
+    if (rest.isEmpty) reordered
+    else Filter(rest.reduce(org.apache.spark.sql.catalyst.expressions.And),
+      reordered)
+  }
+}

@@ -208,6 +208,13 @@ object GraftFunctions {
       require(exprs.length == 2,
         s"bitmap_and_card expects 2 arguments, got ${exprs.length}")
       BitmapAndCardinality(exprs.head, exprs(1))
+    },
+    // join-condition markers, rewritten by RewriteMarkerJoins
+    "asof_match" -> { exprs => AsOfMark(exprs) },
+    "range_bin_match" -> { exprs =>
+      require(exprs.length == 4,
+        s"range_bin_match expects (point, lo, hi, bin_seconds), got ${exprs.length}")
+      RangeBinMark(exprs(0), exprs(1), exprs(2), exprs(3))
     })
 
   /** Runtime registration of the full engine SQL surface (idempotent). */
@@ -228,6 +235,10 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(DimStoreBucketPrune)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ DimStoreBucketPrune
+    }
+    if (!spark.experimental.extraOptimizations.contains(RewriteMarkerJoins)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteMarkerJoins
     }
   }
 }
@@ -253,5 +264,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => RewriteMd5Prefix60)
     ext.injectOptimizerRule(_ => DimStoreBucketPrune)
+    ext.injectOptimizerRule(_ => RewriteMarkerJoins)
   }
 }

@@ -117,6 +117,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("AsOfJoin"), plan)
   }
 
+  test("SQL asof_match marker compiles to AsOfJoinExec, never a nested loop") {
+    // the pure-SQL surface must reach the same native operator as the
+    // Scala API — a missed rewrite would leave an unevaluable marker in
+    // a BroadcastNestedLoopJoin condition
+    val plan = planString(q("j8_asof_sql"))
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("SQL range_bin_match marker plans a binned equi join, never a nested loop") {
+    // the raw range predicate would plan as BNLJ — the marker rewrite
+    // must turn it into a hash/sort-merge join on the bin key with the
+    // interval side exploded
+    val plan = planString(q("j11_range_sql"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Generate explode"), plan)
+  }
+
   test("sampling filters and int8 quantization are pure narrow plans (zero shuffles)") {
     // hash-deterministic sampling/mixing and vector quantization must
     // stay embarrassingly parallel — a shuffle here would be a bug
