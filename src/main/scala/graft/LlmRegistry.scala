@@ -55,6 +55,7 @@ object LlmRegistry {
     "text_gopher_rules" -> (TextAnalysis.gopherRules _),
     "dedup_ngram_containment" -> (Dedup.ngramContainmentPairs _),
     "dedup_span_coverage" -> (Dedup.spanCoverage _),
+    "dedup_substring_spans" -> (Dedup.substringSpans _),
     "text_ngram_novelty" -> (Dedup.ngramNovelty _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "sim_bruteforce_topk" -> (Similarity.bruteForceTopK _),
@@ -987,6 +988,7 @@ object LlmRegistry {
          |    / CAST(count(*) AS DOUBLE) AS dup_coverage
          |FROM sh JOIN freq USING (shingle)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "dedup_substring_spans" -> Dedup.sqlSubstringSpans,
     // first-occurrence attribution: min doc_id per shingle, joined back
     "text_ngram_novelty" ->
       s"""WITH sh AS (${Dedup.sqlShingles}),

@@ -599,6 +599,95 @@ object Dedup {
           .as("novelty"))
   }
 
+  // ---- exact substring spans (Lee et al. 2022) -------------------------
+
+  /** Gram width (words) for [[substringSpans]]: a duplicated region
+    * shorter than this many words is below the dedup threshold, mirroring
+    * the length floor in suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", §3 —
+    * 50 BPE tokens there; 8 words here, scaled to the fixture corpus's
+    * short documents).
+    */
+  val SpanK = 8
+
+  /** `dedup_substring_spans`: positional exact-substring dedup census —
+    * for every document, the maximal word spans whose every [[SpanK]]-gram
+    * occurs MORE THAN ONCE corpus-wide (cross-doc or repeated within a
+    * doc). This is the span-removal input of suffix-array substring
+    * dedup: [[spanCoverage]] answers "what fraction of my distinct
+    * shingles is shared"; this emits WHERE the duplicated text sits
+    * (start/end word offsets), which is what an actual rewrite pass
+    * consumes.
+    *
+    * Distributed shape (no suffix array needed): stride-1 [[SpanK]]-gram
+    * fingerprints replace suffix sorting — a gram repeats iff the
+    * corresponding length-K substring repeats, so maximal duplicated
+    * spans are exactly the unions of overlapping duplicated gram
+    * positions. The plan is (1) one narrow explode of position-ordered
+    * grams with a portable 60-bit fingerprint, (2) one fp-keyed count
+    * aggregate DERIVED from the same exploded child as the probe side,
+    * so the left-semi join consumes one exchange twice (ReusedExchange —
+    * the [[ngramNovelty]] pattern), (3) one doc-keyed window pass
+    * (partition sizes bounded by document length) merging overlapping
+    * positions (gap ≤ K−1 words) into islands via the gaps-and-islands
+    * running sum, (4) a final (doc, span) aggregate. Everything is
+    * partial-aggregable; nothing is quadratic in corpus size — total
+    * rows ≈ total corpus words, the same budget the BPE family already
+    * carries.
+    */
+  def substringSpans(spark: SparkSession, dir: String): DataFrame =
+    substringSpansOf(documents(spark, dir))
+
+  /** Core of [[substringSpans]] over any (doc_id, text) frame. */
+  def substringSpansOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select($"doc_id",
+        posexplode(wordShingles(TextAnalysis.tokens($"text"), SpanK)))
+      .select($"doc_id", $"pos".cast("bigint").as("pos"),
+        Hashing.md5Prefix60($"col").as("fp"))
+    val dup = grams.groupBy($"fp").agg(count(lit(1)).as("n_occ"))
+      .filter($"n_occ" > 1)
+    val dupPos = grams.join(dup.hint("shuffle_hash"), Seq("fp"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    dupPos
+      .withColumn("ns",
+        when($"pos" - coalesce(lag($"pos", 1).over(w), lit(-SpanK.toLong))
+          > (SpanK - 1), 1L).otherwise(0L))
+      .withColumn("span_id", sum($"ns").over(w))
+      .groupBy($"doc_id", $"span_id")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + (SpanK - 1)).as("span_end"))
+      .select($"doc_id", $"span_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1).as("span_words"))
+  }
+
+  /** DuckDB twin of [[substringSpans]] (grams via 1-based list slicing,
+    * same md5-prefix fingerprint, same gaps-and-islands merge).
+    */
+  def sqlSubstringSpans: String = {
+    val k = SpanK
+    s"""WITH toks AS (SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |grams AS (SELECT doc_id, i AS pos,
+       |    ${Hashing.sqlMd5Prefix60(s"array_to_string(toks[i + 1 : i + $k], ' ')")} AS fp
+       |  FROM (SELECT doc_id, toks, unnest(range(greatest(len(toks) - ${k - 1}, 0))) AS i
+       |        FROM toks)),
+       |dup AS (SELECT fp FROM grams GROUP BY fp HAVING count(*) > 1),
+       |dp AS (SELECT doc_id, pos FROM grams WHERE fp IN (SELECT fp FROM dup)),
+       |flag AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - coalesce(lag(pos) OVER w, -$k) > ${k - 1}
+       |         THEN 1 ELSE 0 END AS ns
+       |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |isl AS (SELECT doc_id, pos,
+       |    CAST(sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+       |  FROM flag)
+       |SELECT doc_id, span_id, min(pos) AS span_start,
+       |  max(pos) + ${k - 1} AS span_end,
+       |  max(pos) + ${k - 1} - min(pos) + 1 AS span_words
+       |FROM isl GROUP BY doc_id, span_id
+       |ORDER BY doc_id, span_id""".stripMargin
+  }
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Scalar-quantize an embedding into exact integer space: floor(x*1e6).

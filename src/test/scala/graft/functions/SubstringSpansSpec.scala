@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** [[Dedup.substringSpansOf]]: positional exact-substring dedup census
+  * (stride-1 K-gram fingerprints, gaps-and-islands span merge).
+  */
+class SubstringSpansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  private def spans(docs: Seq[(Long, String)]): Map[(Long, Long), (Long, Long, Long)] = {
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    Dedup.substringSpansOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+  }
+
+  // 12 shared words -> duplicated gram positions 0..4 -> one span [0, 11]
+  private val shared12 = (0 until 12).map(i => s"s$i").mkString(" ")
+
+  test("cross-doc shared prefix merges overlapping gram positions into one maximal span") {
+    val out = spans(Seq(
+      (1L, shared12 + " u1 u2 u3 u4"),
+      (2L, shared12 + " v1 v2 v3 v4"),
+      (3L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15")))
+    assert(out.keySet.map(_._1) === Set(1L, 2L)) // doc 3 fully unique
+    assert(out((1L, 1L)) === ((0L, 11L, 12L)))
+    assert(out((2L, 1L)) === ((0L, 11L, 12L)))
+  }
+
+  test("within-doc repeat counts as duplicated; non-overlapping occurrences stay separate spans") {
+    val phrase = (0 until Dedup.SpanK).map(i => s"p$i").mkString(" ")
+    // positions 0 and 11 both carry `phrase` (gap 11 > K-1 = 7)
+    val out = spans(Seq((1L, phrase + " x1 x2 x3 " + phrase)))
+    assert(out((1L, 1L)) === ((0L, 7L, 8L)))
+    assert(out((1L, 2L)) === ((11L, 18L, 8L)))
+  }
+
+  test("occurrences exactly K words apart (touching, not overlapping) remain two spans") {
+    val phrase = (0 until Dedup.SpanK).map(i => s"q$i").mkString(" ")
+    val mid = (0 until Dedup.SpanK).map(i => s"m$i").mkString(" ")
+    // doc 1: phrase at 0 and 16; doc 2 repeats phrase so it is duplicated,
+    // mid is unique to doc 1 -> duplicated positions {0, 16}, gap 16 > 7
+    val out = spans(Seq(
+      (1L, phrase + " " + mid + " " + phrase),
+      (2L, phrase + " z1 z2 z3 z4 z5 z6 z7 z8")))
+    assert(out((1L, 1L)) === ((0L, 7L, 8L)))
+    assert(out((1L, 2L)) === ((16L, 23L, 8L)))
+    assert(out((2L, 1L)) === ((0L, 7L, 8L)))
+  }
+
+  test("docs shorter than K words emit no grams and no spans") {
+    val out = spans(Seq(
+      (1L, "a b c"), (2L, "a b c"),
+      (3L, (0 until Dedup.SpanK).map(_ => "dup").mkString(" ")),
+      (4L, (0 until Dedup.SpanK).map(_ => "dup").mkString(" "))))
+    assert(out.keySet.map(_._1) === Set(3L, 4L))
+  }
+
+  test("sf0.01 spans cover exactly the positions whose gram repeats corpus-wide (driver-side replay)") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    }
+    val k = Dedup.SpanK
+    val occ = new scala.collection.mutable.HashMap[Seq[String], Int]
+    val positions = toks.flatMap { case (id, w) =>
+      (0 to w.length - k).map { p =>
+        val g = w.slice(p, p + k); occ.update(g, occ.getOrElse(g, 0) + 1)
+        (id, p, g)
+      }
+    }
+    val dupPos = positions.filter { case (_, _, g) => occ(g) > 1 }
+      .map { case (id, p, _) => (id, p.toLong) }.toSet
+    val out = Dedup.substringSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // every span is a maximal union of duplicated gram positions
+    val covered = out.flatMap { case (id, s, e) =>
+      (s to e - k + 1).map(p => (id, p))
+    }.toSet
+    assert(covered === dupPos, "span gram positions must equal duplicated positions")
+    // maximality: spans of one doc never overlap or touch within K-1
+    out.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, s1, e1), (_, s2, _)) =>
+          assert(s2 > e1 - k + 1 + (k - 1), s"spans [$s1,$e1] and start $s2 should have merged")
+        case _ =>
+      }
+    }
+  }
+}
