@@ -24,6 +24,17 @@ import graft.Tables._
   */
 object Multimodal {
 
+  /** One-time per-JVM ImageIO setup: the DEFAULT ImageIO stream cache is
+    * DISK-backed — every `ImageIO.read`/`write` creates and deletes a
+    * temp file, a per-image syscall tax that dominates small-image codec
+    * work at corpus scale. Payloads here are in-memory byte arrays, so
+    * the memory-backed cache is strictly better. Referenced at the top
+    * of every codec-touching partition function so the switch happens on
+    * executors (not just the driver) on a real cluster.
+    */
+  private[functions] lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed record for the decode stage. */
   case class MediaRecord(doc_id: Long, modality: String, payload: Array[Byte])
 
@@ -125,7 +136,10 @@ object Multimodal {
   def decodeFeaturesOf(media: Dataset[MediaRecord],
       decoder: Decoder): DataFrame = {
     val featEnc = org.apache.spark.sql.Encoders.product[MediaFeatures]
-    media.mapPartitions(it => it.map(decoder.decode))(featEnc).toDF()
+    media.mapPartitions { it =>
+      imageIoMemCache
+      it.map(decoder.decode)
+    }(featEnc).toDF()
   }
 
   /** [[decodeFeaturesOf]] over [[mediaTable]]. The registry projects the
@@ -155,6 +169,7 @@ object Multimodal {
     Tables.spread(documents(spark, dir).select($"doc_id"))
       .as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .mapPartitions { it =>
+        imageIoMemCache
         it.map { id =>
           val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
           val (r, g, b) = ((id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
@@ -215,6 +230,7 @@ object Multimodal {
     Tables.spread(documents(spark, dir).select($"doc_id"))
       .as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .mapPartitions { it =>
+        imageIoMemCache
         it.map { id =>
           val img = new java.awt.image.BufferedImage(
             16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -295,6 +311,7 @@ object Multimodal {
       org.apache.spark.sql.Encoders.scalaLong)
     val hashes = grayFixtures(spark, dir)
       .mapPartitions { it =>
+        imageIoMemCache
         it.map { r =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload))
