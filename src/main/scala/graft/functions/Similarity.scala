@@ -62,21 +62,19 @@ object Similarity {
     * bucket is a narrow per-row derivation (no join, no lambda
     * dispatch). Exact integer dot products → deterministic buckets.
     */
-  private def bucketCol: Column =
-    (0 until NumPlanes).map { p =>
-      val plane = typedlit((0 until Dim).map(i => planeWeight(p, i)))
-      when(longArrayDot($"q", plane) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def bucketCol: Column = bucketColAdaptive(NumPlanes)
 
   /** [[bucketCol]] widened to `np` planes (same weight indexing, so
     * np = [[NumPlanes]] reproduces it bit-for-bit) — the corpus-size-
-    * adaptive single-table bucketing [[knnGraph]] uses.
+    * adaptive single-table bucketing [[knnGraph]] uses. One
+    * [[graft.plans.ArrayOps.lshBucketPack]] kernel call, NOT np composed
+    * `long_array_dot(q, <literal>)` terms: the composed form's inlined
+    * codegen loops blow the JIT method budget past ~a dozen planes and
+    * the whole projection stage runs interpreted (see the kernel's
+    * scaladoc; bit-identical output, oracle SQL unchanged).
     */
   private def bucketColAdaptive(np: Int): Column =
-    (0 until np).map { p =>
-      val plane = typedlit((0 until Dim).map(i => planeWeight(p, i)))
-      when(longArrayDot($"q", plane) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(graft.plans.ArrayOps.lshBucketPack($"q", 1, np), 1)
 
   /** Corpus with bucket and norm attached — all narrow projections over
     * one scan (bucket and norm derive from the vector itself; v1 joined
@@ -326,15 +324,12 @@ object Similarity {
     val q = Dedup.quantized(spark, dir).select($"vec_id", $"q")
       .withColumn("nrm", longArrayNormSq($"q"))
     val np = multiPlanes(Tables.embeddings(spark, dir).count())
-    // all NumTables buckets in one narrow projection (codegen'd dots,
-    // table pt uses planes pt*np..pt*np+np-1), then explode
-    // the 4-element array — the per-table bucket stream never joins back
-    val buckets = array((0 until NumTables).map { t =>
-      (0 until np).map { p =>
-        val plane = typedlit((0 until Dim).map(i => planeWeight(t * np + p, i)))
-        when(longArrayDot($"q", plane) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    // all NumTables buckets in ONE kernel call (table pt uses planes
+    // pt*np..pt*np+np-1), then explode the 4-element array — the
+    // per-table bucket stream never joins back. The kernel replaced
+    // 4·np composed dot-vs-literal terms whose inlined codegen pushed
+    // the stage past the JIT budget (4.4 s interpreted → 0.3 s).
+    val buckets = graft.plans.ArrayOps.lshBucketPack($"q", NumTables, np)
     val withT = q
       .select($"vec_id", posexplode(buckets))
       .select($"vec_id", $"pos".as("t"), $"col".as("bucket"))

@@ -13,6 +13,10 @@ object ArrayOps {
   def longArrayNormSq(a: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.longArrayNormSq(a)
 
+  def lshBucketPack(q: Column, numTables: Int, planesPerTable: Int): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions
+      .lshBucketPack(q, numTables, planesPerTable)
+
   def md5Prefix60(c: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.md5Prefix60(c)
 

@@ -1,9 +1,9 @@
 package org.apache.spark.sql.graftexpr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
 
@@ -63,6 +63,84 @@ case class LongArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel shared by [[LshBucketPack]]'s interpreted and codegen
+  * paths — the plane-weight matrix is derived once per (table count ×
+  * plane count) from the closed-form [[graft.functions.Hashing.planeWeight]]
+  * stream and cached per JVM.
+  */
+object LshBucketKernel {
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Long]]]
+
+  private def planes(n: Int): Array[Array[Long]] =
+    planeCache.computeIfAbsent(n, _ =>
+      Array.tabulate(n, 64)((p, i) => graft.functions.Hashing.planeWeight(p, i)))
+
+  /** Bucket id per table: bit p of table t's bucket is set iff
+    * dot(q, plane[t·planesPerTable + p]) > 0 — bit-identical to the
+    * composed per-plane `when(long_array_dot(q, lit) > 0, 1<<p)` sum.
+    */
+  def pack(q: ArrayData, numTables: Int, planesPerTable: Int): ArrayData = {
+    val w = planes(numTables * planesPerTable)
+    val dim = math.min(q.numElements(), 64)
+    val out = new Array[Any](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val row = w(t * planesPerTable + p)
+        var s = 0L
+        var i = 0
+        while (i < dim) { s += q.getLong(i) * row(i); i += 1 }
+        if (s > 0) bucket |= 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All LSH bucket ids of a quantized vector in ONE kernel call:
+  * `array(bucket_0, …, bucket_{numTables-1})`, table t hashed by planes
+  * `t·planesPerTable … t·planesPerTable+planesPerTable-1` of the shared
+  * closed-form weight stream.
+  *
+  * Why an expression and not the composed per-plane form: the multi-table
+  * bucketing expands to numTables × planesPerTable separate
+  * `long_array_dot(q, <64-long literal>)` sub-expressions — 56 inlined
+  * codegen loops at sf1's plane count, which pushes the generated consume
+  * method past the JIT's compilable-method budget and the whole stage
+  * drops to interpreted bytecode (measured 4.4 s for a 20k-row bucket
+  * projection; this kernel computes the identical values in one
+  * pre-compiled loop nest). Values are bit-identical, so the generated
+  * DuckDB oracle SQL (which replays the same weight stream as list
+  * literals) is unchanged.
+  */
+case class LshBucketPack(child: Expression, numTables: Int, planesPerTable: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numTables >= 1 && planesPerTable >= 1 && planesPerTable <= 63,
+    s"lsh_bucket_pack: need numTables >= 1 and 1 <= planesPerTable <= 63, " +
+      s"got ($numTables, $planesPerTable)")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_bucket_pack"
+
+  override def nullSafeEval(v: Any): Any =
+    LshBucketKernel.pack(v.asInstanceOf[ArrayData], numTables, planesPerTable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = org.apache.spark.sql.graftexpr.LshBucketKernel.pack(
+       |  $c, $numTables, $planesPerTable);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketPack =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   /** Dot product of two array<bigint> columns (codegen'd). */
   def longArrayDot(a: Column, b: Column): Column =
@@ -71,6 +149,11 @@ object GraftExpressions {
 
   /** Squared L2 norm of an array<bigint> column. */
   def longArrayNormSq(a: Column): Column = longArrayDot(a, a)
+
+  /** All LSH bucket ids of a quantized vector (codegen'd, one call). */
+  def lshBucketPack(q: Column, numTables: Int, planesPerTable: Int): Column =
+    ExpressionUtils.column(
+      LshBucketPack(ExpressionUtils.expression(q), numTables, planesPerTable))
 
   /** 60-bit md5-prefix hash of a string column (codegen'd). */
   def md5Prefix60(c: Column): Column =
