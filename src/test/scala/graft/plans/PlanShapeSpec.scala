@@ -112,6 +112,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("ShuffledHashJoin") || s.contains("SortMergeJoin"), s)
   }
 
+  test("LSH bucketing is one lsh_bucket_pack kernel, not composed per-plane dots") {
+    // the composed form (numTables x planesPerTable long_array_dot-vs-
+    // literal terms) blows the JIT compilable-method budget at sf1's
+    // plane count and the whole projection stage runs interpreted —
+    // measured 6.9 -> 2.5 s at sf1 when collapsed to the single kernel
+    for (name <- Seq("dedup_embedding_lsh_multi", "sim_knn_graph", "sim_lsh_buckets")) {
+      val plan = planString(q(name))
+      assert(plan.contains("lsh_bucket_pack"), s"$name: $plan")
+      // column-vs-column dots (candidate distances) are fine; the
+      // anti-pattern is the dot-vs-plane-LITERAL bucketing term
+      assert("long_array_dot\\(q#\\d+, \\[".r.findFirstIn(plan).isEmpty,
+        s"$name still composes per-plane dot-vs-literal terms for bucketing")
+    }
+  }
+
   test("native as-of join plans AsOfJoinExec with clustered+sorted children") {
     val plan = planString(q("j8_asof_native"))
     assert(plan.contains("AsOfJoin"), plan)
