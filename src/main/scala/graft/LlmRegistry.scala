@@ -109,6 +109,7 @@ object LlmRegistry {
     "sample_uniform_k" -> (Sampling.uniformK _),
     "pipeline_shard_manifest" -> (Sampling.shardManifest _),
     "sample_split_assign" -> (Sampling.splitAssign _),
+    "sample_split_cluster_safe" -> (Sampling.splitClusterSafe _),
     "sample_stratified" -> (Sampling.stratified _),
     "sample_weighted" -> (Sampling.weightedSample _),
     "pipeline_mix_sources" -> (Sampling.mixSources _),
@@ -660,6 +661,30 @@ object LlmRegistry {
     "sample_uniform_k" -> Sampling.sqlUniformK,
     "pipeline_shard_manifest" -> Sampling.sqlShardManifest,
     "sample_split_assign" -> Sampling.sqlSplitAssign,
+    // the dedup_clusters transitive closure, then splitAssign's salted
+    // CASE over the CLUSTER id — near-dup members share a split by
+    // construction; singletons (cluster_id = doc_id) replay splitAssign
+    "sample_split_cluster_safe" ->
+      s"""${minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,
+         |  string_agg(mh, '_' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id),
+         |dup AS (SELECT c.a, c.b FROM cand c
+         |  JOIN mh x ON x.doc_id = c.a
+         |  JOIN mh y ON y.doc_id = c.b AND y.j = x.j
+         |  GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+         |    >= ${Dedup.NumPerm} * 0.5),
+         |edges AS (SELECT a, b FROM dup UNION ALL SELECT b, a FROM dup),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.a AS id, q.r FROM edges e JOIN reach q ON q.id = e.b),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT doc_id, cluster_id, ${Sampling.sqlSplitCase("cluster_id")}
+         |FROM lab ORDER BY doc_id""".stripMargin,
     "sample_stratified" -> Sampling.sqlStratified,
     "sample_weighted" -> Sampling.sqlWeightedSample,
         "pipeline_mix_schedule" ->

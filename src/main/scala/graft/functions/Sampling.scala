@@ -83,6 +83,41 @@ object Sampling {
           .otherwise("test").as("split"))
   }
 
+  /** Cluster-safe train/val/test assignment: [[splitAssign]]'s salted
+    * hash applied to the document's MinHash near-dup CLUSTER id
+    * ([[Dedup.minhashClusters]]) instead of its own id, so every member
+    * of a near-dup cluster lands in the same split — leakage-free BY
+    * CONSTRUCTION, the constructive complement of the `eval_split_leakage`
+    * audit (which measures how many near-dup pairs straddle the naive
+    * per-doc split). Singletons have cluster_id = doc_id, so they keep
+    * exactly their [[splitAssign]] split (same salt): switching an
+    * existing pipeline to the cluster-safe split only moves documents
+    * that actually have near-duplicates.
+    *
+    * Scale shape: the cost IS the clustering (banded candidate join +
+    * O(log n) pointer-jumping rounds, already bounded); the split tag
+    * itself is one narrow projection over the cluster map — no
+    * additional shuffle, no per-split state.
+    */
+  def splitClusterSafe(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.minhashClusters(spark, dir)
+      .select($"doc_id", $"cluster_id")
+    val bucket = pmod(priority("split:", $"cluster_id"), lit(100L))
+    clusters.select($"doc_id", $"cluster_id", bucket.as("bucket"),
+      when(bucket < TrainPct, "train")
+        .when(bucket < ValPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Split CASE tail of the cluster-safe twin — shared with
+    * [[sqlSplitAssign]]'s shape, parameterized by the id expression.
+    */
+  def sqlSplitCase(idExpr: String): String =
+    s"""${sqlPriority("split:", idExpr)} % 100 AS bucket,
+       |  CASE WHEN ${sqlPriority("split:", idExpr)} % 100 < $TrainPct THEN 'train'
+       |       WHEN ${sqlPriority("split:", idExpr)} % 100 < $ValPct THEN 'val'
+       |       ELSE 'test' END AS split""".stripMargin
+
   /** DuckDB twin of [[splitAssign]]. */
   def sqlSplitAssign: String =
     s"""SELECT doc_id, ${sqlPriority("split:", "doc_id")} % 100 AS bucket,

@@ -255,6 +255,29 @@ class SamplingSpec extends AnyFunSuite {
       3L -> ((2L, 0L, 4L, 1.0 / 5.0))))
   }
 
+  test("cluster-safe split: zero near-dup pairs straddle splits; singletons keep splitAssign's split") {
+    import org.apache.spark.sql.functions._
+    val safe = Sampling.splitClusterSafe(spark, dir)
+    // leakage-free by construction: every MinHash near-dup pair lands in
+    // one split — the exact predicate eval_split_leakage audits
+    val splits = safe.select($"doc_id", $"split")
+    val straddling = Dedup.minhashPairs(spark, dir)
+      .join(splits.select($"doc_id".as("a"), $"split".as("sa")), Seq("a"))
+      .join(splits.select($"doc_id".as("b"), $"split".as("sb")), Seq("b"))
+      .filter($"sa" =!= $"sb")
+      .count()
+    assert(straddling === 0L)
+    // same salt, cluster_id = doc_id for singletons → identical split
+    val moved = safe.filter($"cluster_id" === $"doc_id").select($"doc_id", $"split")
+      .join(Sampling.splitAssign(spark, dir)
+        .select($"doc_id", $"split".as("naive")), Seq("doc_id"))
+      .filter($"split" =!= $"naive")
+      .count()
+    assert(moved === 0L)
+    // every document is assigned exactly once
+    assert(safe.count() === graft.Tables.documents(spark, dir).count())
+  }
+
   test("dsir weights: bucket histogram broadcasts; doc side never shuffles on bucket") {
     val plan = Sampling.dsirWeights(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
