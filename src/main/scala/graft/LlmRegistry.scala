@@ -110,6 +110,7 @@ object LlmRegistry {
     "pipeline_shard_manifest" -> (Sampling.shardManifest _),
     "sample_split_assign" -> (Sampling.splitAssign _),
     "sample_split_cluster_safe" -> (Sampling.splitClusterSafe _),
+    "pipeline_train_manifest" -> (CorpusPipeline.trainManifest _),
     "sample_stratified" -> (Sampling.stratified _),
     "sample_weighted" -> (Sampling.weightedSample _),
     "pipeline_mix_sources" -> (Sampling.mixSources _),
@@ -685,6 +686,60 @@ object LlmRegistry {
          |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
          |SELECT doc_id, cluster_id, ${Sampling.sqlSplitCase("cluster_id")}
          |FROM lab ORDER BY doc_id""".stripMargin,
+    // kept = canonical (cluster argmax on content) AND gopher-pass;
+    // split = cluster-safe; budget = whitespace-token sum per cell
+    "pipeline_train_manifest" -> {
+      import TextAnalysis._
+      val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""${minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |bands AS (SELECT doc_id, CAST(j // ${Dedup.BandRows} AS BIGINT) AS band,
+         |  string_agg(mh, '_' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id),
+         |dup AS (SELECT c.a, c.b FROM cand c
+         |  JOIN mh x ON x.doc_id = c.a
+         |  JOIN mh y ON y.doc_id = c.b AND y.j = x.j
+         |  GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+         |    >= ${Dedup.NumPerm} * 0.5),
+         |edges AS (SELECT a, b FROM dup UNION ALL SELECT b, a FROM dup),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.a AS id, q.r FROM edges e JOIN reach q ON q.id = e.b),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |canon AS (SELECT doc_id FROM (
+         |    SELECT l.doc_id, doc_id = first_value(l.doc_id) OVER (
+         |      PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, l.doc_id)
+         |      AS is_canonical
+         |    FROM lab l JOIN documents d USING (doc_id))
+         |  WHERE is_canonical),
+         |tq AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |gbase AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_chars,
+         |    CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS BIGINT) AS n_stop
+         |  FROM tq),
+         |gtf AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tf FROM (
+         |    SELECT doc_id, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(toks) AS tok FROM tq)
+         |    GROUP BY doc_id, tok) GROUP BY 1),
+         |keepq AS (SELECT b.doc_id, b.n_words FROM gbase b LEFT JOIN gtf t USING (doc_id)
+         |  WHERE b.n_words >= $GopherMinWords AND b.n_words <= $GopherMaxWords
+         |    AND b.sum_chars >= $GopherMinMeanLen * b.n_words
+         |    AND b.sum_chars <= $GopherMaxMeanLen * b.n_words
+         |    AND coalesce(t.max_tf, 0) * $GopherRepMultiplier <= b.n_words
+         |    AND b.n_stop >= $GopherMinStopwords),
+         |spl AS (SELECT doc_id, ${Sampling.sqlSplitCase("cluster_id")} FROM lab)
+         |SELECT s.split, d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(k.n_words) AS BIGINT) AS n_tokens
+         |FROM canon c
+         |JOIN keepq k USING (doc_id)
+         |JOIN spl s USING (doc_id)
+         |JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+    },
     "sample_stratified" -> Sampling.sqlStratified,
     "sample_weighted" -> Sampling.sqlWeightedSample,
         "pipeline_mix_schedule" ->

@@ -320,4 +320,43 @@ object CorpusPipeline {
        |  coalesce(string_agg(CASE WHEN b.tile IS NULL THEN t.tile END, ' ' ORDER BY t.tile_id), '') AS clean_text
        |FROM tiles t LEFT JOIN bp b ON t.tile = b.tile
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Training-run manifest: the per-(split, source) doc and token budget
+    * of the FINAL kept set — what a training job actually reads. A doc
+    * is kept iff it is its near-dup cluster's canonical representative
+    * ([[Dedup.canonicalOf]]: most content wins) AND it passes the Gopher
+    * rule filter ([[TextAnalysis.gopherRules]]); its split is the
+    * cluster-safe assignment ([[Sampling.splitOfClusters]]), so the
+    * manifest's train/val/test budgets are leakage-free by construction.
+    *
+    * The cluster map is computed ONCE and feeds both the canonical
+    * window and the split hash — [[Dedup.minhashClusters]]'s fixpoint
+    * loop runs eagerly at plan build, so composing the standalone
+    * operators (each calling it) would execute the clustering twice.
+    *
+    * Scale shape: clustering is the bounded banded join + O(log n)
+    * pointer-jumping rounds (checkpointed — reuse is a cheap re-read);
+    * the gopher gate and token count are narrow per-row HOFs; the three
+    * doc-keyed joins carry only doc_id-level columns; the final rollup
+    * is a tiny (splits × sources) aggregate.
+    */
+  def trainManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val clusters = Dedup.minhashClusters(spark, dir)
+      .select($"doc_id", $"cluster_id")
+    val canon = Dedup.canonicalOf(clusters, docs.select($"doc_id", $"n_chars"))
+      .filter($"is_canonical").select($"doc_id")
+    val split = Sampling.splitOfClusters(clusters).select($"doc_id", $"split")
+    // gopher's n_words IS the whitespace token count — reusing it keeps
+    // the corpus tokenized once (and keeps the oracle's token lists out
+    // of its final join, which OOM'd DuckDB at sf1 when carried there)
+    val keep = TextAnalysis.gopherRules(spark, dir)
+      .filter($"keep").select($"doc_id", $"n_words")
+    docs.select($"doc_id", $"source")
+      .join(canon, "doc_id")
+      .join(keep, "doc_id")
+      .join(split, "doc_id")
+      .groupBy($"split", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_tokens"))
+  }
 }

@@ -287,9 +287,18 @@ object Dedup {
     * the aggregate-then-join-back form, which would shuffle twice. The
     * singleton majority rides through with canonical = itself.
     */
-  def canonical(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = minhashClusters(spark, dir).select($"doc_id", $"cluster_id")
-    val quality = documents(spark, dir).select($"doc_id", $"n_chars")
+  def canonical(spark: SparkSession, dir: String): DataFrame =
+    canonicalOf(
+      minhashClusters(spark, dir).select($"doc_id", $"cluster_id"),
+      documents(spark, dir).select($"doc_id", $"n_chars"))
+
+  /** [[canonical]] over a precomputed cluster map — the factored form
+    * lets composite pipelines ([[CorpusPipeline.trainManifest]]) derive
+    * canonical selection AND other cluster-keyed artifacts from ONE
+    * clustering run instead of re-executing the iterative closure
+    * (whose driver-side fixpoint loop runs eagerly at plan build).
+    */
+  def canonicalOf(clusters: DataFrame, quality: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"cluster_id")
       .orderBy($"n_chars".desc, $"doc_id")

@@ -99,9 +99,14 @@ object Sampling {
     * itself is one narrow projection over the cluster map — no
     * additional shuffle, no per-split state.
     */
-  def splitClusterSafe(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = Dedup.minhashClusters(spark, dir)
-      .select($"doc_id", $"cluster_id")
+  def splitClusterSafe(spark: SparkSession, dir: String): DataFrame =
+    splitOfClusters(
+      Dedup.minhashClusters(spark, dir).select($"doc_id", $"cluster_id"))
+
+  /** [[splitClusterSafe]] over a precomputed cluster map (see
+    * [[Dedup.canonicalOf]] for why composite pipelines pass one in).
+    */
+  def splitOfClusters(clusters: DataFrame): DataFrame = {
     val bucket = pmod(priority("split:", $"cluster_id"), lit(100L))
     clusters.select($"doc_id", $"cluster_id", bucket.as("bucket"),
       when(bucket < TrainPct, "train")
