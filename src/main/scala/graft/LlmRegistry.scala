@@ -111,6 +111,7 @@ object LlmRegistry {
     "sample_split_assign" -> (Sampling.splitAssign _),
     "sample_split_cluster_safe" -> (Sampling.splitClusterSafe _),
     "pipeline_train_manifest" -> (CorpusPipeline.trainManifest _),
+    "llm_sql_surface" -> (Dedup.sqlSurface _),
     "sample_stratified" -> (Sampling.stratified _),
     "sample_weighted" -> (Sampling.weightedSample _),
     "pipeline_mix_sources" -> (Sampling.mixSources _),
@@ -686,6 +687,37 @@ object LlmRegistry {
          |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
          |SELECT doc_id, cluster_id, ${Sampling.sqlSplitCase("cluster_id")}
          |FROM lab ORDER BY doc_id""".stripMargin,
+    // the SQL-text-only fingerprint pass: md5-prefix60 of normalized
+    // text, simhash over the (dup-keeping) token stream, first MinHash
+    // permutation over distinct shingles, rolling-shingle count; the
+    // NULL-for-empty kernels coalesce to -1 on both engines
+    "llm_sql_surface" ->
+      s"""WITH shg AS (${Dedup.sqlShingles}),
+         |msh AS (SELECT doc_id,
+         |    min((${Hashing.minhashA(0)} * ${sqlMd5Hash31("shingle")} +
+         |         ${Hashing.minhashB(0)}) % ${Hashing.P31}) AS mh0
+         |  FROM shg GROUP BY 1),
+         |tq AS (SELECT doc_id, $toks AS toks FROM documents),
+         |stok AS (SELECT doc_id, unnest(toks) AS tok FROM tq),
+         |sh AS (SELECT doc_id, ${sqlMd5Prefix60("tok")} AS h FROM stok),
+         |sbits AS (SELECT doc_id, h, unnest(range(${Dedup.SimBits})) AS i FROM sh),
+         |svotes AS (SELECT doc_id, i,
+         |  CASE WHEN (h & $pow2List[CAST(i AS INT) + 1]) > 0 THEN 1 ELSE -1 END AS vote
+         |  FROM sbits),
+         |sv AS (SELECT doc_id, i, sum(vote) AS v FROM svotes GROUP BY 1, 2),
+         |sfp AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN v > 0 THEN $pow2List[CAST(i AS INT) + 1] ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM sv GROUP BY 1)
+         |SELECT d.doc_id,
+         |  ${sqlMd5Prefix60(normText)} AS fp60,
+         |  coalesce(f.simhash, -1) AS simhash,
+         |  coalesce(m.mh0, -1) AS mh0,
+         |  CAST(greatest(len(t.toks) - 2, 0) AS BIGINT) AS n_shingles
+         |FROM documents d
+         |JOIN tq t USING (doc_id)
+         |LEFT JOIN sfp f USING (doc_id)
+         |LEFT JOIN msh m USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // kept = canonical (cluster argmax on content) AND gopher-pass;
     // split = cluster-safe; budget = whitespace-token sum per cell
     "pipeline_train_manifest" -> {

@@ -776,4 +776,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"))
       .select($"cluster_size", $"n_clusters",
         ($"cluster_size" * $"n_clusters").as("n_docs"))
+
+  /** `llm_sql_surface`: the document fingerprint pass driven by SQL TEXT
+    * ALONE — one `spark.sql` string over a temp view reaching the
+    * registered text-hash kernels (`normalize_text`, `md5_prefix60`,
+    * `simhash_fp`, `minhash_sig`, `word_shingles`): the proof a
+    * SQL-first consumer can run the LLM dedup primitives with no Scala
+    * imports, the `dws_sql_surface` discipline applied to this side of
+    * the engine ([[graft.Session]] registers the functions; a deployed
+    * cluster sets `spark.sql.extensions`).
+    *
+    * Null contract made explicit in the SQL: token-less docs have no
+    * simhash and <3-token docs no MinHash signature (the kernels yield
+    * NULL, see [[org.apache.spark.sql.graftexpr.MinHashSig]]) — both
+    * coalesce to -1 here, mirrored in the oracle, so the dump is
+    * total. Scale shape: one narrow projection over the scan — every
+    * kernel is per-row codegen; no explode, no shuffle.
+    */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir).createOrReplaceTempView("llm_docs")
+    spark.sql(
+      s"""WITH tq AS (
+         |  SELECT doc_id, text,
+         |    filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+         |  FROM llm_docs)
+         |SELECT doc_id,
+         |  md5_prefix60(normalize_text(text)) AS fp60,
+         |  coalesce(simhash_fp(toks, $SimBits), CAST(-1 AS BIGINT)) AS simhash,
+         |  coalesce(element_at(minhash_sig(word_shingles(toks, 3), $NumPerm), 1),
+         |    CAST(-1 AS BIGINT)) AS mh0,
+         |  CAST(greatest(size(toks) - 2, 0) AS BIGINT) AS n_shingles
+         |FROM tq""".stripMargin)
+  }
 }

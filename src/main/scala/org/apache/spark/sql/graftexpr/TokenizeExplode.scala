@@ -109,6 +109,12 @@ object GraftFunctions {
       require(exprs.length == 2, s"long_array_dot expects 2 arguments, got ${exprs.length}")
       LongArrayDot(exprs.head, exprs(1))
     },
+    "lsh_bucket_pack" -> { exprs =>
+      require(exprs.length == 3,
+        s"lsh_bucket_pack expects (q, numTables, planesPerTable), got ${exprs.length} arguments")
+      LshBucketPack(exprs.head, litInt(exprs(1), "lsh_bucket_pack"),
+        litInt(exprs(2), "lsh_bucket_pack"))
+    },
     "bloom_might_contain" -> { exprs =>
       require(exprs.length == 2,
         s"bloom_might_contain expects 2 arguments, got ${exprs.length}")

@@ -127,6 +127,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_sql_surface: SQL-text fingerprint pass is one narrow projection, no shuffle") {
+    val df = q("llm_sql_surface")
+    assert(countShuffles(df) === 0, planString(df))
+    val plan = planString(df)
+    for (fn <- Seq("md5_prefix60", "simhash_fp", "minhash_sig", "word_shingles"))
+      assert(plan.contains(fn), s"$fn missing from plan:\n$plan")
+  }
+
   test("native as-of join plans AsOfJoinExec with clustered+sorted children") {
     val plan = planString(q("j8_asof_native"))
     assert(plan.contains("AsOfJoin"), plan)
