@@ -345,8 +345,7 @@ object CorpusPipeline {
     val clusters = Dedup.minhashClusters(spark, dir)
       .select($"doc_id", $"cluster_id")
     val canon = Dedup.canonicalOf(clusters, docs.select($"doc_id", $"n_chars"))
-      .filter($"is_canonical").select($"doc_id")
-    val split = Sampling.splitOfClusters(clusters).select($"doc_id", $"split")
+      .filter($"is_canonical").select($"doc_id", $"cluster_id")
     // gopher's n_words IS the whitespace token count — reusing it keeps
     // the corpus tokenized once (and keeps the oracle's token lists out
     // of its final join, which OOM'd DuckDB at sf1 when carried there)
@@ -355,7 +354,12 @@ object CorpusPipeline {
     docs.select($"doc_id", $"source")
       .join(canon, "doc_id")
       .join(keep, "doc_id")
-      .join(split, "doc_id")
+      // split is a pure function of cluster_id, which already rides the
+      // canonical row — a narrow projection here, NOT a second
+      // cluster-map branch (the first draft joined splitOfClusters and
+      // executed the cluster map's union/anti-join twice plus a
+      // sort-merge join; same values, one whole branch cheaper)
+      .withColumn("split", Sampling.splitOf($"cluster_id"))
       .groupBy($"split", $"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_tokens"))
   }

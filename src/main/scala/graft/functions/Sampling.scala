@@ -109,9 +109,18 @@ object Sampling {
   def splitOfClusters(clusters: DataFrame): DataFrame = {
     val bucket = pmod(priority("split:", $"cluster_id"), lit(100L))
     clusters.select($"doc_id", $"cluster_id", bucket.as("bucket"),
-      when(bucket < TrainPct, "train")
-        .when(bucket < ValPct, "val")
-        .otherwise("test").as("split"))
+      splitOf($"cluster_id").as("split"))
+  }
+
+  /** The split of a cluster id as a bare Column — lets a pipeline that
+    * already carries cluster_id derive the split as a narrow projection
+    * instead of joining a second cluster-map branch.
+    */
+  def splitOf(clusterId: Column): Column = {
+    val bucket = pmod(priority("split:", clusterId), lit(100L))
+    when(bucket < TrainPct, "train")
+      .when(bucket < ValPct, "val")
+      .otherwise("test")
   }
 
   /** Split CASE tail of the cluster-safe twin — shared with

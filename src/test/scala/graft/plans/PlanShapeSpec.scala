@@ -127,6 +127,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("train manifest: one cluster-map branch (split is a projection, not a second anti-join)") {
+    // the cluster map's singleton anti-join must appear ONCE — the
+    // split derives from cluster_id on the canonical row, not from a
+    // second splitOfClusters branch re-executing the union/anti-join
+    val plan = planString(q("pipeline_train_manifest"))
+    val antiJoins = "LeftAnti".r.findAllIn(plan).length
+    assert(antiJoins === 1, s"expected 1 cluster-map anti-join, got $antiJoins:\n$plan")
+  }
+
   test("llm_sql_surface: SQL-text fingerprint pass is one narrow projection, no shuffle") {
     val df = q("llm_sql_surface")
     assert(countShuffles(df) === 0, planString(df))
