@@ -21,6 +21,7 @@ object LlmRegistry {
 
   val queries: Map[String, Q] = Map(
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
+    "pipeline_source_fertility" -> (TextAnalysis.sourceFertility _),
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_langid" -> (TextAnalysis.langId _),
     "eval_langid_confusion" -> (TextAnalysis.langIdConfusion _),
@@ -540,6 +541,19 @@ object LlmRegistry {
          |  CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.piecePattern}')) AS BIGINT) AS n_pieces,
          |  CAST(length(text) AS BIGINT) AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_source_fertility" ->
+      s"""WITH f AS (SELECT source,
+         |    CAST(len($toks) AS BIGINT) AS t,
+         |    CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.piecePattern}')) AS BIGINT) AS p,
+         |    CAST(length(text) AS BIGINT) AS c
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t) AS BIGINT) AS n_tokens,
+         |  CAST(sum(p) AS BIGINT) AS n_pieces,
+         |  CAST(sum(c) AS BIGINT) AS n_chars,
+         |  CAST(sum(p) AS DOUBLE) / CAST(sum(t) AS DOUBLE) AS pieces_per_token,
+         |  CAST(sum(c) AS DOUBLE) / CAST(sum(p) AS DOUBLE) AS chars_per_piece
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "text_quality" ->
       s"""WITH q AS (SELECT doc_id,
          |  CAST(len($toks) AS BIGINT) AS n_tokens,

@@ -35,6 +35,32 @@ object TextAnalysis {
           .cast("bigint").as("n_pieces"),
         length($"text").cast("bigint").as("n_chars"))
 
+  /** Per-source tokenizer fertility: the doc/char/token/piece budget of
+    * each source plus the two ratios a mix decision actually reads —
+    * pieces per whitespace token (how much the BPE-ish tokenizer
+    * fragments this source) and chars per piece (bytes bought per
+    * sequence position). Exact BIGINT sums; ratios are one double
+    * division at the edge (cross-engine bit-identical, the repo's
+    * standard stance).
+    *
+    * Scale shape: one narrow per-row projection, one hash aggregate on
+    * the bounded source key — nothing else.
+    */
+  def sourceFertility(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select($"source",
+        size(tokens($"text")).cast("bigint").as("t"),
+        size(expr(s"regexp_extract_all(lower(text), '$piecePattern', 0)"))
+          .cast("bigint").as("p"),
+        length($"text").cast("bigint").as("c"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"t").as("n_tokens"),
+        sum($"p").as("n_pieces"), sum($"c").as("n_chars"))
+      .withColumn("pieces_per_token",
+        $"n_pieces".cast("double") / $"n_tokens".cast("double"))
+      .withColumn("chars_per_piece",
+        $"n_chars".cast("double") / $"n_pieces".cast("double"))
+
   /** English-ish stopwords drawn from the corpus vocabulary. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
