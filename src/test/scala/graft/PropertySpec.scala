@@ -70,4 +70,30 @@ class PropertySpec extends AnyFunSuite {
       .collect().sorted.toSeq
     assert(udtf === composed)
   }
+
+  test("lsh_bucket_pack parity: kernel equals a driver-side re-derivation on random vectors") {
+    // random dims 0..64, random magnitudes incl. negatives and zeros —
+    // the kernel must reproduce sign(dot(q, plane_p)) bit-packing for
+    // every (table, plane) under arbitrary vector shapes
+    val vecs = samples(for {
+      dim <- Gen.choose(0, 64)
+      v <- Gen.listOfN(dim, Gen.choose(-1000L, 1000L))
+    } yield v, 150)
+    val numTables = 3; val np = 7
+    val df = spark.createDataFrame(vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("id", "q")
+      .select($"id", graft.plans.ArrayOps.lshBucketPack($"q", numTables, np).as("b"))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val expect = (0 until numTables).map { t =>
+        (0 until np).map { p =>
+          val dot = v.indices.map(j =>
+            v(j) * graft.functions.Hashing.planeWeight(t * np + p, j)).sum
+          if (dot > 0) 1L << p else 0L
+        }.sum
+      }
+      assert(got(i.toLong) === expect, s"vec $i dim=${v.length}")
+    }
+  }
 }
