@@ -113,6 +113,7 @@ object LlmRegistry {
     "sample_split_cluster_safe" -> (Sampling.splitClusterSafe _),
     "pipeline_train_manifest" -> (CorpusPipeline.trainManifest _),
     "llm_sql_surface" -> (Dedup.sqlSurface _),
+    "eval_source_drift" -> (Sampling.sourceDrift _),
     "sample_stratified" -> (Sampling.stratified _),
     "sample_weighted" -> (Sampling.weightedSample _),
     "pipeline_mix_sources" -> (Sampling.mixSources _),
@@ -701,6 +702,25 @@ object LlmRegistry {
          |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
          |SELECT doc_id, cluster_id, ${Sampling.sqlSplitCase("cluster_id")}
          |FROM lab ORDER BY doc_id""".stripMargin,
+    // exact PSI sufficient statistics on the DSIR bucket domain; the
+    // scalar divergence (ln) stays engine-side, same stance as
+    // stats_psi_drift
+    "eval_source_drift" ->
+      s"""WITH base AS (SELECT doc_id, source, $toks AS t FROM documents),
+         |bg0 AS (SELECT doc_id, source,
+         |    unnest(list_filter(list_transform(list_zip(t, t[2:]),
+         |      p -> p[1] || ' ' || p[2]), x -> x IS NOT NULL)) AS bg
+         |  FROM base),
+         |bgb AS (SELECT source,
+         |    ${Hashing.sqlMd5Hash31("bg")} % ${Sampling.DsirBuckets} AS bucket FROM bg0),
+         |ps AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM bgb GROUP BY 1, 2),
+         |pb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS corpus_cnt FROM ps GROUP BY 1),
+         |st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS src_total FROM ps GROUP BY 1),
+         |ct AS (SELECT CAST(sum(cnt) AS BIGINT) AS corpus_total FROM ps)
+         |SELECT ps.source, ps.bucket, ps.cnt, pb.corpus_cnt, st.src_total, ct.corpus_total
+         |FROM ps JOIN pb USING (bucket) JOIN st USING (source) CROSS JOIN ct
+         |ORDER BY source, bucket""".stripMargin,
     // the SQL-text-only fingerprint pass: md5-prefix60 of normalized
     // text, simhash over the (dup-keeping) token stream, first MinHash
     // permutation over distinct shingles, rolling-shingle count; the

@@ -722,6 +722,41 @@ object Sampling {
           .as("weight"))
   }
 
+  /** `eval_source_drift`: per-(source, bucket) hashed-bigram counts with
+    * the corpus-wide marginals attached — the exact-integer sufficient
+    * statistics for a per-source PSI / KL drift check ("has src7's
+    * content distribution moved away from the corpus?"), the corpus
+    * sibling of `stats_psi_drift`. Like [[graft.operators.StatsOps
+    * .psiDrift]], the scalar divergence needs `ln()` whose last ulp
+    * differs across engines, so the oracle-gated artifact is this exact
+    * table; any consumer folds its own PSI from it.
+    *
+    * Scale shape: ONE corpus-sized bigram aggregation onto the bounded
+    * (sources × [[DsirBuckets]]) domain; every join after it is a
+    * bounded-domain broadcast. At 100 TB: one narrow pass + kilobyte
+    * broadcasts.
+    */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens($"text")
+    val bigrams = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    val bg = documents(spark, dir)
+      .select($"source", explode(bigrams).as("bg"))
+      .select($"source", (Hashing.md5Hash31($"bg") % DsirBuckets).as("bucket"))
+    val perSrc = bg.groupBy($"source", $"bucket").agg(count(lit(1)).as("cnt"))
+    val perBucket = perSrc.groupBy($"bucket").agg(sum($"cnt").as("corpus_cnt"))
+    val perSource = perSrc.groupBy($"source").agg(sum($"cnt").as("src_total"))
+    val corpusTotal = perSrc.agg(sum($"cnt").as("corpus_total"))
+    perSrc
+      .join(broadcast(perBucket), Seq("bucket"))
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(corpusTotal))
+      .select($"source", $"bucket", $"cnt", $"corpus_cnt",
+        $"src_total", $"corpus_total")
+  }
+
   /** DuckDB twin of [[dsirWeights]] — same bigram formation (zip against
     * the tail, NULL-padded last cell dropped), same md5-prefix bucket
     * hash, same single final division.
