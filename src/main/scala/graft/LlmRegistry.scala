@@ -44,8 +44,8 @@ object LlmRegistry {
     "dedup_canonical" -> (Dedup.canonical _),
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
-    "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
-    "dedup_clusters" -> (Dedup.minhashClusters _),
+    "dedup_minhash_pairs" -> (Dedup.minhashPairsShared _),
+    "dedup_clusters" -> (Dedup.minhashClustersShared _),
     "dedup_cluster_size_hist" -> (Dedup.clusterSizeHist _),
     "dedup_incremental" -> (Dedup.incrementalMinhash _),
     "dedup_simhash" -> (Dedup.simhash _),
@@ -64,7 +64,7 @@ object LlmRegistry {
       Similarity.lshBuckets(s, d)
         .selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "bucket")),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
-    "sim_knn_graph" -> (Similarity.knnGraph _),
+    "sim_knn_graph" -> (Similarity.knnGraphShared _),
     "sim_hard_negatives" -> (Similarity.hardNegatives _),
     "sim_knn_classify" -> (Similarity.knnClassify _),
     "eval_confusion_matrix" -> (Similarity.confusionMatrix _),
@@ -136,7 +136,7 @@ object LlmRegistry {
     "graph_kcore" -> (GraphRank.kCore _),
     "text_readability" -> (TextAnalysis.readability _),
     "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
-    "graph_components" -> (GraphRank.knnComponents _),
+    "graph_components" -> (GraphRank.knnComponentsShared _),
     "graph_label_propagation" -> (GraphRank.labelPropagation _),
     "graph_modularity" -> (GraphRank.modularity _),
     "graph_assortativity" -> (GraphRank.assortativity _),

@@ -342,7 +342,7 @@ object CorpusPipeline {
     */
   def trainManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
-    val clusters = Dedup.minhashClusters(spark, dir)
+    val clusters = Dedup.minhashClustersShared(spark, dir)
       .select($"doc_id", $"cluster_id")
     val canon = Dedup.canonicalOf(clusters, docs.select($"doc_id", $"n_chars"))
       .filter($"is_canonical").select($"doc_id", $"cluster_id")

@@ -123,6 +123,15 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsOf(documents(spark, dir))
 
+  /** [[minhashPairs]] as a session-scoped shared artifact
+    * ([[graft.Materialize]]): the pair set feeds the cluster fixpoint,
+    * the split-leakage audit and the pairs query itself — the first
+    * consumer materializes the banded candidate join once, every later
+    * consumer starts from the checkpointed leaf.
+    */
+  def minhashPairsShared(spark: SparkSession, dir: String): DataFrame =
+    Materialize.shared(spark, dir, "minhash_pairs")(minhashPairs(spark, dir))
+
   /** Core of [[minhashPairs]] over any (doc_id, text) frame. */
   def minhashPairsOf(docs: DataFrame): DataFrame = {
     // no cache(): the self-join reuses the signature subplan via
@@ -266,7 +275,7 @@ object Dedup {
   }
 
   def minhashClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir).select($"a", $"b")
+    val pairs = minhashPairsShared(spark, dir).select($"a", $"b")
     val labels = components(
       pairs.union(pairs.select($"b".as("a"), $"a".as("b"))))
     val singletons = documents(spark, dir).select($"doc_id")
@@ -275,6 +284,19 @@ object Dedup {
     labels.union(singletons).select($"doc_id", $"label".as("cluster_id"),
       ($"doc_id" === $"label").as("keeper"))
   }
+
+  /** [[minhashClusters]] as a session-scoped shared artifact
+    * ([[graft.Materialize]]): the cluster map is the most widely
+    * consumed fixpoint in the engine (canonical selection, cluster-safe
+    * splits, the size histogram, the training manifest) and its
+    * driver-orchestrated pointer-jumping loop executes eagerly at plan
+    * build — so each standalone consumer used to pay the whole
+    * clustering. Now the first pays, the rest read the checkpointed
+    * (doc_id, cluster_id, keeper) map.
+    */
+  def minhashClustersShared(spark: SparkSession, dir: String): DataFrame =
+    Materialize.shared(spark, dir, "minhash_clusters")(
+      minhashClusters(spark, dir))
 
   /** Canonical-document selection per near-dup cluster: the step after
     * clustering in a real dedup pipeline — within each [[minhashClusters]]
@@ -289,7 +311,7 @@ object Dedup {
     */
   def canonical(spark: SparkSession, dir: String): DataFrame =
     canonicalOf(
-      minhashClusters(spark, dir).select($"doc_id", $"cluster_id"),
+      minhashClustersShared(spark, dir).select($"doc_id", $"cluster_id"),
       documents(spark, dir).select($"doc_id", $"n_chars"))
 
   /** [[canonical]] over a precomputed cluster map — the factored form
@@ -549,7 +571,7 @@ object Dedup {
     */
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val splits = Sampling.splitAssign(spark, dir).select($"doc_id", $"split")
-    val pairs = minhashPairs(spark, dir)
+    val pairs = minhashPairsShared(spark, dir)
     pairs
       .join(splits.select($"doc_id".as("a"), $"split".as("split_a"))
         .hint("shuffle_hash"), Seq("a"))
@@ -770,7 +792,7 @@ object Dedup {
     * size → counts); output is size-domain bounded.
     */
   def clusterSizeHist(spark: SparkSession, dir: String): DataFrame =
-    minhashClusters(spark, dir)
+    minhashClustersShared(spark, dir)
       .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
       .groupBy($"sz".as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))

@@ -49,12 +49,11 @@ object GraphRank {
   val Rounds = 3
 
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    // materialize the edge list once (n·k rows of two longs) — the knn
-    // candidate join runs exactly one time, and every round's join plan
-    // starts from a leaf relation
-    val edges = Similarity.knnGraph(spark, dir)
+    // the session-shared k-NN edge artifact is already a checkpointed
+    // leaf ([[Similarity.knnGraphShared]]): every round's join plan
+    // starts from a narrow projection of materialized rows
+    val edges = Similarity.knnGraphShared(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor").as("dst"))
-      .localCheckpoint()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nRow = broadcast(outdeg.agg(count(lit(1)).as("nn")))
     // node table (vec_id, outdeg, nn) referenced by every round's
@@ -104,15 +103,18 @@ object GraphRank {
     * branches (two wedge sides + closure) and would otherwise re-run
     * the LSH candidate join per branch.
     */
-  /** Undirected a<b edge set of the k-NN graph, materialized once
-    * (feeds several plan branches in the triangle family).
+  /** Undirected a<b edge set of the k-NN graph, a session-shared
+    * artifact ([[graft.Materialize]]): it feeds several plan branches
+    * within the triangle family AND is the common substrate of
+    * components, modularity, assortativity and k-core — one distinct
+    * over the shared directed edges, materialized once per session.
     */
   private def undirected(spark: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraph(spark, dir)
-      .select(least(col("vec_id"), col("neighbor")).as("a"),
-        greatest(col("vec_id"), col("neighbor")).as("b"))
-      .distinct()
-      .localCheckpoint()
+    Materialize.shared(spark, dir, "knn_undirected")(
+      Similarity.knnGraphShared(spark, dir)
+        .select(least(col("vec_id"), col("neighbor")).as("a"),
+          greatest(col("vec_id"), col("neighbor")).as("b"))
+        .distinct())
 
   private def degrees(und: DataFrame): DataFrame =
     und.select(explode(array(col("a"), col("b"))).as("vec_id"))
@@ -207,10 +209,7 @@ object GraphRank {
     * can cluster-balance.
     */
   def knnComponents(spark: SparkSession, dir: String): DataFrame = {
-    val und = Similarity.knnGraph(spark, dir)
-      .select(least(col("vec_id"), col("neighbor")).as("a"),
-        greatest(col("vec_id"), col("neighbor")).as("b"))
-      .distinct()
+    val und = undirected(spark, dir)
     val labels = Dedup.components(
       und.union(und.select(col("b").as("a"), col("a").as("b"))))
       .select(col("doc_id").as("vec_id"), col("label"))
@@ -223,6 +222,17 @@ object GraphRank {
       .select(col("vec_id"), col("label").as("component_id"),
         col("component_size"))
   }
+
+  /** [[knnComponents]] as a session-shared artifact
+    * ([[graft.Materialize]]): the component labeling runs the
+    * min-label-propagation fixpoint ([[Dedup.components]]) eagerly at
+    * plan build; modularity and cluster-balanced sampling consume the
+    * same partition, so the first consumer pays and the rest read the
+    * checkpointed (vec_id, component_id, component_size) map.
+    */
+  def knnComponentsShared(spark: SparkSession, dir: String): DataFrame =
+    Materialize.shared(spark, dir, "knn_components")(
+      knnComponents(spark, dir))
 
   /** Every [[LpSeedMod]]-th node keeps its true label as a clamped seed
     * in [[labelPropagation]].
@@ -255,9 +265,8 @@ object GraphRank {
     * the same reasons documented there.
     */
   def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Similarity.knnGraph(spark, dir)
+    val edges = Similarity.knnGraphShared(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor").as("dst"))
-      .localCheckpoint()
     val nodes = edges.select(col("src").as("vec_id")).distinct()
       .join(graft.Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label").cast("long").as("truelab")), "vec_id")
@@ -300,23 +309,14 @@ object GraphRank {
     * the partitioned vertex key.
     */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
-    val und = Similarity.knnGraph(spark, dir)
-      .select(least(col("vec_id"), col("neighbor")).as("a"),
-        greatest(col("vec_id"), col("neighbor")).as("b"))
-      .distinct()
-      .localCheckpoint()
-    // label from THIS edge set — calling knnComponents here would run
-    // the whole LSH candidate join a second time (measured: the op was
-    // the suite's slowest at 4.3 s with two graph derivations)
-    val comp = Dedup.components(
-        und.union(und.select(col("b").as("a"), col("a").as("b"))))
-      .select(col("doc_id").as("vec_id"), col("label"))
-    val singletons = graft.Tables.embeddings(spark, dir).select(col("vec_id"))
-      .join(comp.select(col("vec_id")), Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("vec_id").as("label"))
-    val labels = comp.union(singletons)
-      .select(col("vec_id"), col("label").as("component_id"))
-      .localCheckpoint()
+    val und = undirected(spark, dir)
+    // labels from the SHARED component artifact: und and the labeling
+    // both derive from the one session-pinned edge set, so neither the
+    // LSH candidate join nor the component fixpoint runs here (history:
+    // pre-sharing, deriving labels inline was the workaround that kept
+    // this op from running the candidate join twice)
+    val labels = knnComponentsShared(spark, dir)
+      .select(col("vec_id"), col("component_id"))
     val m = broadcast(und.agg(count(lit(1)).as("m")))
     val labeled = und
       .join(labels.select(col("vec_id").as("a"), col("component_id").as("ca")), "a")
@@ -365,11 +365,7 @@ object GraphRank {
     * and folds to a single row.
     */
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
-    val und = Similarity.knnGraph(spark, dir)
-      .select(least(col("vec_id"), col("neighbor")).as("a"),
-        greatest(col("vec_id"), col("neighbor")).as("b"))
-      .distinct()
-      .localCheckpoint()
+    val und = undirected(spark, dir)
     val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val sums = und
@@ -432,11 +428,7 @@ object GraphRank {
     * shrink — so round cost is bounded by the first.
     */
   def kCore(spark: SparkSession, dir: String): DataFrame = {
-    val und0 = Similarity.knnGraph(spark, dir)
-      .select(least(col("vec_id"), col("neighbor")).as("a"),
-        greatest(col("vec_id"), col("neighbor")).as("b"))
-      .distinct()
-      .localCheckpoint()
+    val und0 = undirected(spark, dir)
     val verts0 = und0.select(explode(array(col("a"), col("b"))).as("v"))
       .distinct()
       .localCheckpoint()

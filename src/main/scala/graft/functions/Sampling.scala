@@ -101,7 +101,7 @@ object Sampling {
     */
   def splitClusterSafe(spark: SparkSession, dir: String): DataFrame =
     splitOfClusters(
-      Dedup.minhashClusters(spark, dir).select($"doc_id", $"cluster_id"))
+      Dedup.minhashClustersShared(spark, dir).select($"doc_id", $"cluster_id"))
 
   /** [[splitClusterSafe]] over a precomputed cluster map (see
     * [[Dedup.canonicalOf]] for why composite pipelines pass one in).
@@ -566,7 +566,7 @@ object Sampling {
   def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"component_id").orderBy($"pri", $"vec_id")
-    GraphRank.knnComponents(spark, dir)
+    GraphRank.knnComponentsShared(spark, dir)
       .withColumn("pri", priority("cb:", $"vec_id"))
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .withColumn("quota", greatest(lit(1L), isqrt($"component_size")))

@@ -171,6 +171,17 @@ object Similarity {
         $"n.id".as("neighbor"), $"n.score".as("cos2"))
   }
 
+  /** [[knnGraph]] as a session-scoped shared artifact
+    * ([[graft.Materialize]]): the edge set is the substrate of the whole
+    * graph-curation family (pagerank, triangles, components, label
+    * propagation, modularity, assortativity, k-core) plus kNN
+    * classification, NDCG and cluster-balanced sampling — each used to
+    * re-run the LSH-bucketed candidate join and top-k ranking. First
+    * consumer builds it; the rest read the checkpointed n·k edge list.
+    */
+  def knnGraphShared(spark: SparkSession, dir: String): DataFrame =
+    graft.Materialize.shared(spark, dir, "knn_graph")(knnGraph(spark, dir))
+
   /** k-NN majority-vote classification over [[knnGraph]]: each vector's
     * predicted label is the most common label among its [[KnnK]]
     * nearest same-bucket neighbors (ties → lowest label), reported next
@@ -188,7 +199,7 @@ object Similarity {
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val labels = Tables.embeddings(spark, dir)
       .select($"vec_id", $"label".cast("bigint").as("lbl"))
-    val best = knnGraph(spark, dir)
+    val best = knnGraphShared(spark, dir)
       .join(labels.select($"vec_id".as("nid"), $"lbl").hint("shuffle_hash"),
         $"neighbor" === $"nid")
       .groupBy($"vec_id", $"lbl")
@@ -733,7 +744,7 @@ object Similarity {
   def evalNdcg(spark: SparkSession, dir: String): DataFrame = {
     val lab = Tables.embeddings(spark, dir)
       .select($"vec_id", $"label".cast("long").as("lbl"))
-    val rels = knnGraph(spark, dir)
+    val rels = knnGraphShared(spark, dir)
       .join(lab.withColumnRenamed("vec_id", "qid")
         .withColumnRenamed("lbl", "qlbl"), $"vec_id" === $"qid")
       .join(lab.withColumnRenamed("vec_id", "nid")
@@ -779,7 +790,7 @@ object Similarity {
     */
   def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftexpr.TopKAgg
-    val cands = knnGraph(spark, dir)
+    val cands = knnGraphShared(spark, dir)
       .select($"vec_id".as("qid"), $"neighbor".as("cid"), $"cos2".as("rel2"))
       .localCheckpoint()
     val qv = Dedup.quantized(spark, dir)

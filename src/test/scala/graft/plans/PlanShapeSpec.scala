@@ -117,8 +117,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // literal terms) blows the JIT compilable-method budget at sf1's
     // plane count and the whole projection stage runs interpreted —
     // measured 6.9 -> 2.5 s at sf1 when collapsed to the single kernel
-    for (name <- Seq("dedup_embedding_lsh_multi", "sim_knn_graph", "sim_lsh_buckets")) {
-      val plan = planString(q(name))
+    // sim_knn_graph's registry entry is the SHARED artifact (its plan is
+    // the checkpointed leaf once pinned) — the kernel contract holds on
+    // the builder, so assert against knnGraph directly
+    val plans = Seq(
+      "dedup_embedding_lsh_multi" -> planString(q("dedup_embedding_lsh_multi")),
+      "sim_knn_graph(builder)" ->
+        planString(graft.functions.Similarity.knnGraph(spark, dir)),
+      "sim_lsh_buckets" -> planString(q("sim_lsh_buckets")))
+    for ((name, plan) <- plans) {
       assert(plan.contains("lsh_bucket_pack"), s"$name: $plan")
       // column-vs-column dots (candidate distances) are fine; the
       // anti-pattern is the dot-vs-plane-LITERAL bucketing term
@@ -133,7 +140,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // second splitOfClusters branch re-executing the union/anti-join
     val plan = planString(q("pipeline_train_manifest"))
     val antiJoins = "LeftAnti".r.findAllIn(plan).length
-    assert(antiJoins === 1, s"expected 1 cluster-map anti-join, got $antiJoins:\n$plan")
+    // 1 when the manifest builds the cluster map inline; 0 when the
+    // session-shared artifact is already pinned (the map arrives as a
+    // checkpointed leaf) — never a second splitOfClusters branch
+    assert(antiJoins <= 1, s"expected <=1 cluster-map anti-join, got $antiJoins:\n$plan")
   }
 
   test("llm_sql_surface: SQL-text fingerprint pass is one narrow projection, no shuffle") {
