@@ -389,6 +389,35 @@ object RelationalOps {
         |    struct(p.ts, p.event_id), struct(v.view_ts, v.view_id), true)""".stripMargin)
   }
 
+  /** `j8_asof_sql_conj`: [[asofAttributionSql]] with COMPOSED extra ON
+    * conjuncts — same-day attribution with a view-quality floor:
+    * `asof_match(...) AND to_date(p.ts) = to_date(v.view_ts) AND
+    * v.view_value >= 0.2`. RewriteMarkerJoins partitions the conjuncts:
+    * the cross-side date equality becomes an extra as-of KEY (candidates
+    * restricted to the purchase's calendar day), the right-side-only
+    * value floor a pre-join filter on the view side — both inside the
+    * one sort-merge as-of pass, never a post-join filter (which under
+    * LEFT OUTER would turn matches into false nulls). The round-9 gap
+    * this closes: the rule previously matched only a bare marker, so any
+    * riding conjunct fell through to a misleading runtime error.
+    */
+  def asofAttributionSqlConj(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("graft_events_v")
+    spark.sql(
+      """WITH p AS (SELECT event_id, user_id, ts FROM graft_events_v
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id AS view_user_id,
+        |    ts AS view_ts, value AS view_value
+        |  FROM graft_events_v WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |  coalesce(v.view_id, -1L) AS attributed_view_id
+        |FROM p LEFT JOIN v
+        |  ON asof_match(p.user_id, v.view_user_id,
+        |    struct(p.ts, p.event_id), struct(v.view_ts, v.view_id), true)
+        |  AND to_date(p.ts) = to_date(v.view_ts)
+        |  AND v.view_value >= 0.2""".stripMargin)
+  }
+
   /** `j11_range_sql`: the [[rangeJoinShipments]] interval-stabbing query
     * driven by SQL TEXT ALONE — the `range_bin_match` marker
     * ([[org.apache.spark.sql.graftexpr.RangeBinMark]]) is rewritten by

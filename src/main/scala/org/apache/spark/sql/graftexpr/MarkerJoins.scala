@@ -118,29 +118,86 @@ case class RangeBinMark(point: Expression, lo: Expression, hi: Expression,
   */
 object RewriteMarkerJoins extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(l, r, joinType, Some(m: AsOfMark), _) =>
-      if (joinType != LeftOuter) throw new IllegalArgumentException(
-        s"asof_match joins must be LEFT OUTER (left rows kept, unmatched get " +
-          s"nulls) — got $joinType. Filter v-side nulls above the join for " +
-          "inner semantics.")
-      sideCheck("asof_match", "lkeys/lorder", m.leftKeys ++ m.leftOrder, l)
-      sideCheck("asof_match", "rkeys/rorder", m.rightKeys ++ m.rightOrder, r)
-      require(m.leftKeys.map(_.dataType) == m.rightKeys.map(_.dataType),
-        "asof_match: key types must match pairwise")
-      require(m.leftOrder.map(_.dataType) == m.rightOrder.map(_.dataType),
-        "asof_match: order types must match pairwise")
-      AsOfJoin(l, r, m.leftKeys, m.rightKeys, m.leftOrder, m.rightOrder,
-        m.strict, m.toleranceOpt)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val rewritten = plan.transform {
+      case j @ Join(l, r, joinType, Some(cond), _)
+          if splitConjunctivePredicates(cond).exists(_.isInstanceOf[AsOfMark]) =>
+        if (joinType != LeftOuter) throw new IllegalArgumentException(
+          s"asof_match joins must be LEFT OUTER (left rows kept, unmatched get " +
+            s"nulls) — got $joinType. Filter v-side nulls above the join for " +
+            "inner semantics.")
+        val conjuncts = splitConjunctivePredicates(cond)
+        val (markers, rest) = conjuncts.partition(_.isInstanceOf[AsOfMark])
+        require(markers.length == 1,
+          s"asof_match: exactly one marker per join, got ${markers.length}")
+        val m = markers.head.asInstanceOf[AsOfMark]
+        sideCheck("asof_match", "lkeys/lorder", m.leftKeys ++ m.leftOrder, l)
+        sideCheck("asof_match", "rkeys/rorder", m.rightKeys ++ m.rightOrder, r)
+        require(m.leftKeys.map(_.dataType) == m.rightKeys.map(_.dataType),
+          "asof_match: key types must match pairwise")
+        require(m.leftOrder.map(_.dataType) == m.rightOrder.map(_.dataType),
+          "asof_match: order types must match pairwise")
+        // extra ON conjuncts compose two ways under as-of semantics:
+        //  - a cross-side equality narrows which right rows can match a
+        //    left row → it IS an extra as-of key pair;
+        //  - a right-side-only predicate restricts the candidate set →
+        //    a pre-join filter on the right child.
+        // A left-side-only or non-equi cross-side conjunct cannot ride:
+        // under LEFT OUTER it decides match-vs-null per left row AFTER
+        // candidate selection, which the single-candidate merge pass
+        // cannot express — fail with the actual limitation (the runtime
+        // marker error would misleadingly blame missing extensions).
+        import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+        val extraKeys = scala.collection.mutable.ArrayBuffer.empty[(Expression, Expression)]
+        val rightFilters = scala.collection.mutable.ArrayBuffer.empty[Expression]
+        rest.foreach {
+          case EqualTo(a, b) if a.references.subsetOf(l.outputSet) &&
+              b.references.subsetOf(r.outputSet) => extraKeys += ((a, b))
+          case EqualTo(a, b) if b.references.subsetOf(l.outputSet) &&
+              a.references.subsetOf(r.outputSet) => extraKeys += ((b, a))
+          case p if p.references.subsetOf(r.outputSet) => rightFilters += p
+          case p => throw new IllegalArgumentException(
+            s"asof_match: ON conjunct ${p.sql} cannot compose with the as-of " +
+              "join — only cross-side equalities (become extra as-of keys) and " +
+              "right-side-only predicates (pre-filter the candidate set) are " +
+              "expressible; a left-side-only or non-equi cross-side predicate " +
+              "would change match-vs-null per left row. Apply it above the " +
+              "join (left-side predicates keep LEFT OUTER semantics there) or " +
+              "use the Scala AsOf.join API with a pre-filtered input.")
+        }
+        val newRight =
+          if (rightFilters.isEmpty) r else Filter(rightFilters.reduce(And), r)
+        AsOfJoin(l, newRight,
+          m.leftKeys ++ extraKeys.map(_._1), m.rightKeys ++ extraKeys.map(_._2),
+          m.leftOrder, m.rightOrder, m.strict, m.toleranceOpt)
 
-    case j @ Join(l, r, Inner, Some(cond), _)
-        if splitConjunctivePredicates(cond).exists(_.isInstanceOf[RangeBinMark]) =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      val (markers, rest) = conjuncts.partition(_.isInstanceOf[RangeBinMark])
-      require(markers.length == 1,
-        s"range_bin_match: exactly one marker per join, got ${markers.length}")
-      val m = markers.head.asInstanceOf[RangeBinMark]
-      rewriteRangeBin(j, l, r, m, rest)
+      case j @ Join(l, r, Inner, Some(cond), _)
+          if splitConjunctivePredicates(cond).exists(_.isInstanceOf[RangeBinMark]) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val (markers, rest) = conjuncts.partition(_.isInstanceOf[RangeBinMark])
+        require(markers.length == 1,
+          s"range_bin_match: exactly one marker per join, got ${markers.length}")
+        val m = markers.head.asInstanceOf[RangeBinMark]
+        rewriteRangeBin(j, l, r, m, rest)
+    }
+    // any marker that survived the transform is misplaced (WHERE clause,
+    // under an OR, wrong join type for range_bin_match, ...) — fail HERE
+    // with the placement contract instead of letting the unevaluable
+    // marker reach runtime, whose error misleadingly suggests the
+    // extensions aren't installed
+    rewritten.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case mk: JoinMarker => throw new IllegalArgumentException(
+          s"${mk.markerName} must appear exactly once as a top-level AND " +
+            "conjunct of a JOIN ... ON condition (asof_match: LEFT JOIN; " +
+            s"range_bin_match: INNER JOIN) — found it inside a " +
+            s"${node.nodeName} node, where it cannot be rewritten " +
+            "(markers under OR/NOT, in WHERE/SELECT, or on an unsupported " +
+            "join type are not rewritable).")
+        case _ => ()
+      })
+    }
+    rewritten
   }
 
   private def sideCheck(fn: String, label: String, exprs: Seq[Expression],
@@ -172,7 +229,31 @@ object RewriteMarkerJoins extends Rule[LogicalPlan] with PredicateHelper {
           "the other")
     val spark = SparkSession.active.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     def c(e: Expression) = ExpressionUtils.column(e)
-    def bin(e: Expression) = floor(unix_timestamp(c(e)) / width).cast("long")
+    // typed binning: unix_timestamp() string-parses integral inputs to
+    // NULL, so epoch-seconds columns (bigint/int) would silently match
+    // zero rows through the inner bin equi-join — bin those numerically;
+    // reject types that can't mean seconds rather than returning an
+    // empty result
+    import org.apache.spark.sql.types.{DateType, IntegerType => IntT, LongType => LongT, StringType, TimestampNTZType, TimestampType}
+    def bin(e: Expression) = e.dataType match {
+      case LongT | IntT => floor(c(e).cast("long") / width).cast("long")
+      case TimestampType | TimestampNTZType | DateType | StringType =>
+        floor(unix_timestamp(c(e)) / width).cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"range_bin_match: point/lo/hi must be timestamp/date/string " +
+          s"(parsed to epoch seconds) or integral epoch seconds — " +
+          s"${e.sql} has type ${dt.simpleString}")
+    }
+    Seq(m.point, m.lo, m.hi).foreach(e => bin(e)) // validate all three up front
+    // mixed integral/temporal operands would bin on different scales and
+    // silently miss — require one category across all three
+    val integralKinds = Seq(m.point, m.lo, m.hi)
+      .map(e => e.dataType == LongT || e.dataType == IntT).distinct
+    require(integralKinds.size == 1,
+      "range_bin_match: point/lo/hi must be all temporal/string or all " +
+        "integral epoch seconds, not a mix — " +
+        Seq(m.point, m.lo, m.hi).map(e => s"${e.sql}:${e.dataType.simpleString}")
+          .mkString(", "))
     val iv = Dataset.ofRows(spark, ivPlan)
       .withColumn("__graft_bin_iv", explode(sequence(bin(m.lo), bin(m.hi))))
       .queryExecution.analyzed

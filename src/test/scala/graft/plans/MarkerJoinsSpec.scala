@@ -69,8 +69,126 @@ class MarkerJoinsSpec extends AnyFunSuite {
       spark.sql(
         "SELECT asof_match(trade_id, trade_id, t, t) FROM mj_trades").collect()
     }
+    // two loud failure paths, both acceptable: over local relations
+    // ConvertToLocalRelation evals the projection in an EARLIER batch
+    // (runtime-marker error); otherwise the rule's post-transform
+    // validation reports the placement contract
     assert(e.getMessage != null &&
-      e.getMessage.contains("join-condition marker"), s"unexpected: ${e.getMessage}")
+      (e.getMessage.contains("top-level AND conjunct") ||
+        e.getMessage.contains("join-condition marker")), s"unexpected: ${e.getMessage}")
+  }
+
+  test("marker under OR in a join condition gets the placement-contract error") {
+    mkViews()
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT t.trade_id FROM mj_trades t LEFT JOIN mj_quotes q
+          |  ON asof_match(t.sym, q.qsym, t.t, q.qt) OR t.t > 100""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("top-level AND conjunct"),
+      s"unexpected: ${e.getMessage}")
+  }
+
+  test("asof_match composes with a cross-side equality and a right-side filter") {
+    mkViews()
+    // extra key: same parity group; right filter: px >= 2.0.
+    // truth per trade (strict, keys (sym, parity)):
+    //   trade 1 (a, odd t=10): quotes a with qt<10, parity(qt)=parity(10)=even
+    //     -> quote 100 qt=5 odd... parity(t)=t%2: 10%2=0; qt%2: 5->1, 20->0, 30->0
+    //     candidates for trade1: qt<10 & qt%2=0 & px>=2.0 -> none => null
+    //   trade 2 (a, t=20, parity 0): qt<20, parity 0, px>=2.0 -> none (101 qt=20 not <20) => null
+    //   trade 3 (a, t=20): same => null... too degenerate; use px filter only for one case
+    val got = spark.sql(
+      """SELECT t.trade_id, q.quote_id FROM mj_trades t LEFT JOIN mj_quotes q
+        |  ON asof_match(t.sym, q.qsym, t.t, q.qt, false)
+        |  AND t.t % 2 = q.qt % 2
+        |  AND q.px >= 2.0""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    // inclusive; keys (sym, t%2); right side filtered to px>=2 (quotes 101, 102)
+    //   trade 1 (a, t=10, par 0): quotes par 0 with qt<=10 among {101 qt=20, 102 qt=30} -> none
+    //   trade 2 (a, t=20, par 0): qt<=20 -> quote 101
+    //   trade 3 (a, t=20, par 0): -> quote 101
+    //   trade 4 (b, t=5, par 1): quote 103 par 0 (qt=6) filtered px 9.0 ok but par differs -> null
+    //   trade 5 (c): no c quotes -> null
+    assert(got(1L) == null && got(2L) == 101L && got(3L) == 101L)
+    assert(got(4L) == null && got(5L) == null)
+  }
+
+  test("asof_match with a left-only extra conjunct names the real limitation") {
+    mkViews()
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT t.trade_id, q.quote_id FROM mj_trades t LEFT JOIN mj_quotes q
+          |  ON asof_match(t.sym, q.qsym, t.t, q.qt) AND t.t > 6""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("cannot compose"),
+      s"unexpected: ${e.getMessage}")
+    assert(!e.getMessage.contains("Install the engine extensions"),
+      "must not misleadingly blame missing extensions")
+  }
+
+  test("range_bin_match bins integral epoch-second columns numerically") {
+    // bigint epoch seconds: unix_timestamp() would string-parse these to
+    // NULL and silently match nothing — the typed bin must keep them
+    Seq((1L, 0L, 7200L), (2L, 90000L, 100000L))
+      .toDF("iv_id", "lo", "hi").createOrReplaceTempView("mj_iv_epoch")
+    Seq((10L, 3600L), (11L, 86400L), (12L, 95000L))
+      .toDF("pt_id", "ts").createOrReplaceTempView("mj_pts_epoch")
+    val got = spark.sql(
+      """SELECT i.iv_id, p.pt_id FROM mj_iv_epoch i JOIN mj_pts_epoch p
+        |  ON range_bin_match(p.ts, i.lo, i.hi, 3600L)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 12L)))
+  }
+
+  test("range_bin_match rejects mixed temporal/integral operands loudly") {
+    mkRangePlanViews()
+    Seq((10L, 3600L)).toDF("pt_id", "ts_num")
+      .createOrReplaceTempView("mj_pts_num")
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT i.iv_id, p.pt_id FROM mj_iv2 i JOIN mj_pts_num p
+          |  ON range_bin_match(p.ts_num, i.lo, i.hi, 3600L)""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("not a mix"),
+      s"unexpected: ${e.getMessage}")
+  }
+
+  test("markers survive a TEMP VIEW boundary: the rewrite still plans AsOfJoin") {
+    mkViews()
+    // the marker join sits INSIDE a view; the outer query filters above
+    // it — the rule runs post-analysis on the inlined plan and must
+    // still rewrite (never leave the marker to a nested-loop condition)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW mj_asof_v AS
+        |SELECT t.trade_id, t.sym, q.quote_id, q.px
+        |FROM mj_trades t LEFT JOIN mj_quotes q
+        |  ON asof_match(t.sym, q.qsym, t.t, q.qt)""".stripMargin)
+    val df = spark.sql("SELECT trade_id, quote_id FROM mj_asof_v WHERE sym <> 'zz'")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(df.count() === 5L)
+  }
+
+  test("markers survive a CTE boundary (referenced twice): both references rewrite") {
+    mkRangePlanViews()
+    // multi-reference CTE: Spark may keep WithCTE/CTERelationRef rather
+    // than inline — the rewrite must reach the join inside the CTE def
+    val df = spark.sql(
+      """WITH j AS (
+        |  SELECT i.iv_id, p.pt_id FROM mj_iv2 i JOIN mj_pts2 p
+        |    ON range_bin_match(p.ts, i.lo, i.hi, 3600L))
+        |SELECT a.iv_id, a.pt_id, b.pt_id AS pt2
+        |FROM j a JOIN j b ON a.iv_id = b.iv_id""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(df.count() === 1L)
   }
 
   test("range_bin_match SQL: equals the naive range join, extra conjuncts honored") {
