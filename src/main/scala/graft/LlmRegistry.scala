@@ -57,6 +57,7 @@ object LlmRegistry {
     "dedup_ngram_containment" -> (Dedup.ngramContainmentPairs _),
     "dedup_span_coverage" -> (Dedup.spanCoverage _),
     "dedup_substring_spans" -> (Dedup.substringSpans _),
+    "dedup_substring_remove" -> (Dedup.substringSpanRemove _),
     "text_ngram_novelty" -> (Dedup.ngramNovelty _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "sim_bruteforce_topk" -> (Similarity.bruteForceTopK _),
@@ -1135,6 +1136,7 @@ object LlmRegistry {
          |FROM sh JOIN freq USING (shingle)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_substring_spans" -> Dedup.sqlSubstringSpans,
+    "dedup_substring_remove" -> Dedup.sqlSubstringSpanRemove,
     // first-occurrence attribution: min doc_id per shingle, joined back
     "text_ngram_novelty" ->
       s"""WITH sh AS (${Dedup.sqlShingles}),

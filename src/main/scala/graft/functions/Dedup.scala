@@ -652,9 +652,13 @@ object Dedup {
     *
     * Distributed shape (no suffix array needed): stride-1 [[SpanK]]-gram
     * fingerprints replace suffix sorting — a gram repeats iff the
-    * corresponding length-K substring repeats, so maximal duplicated
-    * spans are exactly the unions of overlapping duplicated gram
-    * positions. The plan is (1) one narrow explode of position-ordered
+    * corresponding length-K substring repeats UP TO 60-bit fingerprint
+    * collisions (~2⁻⁶⁰ per pair; at a 100 TB word budget ≈ 2⁴³ grams,
+    * birthday collisions over the full corpus become likely, each
+    * flagging one spurious K-word span — a rewrite pass wanting
+    * suffix-array exactness re-checks flagged grams against the text),
+    * so maximal duplicated spans are the unions of overlapping
+    * duplicated gram positions. The plan is (1) one narrow explode of position-ordered
     * grams with a portable 60-bit fingerprint, (2) one fp-keyed count
     * aggregate DERIVED from the same exploded child as the probe side,
     * so the left-semi join consumes one exchange twice (ReusedExchange —
@@ -717,6 +721,130 @@ object Dedup {
        |  max(pos) + ${k - 1} - min(pos) + 1 AS span_words
        |FROM isl GROUP BY doc_id, span_id
        |ORDER BY doc_id, span_id""".stripMargin
+  }
+
+  /** `dedup_substring_remove`: the REWRITE pass [[substringSpans]] feeds
+    * — excise duplicated spans from every document, keeping each
+    * duplicated substring's FIRST occurrence corpus-wide (Lee et al.
+    * 2022 §4: train on deduplicated text, not just measure it). Global
+    * ownership: for every duplicated [[SpanK]]-gram fingerprint the
+    * occurrence with the minimum (doc_id, pos) is the owner and stays;
+    * every other occurrence marks its K token positions for removal;
+    * overlapping removal positions merge to spans (the census's
+    * gaps-and-islands), and the document is rebuilt from the surviving
+    * tokens. Output per document: original/removed token counts and the
+    * cleaned text — `n_tokens - n_removed` tokens long by construction.
+    *
+    * The pass operates in TOKEN space (the space the spans are defined
+    * in): `clean_text` is the kept tokens joined by single spaces, the
+    * same normalization every shingle/fingerprint operator applies —
+    * punctuation/casing of the raw text is not preserved. A token under
+    * BOTH an owned and a non-owned gram is removed (span semantics:
+    * non-owner spans excise whole regions) — owners keep their text
+    * only where no foreign duplicate overlaps it.
+    *
+    * Scale shape, on top of the census plan: the ownership aggregate is
+    * the same fp-keyed pass (min(struct(doc,pos)) rides the count), the
+    * removal-position explode is bounded by removed words ≤ corpus
+    * words, and the rebuild is one doc-keyed aggregate whose partition
+    * is a single document — rows never exceed the corpus word budget,
+    * nothing quadratic. The collect_list is per-document (bounded by
+    * document length, the same budget the tile/BPE families carry).
+    */
+  def substringSpanRemove(spark: SparkSession, dir: String): DataFrame =
+    substringSpanRemoveOf(documents(spark, dir))
+
+  /** Core of [[substringSpanRemove]] over any (doc_id, text) frame. */
+  def substringSpanRemoveOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select($"doc_id", posexplode(TextAnalysis.tokens($"text")))
+      .select($"doc_id", $"pos".cast("bigint").as("pos"), $"col".as("tok"))
+    val grams = docs
+      .select($"doc_id",
+        posexplode(wordShingles(TextAnalysis.tokens($"text"), SpanK)))
+      .select($"doc_id", $"pos".cast("bigint").as("pos"),
+        Hashing.md5Prefix60($"col").as("fp"))
+    // one fp-keyed aggregate: occurrence count + first-owner (min
+    // (doc_id, pos), lexicographic struct order) in the same pass
+    val own = grams.groupBy($"fp")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct($"doc_id", $"pos")).as("own"))
+      .filter($"n_occ" > 1)
+    val rmGram = grams.join(own.hint("shuffle_hash"), Seq("fp"))
+      .filter(!($"doc_id" === $"own.doc_id" && $"pos" === $"own.pos"))
+      .select($"doc_id", $"pos")
+    // merge overlapping non-owner gram positions into disjoint spans
+    // (gap <= K-1 ⇒ same island), then explode each span's token range
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val rmPos = rmGram
+      .withColumn("ns",
+        when($"pos" - coalesce(lag($"pos", 1).over(w), lit(-SpanK.toLong))
+          > (SpanK - 1), 1L).otherwise(0L))
+      .withColumn("span_id", sum($"ns").over(w))
+      .groupBy($"doc_id", $"span_id")
+      .agg(min($"pos").as("s"), (max($"pos") + (SpanK - 1)).as("e"))
+      .select($"doc_id", explode(sequence($"s", $"e")).as("pos"))
+    val rebuilt = toks
+      .join(rmPos.withColumn("rm", lit(1)).hint("shuffle_hash"),
+        Seq("doc_id", "pos"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"rm".isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        // CASE yields null for removed rows; collect_list drops nulls,
+        // array_sort orders by (pos, tok) struct — document order
+        expr("array_join(transform(array_sort(" +
+          "collect_list(CASE WHEN rm IS NULL THEN struct(pos, tok) END)), " +
+          "x -> x.tok), ' ')").as("clean_text"))
+    docs.select($"doc_id").join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"),
+        ($"n_tokens".isNotNull &&
+          ($"n_removed" === $"n_tokens")).as("fully_duplicated"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+  }
+
+  /** DuckDB twin of [[substringSpanRemove]] (two-step ownership argmin —
+    * min doc, then min pos within it — replays the struct-min exactly on
+    * unique (doc, pos) keys).
+    */
+  def sqlSubstringSpanRemove: String = {
+    val k = SpanK
+    s"""WITH toks AS (SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |tokpos AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i + 1] AS tok
+       |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM toks)),
+       |grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    ${Hashing.sqlMd5Prefix60(s"array_to_string(toks[i + 1 : i + $k], ' ')")} AS fp
+       |  FROM (SELECT doc_id, toks, unnest(range(greatest(len(toks) - ${k - 1}, 0))) AS i
+       |        FROM toks)),
+       |own1 AS (SELECT fp, min(doc_id) AS od FROM grams GROUP BY fp HAVING count(*) > 1),
+       |own AS (SELECT g.fp, o.od, min(g.pos) AS op
+       |  FROM grams g JOIN own1 o ON g.fp = o.fp AND g.doc_id = o.od
+       |  GROUP BY g.fp, o.od),
+       |rmg AS (SELECT g.doc_id, g.pos FROM grams g JOIN own o ON g.fp = o.fp
+       |  WHERE NOT (g.doc_id = o.od AND g.pos = o.op)),
+       |flag AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - coalesce(lag(pos) OVER w, -$k) > ${k - 1}
+       |         THEN 1 ELSE 0 END AS ns
+       |  FROM rmg WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |isl AS (SELECT doc_id, pos,
+       |    CAST(sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+       |  FROM flag),
+       |spans AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + ${k - 1} AS e
+       |  FROM isl GROUP BY doc_id, span_id),
+       |rmpos AS (SELECT doc_id, CAST(unnest(range(s, e + 1)) AS BIGINT) AS pos FROM spans),
+       |agg AS (SELECT t.doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |    coalesce(string_agg(CASE WHEN r.pos IS NULL THEN t.tok END, ' ' ORDER BY t.pos), '') AS clean_text
+       |  FROM tokpos t LEFT JOIN rmpos r ON t.doc_id = r.doc_id AND t.pos = r.pos
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       |  coalesce(a.n_removed, 0) AS n_removed,
+       |  (a.n_tokens IS NOT NULL AND a.n_removed = a.n_tokens) AS fully_duplicated,
+       |  coalesce(a.clean_text, '') AS clean_text
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   // ---- embedding near-dup ----------------------------------------------

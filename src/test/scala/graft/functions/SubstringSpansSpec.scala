@@ -59,6 +59,60 @@ class SubstringSpansSpec extends AnyFunSuite {
     assert(out.keySet.map(_._1) === Set(3L, 4L))
   }
 
+  private def removal(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    Dedup.substringSpanRemoveOf(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+  }
+
+  test("removal keeps the first occurrence corpus-wide, excises every other") {
+    val out = removal(Seq(
+      (1L, shared12 + " u1 u2 u3 u4"),
+      (2L, shared12 + " v1 v2 v3 v4"),
+      (3L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")))
+    // doc 1 owns every shared gram (min doc_id) -> nothing removed
+    assert(out(1L) === ((16L, 0L, shared12 + " u1 u2 u3 u4")))
+    // doc 2 loses the whole shared span [0, 11], keeps its unique tail
+    assert(out(2L) === ((16L, 12L, "v1 v2 v3 v4")))
+    assert(out(3L)._2 === 0L)
+  }
+
+  test("within-doc repeat: the first occurrence stays, the later is excised") {
+    val phrase = (0 until Dedup.SpanK).map(i => s"p$i").mkString(" ")
+    val out = removal(Seq((1L, phrase + " x1 x2 x3 " + phrase)))
+    val (n, rm, clean) = out(1L)
+    assert(n === 19L && rm === 8L)
+    assert(clean === phrase + " x1 x2 x3")
+  }
+
+  test("spans, removal and token counts reconcile on sf0.01 (census vs rewrite)") {
+    val dir = "/root/testdata/sf0.01"
+    val k = Dedup.SpanK
+    // census: per-doc set of positions covered by some duplicated span
+    val census = Dedup.substringSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .view.mapValues(_.flatMap { case (_, s, e) => s to e }.toSet).toMap
+    val rem = Dedup.substringSpanRemove(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    rem.foreach { case (id, nTok, nRm, clean) =>
+      // count identity: kept tokens = n_tokens - n_removed
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept === (nTok - nRm).toInt, s"doc $id")
+      // removal ⊆ census coverage: the rewrite never removes a position
+      // the census didn't flag as sitting in a duplicated span
+      assert(nRm <= census.getOrElse(id, Set.empty[Long]).size.toLong, s"doc $id")
+    }
+    // global ownership: every duplicated gram family keeps >= 1
+    // occurrence — total removed words < total census-covered words
+    // whenever any doc owns a span (sf0.01 has cross-doc duplicates)
+    val totalCensus = census.values.map(_.size.toLong).sum
+    val totalRemoved = rem.map(_._3).sum
+    assert(totalRemoved > 0L, "fixture corpus has duplicated spans")
+    assert(totalRemoved < totalCensus,
+      "owners must retain their first occurrences")
+  }
+
   test("sf0.01 spans cover exactly the positions whose gram repeats corpus-wide (driver-side replay)") {
     val dir = "/root/testdata/sf0.01"
     val docs = graft.Tables.documents(spark, dir)
