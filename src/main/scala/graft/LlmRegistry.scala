@@ -27,6 +27,7 @@ object LlmRegistry {
     "eval_langid_confusion" -> (TextAnalysis.langIdConfusion _),
     "pipeline_budget_fill" -> (Sampling.budgetFill _),
     "pipeline_dsir_weights" -> (Sampling.dsirWeights _),
+    "pipeline_dsir_exact_stats" -> (Sampling.dsirExactStats _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_normalize" -> (TextAnalysis.normalizeCorpus _),
     "url_canonicalize" -> (UrlOps.urlCanonicalize _),
@@ -1629,6 +1630,10 @@ object LlmRegistry {
     "ir_phrase_search" -> Relevance.sqlPhraseSearch,
     "ir_proximity_search" -> Relevance.sqlProximitySearch,
     "pipeline_dsir_weights" -> Sampling.sqlDsirWeights,
+    // paper-faithful DSIR sufficient statistics: integers end-to-end;
+    // the log product-of-ratios fold stays engine-side
+    // (Sampling.dsirExactWeights), same stance as eval_source_drift
+    "pipeline_dsir_exact_stats" -> Sampling.sqlDsirExactStats,
     // k-core: CoreRounds unrolled peel rounds, exactly as the engine
     // runs — degrees over the survivor VERTEX set (zero-degree
     // survivors peel in the round they become isolated), plus the

@@ -783,4 +783,115 @@ object Sampling {
        |FROM bg JOIN hist USING (bucket)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** `pipeline_dsir_exact_stats`: per-(doc, bucket) exact-integer
+    * sufficient statistics for the PAPER-FAITHFUL DSIR estimator — the
+    * companion [[dsirWeights]]'s fidelity note promises. Xie et al.
+    * 2023 weight a document by the product of per-feature probability
+    * ratios under add-one-smoothed bag-of-hashed-ngrams unigram models:
+    *
+    *   log w(doc) = Σ_b n_b·[ln(t_b+1) − ln(r_b+1)]
+    *              + n·[ln(R+B) − ln(T+B)]
+    *
+    * with n_b the doc's bigram count in bucket b, (t_b, r_b) the
+    * target/raw corpus counts, (T, R) their totals and B =
+    * [[DsirBuckets]] the smoothing mass. Every quantity on the right is
+    * an exact integer; only the `ln` fold is float. This query emits
+    * exactly those integers — (doc_id, bucket) → n_bg with the bucket's
+    * global counts and the corpus totals attached — so the oracle gate
+    * pins the full sufficient-statistic table cross-engine, and the
+    * float scalar stays an engine-side fold ([[dsirExactWeights]]), the
+    * same split `eval_source_drift` uses for PSI (`ln`'s last ulp is
+    * not cross-engine stable; the integers are).
+    *
+    * Scale shape: the same two corpus passes as [[dsirWeights]] — one
+    * bigram aggregation onto the fixed [[DsirBuckets]]-row histogram
+    * (kilobyte broadcast), one (doc, bucket) aggregation whose only
+    * exchange is doc-keyed. Output rows ≤ min(corpus bigrams,
+    * docs × B) — never wider than the bigram stream it summarizes.
+    */
+  def dsirExactStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens($"text")
+    val bigrams = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    val bg = documents(spark, dir)
+      .select($"doc_id", $"source", explode(bigrams).as("bg"))
+      .select($"doc_id", $"source",
+        (Hashing.md5Hash31($"bg") % DsirBuckets).as("bucket"))
+    val perDoc = bg.groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("n_bg"))
+    val hist = bg.groupBy($"bucket")
+      .agg(count(lit(1)).as("raw_cnt"),
+        sum(when($"source".isin(DsirTargets: _*), 1L).otherwise(0L))
+          .as("target_cnt"))
+    val totals = hist.agg(sum($"raw_cnt").as("raw_total"),
+      sum($"target_cnt").as("target_total"))
+    perDoc.join(broadcast(hist), Seq("bucket"))
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", $"bucket", $"n_bg", $"target_cnt", $"raw_cnt",
+        $"target_total", $"raw_total")
+  }
+
+  /** The paper-faithful DSIR importance weight, folded engine-side over
+    * [[dsirExactStats]] — per document the exact log product-of-ratios
+    * (`log_weight_exact`) NEXT TO the summed-count-ratio approximation
+    * (`weight_approx`, bit-identical to [[dsirWeights]]'s `weight`:
+    * both numerator and denominator are integer sums over the same
+    * stats). The two estimators rank identically on near-uniform bucket
+    * profiles and diverge on skewed ones (a doc's high-frequency
+    * buckets dominate the summed form; the product form weights every
+    * occurrence's ratio equally in log space) — SamplingSpec pins a
+    * constructed divergence. Not oracle-gated: the log-sum's value
+    * depends on `ln` ulps and float addition order; its integer inputs
+    * are what `pipeline_dsir_exact_stats` gates.
+    *
+    * Scale shape: one doc-keyed aggregate over the stats — the totals
+    * ride every row, so no extra join.
+    */
+  def dsirExactWeights(spark: SparkSession, dir: String): DataFrame = {
+    val b = lit(DsirBuckets.toDouble)
+    dsirExactStats(spark, dir)
+      .groupBy($"doc_id")
+      .agg(sum($"n_bg").as("n_bigrams"),
+        sum($"n_bg" * $"target_cnt").as("t_num"),
+        sum($"n_bg" * $"raw_cnt").as("t_den"),
+        sum($"n_bg".cast("double") *
+          (log($"target_cnt".cast("double") + 1.0) -
+            log($"raw_cnt".cast("double") + 1.0))).as("ratio_sum"),
+        first($"target_total").as("tt"), first($"raw_total").as("rt"))
+      .select($"doc_id", $"n_bigrams",
+        (($"t_num" + 1L).cast("double") / ($"t_den" + 1L).cast("double"))
+          .as("weight_approx"),
+        ($"ratio_sum" + $"n_bigrams".cast("double") *
+          (log($"rt".cast("double") + b) - log($"tt".cast("double") + b)))
+          .as("log_weight_exact"))
+  }
+
+  /** DuckDB twin of [[dsirExactStats]] — same bigram formation, same
+    * bucket hash, integers end-to-end.
+    */
+  def sqlDsirExactStats: String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    val targets = DsirTargets.map(s => s"'$s'").mkString(", ")
+    s"""WITH base AS (SELECT doc_id, source, $toks AS t FROM documents),
+       |bg0 AS (SELECT doc_id, source,
+       |    unnest(list_filter(list_transform(list_zip(t, t[2:]),
+       |      p -> p[1] || ' ' || p[2]), x -> x IS NOT NULL)) AS bg
+       |  FROM base),
+       |bg AS (SELECT doc_id, source,
+       |    ${Hashing.sqlMd5Hash31("bg")} % $DsirBuckets AS bucket FROM bg0),
+       |pd AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n_bg
+       |  FROM bg GROUP BY 1, 2),
+       |hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS raw_cnt,
+       |    CAST(sum(CASE WHEN source IN ($targets) THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS target_cnt
+       |  FROM bg GROUP BY 1),
+       |tot AS (SELECT CAST(sum(raw_cnt) AS BIGINT) AS raw_total,
+       |    CAST(sum(target_cnt) AS BIGINT) AS target_total FROM hist)
+       |SELECT doc_id, bucket, n_bg, target_cnt, raw_cnt, target_total, raw_total
+       |FROM pd JOIN hist USING (bucket) CROSS JOIN tot
+       |ORDER BY doc_id, bucket""".stripMargin
+  }
 }

@@ -255,6 +255,77 @@ class SamplingSpec extends AnyFunSuite {
       3L -> ((2L, 0L, 4L, 1.0 / 5.0))))
   }
 
+  test("dsir exact stats: hand-computed per-(doc,bucket) integers; exact vs approx rankings diverge on a skewed profile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir-exact").toString
+    import spark.implicits._
+    // Four special bigrams, verified to land in four distinct buckets:
+    //   "xa xb", "xb xc" (doc X's) — fillers set t=3, r=9 each (ratio 4/10)
+    //   "ya yb"          (doc Y's) — fillers set t=7, r=8      (ratio 8/9)
+    //   "yb yc"          (doc Y's) — fillers set t=0, r=8      (ratio 1/9)
+    // Doc X: uniform moderate ratios; doc Y: one near-1 ratio + one tiny.
+    // The summed form (arithmetic in counts) ranks Y above X
+    // (8/17 > 7/19); the product form (geometric in ratios) ranks X
+    // above Y (2·ln 0.4 = −1.833 > ln(8/9)+ln(1/9) = −2.315) — the
+    // skewed-profile divergence dsirWeights' fidelity note concedes.
+    val fillers =
+      Seq.fill(3)("xa xb" -> "src0") ++ Seq.fill(5)("xa xb" -> "src9") ++
+      Seq.fill(3)("xb xc" -> "src0") ++ Seq.fill(5)("xb xc" -> "src9") ++
+      Seq.fill(7)("ya yb" -> "src0") ++ Seq.fill(7)("yb yc" -> "src9")
+    val docs = Seq((1L, "xa xb xc", "src9"), (2L, "ya yb yc", "src9")) ++
+      fillers.zipWithIndex.map { case ((t, s), i) => (10L + i, t, s) }
+    docs.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    // sufficient statistics: totals T=13, R=34 ride every row
+    val stats = Sampling.dsirExactStats(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val byDoc = stats.groupBy(_._1)
+    assert(byDoc(1L).map(t => (t._2, t._3, t._4)).sorted.toSeq ===
+      Seq((1L, 3L, 9L), (1L, 3L, 9L)))
+    assert(byDoc(2L).map(t => (t._2, t._3, t._4)).sorted.toSeq ===
+      Seq((1L, 0L, 8L), (1L, 7L, 8L)))
+    assert(stats.forall(t => t._5 === 13L && t._6 === 34L))
+
+    val w = Sampling.dsirExactWeights(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val (xa, xe) = w(1L)
+    val (ya, ye) = w(2L)
+    assert(xa === 7.0 / 19.0 && ya === 8.0 / 17.0)
+    // the constructed divergence: approx says Y, exact says X
+    assert(ya > xa && xe > ye)
+    val const = 2.0 * (math.log(34.0 + 1024.0) - math.log(13.0 + 1024.0))
+    assert(math.abs(xe - (2.0 * math.log(0.4) + const)) < 1e-9)
+    assert(math.abs(ye - (math.log(8.0 / 9.0) + math.log(1.0 / 9.0) + const)) < 1e-9)
+  }
+
+  test("dsir exact weights: approx column is bit-identical to dsirWeights; log fold matches first principles on real data") {
+    val exact = Sampling.dsirExactWeights(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Sampling.dsirWeights(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(approx.nonEmpty && approx.length === exact.size)
+    approx.foreach { case (id, nbg, wt) =>
+      assert(exact(id)._1 === nbg)
+      assert(exact(id)._2 === wt) // integer sums → one division: bit-identical
+    }
+    // recompute the log fold from the oracled integer stats in plain Scala
+    val stats = Sampling.dsirExactStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val b = Sampling.DsirBuckets.toDouble
+    stats.groupBy(_._1).foreach { case (id, rows) =>
+      val n = rows.map(_._2).sum.toDouble
+      val ratio = rows.map(t =>
+        t._2 * (math.log(t._3 + 1.0) - math.log(t._4 + 1.0))).sum
+      val expect = ratio +
+        n * (math.log(rows.head._6 + b) - math.log(rows.head._5 + b))
+      assert(math.abs(exact(id)._3 - expect) < 1e-9, s"doc $id")
+    }
+  }
+
   test("cluster-safe split: zero near-dup pairs straddle splits; singletons keep splitAssign's split") {
     import org.apache.spark.sql.functions._
     val safe = Sampling.splitClusterSafe(spark, dir)
