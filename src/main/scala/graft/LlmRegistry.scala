@@ -34,6 +34,8 @@ object LlmRegistry {
     "bpe_train" -> ((s: SparkSession, d: String) => BpeTrain.bpeTrain(s, d)),
     "bpe_encode" -> ((s: SparkSession, d: String) => BpeTrain.bpeEncode(s, d)),
     "bpe_apply" -> ((s: SparkSession, d: String) => BpeTrain.bpeApply(s, d)),
+    "pipeline_bpe_fertility" ->
+      ((s: SparkSession, d: String) => BpeTrain.bpeFertility(s, d)),
     "text_pii_redact" -> (TextAnalysis.piiRedact _),
     "vocab_build" -> (TextAnalysis.vocabBuild _),
     "tokens_to_ids" -> (TextAnalysis.tokensToIds _),
@@ -643,6 +645,9 @@ object LlmRegistry {
     "bpe_train" -> BpeTrain.sqlBpeTrain(toks),
     "bpe_encode" -> BpeTrain.sqlBpeEncode(toks),
     "bpe_apply" -> BpeTrain.sqlBpeApply(toks),
+    // fertility of the engine's trained BPE next to the regex proxy;
+    // integer sums, one double division each at the edge
+    "pipeline_bpe_fertility" -> BpeTrain.sqlBpeFertility(toks),
     // seeded dirty text (decomposed accents, controls, space runs) +
     // NFC canonicalization — both from the SAME TextAnalysis twins
     "text_normalize" ->

@@ -139,6 +139,48 @@ object BpeTrain {
       .select($"doc_id", $"pos", $"word", $"pieces", $"n_pieces")
   }
 
+  /** `pipeline_bpe_fertility`: per-source tokenizer fertility measured
+    * with the engine's ACTUAL trained BPE, next to the regex-proxy
+    * number [[TextAnalysis.sourceFertility]] reports. The proxy is a
+    * cheap single-pass column; a mix decision reading "how much does
+    * the tokenizer fragment this source" should read the trained
+    * tokenizer's fertility — this query reports both side by side so
+    * the proxy's error is itself visible per source.
+    *
+    * Exact BIGINT sums; the two ratios are one double division each at
+    * the edge (cross-engine bit-identical). `n_tokens` is the same
+    * whitespace-token count on both sides: the vocabulary is built from
+    * this corpus's distinct tokens, so the broadcast join is lossless.
+    *
+    * Scale shape: the [[bpeApply]] split — K merge rounds over the
+    * vocabulary-sized word-frequency table, then the encoded vocab
+    * (vocab-sized, kilobytes here) BROADCASTS onto the corpus token
+    * stream; the stream side is one narrow explode + hash aggregate on
+    * the bounded source key. The proxy side is one more narrow
+    * projection + the same bounded aggregate. No corpus-sized shuffle
+    * anywhere.
+    */
+  def bpeFertility(spark: SparkSession, dir: String,
+      merges: Int = DefaultMerges): DataFrame = {
+    val vocab = bpeEncode(spark, dir, merges).select($"word", $"n_pieces")
+    val bpe = documents(spark, dir)
+      .select($"source", explode(TextAnalysis.tokens($"text")).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"), sum($"n_pieces").as("n_bpe_pieces"))
+    val proxy = documents(spark, dir)
+      .select($"source",
+        size(expr(s"regexp_extract_all(lower(text), '${TextAnalysis.piecePattern}', 0)"))
+          .cast("bigint").as("p"))
+      .groupBy($"source").agg(sum($"p").as("n_regex_pieces"))
+    bpe.join(proxy, Seq("source"))
+      .select($"source", $"n_tokens", $"n_bpe_pieces", $"n_regex_pieces",
+        ($"n_bpe_pieces".cast("double") / $"n_tokens".cast("double"))
+          .as("bpe_pieces_per_token"),
+        ($"n_regex_pieces".cast("double") / $"n_tokens".cast("double"))
+          .as("regex_pieces_per_token"))
+  }
+
   // ---- DuckDB twin ------------------------------------------------------
 
   private def sqlPairs(wordsCte: String): String =
@@ -187,6 +229,29 @@ object BpeTrain {
        |  CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_pieces,
        |  freq
        |FROM w$merges ORDER BY word""".stripMargin
+
+  /** DuckDB twin of [[bpeFertility]]: same unrolled merge stages, same
+    * broadcast-shaped vocab join, same proxy pattern.
+    */
+  def sqlBpeFertility(toksExpr: String, merges: Int = DefaultMerges): String =
+    s"""WITH ${sqlStages(toksExpr, merges)},
+       |vocab AS (SELECT word,
+       |  CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_pieces
+       |  FROM w$merges),
+       |stream AS (SELECT source, unnest($toksExpr) AS word FROM documents),
+       |bpe AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(v.n_pieces) AS BIGINT) AS n_bpe_pieces
+       |  FROM stream s JOIN vocab v USING (word) GROUP BY 1),
+       |proxy AS (SELECT source,
+       |    CAST(sum(len(regexp_extract_all(lower(text), '${TextAnalysis.piecePattern}'))) AS BIGINT)
+       |      AS n_regex_pieces
+       |  FROM documents GROUP BY 1)
+       |SELECT source, n_tokens, n_bpe_pieces, n_regex_pieces,
+       |  CAST(n_bpe_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    AS bpe_pieces_per_token,
+       |  CAST(n_regex_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    AS regex_pieces_per_token
+       |FROM bpe JOIN proxy USING (source) ORDER BY source""".stripMargin
 
   /** DuckDB twin of [[bpeApply]]. */
   def sqlBpeApply(toksExpr: String, merges: Int = DefaultMerges): String =

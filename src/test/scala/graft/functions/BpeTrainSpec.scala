@@ -53,4 +53,28 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(freqs == freqs.sorted.reverse,
       s"max pair frequency must be non-increasing across rounds: $freqs")
   }
+
+  test("bpe fertility: reconciles with bpeApply per source; proxy sits alongside, not equal") {
+    val dir = "/root/testdata/sf0.001"
+    val fert = BpeTrain.bpeFertility(spark, dir, merges = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    // the BPE numbers must be exactly what the apply stream sums
+    val applied = BpeTrain.bpeApply(spark, dir, merges = 4)
+      .join(graft.Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("t"), sum(col("n_pieces")).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fert.keySet === applied.keySet)
+    fert.foreach { case (src, (t, bp, rp, bppt, rppt)) =>
+      assert((t, bp) === applied(src), s"source $src")
+      assert(bppt === bp.toDouble / t.toDouble)
+      assert(rppt === rp.toDouble / t.toDouble)
+      // trained BPE with few merges fragments harder than the proxy —
+      // the point of reporting both is that they differ measurably
+      assert(bp !== rp, s"source $src: proxy equals BPE, nothing to compare")
+    }
+  }
 }
