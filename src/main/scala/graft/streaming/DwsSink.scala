@@ -54,6 +54,29 @@ object DwsSink {
       }.start()
   }
 
+  /** Relax Spark's static stateful-operator correctness gate around ONE
+    * query start — the shared discipline of [[FunnelStream.serveCounts]],
+    * [[RetentionStream.serveCells]] and [[NearDupStream.serveCensus]]:
+    * each runs an unwatermarked, window-free aggregate downstream of a
+    * stateful operator, where no drained row can be dropped as late, but
+    * the static gate flags ANY stateful chain. NOT atomic: the setting
+    * is session-global, so a concurrently STARTING streaming query in
+    * the same session can observe the relaxed value (running queries are
+    * unaffected — the gate is start-time-only). Callers who start
+    * queries concurrently should scope via `spark.newSession()`.
+    */
+  private[streaming] def withRelaxedCorrectnessGate[T](
+      spark: org.apache.spark.sql.SparkSession)(start: => T): T = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try start
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Read the maintained store back as typed columns. */
   def read(spark: org.apache.spark.sql.SparkSession, storeDir: String,
       table: String, cols: Seq[String]): DataFrame =

@@ -127,19 +127,14 @@ object FunnelStream {
     * unwatermarked and window-free, so there is no late-row predicate
     * to drop the drained reaches. The check is disabled for THIS query
     * start only (analysis happens synchronously inside `start()`) and
-    * the previous setting restored.
+    * the previous setting restored —
+    * [[DwsSink.withRelaxedCorrectnessGate]], shared with the retention
+    * and near-dup-census families.
     */
   def serveCounts(reaches: Dataset[StepReach], storeDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = reaches.sparkSession
-    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try DwsSink.maintain(stepCounts(reaches), storeDir, "funnel",
-      keyCols = Seq("step"), checkpoint = checkpoint)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    DwsSink.withRelaxedCorrectnessGate(reaches.sparkSession) {
+      DwsSink.maintain(stepCounts(reaches), storeDir, "funnel",
+        keyCols = Seq("step"), checkpoint = checkpoint)
     }
-  }
 }

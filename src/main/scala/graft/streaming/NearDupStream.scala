@@ -135,4 +135,107 @@ object NearDupStream {
   def nearDups(docs: DataFrame): DataFrame =
     candidates(bandHits(docs)).toDF()
       .select($"doc_id", $"dup_of")
+
+  // ---- near-dup census: cluster-size cells served through DwsSink ------
+
+  /** Per-band state for the census fold: owner (first doc in EVENT
+    * time), newest hit ts, members already emitted (capped), and the
+    * held not-yet-drained buffer.
+    */
+  case class CensusState(owner: Long, maxTs: Long, seen: List[Long],
+      buffer: List[BandHit])
+
+  /** Watermark-bounded (band, bandsig)-keyed fold — the
+    * [[RetentionStream]] discipline applied to band ownership: hits
+    * newer than the current watermark are held in state and folded only
+    * once the watermark passes them, so each band's hits are consumed
+    * in global EVENT-TIME order across micro-batches and the owner is
+    * the event-time-first document (ties → min doc_id) — a pure
+    * function of the closed input, unlike [[candidates]]' stored-owner-
+    * wins contract, which is arrival-order-dependent by design (flag
+    * fast, never revise). Determinism is what lets the census cells
+    * claim batch parity: on a batch Dataset the same operator folds
+    * everything in one ordered pass — the batch twin is the operator
+    * itself.
+    *
+    * Each (band, member) pair emits at most once ([[BandWidthCap]]
+    * members per band, the usual boilerplate-signature guard); a doc
+    * colliding with the same owner on SEVERAL bands emits one pair per
+    * band — [[censusCells]] dedups cross-band before counting.
+    */
+  def memberPairs(hits: Dataset[BandHit]): Dataset[Candidate] = {
+    val streaming = hits.isStreaming
+    implicit val censusEnc: org.apache.spark.sql.Encoder[CensusState] =
+      org.apache.spark.sql.Encoders.product[CensusState]
+    hits
+      .groupByKey(h => (h.band, h.bandsig))
+      .flatMapGroupsWithState[CensusState, Candidate](
+        OutputMode.Append(),
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state: GroupState[CensusState]) =>
+          val st0 = state.getOption.getOrElse(
+            CensusState(Long.MinValue, Long.MinValue, Nil, Nil))
+          if (state.hasTimedOut && st0.buffer.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+            val (ready, hold) = (st0.buffer ++ rows).partition(_.ts <= wm)
+            var owner = st0.owner
+            var maxTs = st0.maxTs
+            val seen = scala.collection.mutable.LinkedHashSet(st0.seen: _*)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+            ready.sortBy(h => (h.ts, h.doc_id)).foreach { h =>
+              if (h.ts > maxTs) maxTs = h.ts
+              if (owner == Long.MinValue) owner = h.doc_id
+              else if (h.doc_id != owner && !seen(h.doc_id) &&
+                  seen.size < BandWidthCap) {
+                seen += h.doc_id
+                out += Candidate(h.doc_id, owner, band)
+              }
+            }
+            state.update(CensusState(owner, maxTs, seen.toList, hold))
+            if (streaming) {
+              // held hits must drain even if the band never collides
+              // again; otherwise slide the TTL off the newest hit
+              state.setTimeoutTimestamp(
+                if (hold.nonEmpty) state.getCurrentWatermarkMs() + 1
+                else math.max(state.getCurrentWatermarkMs() + 1,
+                  maxTs + StateTtlMs))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Update-mode cluster-size cells over [[memberPairs]] — the frame
+    * [[DwsSink.maintain]] serves, keyed by the owning document. The
+    * cross-band `dropDuplicates` makes each (member, owner) pair count
+    * once however many bands it collides on; its state is bounded by
+    * the number of DISTINCT near-dup pairs (the census's own
+    * cardinality, never the hit stream's). `cluster_size` counts the
+    * owner itself, so a served cell reads as the cluster's total
+    * membership — the streaming twin of the batch
+    * `dedup_cluster_size_hist` input frame.
+    */
+  def censusCells(docs: DataFrame): DataFrame =
+    memberPairs(bandHits(docs)).toDF()
+      .dropDuplicates("doc_id", "dup_of")
+      .groupBy($"dup_of".as("owner"))
+      .agg((count(lit(1)) + 1L).as("cluster_size"))
+      .select($"owner", $"cluster_size")
+
+  /** Start maintaining the near-dup census in the DWS serving store,
+    * keyed by owner. Same relaxed-gate rationale as the funnel and
+    * retention families: every operator downstream of the state fold is
+    * unwatermarked and window-free, so no drained row can be dropped as
+    * late.
+    */
+  def serveCensus(docs: DataFrame, storeDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    DwsSink.withRelaxedCorrectnessGate(docs.sparkSession) {
+      DwsSink.maintain(censusCells(docs), storeDir, "neardup_census",
+        keyCols = Seq("owner"), checkpoint = checkpoint)
+    }
 }

@@ -121,16 +121,9 @@ object RetentionStream {
     * start only.
     */
   def serveCells(actives: Dataset[DayActive], storeDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = actives.sparkSession
-    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try DwsSink.maintain(cellCounts(actives), storeDir, "retention",
-      keyCols = Seq("cohort", "day_offset"), checkpoint = checkpoint)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    DwsSink.withRelaxedCorrectnessGate(actives.sparkSession) {
+      DwsSink.maintain(cellCounts(actives), storeDir, "retention",
+        keyCols = Seq("cohort", "day_offset"), checkpoint = checkpoint)
     }
-  }
 }

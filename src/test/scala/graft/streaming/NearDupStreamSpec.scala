@@ -98,4 +98,86 @@ class NearDupStreamSpec extends AnyFunSuite {
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((11L, 10L)))
   }
+
+  // ---- census family ------------------------------------------------
+
+  private val Hour = 3600000L
+  private val near = base.replace("lazy", "sleepy")
+  private val other = "a completely different tiny document about database " +
+    "engines and storage formats with columnar layouts and vectorized execution"
+
+  /** Streamed census must equal the batch twin on the same closed input,
+    * however the arrival is batched — including an out-of-order arrival
+    * where the EVENT-time-first doc lands in a later micro-batch (the
+    * watermark-bounded fold holds newer hits until the older one is
+    * consumed; candidates' stored-owner-wins rule would disagree here).
+    */
+  test("census cells: streamed multi-batch run has exact batch parity under out-of-order arrival") {
+    import spark.implicits._
+    val docs = Seq(
+      D(5, base, t0 + 10 * 60000), // event-time FIRST of the base family
+      D(1, base, t0 + 20 * 60000),
+      D(3, near, t0 + 30 * 60000),
+      D(2, other, t0 + 15 * 60000),
+      D(4, other, t0 + 40 * 60000))
+    val expect = NearDupStream.censusCells(docs.toDF())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the base family must have owner 5 (event-time first), and the
+    // copies must have collapsed cross-band to ONE membership each
+    assert(expect(5L) === 3L, expect)
+    assert(expect(2L) === 2L, expect)
+    assert(expect.keySet === Set(5L, 2L))
+
+    val work = java.nio.file.Files.createTempDirectory("neardup-census").toString
+    val ms = MemoryStream[D](enc, spark)
+    val q = NearDupStream.serveCensus(ms.toDF(), s"$work/store", s"$work/ckpt")
+    try {
+      // doc 1 ARRIVES first; doc 5 (earlier ts, within the 1 h horizon)
+      // arrives a batch later — the fold must still crown 5 the owner
+      ms.addData(docs(1))
+      q.processAllAvailable()
+      ms.addData(docs(0), docs(3))
+      q.processAllAvailable()
+      ms.addData(docs(2), docs(4))
+      q.processAllAvailable()
+      ms.addData(D(99, "watermark sentinel advancing far ahead", t0 + 48 * Hour))
+      q.processAllAvailable()
+      val got = DwsSink.read(spark, s"$work/store", "neardup_census",
+          Seq("owner", "cluster_size"))
+        .collect().map(r => r.getString(0).toLong -> r.getString(1).toLong).toMap
+      assert(got === expect)
+    } finally q.stop()
+  }
+
+  test("census cells survive checkpoint restart without double counting") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("neardup-census-rs").toString
+    val ms = MemoryStream[D](enc, spark)
+    def start() = NearDupStream.serveCensus(ms.toDF(), s"$work/store", s"$work/ckpt")
+    def stored(): Map[Long, Long] =
+      DwsSink.read(spark, s"$work/store", "neardup_census",
+          Seq("owner", "cluster_size"))
+        .collect().map(r => r.getString(0).toLong -> r.getString(1).toLong).toMap
+
+    val q1 = start()
+    try {
+      ms.addData(D(1, base, t0), D(2, base, t0 + 1000))
+      q1.processAllAvailable()
+      ms.addData(D(50, "drain sentinel one two three", t0 + 3 * Hour))
+      q1.processAllAvailable()
+      assert(stored() === Map(1L -> 2L))
+    } finally q1.stop()
+
+    // restart on the same checkpoint: a third copy extends the SAME
+    // cluster (owner state recovered), the earlier membership must not
+    // recount, and a re-sent exact copy of doc 2 must not inflate
+    val q2 = start()
+    try {
+      ms.addData(D(3, base, t0 + 4 * Hour), D(2, base, t0 + 5 * Hour))
+      q2.processAllAvailable()
+      ms.addData(D(51, "second drain sentinel four five six", t0 + 12 * Hour))
+      q2.processAllAvailable()
+      assert(stored() === Map(1L -> 3L))
+    } finally q2.stop()
+  }
 }
