@@ -115,9 +115,15 @@ object LshBucketKernel {
   * method past the JIT's compilable-method budget and the whole stage
   * drops to interpreted bytecode (measured 4.4 s for a 20k-row bucket
   * projection; this kernel computes the identical values in one
-  * pre-compiled loop nest). Values are bit-identical, so the generated
-  * DuckDB oracle SQL (which replays the same weight stream as list
-  * literals) is unchanged.
+  * pre-compiled loop nest). Values are bit-identical FOR NON-NULL
+  * INPUTS, so the generated DuckDB oracle SQL (which replays the same
+  * weight stream as list literals) is unchanged. NULL semantics differ
+  * from the composed form deliberately: a NULL vector returns NULL
+  * (standard UnaryExpression propagation, pinned by ArrayOpsSpec),
+  * where the per-plane `when(dot > 0, …).otherwise(0)` composition
+  * mapped NULL to bucket 0 — a silent all-NULLs-collide bucket. The
+  * engine's quantized vectors are never null; SQL callers of the
+  * registered function get the honest NULL.
   */
 case class LshBucketPack(child: Expression, numTables: Int, planesPerTable: Int)
     extends UnaryExpression with ExpectsInputTypes {
