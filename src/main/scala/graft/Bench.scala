@@ -45,6 +45,15 @@ object Bench {
       runOnce(name, fn, "warm")
       spark.catalog.clearCache()
     }
+    // Honest fixpoint accounting: the warm pass pins the Materialize
+    // artifacts (cluster map, k-NN graph), and the between-query
+    // clearCache() deliberately does not evict them — so without this,
+    // the measured region would charge the fixpoint builds to ZERO
+    // queries. Dropping them here makes the FIRST measured consumer pay
+    // each build exactly once — the cost a real pipeline pays when it
+    // materializes the artifact one time — while later consumers still
+    // show the shared-read cost.
+    Materialize.invalidate(spark)
     val results = sorted.map { case (name, fn) =>
       // GC barrier: without it, garbage from the PREVIOUS query's
       // measurement (HLL register arrays, shuffle buffers, broadcast

@@ -1,6 +1,7 @@
 package graft
 
 import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped shared materialization of expensive FIXPOINT artifacts
@@ -17,52 +18,138 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * truncated — the same mechanism the fixpoint loops already use per
   * round); every later consumer's plan starts from the checkpointed leaf
   * relation with ZERO of the clustering/candidate-join shuffles
-  * (contract pinned by PlanShapeSpec). Keyed by (session, data dir,
-  * artifact name), so different sessions, corpora, or tests never share.
+  * (contract pinned by PlanShapeSpec). Keyed by (per-session-instance
+  * UUID, data dir, artifact name), so different sessions, corpora, or
+  * tests never share — each session instance draws a fresh UUID, unlike
+  * `identityHashCode`, whose values can collide between live sessions and
+  * be REUSED after a session is garbage-collected (a new session could be
+  * handed a dead session's frame whose checkpoint blocks are gone).
   *
-  * Deliberate properties:
-  *   - NOT `spark.catalog` cache: `clearCache()` between unrelated
-  *     queries (the bench/verify teardown, and any operator's own
-  *     cache hygiene) must not evict a corpus-level artifact that is
-  *     valid for the whole session.
-  *   - Storage is bounded and corpus-row-shaped (one row per doc /
-  *     per edge of the sparse k-NN graph), never quadratic; at cluster
-  *     scale the same artifacts are what a production pipeline writes
-  *     to a table between stages. On executor loss `localCheckpoint`
-  *     blocks recompute from lineage-truncated parents; a multi-hour
-  *     production run would flip to reliable `checkpoint`/a table —
-  *     identical plan shape (see [[graft.functions.GraphRank]] scaladoc).
-  *   - [[invalidate]] drops a session's entries (tests; or a caller
-  *     that mutated the underlying corpus dir mid-session). Entries die
-  *     with the session: the map holds the only reference, and Spark's
-  *     ContextCleaner reclaims the blocks once dropped.
+  * Concurrency: shared builders NEST (the cluster map consumes the shared
+  * pair set; the component map consumes the shared undirected graph,
+  * which consumes the shared k-NN graph). `ConcurrentHashMap` forbids a
+  * mapping function that updates other keys of the same map — it can
+  * throw `IllegalStateException("Recursive update")` or livelock when
+  * the keys land in the same bin. So `computeIfAbsent` only ever inserts
+  * an UNFORCED lazy holder; the build (and any nested [[shared]] call it
+  * makes) runs after the map operation returns. Builds must be acyclic
+  * in their [[shared]] dependencies — they are: pairs ← clusters,
+  * graph ← undirected ← components — which also makes the per-holder
+  * lazy-val monitors deadlock-free under concurrent forcing.
+  *
+  * Staleness: the holder records the data dir's newest mtime at pin
+  * time; a later call that observes a different stamp drops the pinned
+  * frame and rebuilds (a caller that mutates the corpus dir mid-session
+  * gets fresh artifacts, not silently stale ones). Non-local URIs
+  * (`hdfs://`, `s3://`) stamp as 0 and the guard degrades to
+  * never-invalidate — there the corpus dir is an immutable snapshot by
+  * pipeline contract, exactly like the inter-stage tables a production
+  * run writes.
+  *
+  * Lifecycle — stated precisely, because the map is STATIC: an entry is
+  * held strongly until (a) [[invalidate]] is called for its session,
+  * (b) its dir-stamp check fails, or (c) the owning SparkContext stops
+  * (an application-end listener, installed once per context, clears the
+  * map). Entries do NOT become collectable merely because a session
+  * object is dropped — the pinned DataFrame itself references its
+  * session, so no weak-keying scheme can reclaim them. A driver that
+  * creates many short-lived sessions over the same context
+  * (`spark.newSession()` per job) must therefore call [[invalidate]]
+  * when a job's session retires, or its checkpoint blocks stay on
+  * executors until the application ends.
+  *
+  * Storage is bounded and corpus-row-shaped (one row per doc / per edge
+  * of the sparse k-NN graph), never quadratic; at cluster scale the same
+  * artifacts are what a production pipeline writes to a table between
+  * stages. On executor loss `localCheckpoint` blocks recompute from
+  * lineage-truncated parents; a multi-hour production run would flip to
+  * reliable `checkpoint`/a table — identical plan shape (see
+  * [[graft.functions.GraphRank]] scaladoc). Deliberately NOT
+  * `spark.catalog` cache: `clearCache()` between unrelated queries (the
+  * bench/verify teardown, any operator's own cache hygiene) must not
+  * evict a corpus-level artifact that is valid for the whole session.
   */
 object Materialize {
-  private val memo = new ConcurrentHashMap[String, DataFrame]()
 
-  private def sessionKey(spark: SparkSession): String =
-    // identity, not appName: two concurrent sessions must not share
-    System.identityHashCode(spark).toHexString
+  /** One artifact slot. The checkpoint is built by forcing [[df]] — i.e.
+    * AFTER the `computeIfAbsent` that inserted the holder has returned —
+    * never inside the mapping function (see scaladoc above).
+    */
+  private final class Holder(val dirStamp: Long, build: () => DataFrame) {
+    lazy val df: DataFrame = build()
+  }
+
+  private val memo = new ConcurrentHashMap[String, Holder]()
+  // one application-end cleaner per SparkContext (keyed by applicationId)
+  private val cleanerInstalled = new ConcurrentHashMap[String, java.lang.Boolean]()
+
+  // Identity-keyed UUID per session INSTANCE (SparkSession doesn't
+  // override equals, so WeakHashMap hashing is identity hashing here —
+  // but unlike a raw identityHashCode key, two live sessions can never
+  // collide and a GC'd session's id is never reissued: a new instance
+  // always draws a fresh UUID). Values are plain strings with no
+  // back-reference to the key, so a retired session's registry entry
+  // really is collectable. The abstract sql.SparkSession API exposes no
+  // session UUID, hence this registry instead of a cast to the classic
+  // implementation class.
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def prefix(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString) + "|"
+
+  /** Newest mtime under `dir` (the dir itself or any direct child — file
+    * adds, deletes and rewrites all move it). 0 for non-local URIs.
+    */
+  private def dirStamp(dir: String): Long = {
+    val f = new java.io.File(dir)
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foldLeft(f.lastModified())((m, c) => math.max(m, c.lastModified()))
+  }
 
   /** The shared artifact `name` for (session, dir): built + pinned on
-    * first call, the checkpointed frame on every later call.
+    * first call, the checkpointed frame on every later call, rebuilt if
+    * the dir changed since pinning.
     */
   def shared(spark: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame =
-    memo.computeIfAbsent(s"${sessionKey(spark)}|$dir|$name",
-      _ => build.localCheckpoint(eager = true))
+      (build: => DataFrame): DataFrame = {
+    installCleaner(spark)
+    val key = prefix(spark) + dir + "|" + name
+    val stamp = dirStamp(dir)
+    def fresh = new Holder(stamp, () => build.localCheckpoint(eager = true))
+    var h = memo.computeIfAbsent(key, _ => fresh)
+    if (h.dirStamp != stamp) { // corpus dir mutated since pin: rebuild
+      memo.remove(key, h)
+      h = memo.computeIfAbsent(key, _ => fresh)
+    }
+    h.df // forced OUTSIDE any in-flight map mutation — nesting is safe
+  }
 
   /** Drop every artifact pinned for `spark` (all dirs). */
   def invalidate(spark: SparkSession): Unit = {
-    val prefix = sessionKey(spark) + "|"
-    memo.keySet.removeIf(_.startsWith(prefix))
+    val p = prefix(spark)
+    memo.keySet.removeIf(_.startsWith(p))
   }
 
   /** Artifact count for `spark` — test observability. */
   def pinnedCount(spark: SparkSession): Int = {
-    val prefix = sessionKey(spark) + "|"
+    val p = prefix(spark)
     var n = 0
-    memo.forEach((k, _) => if (k.startsWith(prefix)) n += 1)
+    memo.forEach((k, _) => if (k.startsWith(p)) n += 1)
     n
+  }
+
+  private def installCleaner(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    cleanerInstalled.computeIfAbsent(appId, _ => {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          memo.clear()
+          cleanerInstalled.remove(appId)
+        }
+      })
+      java.lang.Boolean.TRUE
+    })
   }
 }

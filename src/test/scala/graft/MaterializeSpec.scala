@@ -69,6 +69,68 @@ class MaterializeSpec extends AnyFunSuite {
     assert(viaShared == rebuilt)
   }
 
+  test("nested shared() builds are safe (build runs outside the map op)") {
+    // Shared builders nest in production (clusters ← pairs, components ←
+    // undirected ← graph). ConcurrentHashMap forbids mapping functions
+    // that update other keys of the same map — the old build-inside-
+    // computeIfAbsent shape could throw "Recursive update" whenever
+    // nested keys landed in the same bin. Many distinct key pairs so at
+    // least some share a bin regardless of table layout.
+    val s = spark.newSession()
+    (0 until 64).foreach { i =>
+      val outer = Materialize.shared(s, dir, s"nest_outer_$i") {
+        Materialize.shared(s, dir, s"nest_inner_$i")(
+          spark.range(3).toDF("v")).withColumn("w", lit(i))
+      }
+      assert(outer.count() === 3)
+    }
+    assert(Materialize.pinnedCount(s) === 128)
+    Materialize.invalidate(s)
+  }
+
+  test("sequential sessions never alias: each gets its own artifact") {
+    // identityHashCode keying could hand a new session a dead session's
+    // pinned frame after GC reuse; sessionUUID keying cannot. Proxy: two
+    // sequential sessions pin DIFFERENT builds under the same
+    // (dir, name) and each must see its own.
+    val s1 = spark.newSession()
+    val a1 = Materialize.shared(s1, dir, "alias_probe")(
+      spark.range(1).select(lit(1).as("tag")))
+    val s2 = spark.newSession()
+    val a2 = Materialize.shared(s2, dir, "alias_probe")(
+      spark.range(1).select(lit(2).as("tag")))
+    assert(a1.head.getInt(0) === 1)
+    assert(a2.head.getInt(0) === 2, "session 2 served session 1's artifact")
+    assert(!(a1 eq a2))
+    Materialize.invalidate(s1); Materialize.invalidate(s2)
+  }
+
+  test("mutating the corpus dir invalidates the pinned artifact") {
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "mat-stale").toFile
+    try {
+      val s = spark.newSession()
+      var builds = 0
+      def artifact = Materialize.shared(s, tmp.getPath, "stale_probe") {
+        builds += 1; spark.range(2).toDF("v")
+      }
+      artifact.count(); artifact.count()
+      assert(builds === 1, "unchanged dir must serve the pinned frame")
+      // mutate the dir: a new file with a strictly newer mtime (explicit,
+      // so coarse filesystem timestamp granularity can't mask the change)
+      val f = new java.io.File(tmp, "new-part.parquet")
+      f.createNewFile()
+      f.setLastModified(System.currentTimeMillis() + 10000)
+      artifact.count()
+      assert(builds === 2, "mutated dir must rebuild, not serve stale")
+      artifact.count()
+      assert(builds === 2, "rebuild must re-pin at the new stamp")
+      Materialize.invalidate(s)
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+  }
+
   test("artifacts are keyed per (session, dir); invalidate drops them") {
     val before = Materialize.pinnedCount(spark)
     assert(before > 0, "suite above must have pinned artifacts")
