@@ -12,7 +12,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 /** Native as-of join: for each left row, attach the LAST right row with
   * the same key whose ordering tuple is < (strict) or <= (inclusive) the
   * left row's — last-touch attribution, price-as-of-trade, etc. Left
-  * outer flavor: unmatched left rows keep nulls on the right.
+  * outer flavor by default: unmatched left rows keep nulls on the
+  * right; `dropUnmatched` gives the INNER flavor (unmatched left rows
+  * are dropped — DuckDB's ASOF JOIN default, pandas merge_asof +
+  * dropna). The inner flavor is also what the optimizer's
+  * EliminateOuterJoin legitimately produces from a LEFT marker join
+  * under a null-rejecting filter, so the SQL surface must plan it
+  * rather than reject its own documented workaround.
   *
   * This is the custom-operator tier of the engine (logical node →
   * strategy → physical exec, injected via [[GraftExtensions]] or
@@ -44,10 +50,15 @@ case class AsOfJoin(
     leftOrder: Seq[Expression],
     rightOrder: Seq[Expression],
     strict: Boolean,
-    tolerance: Option[Long]) extends BinaryNode {
+    tolerance: Option[Long],
+    dropUnmatched: Boolean = false) extends BinaryNode {
 
+  // inner flavor keeps the right side's original nullability (exactly
+  // Join(Inner)'s output contract, which the marker rewrite must
+  // preserve); outer flavor null-extends it
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (dropUnmatched) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   override lazy val resolved: Boolean =
     childrenResolved &&
@@ -63,8 +74,9 @@ case class AsOfJoin(
 /** Plans [[AsOfJoin]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lo, ro, strict, tol) =>
-      AsOfJoinExec(lk, rk, lo, ro, strict, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lo, ro, strict, tol, drop) =>
+      AsOfJoinExec(lk, rk, lo, ro, strict, tol, drop,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -80,11 +92,13 @@ case class AsOfJoinExec(
     rightOrder: Seq[Expression],
     strict: Boolean,
     tolerance: Option[Long],
+    dropUnmatched: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (dropUnmatched) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -112,6 +126,7 @@ case class AsOfJoinExec(
     val rOut = right.output
     val strictCmp = strict
     val tol = tolerance
+    val dropUnm = dropUnmatched
     val lk = leftKeys
     val rk = rightKeys
     val lo = leftOrder
@@ -141,6 +156,9 @@ case class AsOfJoinExec(
         private var rHead: InternalRow = _
         private var rHeadKey: InternalRow = _
         private var rHeadOrd: InternalRow = _
+        // one-row lookahead: under dropUnmatched the next OUTPUT row may
+        // be several left rows ahead, so hasNext must advance eagerly
+        private var pending: InternalRow = _
         private def advanceRight(): Unit = {
           if (rIter.hasNext) {
             rHead = rIter.next()
@@ -150,40 +168,50 @@ case class AsOfJoinExec(
         }
         advanceRight()
 
-        override def hasNext: Boolean = lIter.hasNext
-        override def next(): InternalRow = {
-          val lRow = lIter.next()
-          val lKey = lKeyProj(lRow)
-          val lOrd = lOrdProj(lRow)
-          // consume right rows whose (key, ord) is within this left
-          // row's bound; the last one becomes the candidate
-          var continue = rHead != null
-          while (continue) {
-            val kc = keyOrdering.compare(rHeadKey, lKey)
-            val within = kc < 0 || (kc == 0 && {
-              val oc = ordOrdering.compare(rHeadOrd, lOrd)
-              if (strictCmp) oc < 0 else oc <= 0
-            })
-            if (within) {
-              candidate = rHead.copy()
-              candidateKey = rHeadKey
-              candidateOrd = rHeadOrd
-              advanceRight()
-              continue = rHead != null
-            } else continue = false
-          }
-          val matched = candidate != null &&
-            keyOrdering.compare(candidateKey, lKey) == 0 &&
-            tol.forall { t =>
-              // candidate ord <= left ord by the merge invariant, so the
-              // true gap is >= 0; a wrapped (negative) difference means
-              // it exceeded Long range — farther than any tolerance
-              !lOrd.isNullAt(0) && !candidateOrd.isNullAt(0) && {
-                val gap = lOrd.getLong(0) - candidateOrd.getLong(0)
-                gap >= 0 && gap <= t
-              }
+        private def advance(): Unit = {
+          while (pending == null && lIter.hasNext) {
+            val lRow = lIter.next()
+            val lKey = lKeyProj(lRow)
+            val lOrd = lOrdProj(lRow)
+            // consume right rows whose (key, ord) is within this left
+            // row's bound; the last one becomes the candidate
+            var continue = rHead != null
+            while (continue) {
+              val kc = keyOrdering.compare(rHeadKey, lKey)
+              val within = kc < 0 || (kc == 0 && {
+                val oc = ordOrdering.compare(rHeadOrd, lOrd)
+                if (strictCmp) oc < 0 else oc <= 0
+              })
+              if (within) {
+                candidate = rHead.copy()
+                candidateKey = rHeadKey
+                candidateOrd = rHeadOrd
+                advanceRight()
+                continue = rHead != null
+              } else continue = false
             }
-          outProj(joined(lRow, if (matched) candidate else nullRight))
+            val matched = candidate != null &&
+              keyOrdering.compare(candidateKey, lKey) == 0 &&
+              tol.forall { t =>
+                // candidate ord <= left ord by the merge invariant, so the
+                // true gap is >= 0; a wrapped (negative) difference means
+                // it exceeded Long range — farther than any tolerance
+                !lOrd.isNullAt(0) && !candidateOrd.isNullAt(0) && {
+                  val gap = lOrd.getLong(0) - candidateOrd.getLong(0)
+                  gap >= 0 && gap <= t
+                }
+              }
+            if (matched) pending = outProj(joined(lRow, candidate))
+            else if (!dropUnm) pending = outProj(joined(lRow, nullRight))
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); pending != null }
+        override def next(): InternalRow = {
+          advance()
+          val out = pending
+          pending = null
+          out
         }
       }
     }

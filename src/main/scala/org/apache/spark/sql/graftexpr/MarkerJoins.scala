@@ -18,10 +18,12 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType}
   * [[GraftExtensions]] — rewrites the marked join into the scale-out
   * plan before physical planning:
   *
-  *   - `... FROM l LEFT JOIN r ON asof_match(lkeys, rkeys, lorder,
+  *   - `... FROM l [LEFT] JOIN r ON asof_match(lkeys, rkeys, lorder,
   *     rorder[, strict[, tolerance]])` → the native [[AsOfJoin]]
   *     (sort-merge as-of, [[AsOfJoinExec]]) — the operator a plain-SQL
   *     theta-join formulation would plan as a quadratic nested loop.
+  *     LEFT JOIN null-extends unmatched left rows; plain (INNER) JOIN
+  *     drops them (DuckDB's ASOF JOIN default).
   *     Multi-column keys/orders are passed as `struct(...)`; `strict`
   *     (default true) excludes equal order tuples; `tolerance` bounds
   *     the lookback on an integral primary order column.
@@ -56,6 +58,24 @@ abstract class JoinMarker extends Expression with CodegenFallback {
 /** `asof_match(lkeys, rkeys, lorder, rorder[, strict[, tolerance]])` —
   * see [[JoinMarker]]. Key/order groups are single columns or
   * `struct(...)` tuples; each must reference only its own join side.
+  *
+  * Extra ON conjuncts — DELIBERATELY NON-STANDARD semantics: a
+  * cross-side equality conjunct (`... AND to_date(l.ts) = to_date(r.ts)`)
+  * becomes an extra AS-OF KEY, i.e. it restricts WHICH right rows are
+  * candidates before the latest-not-after pick — it is NOT a standard
+  * ON-clause post-match filter. The difference is observable: with the
+  * key composition, a left row whose latest-overall match is on a
+  * different day still matches an EARLIER same-day right row; standard
+  * LEFT JOIN ON-filter semantics would instead null out the row. The
+  * key reading is the useful one for as-of (per-day attribution "within
+  * the partition defined by the equality"), matches the Scala
+  * `AsOf.join(keys...)` API exactly, and is what the DuckDB
+  * `ASOF JOIN ... ON a = b AND l.o >= r.o` oracle does; it is pinned by
+  * MarkerJoinsSpec ("cross-side equality composes as a KEY:
+  * earlier-same-day candidate wins"). Right-side-only conjuncts
+  * pre-filter the candidate set (same composition question does not
+  * arise). Anything else — left-side-only or non-equi cross-side — is
+  * rejected with guidance rather than silently reinterpreted.
   */
 case class AsOfMark(children: Seq[Expression]) extends JoinMarker {
   override def markerName: String = "asof_match"
@@ -113,19 +133,31 @@ case class RangeBinMark(point: Expression, lo: Expression, hi: Expression,
   * the engine's scale-out join plans. Runs in the user-optimizer batch
   * (after the main optimization batches), so both rewrites preserve the
   * join's output attributes exactly — attribute ids, order, and
-  * nullability (`LEFT JOIN` for as-of, `INNER` for range-bin) — and
-  * downstream operators resolve unchanged.
+  * nullability (`LEFT` or `INNER JOIN` for as-of, `INNER` for
+  * range-bin) — and downstream operators resolve unchanged.
   */
 object RewriteMarkerJoins extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val rewritten = plan.transform {
+    // transformWithSubqueries, not transform: this rule runs in the
+    // operator-optimization batches, BEFORE the optimizer's
+    // RewriteSubquery batch unnests EXISTS/IN/scalar subqueries — a
+    // marker join written inside one still lives in the subquery's own
+    // plan here, and a plain transform would neither rewrite it nor let
+    // the placement check below reject it (it would fall through to the
+    // misleading runtime "extensions not installed" error).
+    val rewritten = plan.transformWithSubqueries {
       case j @ Join(l, r, joinType, Some(cond), _)
           if splitConjunctivePredicates(cond).exists(_.isInstanceOf[AsOfMark]) =>
-        if (joinType != LeftOuter) throw new IllegalArgumentException(
-          s"asof_match joins must be LEFT OUTER (left rows kept, unmatched get " +
-            s"nulls) — got $joinType. Filter v-side nulls above the join for " +
-            "inner semantics.")
+        // LEFT OUTER (unmatched left rows null-extend) and INNER
+        // (unmatched left rows drop — DuckDB's ASOF JOIN default) both
+        // plan. INNER must plan rather than error: the optimizer's
+        // EliminateOuterJoin converts a LEFT marker join under a
+        // null-rejecting filter into exactly this shape.
+        if (joinType != LeftOuter && joinType != Inner)
+          throw new IllegalArgumentException(
+            s"asof_match joins must be LEFT OUTER (left rows kept, unmatched " +
+              s"get nulls) or INNER (unmatched left rows dropped) — got $joinType.")
         val conjuncts = splitConjunctivePredicates(cond)
         val (markers, rest) = conjuncts.partition(_.isInstanceOf[AsOfMark])
         require(markers.length == 1,
@@ -137,18 +169,23 @@ object RewriteMarkerJoins extends Rule[LogicalPlan] with PredicateHelper {
           "asof_match: key types must match pairwise")
         require(m.leftOrder.map(_.dataType) == m.rightOrder.map(_.dataType),
           "asof_match: order types must match pairwise")
-        // extra ON conjuncts compose two ways under as-of semantics:
+        // extra ON conjuncts compose under as-of semantics:
         //  - a cross-side equality narrows which right rows can match a
-        //    left row → it IS an extra as-of key pair;
+        //    left row → it IS an extra as-of key pair (candidate
+        //    restriction BEFORE the latest-not-after pick, deliberately
+        //    non-standard — see AsOfMark scaladoc);
         //  - a right-side-only predicate restricts the candidate set →
-        //    a pre-join filter on the right child.
-        // A left-side-only or non-equi cross-side conjunct cannot ride:
-        // under LEFT OUTER it decides match-vs-null per left row AFTER
-        // candidate selection, which the single-candidate merge pass
-        // cannot express — fail with the actual limitation (the runtime
-        // marker error would misleadingly blame missing extensions).
+        //    a pre-join filter on the right child;
+        //  - a left-side-only predicate: under INNER it pre-filters the
+        //    left child (identical semantics); under LEFT OUTER it
+        //    cannot ride — it decides match-vs-null per left row AFTER
+        //    candidate selection, which the single-candidate merge pass
+        //    cannot express — fail with the actual limitation (the
+        //    runtime marker error would misleadingly blame missing
+        //    extensions). Non-equi cross-side conjuncts never ride.
         import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
         val extraKeys = scala.collection.mutable.ArrayBuffer.empty[(Expression, Expression)]
+        val leftFilters = scala.collection.mutable.ArrayBuffer.empty[Expression]
         val rightFilters = scala.collection.mutable.ArrayBuffer.empty[Expression]
         rest.foreach {
           case EqualTo(a, b) if a.references.subsetOf(l.outputSet) &&
@@ -156,20 +193,29 @@ object RewriteMarkerJoins extends Rule[LogicalPlan] with PredicateHelper {
           case EqualTo(a, b) if b.references.subsetOf(l.outputSet) &&
               a.references.subsetOf(r.outputSet) => extraKeys += ((b, a))
           case p if p.references.subsetOf(r.outputSet) => rightFilters += p
+          case p if joinType == Inner &&
+              p.references.subsetOf(l.outputSet) => leftFilters += p
           case p => throw new IllegalArgumentException(
             s"asof_match: ON conjunct ${p.sql} cannot compose with the as-of " +
-              "join — only cross-side equalities (become extra as-of keys) and " +
+              "join — only cross-side equalities (become extra as-of KEYS: they " +
+              "restrict the candidate set BEFORE the latest-not-after pick, not " +
+              "a standard post-match ON filter — an earlier in-partition match " +
+              "wins where ON-filter semantics would yield NULL) and " +
               "right-side-only predicates (pre-filter the candidate set) are " +
-              "expressible; a left-side-only or non-equi cross-side predicate " +
-              "would change match-vs-null per left row. Apply it above the " +
-              "join (left-side predicates keep LEFT OUTER semantics there) or " +
-              "use the Scala AsOf.join API with a pre-filtered input.")
+              "expressible; under LEFT OUTER a left-side-only or non-equi " +
+              "cross-side predicate would change match-vs-null per left row. " +
+              "Apply it above the join (left-side predicates keep LEFT OUTER " +
+              "semantics there) or use the Scala AsOf.join API with a " +
+              "pre-filtered input.")
         }
+        val newLeft =
+          if (leftFilters.isEmpty) l else Filter(leftFilters.reduce(And), l)
         val newRight =
           if (rightFilters.isEmpty) r else Filter(rightFilters.reduce(And), r)
-        AsOfJoin(l, newRight,
+        AsOfJoin(newLeft, newRight,
           m.leftKeys ++ extraKeys.map(_._1), m.rightKeys ++ extraKeys.map(_._2),
-          m.leftOrder, m.rightOrder, m.strict, m.toleranceOpt)
+          m.leftOrder, m.rightOrder, m.strict, m.toleranceOpt,
+          dropUnmatched = joinType == Inner)
 
       case j @ Join(l, r, Inner, Some(cond), _)
           if splitConjunctivePredicates(cond).exists(_.isInstanceOf[RangeBinMark]) =>
@@ -185,12 +231,12 @@ object RewriteMarkerJoins extends Rule[LogicalPlan] with PredicateHelper {
     // with the placement contract instead of letting the unevaluable
     // marker reach runtime, whose error misleadingly suggests the
     // extensions aren't installed
-    rewritten.foreach { node =>
+    rewritten.foreachWithSubqueries { node =>
       node.expressions.foreach(_.foreach {
         case mk: JoinMarker => throw new IllegalArgumentException(
           s"${mk.markerName} must appear exactly once as a top-level AND " +
-            "conjunct of a JOIN ... ON condition (asof_match: LEFT JOIN; " +
-            s"range_bin_match: INNER JOIN) — found it inside a " +
+            "conjunct of a JOIN ... ON condition (asof_match: LEFT or INNER " +
+            s"JOIN; range_bin_match: INNER JOIN) — found it inside a " +
             s"${node.nodeName} node, where it cannot be rewritten " +
             "(markers under OR/NOT, in WHERE/SELECT, or on an unsupported " +
             "join type are not rewritable).")

@@ -52,11 +52,35 @@ class MarkerJoinsSpec extends AnyFunSuite {
     assert(m(4L) == null && m(5L) == null)
   }
 
-  test("asof_match SQL rejects non-left-outer joins loudly") {
+  test("asof_match INNER JOIN drops unmatched left rows (DuckDB ASOF default)") {
+    mkViews()
+    val got = spark.sql(
+      """SELECT t.trade_id, q.quote_id FROM mj_trades t JOIN mj_quotes q
+        |  ON asof_match(t.sym, q.qsym, t.t, q.qt, false)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same matches as the inclusive LEFT form, minus the null rows
+    assert(got === Map(1L -> 100L, 2L -> 101L, 3L -> 101L))
+  }
+
+  test("LEFT asof_match under a null-rejecting filter still plans (EliminateOuterJoin)") {
+    mkViews()
+    // the optimizer converts LEFT + WHERE right-col IS NOT NULL into an
+    // INNER marker join BEFORE the rewrite runs — the documented
+    // workaround for inner semantics must not error
+    val df = spark.sql(
+      """SELECT t.trade_id, q.quote_id FROM mj_trades t LEFT JOIN mj_quotes q
+        |  ON asof_match(t.sym, q.qsym, t.t, q.qt, false)
+        |WHERE q.quote_id IS NOT NULL""".stripMargin)
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 100L, 2L -> 101L, 3L -> 101L))
+  }
+
+  test("asof_match SQL rejects unsupported join types loudly") {
     mkViews()
     val e = intercept[Exception] {
       spark.sql(
-        """SELECT t.trade_id, q.quote_id FROM mj_trades t JOIN mj_quotes q
+        """SELECT t.trade_id, q.quote_id FROM mj_trades t RIGHT JOIN mj_quotes q
           |  ON asof_match(t.sym, q.qsym, t.t, q.qt)""".stripMargin).collect()
     }
     assert(e.getMessage != null && e.getMessage.contains("LEFT OUTER"),
@@ -113,6 +137,60 @@ class MarkerJoinsSpec extends AnyFunSuite {
     //   trade 5 (c): no c quotes -> null
     assert(got(1L) == null && got(2L) == 101L && got(3L) == 101L)
     assert(got(4L) == null && got(5L) == null)
+  }
+
+  test("cross-side equality composes as a KEY: earlier-same-day candidate wins") {
+    // Pins the DELIBERATE divergence from standard ON-filter semantics
+    // (documented on AsOfMark): `AND l.day = r.day` restricts the
+    // candidate set BEFORE the latest-not-after pick. Trade (day 5,
+    // t=20); quotes: 100 (day 5, qt=10) and 101 (day 6, qt=15). The
+    // latest-overall candidate is 101 — a standard post-match ON filter
+    // would test day(101)=6 vs 5, fail, and yield NULL. Key composition
+    // instead picks the latest SAME-DAY quote: 100.
+    Seq((1L, "a", 5L, 20L)).toDF("trade_id", "sym", "day", "t")
+      .createOrReplaceTempView("mj_day_trades")
+    Seq((100L, "a", 5L, 10L), (101L, "a", 6L, 15L))
+      .toDF("quote_id", "qsym", "qday", "qt")
+      .createOrReplaceTempView("mj_day_quotes")
+    val got = spark.sql(
+      """SELECT t.trade_id, q.quote_id FROM mj_day_trades t
+        |LEFT JOIN mj_day_quotes q
+        |  ON asof_match(t.sym, q.qsym, t.t, q.qt) AND t.day = q.qday""".stripMargin)
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(1) === 100L,
+      "equality must compose as an as-of key (earlier same-day match), " +
+        "not as a post-match filter (which would null the row)")
+  }
+
+  test("marker join inside an EXISTS subquery is rewritten, not left to runtime") {
+    mkViews()
+    val df = spark.sql(
+      """SELECT tr.trade_id FROM mj_trades tr WHERE EXISTS (
+        |  SELECT 1 FROM mj_trades t2 LEFT JOIN mj_quotes q
+        |    ON asof_match(t2.sym, q.qsym, t2.t, q.qt)
+        |  WHERE t2.trade_id = tr.trade_id AND q.quote_id IS NOT NULL)""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(df.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("misplaced marker inside a subquery gets the placement error, not the runtime one") {
+    mkViews()
+    // marker under OR, inside an EXISTS: neither rewritable nor allowed
+    // — the validation must descend into the subquery plan and name the
+    // placement contract instead of the misleading extensions error
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT tr.trade_id FROM mj_trades tr WHERE EXISTS (
+          |  SELECT 1 FROM mj_trades t2 LEFT JOIN mj_quotes q
+          |    ON asof_match(t2.sym, q.qsym, t2.t, q.qt) OR t2.t > 100
+          |  WHERE t2.trade_id = tr.trade_id)""".stripMargin).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("top-level AND conjunct"),
+      s"unexpected: ${e.getMessage}")
+    assert(!e.getMessage.contains("Install the engine extensions"),
+      "must not misleadingly blame missing extensions")
   }
 
   test("asof_match with a left-only extra conjunct names the real limitation") {
