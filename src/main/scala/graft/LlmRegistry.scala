@@ -117,6 +117,7 @@ object LlmRegistry {
     "sample_split_cluster_safe" -> (Sampling.splitClusterSafe _),
     "pipeline_train_manifest" -> (CorpusPipeline.trainManifest _),
     "llm_sql_surface" -> (Dedup.sqlSurface _),
+    "llm_sql_surface_remove" -> (Dedup.sqlSurfaceRemove _),
     "eval_source_drift" -> (Sampling.sourceDrift _),
     "sample_stratified" -> (Sampling.stratified _),
     "sample_weighted" -> (Sampling.weightedSample _),
@@ -1143,6 +1144,8 @@ object LlmRegistry {
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_substring_spans" -> Dedup.sqlSubstringSpans,
     "dedup_substring_remove" -> Dedup.sqlSubstringSpanRemove,
+    // SQL-text-only removal surface: value-identical pass, same oracle
+    "llm_sql_surface_remove" -> Dedup.sqlSubstringSpanRemove,
     // first-occurrence attribution: min doc_id per shingle, joined back
     "text_ngram_novelty" ->
       s"""WITH sh AS (${Dedup.sqlShingles}),

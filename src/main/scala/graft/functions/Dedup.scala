@@ -943,6 +943,79 @@ object Dedup {
     * total. Scale shape: one narrow projection over the scan — every
     * kernel is per-row codegen; no explode, no shuffle.
     */
+  /** `llm_sql_surface_remove`: the Lee-et-al substring-removal REWRITE
+    * ([[substringSpanRemoveOf]]) driven by SQL TEXT ALONE — one
+    * `spark.sql` string over a temp view, so a SQL-first consumer can
+    * run the full exact-substring dedup pipeline (fingerprint →
+    * ownership → span merge → document rebuild) with no Scala imports.
+    * Tokens/fingerprints come from the registered kernels
+    * (`word_shingles`, `md5_prefix60`); everything else is ANSI-ish
+    * Spark SQL (posexplode, struct-min ownership, gaps-and-islands
+    * windows, sequence explode, order-preserving rebuild via
+    * array_sort(collect_list(struct))).
+    *
+    * Value-identical to `dedup_substring_remove` (same oracle SQL); the
+    * plan shape is pinned by PlanShapeSpec — the SHUFFLE_HASH hints on
+    * the fp-keyed and rebuild joins survive the text round-trip, and no
+    * nested-loop/cartesian join may appear. Scale shape identical to
+    * the Scala form: bounded fp-keyed aggregate, removed-positions ≤
+    * corpus words, one doc-keyed rebuild.
+    */
+  def sqlSurfaceRemove(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir).createOrReplaceTempView("llm_docs")
+    val k = SpanK
+    spark.sql(
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+         |  FROM llm_docs),
+         |tokpos AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
+         |  FROM toks LATERAL VIEW posexplode(toks) AS pos, tok),
+         |grams AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, md5_prefix60(g) AS fp
+         |  FROM toks LATERAL VIEW posexplode(word_shingles(toks, $k)) AS pos, g),
+         |own AS (
+         |  SELECT fp, min(struct(doc_id, pos)) AS own
+         |  FROM grams GROUP BY fp HAVING count(1) > 1),
+         |rmg AS (
+         |  SELECT /*+ SHUFFLE_HASH(o) */ g.doc_id, g.pos
+         |  FROM grams g JOIN own o ON g.fp = o.fp
+         |  WHERE NOT (g.doc_id = o.own.doc_id AND g.pos = o.own.pos)),
+         |flag AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - coalesce(
+         |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+         |        CAST(-$k AS BIGINT)) > ${k - 1}
+         |      THEN 1L ELSE 0L END AS ns
+         |  FROM rmg),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |  FROM flag),
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + ${k - 1} AS e
+         |  FROM isl GROUP BY doc_id, span_id),
+         |rmpos AS (
+         |  SELECT doc_id, explode(sequence(s, e)) AS pos FROM spans),
+         |agg AS (
+         |  SELECT /*+ SHUFFLE_HASH(r) */ t.doc_id,
+         |    count(1) AS n_tokens,
+         |    sum(CASE WHEN r.pos IS NOT NULL THEN 1L ELSE 0L END) AS n_removed,
+         |    array_join(transform(array_sort(
+         |      collect_list(CASE WHEN r.pos IS NULL THEN struct(t.pos, t.tok) END)),
+         |      x -> x.tok), ' ') AS clean_text
+         |  FROM tokpos t LEFT JOIN rmpos r
+         |    ON t.doc_id = r.doc_id AND t.pos = r.pos
+         |  GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_tokens, 0L) AS n_tokens,
+         |  coalesce(a.n_removed, 0L) AS n_removed,
+         |  (a.n_tokens IS NOT NULL AND a.n_removed = a.n_tokens) AS fully_duplicated,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM llm_docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin)
+  }
+
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
     documents(spark, dir).createOrReplaceTempView("llm_docs")
     spark.sql(

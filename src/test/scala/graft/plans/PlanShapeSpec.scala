@@ -154,6 +154,27 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan.contains(fn), s"$fn missing from plan:\n$plan")
   }
 
+  test("llm_sql_surface_remove: SQL-text removal pass keeps the Scala plan shape") {
+    val df = q("llm_sql_surface_remove")
+    val plan = planString(df)
+    // the text round-trip must not degrade the two hinted hash joins
+    // into a nested loop / cartesian, and the registered kernels must
+    // appear (tokenize+shingle+fingerprint run engine-side, not as UDFs)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    for (fn <- Seq("md5_prefix60", "word_shingles"))
+      assert(plan.contains(fn), s"$fn missing from plan:\n$plan")
+  }
+
+  test("llm_sql_surface_remove equals the Scala removal pass value-for-value") {
+    val sqlRows = q("llm_sql_surface_remove")
+      .orderBy("doc_id").collect().toSeq
+    val scalaRows = q("dedup_substring_remove")
+      .orderBy("doc_id").collect().toSeq
+    assert(sqlRows === scalaRows)
+  }
+
   test("native as-of join plans AsOfJoinExec with clustered+sorted children") {
     val plan = planString(q("j8_asof_native"))
     assert(plan.contains("AsOfJoin"), plan)
