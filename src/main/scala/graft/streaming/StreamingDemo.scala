@@ -145,6 +145,15 @@ object StreamingDemo {
       keyCols = Seq("window_start", "page_id"),
       checkpoint = s"$work/ckpt/dws_store")
 
+    // ---- 6b. near-dup census serving ------------------------------------
+    // the third streaming parity family served the way stages 6-7 serve
+    // the windowed aggregates: the watermark-ordered census fold
+    // (owner = event-time-first doc of each near-dup family) maintained
+    // as queryable cluster-size cells in the same DWS store. Reads the
+    // SAME docs stream stage 5 ingests.
+    val censusQ = NearDupStream.serveCensus(docsStream,
+      s"$work/out/dws_store", s"$work/ckpt/census")
+
     // ---- 7. OrderWideApp end-to-end ------------------------------------
     // the reference's flagship DWM app: order_info ⋈ order_detail within
     // ±5 s event time, then enrichment — here against the LIVE dim store
@@ -200,7 +209,7 @@ object StreamingDemo {
       }
       .option("checkpointLocation", s"$work/ckpt/orderwide").start()
 
-    val queries = Seq(logQ, isNewQ, dbQ, bounceQ, kwQ, dupQ, dwsQ, owQ)
+    val queries = Seq(logQ, isNewQ, dbQ, bounceQ, kwQ, dupQ, dwsQ, censusQ, owQ)
     queries.foreach(_.processAllAvailable())
     // the dim store now exists (stage 2 ran): feed the order streams,
     // user 7 joins the alice2 dim row written-and-superseded above.
@@ -228,6 +237,13 @@ object StreamingDemo {
     Files.writeString(Paths.get(s"$logDir/batch2.jsonl"),
       page("m9", "0", "home", "home", t0 + 7300000L))
     queries.foreach(_.processAllAvailable())
+    // the census fold holds hits until the docs-stream watermark passes
+    // them: a far-ahead sentinel document closes the t0 family so the
+    // cells drain into the serving store in this demo run
+    Files.writeString(Paths.get(s"$docsDir/batch1.jsonl"),
+      docLine(99, "watermark sentinel advancing far ahead of the corpus",
+        t0 + 48L * 3600000L))
+    queries.foreach(_.processAllAvailable())
     queries.foreach(_.stop())
 
     // ---- report -------------------------------------------------------
@@ -237,7 +253,8 @@ object StreamingDemo {
     Seq("dwd_start_log", "dwd_page_log", "dwd_display_log",
       "dwd_is_new_fixed", "kafka_shaped", "dim_store/dim_user_info",
       "dwm_user_jump", "dws_keyword", "corpus_near_dups",
-      "dws_store/dws_page_hourly", "dwm_order_wide").foreach { p =>
+      "dws_store/dws_page_hourly", "dws_store/neardup_census",
+      "dwm_order_wide").foreach { p =>
       println(f"demo-out ${p}%-28s rows=${count(s"$work/out/$p")}")
     }
     println("demo-out order_wide enriched: " +
@@ -247,6 +264,15 @@ object StreamingDemo {
     println("demo-out dim_user_info row: " +
       spark.read.parquet(s"$work/out/dim_store/dim_user_info")
         .selectExpr("__pk", "row['name']").collect().mkString(","))
+    // served census: docs 1/3/4 are one near-dup family, owner = the
+    // event-time-first doc (1), cluster_size counts the owner itself
+    val census = DwsSink.read(spark, s"$work/out/dws_store",
+        "neardup_census", Seq("owner", "cluster_size"))
+      .collect().map(r => r.getString(0).toLong -> r.getString(1).toLong)
+      .toMap
+    println(s"demo-out neardup_census cells: $census")
+    require(census == Map(1L -> 3L),
+      s"expected served census {1 -> 3}, got $census")
     spark.stop()
   }
 }
