@@ -30,6 +30,7 @@ object GmallRegistry {
     "j8_asof_native" -> (RelationalOps.asofAttributionNative _),
     "j8_asof_sql" -> (RelationalOps.asofAttributionSql _),
     "j8_asof_sql_conj" -> (RelationalOps.asofAttributionSqlConj _),
+    "j8_asof_sql_inner" -> (RelationalOps.asofAttributionSqlInner _),
     "u1_tagged_union" -> (RelationalOps.taggedUnion _),
     "p1_json_parse" -> (EventOps.jsonParse _),
     "p6_datetime_derive" -> (EventOps.datetimeDerive _),
@@ -332,6 +333,21 @@ object GmallRegistry {
         |SELECT event_id AS purchase_id, user_id,
         |  coalesce(last_view_id, -1) AS attributed_view_id
         |FROM w WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+    // inner flavor: purchases without a prior view DROP (no coalesce row)
+    "j8_asof_sql_inner" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (SELECT event_id, user_id, event_type,
+        |    last_value(view_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_id
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id,
+        |  last_view_id AS attributed_view_id
+        |FROM w WHERE event_type = 'purchase' AND last_view_id IS NOT NULL
         |ORDER BY purchase_id""".stripMargin,
     // composed conjuncts: the date equality is an extra as-of key ->
     // window partition additionally by calendar day; the value floor

@@ -389,6 +389,29 @@ object RelationalOps {
         |    struct(p.ts, p.event_id), struct(v.view_ts, v.view_id), true)""".stripMargin)
   }
 
+  /** `j8_asof_sql_inner`: [[asofAttributionSql]] with a plain (INNER)
+    * JOIN — purchases with no prior view are DROPPED instead of
+    * null-extended, the default semantics of DuckDB's native ASOF JOIN
+    * and of pandas merge_asof + dropna. Plans the same sort-merge
+    * [[org.apache.spark.sql.graftexpr.AsOfJoinExec]] with
+    * `dropUnmatched` set; also the shape the optimizer's
+    * EliminateOuterJoin produces from a LEFT marker join under a
+    * null-rejecting filter, so this query gates that rewrite path too.
+    */
+  def asofAttributionSqlInner(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("graft_events_v")
+    spark.sql(
+      """WITH p AS (SELECT event_id, user_id, ts FROM graft_events_v
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id AS view_user_id,
+        |    ts AS view_ts FROM graft_events_v WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |  v.view_id AS attributed_view_id
+        |FROM p JOIN v
+        |  ON asof_match(p.user_id, v.view_user_id,
+        |    struct(p.ts, p.event_id), struct(v.view_ts, v.view_id), true)""".stripMargin)
+  }
+
   /** `j8_asof_sql_conj`: [[asofAttributionSql]] with COMPOSED extra ON
     * conjuncts — same-day attribution with a view-quality floor:
     * `asof_match(...) AND to_date(p.ts) = to_date(v.view_ts) AND
