@@ -63,7 +63,7 @@ object LlmRegistry {
     "dedup_substring_remove" -> (Dedup.substringSpanRemove _),
     "text_ngram_novelty" -> (Dedup.ngramNovelty _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
-    "sim_bruteforce_topk" -> (Similarity.bruteForceTopK _),
+    "sim_bruteforce_topk" -> (Similarity.bruteForceTopKShared _),
     "sim_lsh_buckets" -> ((s: SparkSession, d: String) =>
       Similarity.lshBuckets(s, d)
         .selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "bucket")),

@@ -115,7 +115,10 @@ object CorpusPipeline {
       .filter($"quality" === 1L).select($"doc_id")
     val exactKeep = Dedup.exact(spark, dir)
       .select($"keep_doc_id".as("doc_id"))
-    val nearDupLosers = Dedup.minhashPairs(spark, dir)
+    // shared pair set (graft.Materialize): cleanCorpus feeds three more
+    // registered pipelines (funnel, end-to-end, report) — rebuilding the
+    // banded self-join per consumer was the family's sf1 cost
+    val nearDupLosers = Dedup.minhashPairsShared(spark, dir)
       .select($"b".as("doc_id")).distinct()
     quality
       .join(exactKeep, Seq("doc_id"))
@@ -140,7 +143,7 @@ object CorpusPipeline {
       .filter($"quality" === 1L).select($"doc_id", lit(1L).as("fq"))
     val exactKeep = Dedup.exact(spark, dir)
       .select($"keep_doc_id".as("doc_id"), lit(1L).as("fe"))
-    val losers = Dedup.minhashPairs(spark, dir)
+    val losers = Dedup.minhashPairsShared(spark, dir)
       .select($"b".as("doc_id")).distinct().withColumn("fl", lit(1L))
     documents(spark, dir).select($"doc_id")
       .join(quality, Seq("doc_id"), "left")
