@@ -1092,39 +1092,65 @@ object AnalyticsOps {
     * No self-join: each order's basket aggregates to one sorted
     * distinct-part array (fan-in bounded by basket size), the a<b
     * pairs expand NARROWLY from the array with transform/slice, and
-    * one pair-keyed aggregate counts support — two keyed exchanges
-    * total where the naive (order, part) self-join costs three plus a
-    * join (measured: sf1 7.3→3.7 s, sf1/sf0.1 ratio 4.1×→2.1×). Per-part
-    * counts reuse the basket relation (catalog-bounded, broadcast
-    * back); lift = N·n_ab / (n_a·n_b) is one double division of exact
-    * longs. Output is top-K by (support, pair) — TakeOrdered, bounded
-    * at any SF.
+    * one pair-keyed aggregate counts support — where the naive
+    * (order, part) self-join costs three exchanges plus a join
+    * (measured: sf1 7.3→3.7 s, sf1/sf0.1 ratio 4.1×→2.1×).
+    *
+    * ONE basket pass for all three statistics: the explode emits,
+    * per basket, the a<b pair rows PLUS one (part, NULL) row per part
+    * and one (NULL, NULL) basket marker, so a single pair-keyed
+    * aggregate yields pair supports, per-part basket counts, and the
+    * basket total together — a v1 that derived each from its own
+    * branch planned the scan + collect_set subtree FOUR times (no
+    * exchange reuse across the differently-projected branches;
+    * measured 6.9 s of the 6.9 s sf1 cost). Selection (top-K by
+    * support) happens BEFORE the lift joins — lift is computed for
+    * 100 rows, per-part counts broadcast onto them — and the final
+    * sort re-establishes the semantic order on the joined 100 rows.
+    * lift = N·n_ab / (n_a·n_b) is one double division of exact longs.
     */
   def basketLiftPairs(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = lineitem(spark, dir)
+    val stats = lineitem(spark, dir)
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey")).as("parts"))
-    val pairs = baskets
       .select(explode(expr(
-        """flatten(transform(parts, (p, i) ->
-          |  transform(slice(parts, i + 2, size(parts) - i - 1),
-          |    q -> struct(p AS a, q AS b))))""".stripMargin)).as("pr"))
-      .groupBy($"pr.a".as("part_a"), $"pr.b".as("part_b"))
-      .agg(count(lit(1)).as("n_ab"))
-    val perPart = baskets.select(explode($"parts").as("l_partkey"))
-      .groupBy($"l_partkey").agg(count(lit(1)).as("n_part"))
-    val total = baskets.agg(count(lit(1)).as("n_orders"))
-    pairs
-      .join(broadcast(perPart.withColumnRenamed("l_partkey", "pa")
-        .withColumnRenamed("n_part", "n_a")), $"part_a" === $"pa")
-      .join(broadcast(perPart.withColumnRenamed("l_partkey", "pb")
-        .withColumnRenamed("n_part", "n_b")), $"part_b" === $"pb")
+        """concat(
+          |  flatten(transform(parts, (p, i) ->
+          |    transform(slice(parts, i + 2, size(parts) - i - 1),
+          |      q -> struct(p AS a, q AS b)))),
+          |  transform(parts, p -> struct(p AS a, CAST(NULL AS BIGINT) AS b)),
+          |  array(struct(CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b)))"""
+          .stripMargin)).as("pr"))
+      .groupBy($"pr.a".as("ka"), $"pr.b".as("kb"))
+      .agg(count(lit(1)).as("n"))
+      // persist: the three readers below filter on the GROUPING keys,
+      // and Catalyst pushes those filters through the aggregate into
+      // the exchange — canonically DIFFERENT subtrees, so neither
+      // static exchange reuse nor AQE stage reuse fires and the
+      // scan + collect_set + explode pipeline executes once per
+      // branch (measured 4 scans, 6.9 s sf1). Persisting the support
+      // table is the inter-stage-artifact move a production pipeline
+      // makes anyway; it is pair-cardinality-bounded (3 numeric cols)
+      // and the bench/verify teardown's clearCache reclaims it.
+      .persist()
+    val pairsTop = stats.filter($"ka".isNotNull && $"kb".isNotNull)
+      .select($"ka".as("part_a"), $"kb".as("part_b"), $"n".as("n_ab"))
+      .orderBy($"n_ab".desc, $"part_a", $"part_b")
+      .limit(100)
+    val perPart = stats.filter($"ka".isNotNull && $"kb".isNull)
+      .select($"ka".as("pk"), $"n".as("n_part"))
+    val total = stats.filter($"ka".isNull)
+      .select($"n".as("n_orders"))
+    pairsTop
+      .join(broadcast(perPart.select($"pk".as("pa"), $"n_part".as("n_a"))),
+        $"part_a" === $"pa")
+      .join(broadcast(perPart.select($"pk".as("pb"), $"n_part".as("n_b"))),
+        $"part_b" === $"pb")
       .join(broadcast(total))
       .select($"part_a", $"part_b", $"n_ab",
         (($"n_ab" * $"n_orders").cast("double") /
           ($"n_a" * $"n_b").cast("double")).as("lift"))
       .orderBy($"n_ab".desc, $"part_a", $"part_b")
-      .limit(100)
   }
 
   /** Exact-arithmetic Pearson correlation and covariance of quantity vs
