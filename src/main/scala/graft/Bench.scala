@@ -11,6 +11,11 @@ package graft
   * The Spark cache is cleared between executions — operators that
   * `cache()` subplans would otherwise accumulate storage across the
   * suite — and the teardown is excluded from the timed region.
+  * Materialize-pinned fixpoint artifacts are dropped ONCE, between the
+  * warm and measure phases (not per query): the first measured
+  * consumer pays each build exactly once — the cost a real pipeline
+  * pays when it materializes the artifact — and later consumers
+  * measure the shared-read path.
   *
   * Uses the `noop` sink so the whole plan (projections, sorts) executes —
   * `count()` would let Catalyst prune most of the work. A query that

@@ -71,6 +71,58 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(inclGot == Seq(21L)) // (10,5) allowed
   }
 
+  test("randomized parity: exec == brute reference across strict/tolerance/inner") {
+    // Seeded random corpora exercise the merge pass (and r11's lookahead
+    // iterator) over tie-heavy, unmatched-heavy inputs: keys with no
+    // quotes, quotes after every trade, order collisions between the
+    // two sides. Quote order values are unique PER KEY (the operator's
+    // deterministic-usage contract: equal-order candidates need an id
+    // tie-break in the order tuple), while trade times freely collide
+    // with quote times so strict vs inclusive genuinely differ.
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 3) {
+      val syms = Vector("a", "b", "c", "d", "e", "f", "noquotes", "g")
+      val trades = Seq.tabulate(200) { i =>
+        (i.toLong, syms(rnd.nextInt(syms.length)), rnd.nextInt(50).toLong)
+      }
+      val quotes = Seq.tabulate(150) { i =>
+        ((1000 + i).toLong, syms(rnd.nextInt(syms.length - 1)),
+          rnd.nextInt(50).toLong)
+      }.groupBy(q => (q._2, q._3)).map(_._2.head).toSeq // unique (key, qt)
+      def brute(strict: Boolean, tol: Option[Long]): Map[Long, Option[Long]] =
+        trades.map { case (tid, k, tt) =>
+          val cands = quotes.filter { case (_, qk, qt) =>
+            qk == k && (if (strict) qt < tt else qt <= tt) &&
+              tol.forall(t => tt - qt <= t)
+          }
+          tid -> (if (cands.isEmpty) None
+                  else Some(cands.maxBy(q => (q._3, q._1))._1))
+        }.toMap
+      val tDf = trades.toDF("trade_id", "sym", "t")
+      val qDf = quotes.toDF("quote_id", "qsym", "qt")
+      for (strict <- Seq(true, false); tol <- Seq(None, Some(7L))) {
+        val got = AsOf.join(tDf, qDf, Seq("sym"), Seq("qsym"),
+            Seq("t"), Seq("qt"), strict, tol)
+          .select($"trade_id", $"quote_id")
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        assert(got === brute(strict, tol),
+          s"round=$round strict=$strict tol=$tol")
+      }
+      // inner flavor (SQL marker): equals the outer result minus the
+      // unmatched rows, with the right side's columns intact
+      tDf.createOrReplaceTempView("pt_trades")
+      qDf.createOrReplaceTempView("pt_quotes")
+      val inner = spark.sql(
+        """SELECT t.trade_id, q.quote_id FROM pt_trades t JOIN pt_quotes q
+          |  ON asof_match(t.sym, q.qsym, t.t, q.qt, true)""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expectInner = brute(strict = true, tol = None)
+        .collect { case (tid, Some(q)) => tid -> q }
+      assert(inner === expectInner, s"round=$round inner")
+    }
+  }
+
   test("many keys across partitions: equivalent to the window form") {
     val dir = "/root/testdata/sf0.01"
     val native = graft.operators.RelationalOps.asofAttributionNative(spark, dir)
