@@ -69,6 +69,23 @@ class MaterializeSpec extends AnyFunSuite {
     assert(viaShared == rebuilt)
   }
 
+  test("second consumer of the ANN ground truth starts at the checkpointed leaf") {
+    Similarity.bruteForceTopKShared(spark, dir) // first consumer pays
+    val rec = Similarity.lshRecall(spark, dir)
+    val plan = finalPlan(rec)
+    assert(plan.contains("ExistingRDD"),
+      s"recall must read the pinned brute-force table:\n$plan")
+  }
+
+  test("pipeline consumers of the pair set run zero signature work") {
+    Dedup.minhashPairsShared(spark, dir) // first consumer pays
+    val funnel = graft.functions.CorpusPipeline.dedupFunnel(spark, dir)
+    val plan = finalPlan(funnel)
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(!plan.contains("minhash_sig"),
+      s"dedupFunnel re-ran the banded self-join:\n$plan")
+  }
+
   test("nested shared() builds are safe (build runs outside the map op)") {
     // Shared builders nest in production (clusters ← pairs, components ←
     // undirected ← graph). ConcurrentHashMap forbids mapping functions

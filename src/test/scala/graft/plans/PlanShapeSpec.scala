@@ -358,6 +358,30 @@ class PlanShapeSpec extends AnyFunSuite {
       plan)
   }
 
+  test("basket pairs: one basket pass — every reader scans the persisted support table") {
+    // the support/per-part/total readers filter on grouping keys; those
+    // filters push through the aggregate and make the branch subtrees
+    // canonically different, so without the persist the
+    // scan + collect_set + explode pipeline plans (and executes) once
+    // PER BRANCH — four lineitem scans, measured 6.9 s at sf1
+    val df = q("basket_lift_pairs")
+    val plan = df.queryExecution.executedPlan
+    val inner = plan.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(plan)
+    val fileScans = inner.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fileScans.isEmpty,
+      s"a reader bypassed the persisted support table:\n$inner")
+    val imrScans = inner.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(imrScans.size >= 4, // pairs + n_a + n_b + total
+      s"expected all four readers on the cached relation, got ${imrScans.size}:\n$inner")
+  }
+
   test("temperature mix: the corpus draw is a broadcast-rate filter, never a corpus shuffle") {
     // two keyed exchanges exist (per-source aggregate + its total);
     // both are source-bounded. The documents side itself must reach
