@@ -54,6 +54,7 @@ object LlmRegistry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "dedup_threshold_sweep" -> (Dedup.thresholdSweep _),
     "dedup_lsh_recall" -> (Dedup.lshRecall _),
     "eval_split_leakage" -> (Dedup.splitLeakage _),
     "text_gopher_rules" -> (TextAnalysis.gopherRules _),
@@ -1012,6 +1013,31 @@ object LlmRegistry {
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
          |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
          |ORDER BY a, b""".stripMargin,
+    // operating curve: same scored-pair pass, swept over the 7-value
+    // threshold table with a LEFT join so empty thresholds report 0
+    "dedup_threshold_sweep" ->
+      s"""WITH sh AS (${Dedup.sqlShingles}),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+         |        HAVING count(*) <= ${Dedup.sqlDfCap("documents")}) f USING (shingle)),
+         |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT i.a, i.b,
+         |    CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jacc
+         |  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+         |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+         |    >= ${Dedup.SweepThresholds.min}),
+         |t AS (SELECT unnest([${Dedup.SweepThresholds.mkString(", ")}]) AS threshold),
+         |pt AS (SELECT t.threshold, p.a, p.b FROM t LEFT JOIN pairs p ON p.jacc >= t.threshold),
+         |d AS (SELECT threshold, a, a AS doc FROM pt
+         |      UNION ALL SELECT threshold, a, b AS doc FROM pt)
+         |SELECT threshold,
+         |  CAST(sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) / 2 AS BIGINT) AS n_pairs,
+         |  count(DISTINCT doc) AS n_docs_affected
+         |FROM d GROUP BY threshold
+         |ORDER BY threshold""".stripMargin,
     // candidates and truth share the sh CTE. EVERY expensive CTE is
     // referenced exactly once (multi-reference CTEs re-evaluate under
     // DuckDB's inlining — the first draft spilled >79 GB at sf1 from

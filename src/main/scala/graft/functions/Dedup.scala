@@ -453,7 +453,17 @@ object Dedup {
     ngramJaccardPairsOf(documents(spark, dir))
 
   /** Core of [[ngramJaccardPairs]] over any (doc_id, text) frame. */
-  def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
+  def ngramJaccardPairsOf(docs: DataFrame): DataFrame =
+    ngramPairsScored(docs).filter($"jaccard" >= 0.5)
+
+  /** All candidate pairs with their exact Jaccard (no threshold): the
+    * shared scorer behind [[ngramJaccardPairsOf]] (>= 0.5 near-dup
+    * pairs) and [[thresholdSweep]] (the operating curve). Candidate
+    * volume is threshold-independent — pairs exist only where a rare
+    * shingle is shared — so exposing the unfiltered scores costs
+    * nothing extra.
+    */
+  private def ngramPairsScored(docs: DataFrame): DataFrame = {
     val rare = rareShingleRows(docs)
     rare.as("x").join(rare.as("y").hint("shuffle_hash"),
         expr("x.shingle = y.shingle AND x.doc_id < y.doc_id"))
@@ -464,7 +474,38 @@ object Dedup {
       .select($"a", $"b",
         ($"n_inter".cast("double") /
           ($"n_sh" + $"n_sh_b" - $"n_inter").cast("double")).as("jaccard"))
-      .filter($"jaccard" >= 0.5)
+  }
+
+  /** Thresholds swept by [[thresholdSweep]], ascending. */
+  val SweepThresholds: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** `dedup_threshold_sweep`: the near-dup OPERATING CURVE — for each
+    * candidate Jaccard threshold, how many pairs bind and how many
+    * distinct documents they touch. The chart a pipeline owner reads
+    * BEFORE choosing the dedup cutoff: too low and the affected-doc
+    * count explodes into false merges, too high and known templates
+    * survive; the knee is the defensible setting. All exact BIGINTs
+    * from ONE scored-pair pass ([[ngramPairsScored]] — candidate
+    * generation is threshold-independent, so sweeping costs one
+    * broadcast join against the 7-row threshold table, never a re-scan
+    * per threshold). LEFT join keeps zero-pair thresholds as explicit
+    * zero rows — a sweep that silently drops empty cells reads as a
+    * shorter curve. Scale shape: identical to the jaccard pass plus a
+    * bounded (pairs x thresholds) expansion and one threshold-keyed
+    * aggregate over a 7-value domain.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramPairsScored(documents(spark, dir))
+      .filter($"jaccard" >= SweepThresholds.min)
+    val ts = spark.range(1)
+      .select(explode(lit(SweepThresholds.toArray)).as("threshold"))
+    ts.join(pairs, $"jaccard" >= $"threshold", "left")
+      .select($"threshold", $"a",
+        explode(array($"a", $"b")).as("d"))
+      .groupBy($"threshold")
+      .agg((sum(when($"a".isNotNull, 1L).otherwise(0L)) / 2)
+        .cast("bigint").as("n_pairs"),
+        count_distinct($"d").as("n_docs_affected"))
   }
 
   /** Asymmetric n-gram CONTAINMENT pairs: C(a→b) = |∩| / |A| — the
