@@ -3,19 +3,36 @@ package graft
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{name:sec,...}}.
   *
-  * Methodology: each query is executed twice against the SAME target
-  * directory — the first run settles JIT, whole-stage-codegen compilation
-  * and file-listing caches for the exact plan shapes being measured
-  * (warming at a smaller SF would compile different plans: small tables
-  * broadcast where the target SF sort-merges); the second run is timed.
-  * The Spark cache is cleared between executions — operators that
-  * `cache()` subplans would otherwise accumulate storage across the
-  * suite — and the teardown is excluded from the timed region.
-  * Materialize-pinned fixpoint artifacts are dropped ONCE, between the
-  * warm and measure phases (not per query): the first measured
-  * consumer pays each build exactly once — the cost a real pipeline
-  * pays when it materializes the artifact — and later consumers
-  * measure the shared-read path.
+  * Methodology: each query is warmed once against the SAME target
+  * directory — the warm pass settles JIT, whole-stage-codegen
+  * compilation and file-listing caches for the exact plan shapes being
+  * measured (warming at a smaller SF would compile different plans:
+  * small tables broadcast where the target SF sort-merges) — then
+  * measured `SPARK_GRAFT_BENCH_REPS` times (default 3) and reported as
+  * the per-query MEDIAN. Single measurements drifted ±14% run-to-run on
+  * identical code (the r11 gate spanned 1.84–2.35× across same-day
+  * pairs); the median of 3 in-suite measurements, each behind its own
+  * GC barrier, makes the committed ratio a statistic of the suite
+  * rather than of run selection. The Spark cache is cleared between
+  * executions — operators that `cache()` subplans would otherwise
+  * accumulate storage across the suite — and the teardown is excluded
+  * from the timed region.
+  *
+  * Fixpoint accounting: Materialize-pinned artifacts are dropped ONCE,
+  * between the warm and measure phases, then each build is clocked by
+  * [[Materialize]] itself where it fires (inside rep 1 of its first
+  * consumer), SUBTRACTED from that measurement, and reported as its own
+  * `_materialize_sec` line in the artifact (`_materialize_builds` has
+  * the per-artifact split). `_total_sec` = Σ per-query medians +
+  * `_materialize_sec`: builds are paid exactly once — the cost a real
+  * pipeline pays when it materializes the inter-stage artifact — while
+  * every query median measures the shared-READ path all reps actually
+  * take, instead of rep 1 of one arbitrary consumer eating the build.
+  *
+  * `SPARK_GRAFT_BENCH_DIAG=1` additionally records, per measurement,
+  * the raw seconds plus GC and JIT-compilation milliseconds accrued
+  * inside the timed region (`_diag`) — the instrumentation used to
+  * attribute run-to-run drift to a named JVM mechanism.
   *
   * Uses the `noop` sink so the whole plan (projections, sorts) executes —
   * `count()` would let Catalyst prune most of the work. A query that
@@ -54,30 +71,55 @@ object Bench {
     // artifacts (cluster map, k-NN graph), and the between-query
     // clearCache() deliberately does not evict them — so without this,
     // the measured region would charge the fixpoint builds to ZERO
-    // queries. Dropping them here makes the FIRST measured consumer pay
-    // each build exactly once — the cost a real pipeline pays when it
-    // materializes the artifact one time — while later consumers still
-    // show the shared-read cost.
+    // queries. Builds re-fire lazily inside the measured phase, where
+    // Materialize's build clock records them; each measurement subtracts
+    // its build delta and the builds are summed into _materialize_sec.
     Materialize.invalidate(spark)
-    val results = sorted.map { case (name, fn) =>
-      // GC barrier: without it, garbage from the PREVIOUS query's
-      // measurement (HLL register arrays, shuffle buffers, broadcast
-      // cleanup) is collected during THIS query's timed region —
-      // measured drift of up to 2.5× on whichever query follows an
-      // allocation-heavy one. The barrier is outside the timed region,
-      // so each query is measured from the same steady state.
-      System.gc()
-      Thread.sleep(200)
-      val t0 = System.nanoTime()
-      val ok = runOnce(name, fn, "measure")
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // teardown outside the timed region
-      name -> (if (ok) sec else -1.0)
+    Materialize.resetBuildClock()
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitMillis: Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
+    // per query: Seq[(sec_minus_builds, gc_ms, jit_ms)] per rep
+    val samples = sorted.map { case (name, fn) =>
+      val reps_ = (1 to reps).map { _ =>
+        // GC barrier: without it, garbage from the PREVIOUS
+        // measurement (HLL register arrays, shuffle buffers, broadcast
+        // cleanup) is collected during THIS one's timed region —
+        // measured drift of up to 2.5× on whichever query follows an
+        // allocation-heavy one. The barrier is outside the timed
+        // region, so every measurement starts from the same steady
+        // state.
+        System.gc()
+        Thread.sleep(200)
+        val (g0, j0, b0) = (gcMillis, jitMillis, Materialize.buildSeconds)
+        val t0 = System.nanoTime()
+        val ok = runOnce(name, fn, "measure")
+        val sec = (System.nanoTime() - t0) / 1e9 -
+          (Materialize.buildSeconds - b0) // builds reported separately
+        val (gMs, jMs) = (gcMillis - g0, jitMillis - j0)
+        spark.catalog.clearCache() // teardown outside the timed region
+        (if (ok) sec else -1.0, gMs, jMs)
+      }
+      name -> reps_
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = samples.map { case (name, rs) =>
+      name -> (if (rs.exists(_._1 < 0)) -1.0 else median(rs.map(_._1)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val matSec = Materialize.buildSeconds
+    val total = results.map(_._2).filter(_ >= 0).sum + matSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"materialize_sec":$matSec,"queries":$qs,"sf":"$sfDir"}""")
     // The driver's BENCH_r<N>.json artifact tail-truncates the stdout
     // line, losing all but the last ~60 per-query timings — so only a
     // minority of queries were round-over-round comparable. Persist the
@@ -90,8 +132,17 @@ object Bench {
       val repo = new java.io.File("/root/repo")
       val round = repo.listFiles((_, n) => n.matches("BENCH_r\\d+\\.json"))
         .map(_.getName.replaceAll("\\D", "").toInt).foldLeft(0)(math.max) + 1
+      val builds = Materialize.buildBreakdown
+        .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+      val diagBody = if (!diag) "" else samples.map { case (k, rs) =>
+        val secs = rs.map(_._1).mkString("[", ",", "]")
+        val gcs = rs.map(_._2).mkString("[", ",", "]")
+        val jits = rs.map(_._3).mkString("[", ",", "]")
+        s"""    "$k": {"sec":$secs,"gc_ms":$gcs,"jit_ms":$jits}"""
+      }.mkString("  \"_diag\": {\n", ",\n", "\n  },\n")
       val body = results.map { case (k, v) => s"""  "$k": $v""" }
-        .mkString(s"""{\n  "_sf": "$sfDir",\n  "_total_sec": $total,\n""", ",\n", "\n}\n")
+        .mkString(s"""{\n  "_sf": "$sfDir",\n  "_total_sec": $total,\n  "_reps": $reps,\n  "_materialize_sec": $matSec,\n  "_materialize_builds": $builds,\n$diagBody""",
+          ",\n", "\n}\n")
       // non-driver scales (e.g. the sf1 audit runs) get their own
       // artifact name so they never clobber the round's sf0.1 record
       val sfTag = new java.io.File(sfDir).getName

@@ -72,14 +72,63 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Materialize {
 
   /** One artifact slot. The checkpoint is built by forcing [[df]] — i.e.
-    * AFTER the `computeIfAbsent` that inserted the holder has returned —
-    * never inside the mapping function (see scaladoc above).
+    * AFTER the `compute` that inserted the holder has returned — never
+    * inside the mapping function (see scaladoc above). [[builtOpt]]
+    * exposes the pinned frame ONLY once the build completed, so eviction
+    * can unpersist exactly the blocks that exist (a holder evicted
+    * mid-build leaves its blocks to the ContextCleaner — the build
+    * thread still holds the frame, so they are live, not leaked).
     */
   private final class Holder(val dirStamp: Long, build: () => DataFrame) {
-    lazy val df: DataFrame = build()
+    @volatile private var built: DataFrame = _
+    lazy val df: DataFrame = { val d = build(); built = d; d }
+    def builtOpt: Option[DataFrame] = Option(built)
   }
 
   private val memo = new ConcurrentHashMap[String, Holder]()
+
+  // Build clock: wall-nanos spent INSIDE fixpoint builds since the last
+  // reset, per artifact name and in total. Bench subtracts the per-
+  // measurement delta from each query's timing and reports the builds
+  // as their own `_materialize_sec` line — build-vs-read costs stay
+  // comparable across rounds without decomposing per-query deltas, and
+  // the query medians measure the shared-read path every consumer after
+  // the first actually takes.
+  private val buildNanos = new java.util.concurrent.atomic.AtomicLong()
+  private val buildLog = new ConcurrentHashMap[String, java.lang.Long]()
+  // builds NEST (clusters force the shared pair set); only the OUTERMOST
+  // span on a thread is clocked, so each wall-second is counted once —
+  // a nested artifact's cost is attributed to the build that triggered it
+  private val nestDepth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+
+  private def timed(name: String)(body: => DataFrame): DataFrame = {
+    val outermost = nestDepth.get == 0
+    nestDepth.set(nestDepth.get + 1)
+    val t0 = System.nanoTime()
+    try body finally {
+      nestDepth.set(nestDepth.get - 1)
+      if (outermost) {
+        val dt = System.nanoTime() - t0
+        buildNanos.addAndGet(dt)
+        buildLog.merge(name, dt, (a, b) => a + b)
+      }
+    }
+  }
+
+  /** Zero the build clock (Bench, at the start of its measured phase). */
+  def resetBuildClock(): Unit = { buildNanos.set(0); buildLog.clear() }
+
+  /** Seconds spent in fixpoint builds since the last reset. */
+  def buildSeconds: Double = buildNanos.get / 1e9
+
+  /** Per-artifact build seconds since the last reset, name-sorted. */
+  def buildBreakdown: Seq[(String, Double)] = {
+    val out = Seq.newBuilder[(String, Double)]
+    buildLog.forEach((k, v) => out += (k -> v.toDouble / 1e9))
+    out.result().sortBy(_._1)
+  }
   // one application-end cleaner per SparkContext (keyed by applicationId)
   private val cleanerInstalled = new ConcurrentHashMap[String, java.lang.Boolean]()
 
@@ -117,19 +166,52 @@ object Materialize {
     installCleaner(spark)
     val key = prefix(spark) + dir + "|" + name
     val stamp = dirStamp(dir)
-    def fresh = new Holder(stamp, () => build.localCheckpoint(eager = true))
-    var h = memo.computeIfAbsent(key, _ => fresh)
-    if (h.dirStamp != stamp) { // corpus dir mutated since pin: rebuild
-      memo.remove(key, h)
-      h = memo.computeIfAbsent(key, _ => fresh)
-    }
+    def fresh = new Holder(stamp, () => timed(name)(build.localCheckpoint(eager = true)))
+    // Atomic staleness check-and-replace: the old remove-then-insert
+    // pair could race — a thread holding a PRE-mutation stamp could
+    // evict a holder another thread had just re-pinned at the newer
+    // stamp, churning a fresh checkpoint. `compute` validates under the
+    // bin lock and replaces only for a STRICTLY newer stamp (mtimes are
+    // monotone for a mutated dir), so late threads can never regress a
+    // re-pin. The mapping function only constructs unforced holders —
+    // no build, no nested map update (see class scaladoc).
+    var evicted: Holder = null
+    val h = memo.compute(key, (_, cur) => {
+      if (cur == null) fresh
+      else if (stamp > cur.dirStamp) { evicted = cur; fresh }
+      else cur
+    })
+    if (evicted != null) drop(evicted) // outside the bin lock
     h.df // forced OUTSIDE any in-flight map mutation — nesting is safe
   }
 
-  /** Drop every artifact pinned for `spark` (all dirs). */
+  /** Unpersist a retired holder's checkpoint blocks. `localCheckpoint`
+    * pins the plan's materialized RDD via the `LogicalRDD` leaf; without
+    * this, evicted entries' blocks sit on executors until the
+    * ContextCleaner notices the RDD is garbage POST-GC — a long-lived
+    * session invalidating repeatedly would accumulate dead blocks
+    * between GCs.
+    */
+  private def drop(h: Holder): Unit =
+    h.builtOpt.foreach { d =>
+      d.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ =>
+      }
+    }
+
+  /** Drop every artifact pinned for `spark` (all dirs), unpersisting
+    * their checkpoint blocks eagerly (not waiting for the
+    * ContextCleaner).
+    */
   def invalidate(spark: SparkSession): Unit = {
     val p = prefix(spark)
-    memo.keySet.removeIf(_.startsWith(p))
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(p)) { drop(e.getValue); it.remove() }
+    }
   }
 
   /** Artifact count for `spark` — test observability. */
