@@ -48,6 +48,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val explain = args.contains("-explain")
     val subset = args.filterNot(_ == "-explain").toSet
+    // fail fast on a malformed value BEFORE any work, not after the
+    // warm pass has already burned minutes
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS") match {
+      case Some(v) => scala.util.Try(v.trim.toInt).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_REPS must be an integer, got '$v'"))
+      case None => 3
+    })
     val spark = Session.get("graft-bench")
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
         label: String): Boolean =
@@ -76,8 +83,6 @@ object Bench {
     // its build delta and the builds are summed into _materialize_sec.
     Materialize.invalidate(spark)
     Materialize.resetBuildClock()
-    val reps = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG")
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     import scala.jdk.CollectionConverters._

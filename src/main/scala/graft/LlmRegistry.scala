@@ -1031,8 +1031,7 @@ object LlmRegistry {
          |    >= ${Dedup.SweepThresholds.min}),
          |t AS (SELECT unnest([${Dedup.SweepThresholds.mkString(", ")}]) AS threshold),
          |pt AS (SELECT t.threshold, p.a, p.b FROM t LEFT JOIN pairs p ON p.jacc >= t.threshold),
-         |d AS (SELECT threshold, a, a AS doc FROM pt
-         |      UNION ALL SELECT threshold, a, b AS doc FROM pt)
+         |d AS (SELECT threshold, a, unnest([a, b]) AS doc FROM pt)
          |SELECT threshold,
          |  CAST(sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) / 2 AS BIGINT) AS n_pairs,
          |  count(DISTINCT doc) AS n_docs_affected

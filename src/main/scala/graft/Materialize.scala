@@ -40,7 +40,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Staleness: the holder records the data dir's newest mtime at pin
   * time; a later call that observes a different stamp drops the pinned
   * frame and rebuilds (a caller that mutates the corpus dir mid-session
-  * gets fresh artifacts, not silently stale ones). Non-local URIs
+  * gets fresh artifacts, not silently stale ones). The replaced
+  * holder's checkpoint blocks are NOT unpersisted at replacement — a
+  * consumer still executing against the old frame keeps its snapshot —
+  * they retire at the next [[invalidate]] or application end (the
+  * deferred-drop queue). Non-local URIs
   * (`hdfs://`, `s3://`) stamp as 0 and the guard degrades to
   * never-invalidate — there the corpus dir is an immutable snapshot by
   * pipeline contract, exactly like the inter-stage tables a production
@@ -107,14 +111,18 @@ object Materialize {
     val outermost = nestDepth.get == 0
     nestDepth.set(nestDepth.get + 1)
     val t0 = System.nanoTime()
-    try body finally {
-      nestDepth.set(nestDepth.get - 1)
+    try {
+      val out = body
+      // recorded only on SUCCESS: a throwing lazy-val initializer is
+      // retried on the next access, so charging failed attempts would
+      // inflate _materialize_sec with spans that produced no artifact
       if (outermost) {
         val dt = System.nanoTime() - t0
         buildNanos.addAndGet(dt)
         buildLog.merge(name, dt, (a, b) => a + b)
       }
-    }
+      out
+    } finally nestDepth.set(nestDepth.get - 1)
   }
 
   /** Zero the build clock (Bench, at the start of its measured phase). */
@@ -167,22 +175,51 @@ object Materialize {
     val key = prefix(spark) + dir + "|" + name
     val stamp = dirStamp(dir)
     def fresh = new Holder(stamp, () => timed(name)(build.localCheckpoint(eager = true)))
-    // Atomic staleness check-and-replace: the old remove-then-insert
-    // pair could race — a thread holding a PRE-mutation stamp could
-    // evict a holder another thread had just re-pinned at the newer
-    // stamp, churning a fresh checkpoint. `compute` validates under the
-    // bin lock and replaces only for a STRICTLY newer stamp (mtimes are
-    // monotone for a mutated dir), so late threads can never regress a
-    // re-pin. The mapping function only constructs unforced holders —
-    // no build, no nested map update (see class scaladoc).
+    // Atomic staleness check-and-replace under the bin lock. ANY stamp
+    // difference is stale — a strictly-newer-only check served an
+    // in-place rewrite with preserved/older timestamps (cp -p, tar
+    // extract over existing files) stale forever. The race this
+    // reopens is benign and self-healing: a thread whose dirStamp read
+    // predates a concurrent mutation can momentarily regress a fresh
+    // re-pin, but every call re-reads the stamp on entry, so the next
+    // caller re-pins at the live stamp — the cost is one redundant
+    // build, never a stale or broken frame (the regressed holder's
+    // build reads the CURRENT dir contents, and its checkpoint retires
+    // through the deferred-drop queue below, not an eager unpersist).
+    // The mapping function only constructs unforced holders — no
+    // build, no nested map update (see class scaladoc).
     var evicted: Holder = null
     val h = memo.compute(key, (_, cur) => {
       if (cur == null) fresh
-      else if (stamp > cur.dirStamp) { evicted = cur; fresh }
+      else if (stamp != cur.dirStamp) { evicted = cur; fresh }
       else cur
     })
-    if (evicted != null) drop(evicted) // outside the bin lock
+    // DEFERRED drop: localCheckpoint truncates lineage, so eagerly
+    // unpersisting a staleness-evicted holder would break a consumer
+    // still executing against the old frame (concurrent query during a
+    // mid-session corpus mutation) with "checkpoint block not found"
+    // instead of letting it finish on the old snapshot. Evicted holders
+    // queue here and their blocks are reclaimed at the next explicit
+    // [[invalidate]] (the caller's assertion that no consumers remain)
+    // or at application end — until then the old frame stays readable.
+    if (evicted != null) pendingDrop.add(key -> evicted)
     h.df // forced OUTSIDE any in-flight map mutation — nesting is safe
+  }
+
+  // staleness-evicted holders awaiting block reclamation, keyed so an
+  // UNRELATED session's invalidate never ends this session's grace
+  private val pendingDrop =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Holder)]()
+
+  private def drainPending(prefix: String): Unit = {
+    val keep = new java.util.ArrayList[(String, Holder)]()
+    var e = pendingDrop.poll()
+    while (e != null) {
+      if (e._1.startsWith(prefix)) drop(e._2) else keep.add(e)
+      e = pendingDrop.poll()
+    }
+    pendingDrop.addAll(keep) // double-drop on a racing re-add is a
+    // harmless idempotent unpersist
   }
 
   /** Unpersist a retired holder's checkpoint blocks. `localCheckpoint`
@@ -212,6 +249,7 @@ object Materialize {
       val e = it.next()
       if (e.getKey.startsWith(p)) { drop(e.getValue); it.remove() }
     }
+    drainPending(p) // staleness-evicted holders' grace period ends here
   }
 
   /** Artifact count for `spark` — test observability. */
@@ -228,6 +266,7 @@ object Materialize {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
           memo.clear()
+          pendingDrop.clear() // blocks die with the context
           cleanerInstalled.remove(appId)
         }
       })

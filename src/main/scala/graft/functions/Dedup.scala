@@ -488,24 +488,35 @@ object Dedup {
     * from ONE scored-pair pass ([[ngramPairsScored]] — candidate
     * generation is threshold-independent, so sweeping costs one
     * broadcast join against the 7-row threshold table, never a re-scan
-    * per threshold). LEFT join keeps zero-pair thresholds as explicit
-    * zero rows — a sweep that silently drops empty cells reads as a
-    * shorter curve. Scale shape: identical to the jaccard pass plus a
-    * bounded (pairs x thresholds) expansion and one threshold-keyed
-    * aggregate over a 7-value domain.
+    * per threshold). Zero-pair thresholds stay explicit zero rows via
+    * the left-join-back restore — a sweep that silently drops empty
+    * cells reads as a shorter curve. Scale shape: identical to the
+    * jaccard pass plus a bounded (pairs x thresholds) expansion and one
+    * threshold-keyed aggregate over a 7-value domain.
     */
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramPairsScored(documents(spark, dir))
       .filter($"jaccard" >= SweepThresholds.min)
     val ts = spark.range(1)
       .select(explode(lit(SweepThresholds.toArray)).as("threshold"))
-    ts.join(pairs, $"jaccard" >= $"threshold", "left")
-      .select($"threshold", $"a",
-        explode(array($"a", $"b")).as("d"))
+    // INNER broadcast join, zero rows restored by a left-join-back:
+    // the previous LEFT OUTER non-equi join relied on the planner
+    // STATS choosing BNLJ BuildLeft on the 7-row table — for an outer
+    // join the hint can't force the build side, so a future stats
+    // change could silently broadcast the PAIR side (a scaling
+    // relation). Inner non-equi CAN build either side, so the
+    // broadcast() hint on `ts` is binding; the plan shape is pinned in
+    // PlanShapeSpec. The restore join is 7 rows against 7 groups.
+    val counts = broadcast(ts)
+      .join(pairs, $"jaccard" >= $"threshold")
+      .select($"threshold", explode(array($"a", $"b")).as("d"))
       .groupBy($"threshold")
-      .agg((sum(when($"a".isNotNull, 1L).otherwise(0L)) / 2)
-        .cast("bigint").as("n_pairs"),
-        count_distinct($"d").as("n_docs_affected"))
+      .agg((count(lit(1)) / 2).cast("bigint").as("np"),
+        count_distinct($"d").as("nd"))
+    ts.join(broadcast(counts), Seq("threshold"), "left")
+      .select($"threshold",
+        coalesce($"np", lit(0L)).as("n_pairs"),
+        coalesce($"nd", lit(0L)).as("n_docs_affected"))
   }
 
   /** Asymmetric n-gram CONTAINMENT pairs: C(a→b) = |∩| / |A| — the

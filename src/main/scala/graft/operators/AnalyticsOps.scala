@@ -1110,6 +1110,26 @@ object AnalyticsOps {
     * lift = N·n_ab / (n_a·n_b) is one double division of exact longs.
     */
   def basketLiftPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (plan, stats) = basketLiftPairsPlan(spark, dir)
+    // pin the 100-row result eagerly so the support table can be
+    // RELEASED here instead of leaking one cached relation per call in
+    // a long-lived session (before, `stats` stayed persisted until an
+    // external clearCache). Same total work — the one execution that
+    // consumed the cache just happens at build time, the house pattern
+    // for driver-orchestrated artifacts (see [[Materialize]]); the
+    // checkpoint is 100 rows x 4 numeric cols, reclaimed by the
+    // ContextCleaner when the caller drops the frame.
+    val out = plan.localCheckpoint(eager = true)
+    stats.unpersist(blocking = false)
+    out
+  }
+
+  /** The LAZY lift plan plus the persisted support table it reads —
+    * split out so plan contracts (PlanShapeSpec) can pin the
+    * pre-checkpoint shape; callers own the unpersist.
+    */
+  private[graft] def basketLiftPairsPlan(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val stats = lineitem(spark, dir)
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey")).as("parts"))
@@ -1141,7 +1161,7 @@ object AnalyticsOps {
       .select($"ka".as("pk"), $"n".as("n_part"))
     val total = stats.filter($"ka".isNull)
       .select($"n".as("n_orders"))
-    pairsTop
+    val out = pairsTop
       .join(broadcast(perPart.select($"pk".as("pa"), $"n_part".as("n_a"))),
         $"part_a" === $"pa")
       .join(broadcast(perPart.select($"pk".as("pb"), $"n_part".as("n_b"))),
@@ -1151,6 +1171,7 @@ object AnalyticsOps {
         (($"n_ab" * $"n_orders").cast("double") /
           ($"n_a" * $"n_b").cast("double")).as("lift"))
       .orderBy($"n_ab".desc, $"part_a", $"part_b")
+    (out, stats)
   }
 
   /** Exact-arithmetic Pearson correlation and covariance of quantity vs

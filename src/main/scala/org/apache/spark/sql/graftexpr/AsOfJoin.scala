@@ -209,6 +209,8 @@ case class AsOfJoinExec(
         override def hasNext: Boolean = { advance(); pending != null }
         override def next(): InternalRow = {
           advance()
+          if (pending == null) throw new NoSuchElementException(
+            "next on exhausted as-of join iterator")
           val out = pending
           pending = null
           out

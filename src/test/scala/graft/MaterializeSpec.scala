@@ -148,6 +148,113 @@ class MaterializeSpec extends AnyFunSuite {
     }
   }
 
+  private def checkpointRddId(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.getOrElse(fail("pinned frame is not a checkpoint leaf"))
+
+  test("invalidate eagerly unpersists the pinned checkpoint blocks") {
+    val s = spark.newSession()
+    val a = Materialize.shared(s, dir, "unpersist_probe")(
+      spark.range(10).toDF("v"))
+    val id = checkpointRddId(a)
+    assert(spark.sparkContext.getPersistentRDDs.contains(id),
+      "localCheckpoint must register its RDD as persistent")
+    Materialize.invalidate(s)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(id),
+      "invalidate must unpersist eagerly, not wait for the ContextCleaner")
+  }
+
+  test("staleness rebuild DEFERS the old blocks; invalidate reclaims both generations") {
+    // the grace contract: a consumer still executing against the old
+    // frame during a mid-session corpus mutation keeps its snapshot —
+    // eager unpersist of a lineage-truncated checkpoint would fail it
+    // with "checkpoint block not found"
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "mat-grace").toFile
+    try {
+      val s = spark.newSession()
+      var gen = 0
+      def artifact = Materialize.shared(s, tmp.getPath, "grace_probe") {
+        gen += 1; spark.range(4 + gen).toDF("v")
+      }
+      val first = artifact
+      val firstId = checkpointRddId(first)
+      val f = new java.io.File(tmp, "new-part.parquet")
+      f.createNewFile()
+      f.setLastModified(System.currentTimeMillis() + 10000)
+      val second = artifact
+      assert(gen === 2, "mutated dir must rebuild")
+      assert(second.count() === 6)
+      // old generation must remain fully readable until invalidate
+      assert(spark.sparkContext.getPersistentRDDs.contains(firstId),
+        "staleness eviction must NOT eagerly unpersist the old frame")
+      assert(first.count() === 5,
+        "a consumer of the pre-mutation frame keeps its snapshot")
+      val secondId = checkpointRddId(second)
+      Materialize.invalidate(s)
+      assert(!spark.sparkContext.getPersistentRDDs.contains(firstId),
+        "invalidate must drain the deferred-drop queue")
+      assert(!spark.sparkContext.getPersistentRDDs.contains(secondId))
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+  }
+
+  test("a dir rewrite that moves the stamp BACKWARDS still rebuilds") {
+    // cp -p / tar-extract over existing files can preserve OLDER
+    // mtimes; a strictly-newer staleness check served those stale
+    // forever
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "mat-back").toFile
+    try {
+      val s = spark.newSession()
+      val f = new java.io.File(tmp, "part.parquet")
+      f.createNewFile()
+      f.setLastModified(System.currentTimeMillis() + 60000)
+      var builds = 0
+      def artifact = Materialize.shared(s, tmp.getPath, "back_probe") {
+        builds += 1; spark.range(2).toDF("v")
+      }
+      artifact.count()
+      assert(builds === 1)
+      // in-place rewrite with a preserved OLD timestamp: max mtime drops
+      f.setLastModified(System.currentTimeMillis() - 3600000)
+      tmp.setLastModified(System.currentTimeMillis() - 3600000)
+      artifact.count()
+      assert(builds === 2, "backwards stamp movement must invalidate too")
+      Materialize.invalidate(s)
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+  }
+
+  test("eviction during an in-flight build is safe (builtOpt-None path)") {
+    // a holder evicted while its build thread runs has no checkpoint
+    // yet — drop() must no-op (blocks stay with the build thread's
+    // live frame) and the build must complete usable
+    val s = spark.newSession()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var result: org.apache.spark.sql.DataFrame = null
+    @volatile var err: Throwable = null
+    val t = new Thread(() => {
+      try result = Materialize.shared(s, dir, "midbuild_probe") {
+        started.countDown()
+        release.await()
+        spark.range(3).toDF("v")
+      } catch { case e: Throwable => err = e }
+    })
+    t.start()
+    assert(started.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    Materialize.invalidate(s) // evicts the holder mid-build
+    release.countDown()
+    t.join(30000)
+    assert(err == null, s"mid-build eviction broke the build: $err")
+    assert(result.count() === 3, "the build thread's frame must stay usable")
+    Materialize.invalidate(s)
+  }
+
   test("artifacts are keyed per (session, dir); invalidate drops them") {
     val before = Materialize.pinnedCount(spark)
     assert(before > 0, "suite above must have pinned artifacts")

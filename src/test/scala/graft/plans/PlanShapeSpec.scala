@@ -353,7 +353,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // the basket array + narrow HOF expansion replaces the (order, part)
     // self-join; the only joins left are the catalog-bounded lift
     // lookups, which must broadcast
-    val plan = planString(q("basket_lift_pairs"))
+    // the registry entry returns the eagerly-pinned 100-row checkpoint
+    // (so the support cache can be released); the contract lives on the
+    // pre-checkpoint plan the split-out builder exposes
+    val (lazyPlan, stats) =
+      graft.operators.AnalyticsOps.basketLiftPairsPlan(spark, dir)
+    val plan = planString(lazyPlan)
+    stats.unpersist(blocking = false)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       plan)
   }
@@ -364,7 +370,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // canonically different, so without the persist the
     // scan + collect_set + explode pipeline plans (and executes) once
     // PER BRANCH — four lineitem scans, measured 6.9 s at sf1
-    val df = q("basket_lift_pairs")
+    val (df, stats) =
+      graft.operators.AnalyticsOps.basketLiftPairsPlan(spark, dir)
     val plan = df.queryExecution.executedPlan
     val inner = plan.collectFirst {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -380,6 +387,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(imrScans.size >= 4, // pairs + n_a + n_b + total
       s"expected all four readers on the cached relation, got ${imrScans.size}:\n$inner")
+    stats.unpersist(blocking = false)
+  }
+
+  test("threshold sweep: the 7-row threshold table is the BNLJ build side, never the pair set") {
+    // the sweep's non-equi join is inner precisely so the broadcast()
+    // hint on the threshold table is BINDING (outer non-equi joins
+    // cannot force the build side); if a stats change ever flipped the
+    // build side onto the scaling pair relation, this pins it
+    val plan = planString(q("dedup_threshold_sweep"))
+    // scope to the jaccard-vs-threshold join: the candidate subtree
+    // legitimately contains 1-row-bound BNLJs (the df-cap scalar)
+    val sweepJoins = "BroadcastNestedLoopJoin Build\\w+, \\w+, \\(jaccard".r
+      .findAllIn(plan).toSeq
+    assert(sweepJoins.nonEmpty, s"sweep non-equi join missing:\n$plan")
+    assert(sweepJoins.forall(_.contains("BuildLeft, Inner")),
+      s"the scaling pair side must never be the build side: $sweepJoins\n$plan")
+    // the zero-row restore is a 7x7 equi join — broadcast, not SMJ
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("temperature mix: the corpus draw is a broadcast-rate filter, never a corpus shuffle") {
