@@ -64,6 +64,8 @@ object LlmRegistry {
     "dedup_substring_remove" -> (Dedup.substringSpanRemove _),
     "text_ngram_novelty" -> (Dedup.ngramNovelty _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
+    "dedup_embedding_collapsed" -> (Dedup.embeddingNearDupCollapsed _),
+    "dedup_simhash_collapsed" -> (Dedup.simhashPairsCollapsed _),
     "sim_bruteforce_topk" -> (Similarity.bruteForceTopKShared _),
     "sim_lsh_buckets" -> ((s: SparkSession, d: String) =>
       Similarity.lshBuckets(s, d)
@@ -1194,6 +1196,37 @@ object LlmRegistry {
          |  AND (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
          |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= ${Dedup.Cos2Threshold}
          |ORDER BY a, b""".stripMargin,
+    // collapse first: pairs over DISTINCT quantized vectors, each
+    // weighted by the number of underlying vector pairs it stands for
+    "dedup_embedding_collapsed" ->
+      s"""WITH q AS (SELECT vec_id, $quantize AS q FROM embeddings),
+         |g AS (SELECT q, min(vec_id) AS rep, count(*) AS sz FROM q GROUP BY q),
+         |p AS (SELECT a.rep AS a, b.rep AS b,
+         |    ${listDot("a.q", "b.q")} AS dot,
+         |    ${listNorm("a.q")} AS na, ${listNorm("b.q")} AS nb,
+         |    a.sz * b.sz AS n_vec_pairs
+         |  FROM g a JOIN g b ON a.rep < b.rep)
+         |SELECT a, b,
+         |  (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
+         |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos2,
+         |  CAST(n_vec_pairs AS BIGINT) AS n_vec_pairs
+         |FROM p WHERE dot > 0
+         |  AND (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) /
+         |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= ${Dedup.Cos2Threshold}
+         |ORDER BY a, b""".stripMargin,
+    "dedup_simhash_collapsed" ->
+      s"""$simhashCtes,
+         |g AS (SELECT simhash, min(doc_id) AS rep, count(*) AS sz FROM sh GROUP BY 1),
+         |blk AS (SELECT rep, simhash, sz, unnest(range(4)) AS blk FROM g),
+         |blkv AS (SELECT rep, simhash, sz, blk,
+         |  (simhash >> CAST(blk * 12 AS INT)) & 4095 AS blkval FROM blk),
+         |cand AS (SELECT DISTINCT a.rep AS a, b.rep AS b,
+         |    a.simhash AS sa, b.simhash AS sb, a.sz AS sza, b.sz AS szb
+         |  FROM blkv a JOIN blkv b ON a.blk = b.blk AND a.blkval = b.blkval
+         |    AND a.rep < b.rep)
+         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
+         |  CAST(sza * szb AS BIGINT) AS n_doc_pairs
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin,
     "sim_bruteforce_topk" -> topkSql(bucketJoin = false),
     "sim_lsh_buckets" ->
       s"""WITH qz AS (SELECT vec_id, label, $quantize AS q FROM embeddings)

@@ -963,6 +963,86 @@ object Dedup {
       .select($"a", $"b", $"cos2")
   }
 
+  /** `dedup_embedding_collapsed`: exact-vector canonical collapse
+    * BEFORE the cosine pass — the production guard for dup-heavy
+    * corpora. [[embeddingNearDup]]'s pair output is Θ(Σ g²) in
+    * duplicate-group sizes g: on a crawl corpus where one mirrored
+    * page yields 10⁵ identical embeddings, a single group emits 5×10⁹
+    * pairs no matter how the join is bucketed (the r13 sf3 decade
+    * probe measured exactly this shape on the replicated scale data —
+    * 9.67× true-pair growth at 3× data). Collapsing identical
+    * quantized vectors to their min-vec_id representative first makes
+    * every downstream stage DISTINCT-vector-bounded: the pair join,
+    * the output, and the [[BruteForceMaxVectors]] guard (which now
+    * caps what actually drives cost). Each surviving rep pair carries
+    * `n_vec_pairs = sz_a × sz_b` — the exact number of underlying
+    * vector pairs it stands for, so nothing is lost, it's just not
+    * materialized row-by-row. The collapse itself is one
+    * full-vector-keyed aggregate (map-side combinable, key cardinality
+    * = distinct vectors), pinned as a bounded localCheckpoint so the
+    * self-join reads it once. Same cosine threshold and exact-int
+    * arithmetic as the uncollapsed baseline.
+    */
+  def embeddingNearDupCollapsed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.ArrayOps._
+    val q = quantized(spark, dir).select($"vec_id", $"q")
+    val grp = q.groupBy($"q")
+      .agg(min($"vec_id").as("rep"), count(lit(1)).as("sz"))
+      .withColumn("nrm", longArrayNormSq($"q"))
+      .localCheckpoint(eager = true) // distinct-vector-bounded; one build
+    val n = grp.count() // free: frame is materialized
+    require(n <= BruteForceMaxVectors,
+      s"embeddingNearDupCollapsed: $n DISTINCT vectors exceed " +
+        s"BruteForceMaxVectors=$BruteForceMaxVectors; use the LSH path " +
+        "(Similarity.lshNearDupPairs) — collapse no longer saves the O(n²)")
+    val par = spark.sparkContext.defaultParallelism
+    grp.repartition(par, $"rep").as("x")
+      .join(grp.as("y"), expr("x.rep < y.rep"))
+      .select(col("x.rep").as("a"), col("y.rep").as("b"),
+        longArrayDot(col("x.q"), col("y.q")).as("dot"),
+        col("x.nrm").as("na"), col("y.nrm").as("nb"),
+        (col("x.sz") * col("y.sz")).as("n_vec_pairs"))
+      .withColumn("cos2",
+        ($"dot".cast("double") * $"dot".cast("double")) /
+          ($"na".cast("double") * $"nb".cast("double")))
+      .filter($"dot" > 0 && $"cos2" >= Cos2Threshold)
+      .select($"a", $"b", $"cos2", $"n_vec_pairs")
+  }
+
+  /** `dedup_simhash_collapsed`: the same canonical-collapse guard for
+    * the SimHash family. Unigram SimHash is order-independent, so
+    * mirrored/permuted copies share a FINGERPRINT exactly — and
+    * [[simhashPairs]] then emits every cross-copy pair: Θ(Σ g²) in
+    * fingerprint-group sizes (the sf3 probe's 5.18× wall at 3× data
+    * rode on 9.66× true-pair growth). Collapsing to one min-doc_id rep
+    * per distinct fingerprint first bounds the banded LSH join, the
+    * Hamming filter, and the output by DISTINCT-fingerprint count;
+    * each rep pair carries `n_doc_pairs = sz_a × sz_b`. Same-fingerprint
+    * duplicates are the collapse groups themselves (their sizes ride on
+    * every pair; per-doc membership is [[simhash]]) — post-collapse
+    * pairs are Hamming 1..3 by construction. Same 4×12-bit block LSH,
+    * exact for d ≤ 3.
+    */
+  def simhashPairsCollapsed(spark: SparkSession, dir: String): DataFrame = {
+    val grp = simhash(spark, dir)
+      .groupBy($"simhash")
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("sz"))
+    // same aliased-self-join discipline as simhashPairs: one shuffled
+    // block frame, ReusedExchange on the other side
+    val withBlk = grp.select($"rep", $"simhash", $"sz",
+        explode(expr("sequence(0, 3)")).as("blk"))
+      .withColumn("blkval",
+        expr("shiftright(simhash, cast(blk * 12 as int))").bitwiseAND(lit(4095L)))
+    withBlk.as("x").join(withBlk.as("y").hint("shuffle_hash"),
+        expr("x.blk = y.blk AND x.blkval = y.blkval AND x.rep < y.rep"))
+      .select(col("x.rep").as("a"), col("y.rep").as("b"),
+        col("x.simhash").as("simhash"), col("y.simhash").as("sim_b"),
+        col("x.sz").as("sza"), col("y.sz").as("szb")).distinct()
+      .withColumn("hamming", bit_count($"simhash".bitwiseXOR($"sim_b")).cast("bigint"))
+      .filter($"hamming" <= 3)
+      .select($"a", $"b", $"hamming", ($"sza" * $"szb").as("n_doc_pairs"))
+  }
+
   /** `dedup_cluster_size_hist`: the size distribution of near-dup
     * clusters — how much of the corpus sits in singletons vs pairs vs
     * mega-families. THE one-glance dedup health chart: a fat tail
