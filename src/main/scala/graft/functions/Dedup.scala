@@ -596,10 +596,18 @@ object Dedup {
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
     val nHit = truth.join(cand.hint("shuffle_hash"), Seq("a", "b"))
       .agg(count(lit(1)).as("n_hit"))
+    // Empty truth/candidate sets are legal (a corpus whose sampled
+    // subcorpus has no qualifying near-dup pairs — the sf3 decade probe
+    // hit exactly this): emit NULL, which is also what DuckDB's
+    // double division yields on /0, instead of tripping ANSI
+    // DIVIDE_BY_ZERO.
     nTruth.join(broadcast(nCand)).join(broadcast(nHit))
       .select($"n_truth", $"n_candidates", $"n_hit",
-        ($"n_hit".cast("double") / $"n_truth".cast("double")).as("recall"),
-        ($"n_hit".cast("double") / $"n_candidates".cast("double"))
+        when($"n_truth" > 0,
+          $"n_hit".cast("double") / $"n_truth".cast("double"))
+          .as("recall"),
+        when($"n_candidates" > 0,
+          $"n_hit".cast("double") / $"n_candidates".cast("double"))
           .as("precision"),
         lit(RecallSampleMod).as("sample_mod"))
   }

@@ -90,10 +90,22 @@ scale("events", """
   user_id + i * (SELECT max(user_id) + 1 FROM src) AS user_id,
   event_type, value, props""")
 
-perm = """array_to_string(
+# The permutation key carries a PER-GENERATION salt (source row count)
+# on top of (token, position, copy). Without it, composing gen_scale
+# with itself reuses copy salts: scaling sf0.1 -> sf1 -> sf3 applies the
+# SAME md5(t||p||i=1) permutation to every original doc twice (once as
+# sf1's copy 1, once as sf3's copy 1 of sf1's verbatim copy 0), so each
+# original doc collides with its own earlier permutation — measured
+# 10,175 spurious exact-dup pairs at sf3 (~2 per original doc), which
+# silently inflates every exact-text/shingle-based probe. The source
+# row count differs at every generation step, so salts never repeat
+# across compositions, while identical texts within one generation
+# still map identically (exact-dup groups survive, as documented).
+n_src_docs = con.sql(f"SELECT count(*) FROM '{src}/documents.parquet'").fetchone()[0]
+perm = f"""array_to_string(
     list_transform(
       list_sort(list_transform(string_split(text, ' '),
-        (t, p) -> {'h': md5(t || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 't': t})),
+        (t, p) -> {{'h': md5(t || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '_g{n_src_docs}'), 't': t}})),
       s -> s.t), ' ')"""
 
 scale("documents", f"""
