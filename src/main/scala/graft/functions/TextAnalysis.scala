@@ -17,11 +17,14 @@ import graft.Tables._
   */
 object TextAnalysis {
 
-  /** Canonical tokenizer: lowercase, split on non-alphanumerics. */
-  def tokens(c: Column): Column = {
-    val t = split(lower(c), "[^a-z0-9]+")
-    filter(t, x => length(x) > 0)
-  }
+  /** Canonical tokenizer: lowercase, split on non-alphanumerics —
+    * the codegen'd [[org.apache.spark.sql.graftexpr.TokenKernel]] one-pass
+    * form of `filter(split(lower(c), "[^a-z0-9]+"), x -> length(x) > 0)`
+    * (the HOF filter was CodegenFallback and broke whole-stage codegen
+    * at every call site of the text family; TokenExprSpec pins the
+    * equivalence against the original chain).
+    */
+  def tokens(c: Column): Column = graft.plans.ArrayOps.tokenize(c)
 
   /** BPE-ish piece pattern: letter runs, digit runs, single punct. */
   val piecePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -341,18 +344,16 @@ object TextAnalysis {
   val TileLen = 2
 
   /** The document cut into consecutive [[TileLen]]-word tiles, as an
-    * array column — computed NARROWLY from the token array (sequence +
-    * slice), no explode/shuffle; the per-doc tile list stays inside one
-    * row until a caller chooses to explode it.
+    * array column — computed NARROWLY per row (no explode/shuffle; the
+    * per-doc tile list stays inside one row until a caller chooses to
+    * explode it) by the codegen'd
+    * [[org.apache.spark.sql.graftexpr.TokenKernel.wordTiles]] kernel.
+    * The previous `transform(sequence(...), i -> array_join(slice(...)))`
+    * chain was three nested interpreted HOFs per row and the dominant
+    * cost of the tile family; TokenExprSpec pins the equivalence.
     */
-  def tileArray(text: Column): Column = {
-    val toks = tokens(text)
-    // Column `/` is double division: cast truncates, = floor for n >= 0
-    val nTiles = ((size(toks) + TileLen - 1) / TileLen).cast("int")
-    when(size(toks) === 0, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), nTiles - 1),
-        i => array_join(slice(toks, i * TileLen + 1, lit(TileLen)), " ")))
-  }
+  def tileArray(text: Column): Column =
+    graft.plans.ArrayOps.wordTiles(tokens(text), TileLen)
 
   /** Intra-document tile dedup (Lee et al. "Deduplicating Training Data
     * Makes LMs Better", within-doc pass): drop every tile whose exact
@@ -368,18 +369,17 @@ object TextAnalysis {
     // Tables.spread (no-op once the scan is already wide)
     tileDedupOf(Tables.spread(documents(spark, dir)))
 
-  /** [[tileDedup]] over an arbitrary (doc_id, text) frame. */
+  /** [[tileDedup]] over an arbitrary (doc_id, text) frame. The
+    * first-occurrence scan is the codegen'd
+    * [[org.apache.spark.sql.graftexpr.TokenKernel.tileDedupStats]] —
+    * one hashed pass per row, replacing the O(tiles²)
+    * `filter(tl, (t, i) -> array_position(tl, t) == i + 1)` interpreted
+    * rescan (and with it, the let-binding gymnastics that kept the HOF
+    * chain from being re-evaluated per consumer: a single struct-typed
+    * kernel call is cheap enough that projection collapse is harmless).
+    */
   def tileDedupOf(docs: DataFrame): DataFrame = {
-    // let-binding via single-element transform: downstream projection
-    // collapse would otherwise inline `tiles` (and `kept`) into every
-    // consumer and re-evaluate the whole interpreted HOF chain per
-    // reference; lambda variables are bound once per row
-    val stats = element_at(transform(array(tileArray($"text")), tl =>
-      element_at(transform(array(
-          filter(tl, (t, i) => array_position(tl, t) === i + 1)), kept =>
-        struct(size(tl).cast("bigint").as("n_tiles"),
-          size(kept).cast("bigint").as("n_kept"),
-          array_join(kept, " ").as("dedup_text"))), 1)), 1)
+    val stats = graft.plans.ArrayOps.tileDedupStats(tileArray($"text"))
     docs.select($"doc_id", stats.as("s"))
       .select($"doc_id", $"s.n_tiles", $"s.n_kept", $"s.dedup_text")
   }

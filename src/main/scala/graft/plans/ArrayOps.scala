@@ -32,6 +32,15 @@ object ArrayOps {
   def normalizeText(c: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.normalizeText(c)
 
+  def tokenize(c: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.tokenize(c)
+
+  def wordTiles(c: Column, tileLen: Int): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.wordTiles(c, tileLen)
+
+  def tileDedupStats(c: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.tileDedupStats(c)
+
   def zValue2(x: Column, y: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.zValue2(x, y)
 }

@@ -181,6 +181,18 @@ object GraftExpressions {
   def normalizeText(c: Column): Column =
     ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(c)))
 
+  /** Lowercase alnum-run tokenizer of a string column (codegen'd). */
+  def tokenize(c: Column): Column =
+    ExpressionUtils.column(Tokenize(ExpressionUtils.expression(c)))
+
+  /** Fixed-width space-joined tiles of a token-array column (codegen'd). */
+  def wordTiles(c: Column, tileLen: Int): Column =
+    ExpressionUtils.column(WordTiles(ExpressionUtils.expression(c), tileLen))
+
+  /** One-pass first-occurrence tile-dedup stats struct (codegen'd). */
+  def tileDedupStats(c: Column): Column =
+    ExpressionUtils.column(TileDedupStats(ExpressionUtils.expression(c)))
+
   /** Morton Z-value of two bigint columns (codegen'd). */
   def zValue2(x: Column, y: Column): Column =
     ExpressionUtils.column(

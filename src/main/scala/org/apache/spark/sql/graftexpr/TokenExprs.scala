@@ -1,0 +1,176 @@
+package org.apache.spark.sql.graftexpr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd tokenize / tile kernels for the text-analysis family.
+  *
+  * The corpus tokenizer used to be `split(lower(text), "[^a-z0-9]+")`
+  * followed by `filter(t, x -> length(x) > 0)`. The filter is a
+  * higher-order function — `ArrayFilter` is CodegenFallback, so every
+  * call site broke whole-stage codegen and paid per-element lambda
+  * dispatch on an interpreted path; the regex split additionally
+  * allocated the empty leading/trailing fragments just to drop them.
+  * Since `tokens()` sits under the entire text family (quality, langid,
+  * token counts, shingle→minhash chain, tiles), that interpreted island
+  * sat in the hottest per-row loop the corpus side has.
+  *
+  * [[TokenKernel.tokenize]] is the same function as ONE pass over the
+  * lowercased string — emit each maximal [a-z0-9] run — with no regex,
+  * no empty fragments, no lambda dispatch, inlined into whole-stage
+  * codegen like the sibling kernels in [[TextHash]].
+  *
+  * [[TokenKernel.wordTiles]] replaces the tile cutter
+  * (`transform(sequence(...), i -> array_join(slice(toks, ...), " "))`
+  * — three nested HOFs, all interpreted) for
+  * `TextAnalysis.tileArray`; [[TokenKernel.tileDedupStats]] replaces
+  * the within-document first-occurrence scan
+  * (`filter(tl, (t, i) -> array_position(tl, t) == i + 1)` — an
+  * O(tiles²) interpreted membership scan per document) with one hashed
+  * pass. Semantics are bit-identical in all three cases; the
+  * `text_tile_dedup` / `pipeline_boilerplate_tiles` oracle rows and
+  * TokenExprSpec's HOF-equivalence property pin them.
+  *
+  * Scale: all three are narrow per-row kernels — no shuffle, no state;
+  * they ride inside the scan stage at any corpus size.
+  */
+object TokenKernel {
+  private val Space = UTF8String.fromString(" ")
+
+  private def isTokenChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  /** Lowercase [a-z0-9] runs of `s`, in order. Exactly
+    * `filter(split(lower(s), "[^a-z0-9]+"), x -> length(x) > 0)`:
+    * the lowercasing is the same `UTF8String.toLowerCase` Spark's
+    * `Lower` uses, and a maximal alnum run of the lowered string is
+    * precisely a non-empty split fragment.
+    */
+  def tokenize(s: UTF8String): ArrayData = {
+    val str = s.toLowerCase.toString
+    val n = str.length
+    val out = new java.util.ArrayList[Any](16)
+    var i = 0
+    while (i < n) {
+      if (isTokenChar(str.charAt(i))) {
+        val start = i
+        i += 1
+        while (i < n && isTokenChar(str.charAt(i))) i += 1
+        out.add(UTF8String.fromString(str.substring(start, i)))
+      } else {
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Consecutive `tileLen`-element groups of `arr`, each joined by one
+    * space; the last tile may be shorter. Empty array in, empty out.
+    */
+  def wordTiles(arr: ArrayData, tileLen: Int): ArrayData = {
+    val num = arr.numElements()
+    if (num == 0) return new GenericArrayData(Array.empty[Any])
+    val nTiles = (num + tileLen - 1) / tileLen
+    val out = new Array[Any](nTiles)
+    var t = 0
+    while (t < nTiles) {
+      val start = t * tileLen
+      val len = math.min(tileLen, num - start)
+      val parts = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) {
+        parts(j) = if (arr.isNullAt(start + j)) null else arr.getUTF8String(start + j)
+        j += 1
+      }
+      out(t) = UTF8String.concatWs(Space, parts.toIndexedSeq: _*)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** First-occurrence dedup of a tile array in ONE hashed pass:
+    * (n_tiles, n_kept, kept tiles joined by ' ' in position order) —
+    * the same output as keeping tile i iff `array_position(tl, t) ==
+    * i + 1`, without the O(tiles²) rescan.
+    */
+  def tileDedupStats(arr: ArrayData): InternalRow = {
+    val num = arr.numElements()
+    val seen = new java.util.HashSet[UTF8String](math.max(16, num * 2))
+    val kept = new java.util.ArrayList[UTF8String](num)
+    var i = 0
+    while (i < num) {
+      val t = arr.getUTF8String(i)
+      if (seen.add(t)) kept.add(t)
+      i += 1
+    }
+    val txt = UTF8String.concatWs(
+      Space, kept.toArray(new Array[UTF8String](kept.size())).toIndexedSeq: _*)
+    new GenericInternalRow(Array[Any](num.toLong, kept.size().toLong, txt))
+  }
+}
+
+/** Canonical corpus tokenizer (see [[TokenKernel.tokenize]]). */
+case class Tokenize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize"
+
+  override def nullSafeEval(v: Any): Any =
+    TokenKernel.tokenize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.TokenKernel.tokenize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+}
+
+/** Consecutive fixed-width tiles of a token array (see
+  * [[TokenKernel.wordTiles]]).
+  */
+case class WordTiles(child: Expression, tileLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(tileLen >= 1, s"word_tiles: tile width must be >= 1, got $tileLen")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_tiles"
+
+  override def nullSafeEval(v: Any): Any =
+    TokenKernel.wordTiles(v.asInstanceOf[ArrayData], tileLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.TokenKernel.wordTiles($c, $tileLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordTiles =
+    copy(child = newChild)
+}
+
+/** Within-document first-occurrence tile dedup stats (see
+  * [[TokenKernel.tileDedupStats]]).
+  */
+case class TileDedupStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tiles", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("dedup_text", StringType, nullable = false)))
+  override def prettyName: String = "tile_dedup_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    TokenKernel.tileDedupStats(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.TokenKernel.tileDedupStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TileDedupStats =
+    copy(child = newChild)
+}

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Equivalence contract for the codegen'd tokenize/tile kernels
+  * ([[org.apache.spark.sql.graftexpr.TokenKernel]]): on every input —
+  * including the edge shapes the kernels special-case — they must
+  * produce exactly what the original Catalyst HOF chains produced,
+  * because the whole DuckDB oracle surface of the text family was
+  * gated against those chains.
+  */
+class TokenExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  private val TileLen = graft.functions.TextAnalysis.TileLen
+
+  /** The original tokenizer: split on non-alnum, drop empties. */
+  private def hofTokens(c: org.apache.spark.sql.Column) =
+    filter(split(lower(c), "[^a-z0-9]+"), x => length(x) > 0)
+
+  /** The original tile cutter: sequence + slice + array_join. */
+  private def hofTiles(c: org.apache.spark.sql.Column) = {
+    val toks = hofTokens(c)
+    val nTiles = ((size(toks) + TileLen - 1) / TileLen).cast("int")
+    when(size(toks) === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), nTiles - 1),
+        i => array_join(slice(toks, i * TileLen + 1, lit(TileLen)), " ")))
+  }
+
+  private val cases = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "", "   ", "...!!!", "a", "ab", "a b", "a b c", "a b c d",
+    "  leading and trailing  ", "UPPER Case MiXeD 123 abc999x",
+    "tabs\tand\nnewlines\r\nhere", "num3r1c t0kens 42 007",
+    "dup dup dup dup", "x y x y x y", "one two one two three four",
+    "café Étude naïve", // accented letters are separators
+    "İstanbul İstanbul", // dotted capital I lowers into ascii i + combining mark
+    "punct-uation, splits;everything:else (really) [yes] {ok}",
+    "a1b2c3 000 zzz 9", "emoji 😀 between tokens",
+    "single-tile", "exactly four words here now")
+
+  private def df = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cases.zipWithIndex.map { case (t, i) => org.apache.spark.sql.Row(i.toLong, t) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+  }
+
+  test("tokenize kernel == split+filter HOF chain on all edge shapes") {
+    val bad = df.select($"id",
+        ArrayOps.tokenize($"text").as("k"), hofTokens($"text").as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+  }
+
+  test("wordTiles kernel == sequence+slice+array_join HOF chain") {
+    val bad = df.select($"id",
+        graft.functions.TextAnalysis.tileArray($"text").as("k"),
+        hofTiles($"text").as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+  }
+
+  test("tileDedupStats kernel == first-occurrence filter HOF chain") {
+    val tl = hofTiles($"text")
+    val kept = filter(tl, (t, i) => array_position(tl, t) === i + 1)
+    val bad = df.select($"id",
+        ArrayOps.tileDedupStats(graft.functions.TextAnalysis.tileArray($"text")).as("k"),
+        struct(size(tl).cast("bigint").as("n_tiles"),
+          size(kept).cast("bigint").as("n_kept"),
+          array_join(kept, " ").as("dedup_text")).as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+  }
+
+  test("kernels agree with the HOF chains on the real corpus") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val bad = docs.select(
+        ArrayOps.tokenize($"text").as("kt"), hofTokens($"text").as("ht"),
+        graft.functions.TextAnalysis.tileArray($"text").as("kl"),
+        hofTiles($"text").as("hl"))
+      .filter(not($"kt" <=> $"ht") || not($"kl" <=> $"hl"))
+    assert(bad.count() === 0)
+  }
+}
