@@ -581,29 +581,21 @@ object Similarity {
       .select($"vec_id".as("cid"), $"q".as("cv"))
       .agg(collect_list(struct($"cid", $"cv")).as("cb"))
 
-  /** Per-subspace nearest-codeword codes: for each of the PqM slices,
-    * exact integer argmin of ‖sub(q) − sub(codeword)‖² over the
-    * broadcast codebook (lowest-cid tiebreak). A narrow pass — the
-    * corpus never shuffles to learn its codes.
+  /** Per-subspace nearest-codeword encode + reconstruction in one
+    * codegen'd pass ([[org.apache.spark.sql.graftexpr.PqKernel]]): for
+    * each of the PqM slices, exact integer argmin of
+    * ‖sub(q) − sub(codeword)‖² over the broadcast codebook (lowest-cid
+    * tiebreak), emitting the concatenated chosen codeword slices.
+    * `dot(recon, query)` is algebraically identical to PQ's
+    * asymmetric-distance (ADC) lookup sum, kept in exact integer
+    * arithmetic for the oracle. A narrow pass — the corpus never
+    * shuffles to learn its codes. (The previous two-step HOF tower —
+    * transform∘array_sort∘aggregate∘zip_with∘slice for the codes, then
+    * flatten∘transform∘filter for the reconstruction — was interpreted
+    * end to end; PqExprSpec pins the kernel's equivalence to it.)
     */
-  private def pqCodes: Column = expr(
-    s"""transform(sequence(0, ${PqM - 1}), m ->
-       |  element_at(array_sort(transform(cb, c -> struct(
-       |    aggregate(zip_with(slice(q, m * $PqSub + 1, $PqSub),
-       |                       slice(c.cv, m * $PqSub + 1, $PqSub),
-       |                       (a, b) -> (a - b) * (a - b)),
-       |              0L, (acc, x) -> acc + x) AS d,
-       |    c.cid AS cid))), 1).cid)""".stripMargin)
-
-  /** Codeword reconstruction from a codes array: the concatenation of
-    * the chosen codeword slice per subspace. `dot(recon, query)` is
-    * algebraically identical to PQ's asymmetric-distance (ADC) lookup
-    * sum, kept in exact integer arithmetic for the oracle.
-    */
-  private def pqRecon: Column = expr(
-    s"""flatten(transform(codes, (cid, m) ->
-       |  slice(element_at(filter(cb, c -> c.cid = cid), 1).cv,
-       |        m * $PqSub + 1, $PqSub)))""".stripMargin)
+  private def pqRecon: Column =
+    graft.plans.ArrayOps.pqReconstruct($"q", $"cb", PqM, PqSub)
 
   /** PQ ANN top-k: the memory-compression scale path — at 100 TB of
     * embeddings the scoring pass reads PqM small code ids per vector
@@ -618,7 +610,6 @@ object Similarity {
     val cb = pqCodebookRow(spark, dir)
     val corpus = Dedup.quantized(spark, dir).select($"vec_id", $"q")
       .join(broadcast(cb), lit(true))
-      .withColumn("codes", pqCodes)
       .withColumn("recon", pqRecon)
       .select($"vec_id", $"recon")
     val queries = Dedup.quantized(spark, dir)
@@ -673,7 +664,6 @@ object Similarity {
     // first would throw away the IVF lever's entire point
     val probedCells = probes.select($"probe_cell".as("pc")).distinct()
     val cand = corpus.join(broadcast(probedCells), $"cell" === $"pc")
-      .withColumn("codes", pqCodes)
       .withColumn("recon", pqRecon)
       .select($"vec_id", $"cell", $"recon")
     val scored = cand.join(broadcast(probes),

@@ -71,9 +71,11 @@ object TextAnalysis {
     * score, all exact-integer-derived doubles.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens($"text")
-    val nTok = size(toks).cast("bigint")
-    val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("bigint")
+    // token count + stopword count ride the one-pass token_profile
+    // kernel (the stopword filter HOF was an interpreted island)
+    val tp = graft.plans.ArrayOps.tokenProfile(tokens($"text"), stopwords)
+    val nTok = tp.getField("n_tokens")
+    val nStop = tp.getField("n_stop")
     val nAlpha = length(regexp_replace(lower($"text"), "[^a-z]", "")).cast("bigint")
     val nChars = length($"text").cast("bigint")
     documents(spark, dir)
@@ -123,19 +125,18 @@ object TextAnalysis {
     * stage at 100 TB.
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val stopArr = array(stopwords.map(lit): _*)
+    // one codegen'd pass (TokenKernel.tokenProfile) for all four token
+    // statistics — the previous max_tf expression alone
+    // (array_max ∘ transform ∘ array_distinct ∘ filter) was an
+    // O(distinct × n) interpreted rescan per row
     documents(spark, dir)
-      .withColumn("toks", tokens($"text"))
+      .withColumn("tp", graft.plans.ArrayOps.tokenProfile(tokens($"text"), stopwords))
       .select(
         $"doc_id",
-        size($"toks").cast("bigint").as("n_words"),
-        expr("aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc + length(t))")
-          .as("sum_chars"),
-        coalesce(
-          expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))"),
-          lit(0)).cast("bigint").as("max_tf"),
-        size(filter($"toks", t => array_contains(stopArr, t))).cast("bigint")
-          .as("n_stop"))
+        $"tp.n_tokens".as("n_words"),
+        $"tp.sum_chars".as("sum_chars"),
+        $"tp.max_tf".as("max_tf"),
+        $"tp.n_stop".as("n_stop"))
       .withColumn("r_word_count",
         $"n_words" >= GopherMinWords && $"n_words" <= GopherMaxWords)
       .withColumn("r_mean_len",
@@ -247,26 +248,20 @@ object TextAnalysis {
     * yield no row (the exploded form never produced one).
     */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val zero = struct(
-      lit("").as("prev"), lit(0L).as("run"),
-      lit("").as("best_tok"), lit(0L).as("best_run"))
-    val top = aggregate(
-      array_sort(tokens($"text")), zero,
-      (st, t) => {
-        val run = when(t === st("prev"), st("run") + 1L).otherwise(lit(1L))
-        val better = run > st("best_run")
-        struct(
-          t.as("prev"), run.as("run"),
-          when(better, t).otherwise(st("best_tok")).as("best_tok"),
-          when(better, run).otherwise(st("best_run")).as("best_run"))
-      })
+    // max_tf/top_token from the one-pass token_profile kernel: the max
+    // frequency IS the longest run of the sorted array, and the kernel's
+    // smallest-token tie-break matches the sorted fold's strict `>`
+    // keeping the first (lexicographically smallest) run — the same
+    // `ORDER BY freq DESC, token` pick the oracle makes. The previous
+    // form sorted each doc's tokens and folded an interpreted
+    // aggregate() lambda over them, O(n log n) + per-element dispatch.
     documents(spark, dir)
-      .select($"doc_id", size(tokens($"text")).cast("bigint").as("n_tokens"),
-        top.as("top"))
-      .filter($"n_tokens" > 0L)
-      .select($"doc_id", $"top.best_tok".as("top_token"),
-        $"top.best_run".as("top_freq"), $"n_tokens",
-        ($"top.best_run".cast("double") / $"n_tokens".cast("double"))
+      .select($"doc_id",
+        graft.plans.ArrayOps.tokenProfile(tokens($"text"), Nil).as("tp"))
+      .filter($"tp.n_tokens" > 0L)
+      .select($"doc_id", $"tp.top_token".as("top_token"),
+        $"tp.max_tf".as("top_freq"), $"tp.n_tokens".as("n_tokens"),
+        ($"tp.max_tf".cast("double") / $"tp.n_tokens".cast("double"))
           .as("repetition_ratio"))
   }
 

@@ -41,6 +41,12 @@ object ArrayOps {
   def tileDedupStats(c: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.tileDedupStats(c)
 
+  def tokenProfile(c: Column, stopwords: Seq[String]): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.tokenProfile(c, stopwords)
+
+  def pqReconstruct(q: Column, cb: Column, m: Int, sub: Int): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.pqReconstruct(q, cb, m, sub)
+
   def zValue2(x: Column, y: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.zValue2(x, y)
 }

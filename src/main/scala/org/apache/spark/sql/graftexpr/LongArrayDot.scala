@@ -193,6 +193,15 @@ object GraftExpressions {
   def tileDedupStats(c: Column): Column =
     ExpressionUtils.column(TileDedupStats(ExpressionUtils.expression(c)))
 
+  /** One-pass per-doc token statistics struct (codegen'd). */
+  def tokenProfile(c: Column, stopwords: Seq[String]): Column =
+    ExpressionUtils.column(TokenProfile(ExpressionUtils.expression(c), stopwords))
+
+  /** PQ nearest-codeword reconstruction of a vector (codegen'd). */
+  def pqReconstruct(q: Column, cb: Column, m: Int, sub: Int): Column =
+    ExpressionUtils.column(PqReconstruct(
+      ExpressionUtils.expression(q), ExpressionUtils.expression(cb), m, sub))
+
   /** Morton Z-value of two bigint columns (codegen'd). */
   def zValue2(x: Column, y: Column): Column =
     ExpressionUtils.column(

@@ -92,6 +92,44 @@ object TokenKernel {
     new GenericArrayData(out)
   }
 
+  /** Per-document token statistics in ONE hashed pass:
+    * (n_tokens, sum_chars, max_tf, top_token, n_stop) where `max_tf` is
+    * the highest token frequency, `top_token` the lexicographically
+    * (binary UTF8) smallest token achieving it — the same pick as a
+    * sorted-array longest-run scan with strict `>` — and `n_stop` the
+    * number of tokens contained in `stop`. Replaces three separate
+    * interpreted per-row passes, one of which
+    * (`array_max(transform(array_distinct(toks), t ->
+    * size(filter(toks, x -> x = t))))`) was O(distinct × n) per row.
+    * Empty input: (0, 0, 0, "", 0).
+    */
+  def tokenProfile(arr: ArrayData, stop: java.util.HashSet[UTF8String]): InternalRow = {
+    val num = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Long](math.max(16, num * 2))
+    var sumChars = 0L
+    var nStop = 0L
+    var i = 0
+    while (i < num) {
+      val t = arr.getUTF8String(i)
+      sumChars += t.numChars()
+      if (stop.contains(t)) nStop += 1
+      counts.merge(t, 1L, (a, b) => a + b)
+      i += 1
+    }
+    var maxTf = 0L
+    var topTok: UTF8String = UTF8String.EMPTY_UTF8
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      if (c > maxTf || (c == maxTf && maxTf > 0 && e.getKey.compareTo(topTok) < 0)) {
+        maxTf = c
+        topTok = e.getKey
+      }
+    }
+    new GenericInternalRow(Array[Any](num.toLong, sumChars, maxTf, topTok, nStop))
+  }
+
   /** First-occurrence dedup of a tile array in ONE hashed pass:
     * (n_tiles, n_kept, kept tiles joined by ' ' in position order) —
     * the same output as keeping tile i iff `array_position(tl, t) ==
@@ -149,6 +187,41 @@ case class WordTiles(child: Expression, tileLen: Int)
       s"org.apache.spark.sql.graftexpr.TokenKernel.wordTiles($c, $tileLen)")
 
   override protected def withNewChildInternal(newChild: Expression): WordTiles =
+    copy(child = newChild)
+}
+
+/** Per-document token statistics struct (see [[TokenKernel.tokenProfile]]).
+  * `stopwords` is baked into the expression and shipped to executors as a
+  * codegen reference object.
+  */
+case class TokenProfile(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("sum_chars", LongType, nullable = false),
+    StructField("max_tf", LongType, nullable = false),
+    StructField("top_token", StringType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+  override def prettyName: String = "token_profile"
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](stopwords.size * 2)
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TokenKernel.tokenProfile(v.asInstanceOf[ArrayData], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.TokenKernel.tokenProfile($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenProfile =
     copy(child = newChild)
 }
 

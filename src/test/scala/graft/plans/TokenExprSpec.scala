@@ -78,6 +78,49 @@ class TokenExprSpec extends AnyFunSuite {
     assert(bad.count() === 0, bad.collect().mkString("; "))
   }
 
+  test("tokenProfile kernel == the three original per-row passes") {
+    val stop = graft.functions.TextAnalysis.stopwords
+    val stopArr = array(stop.map(lit): _*)
+    val toks = hofTokens($"text")
+    // gopher's originals: aggregate-length, distinct-rescan max_tf, filter-count
+    val hof = struct(
+      size(toks).cast("bigint").as("n_tokens"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_chars"),
+      coalesce(array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)))), lit(0)).cast("bigint").as("max_tf"),
+      size(filter(toks, t => array_contains(stopArr, t))).cast("bigint").as("n_stop"))
+    val k = ArrayOps.tokenProfile(ArrayOps.tokenize($"text"), stop)
+    val bad = df.select($"id", k.as("k"), hof.as("h"))
+      .filter(not(struct($"k.n_tokens", $"k.sum_chars", $"k.max_tf", $"k.n_stop") <=> $"h"))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+  }
+
+  test("tokenProfile top_token == sorted-fold longest-run pick") {
+    // repetition's original: fold the SORTED tokens, strict > keeps the
+    // first (lexicographically smallest) max-frequency token
+    val zero = struct(
+      lit("").as("prev"), lit(0L).as("run"),
+      lit("").as("best_tok"), lit(0L).as("best_run"))
+    val top = aggregate(
+      array_sort(hofTokens($"text")), zero,
+      (st, t) => {
+        val run = when(t === st("prev"), st("run") + 1L).otherwise(lit(1L))
+        val better = run > st("best_run")
+        struct(
+          t.as("prev"), run.as("run"),
+          when(better, t).otherwise(st("best_tok")).as("best_tok"),
+          when(better, run).otherwise(st("best_run")).as("best_run"))
+      })
+    val k = ArrayOps.tokenProfile(ArrayOps.tokenize($"text"), Nil)
+    val bad = df
+      .select($"id", k.getField("top_token").as("kt"), k.getField("max_tf").as("kf"),
+        top.getField("best_tok").as("ht"), top.getField("best_run").as("hf"),
+        k.getField("n_tokens").as("n"))
+      .filter($"n" > 0L)
+      .filter(not($"kt" <=> $"ht") || not($"kf" <=> $"hf"))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+  }
+
   test("kernels agree with the HOF chains on the real corpus") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
     val bad = docs.select(
