@@ -150,7 +150,7 @@ object Dedup {
         col("x.sig").as("sig"), col("y.sig").as("sig_b"))
       .distinct()
       .withColumn("est_jaccard",
-        expr(s"size(filter(zip_with(sig, sig_b, (x, y) -> x = y), v -> v))")
+        graft.plans.ArrayOps.longArrayEqCount($"sig", $"sig_b")
           .cast("double") / lit(NumPerm.toDouble))
       .filter($"est_jaccard" >= 0.5)
       .select($"a", $"b", $"est_jaccard")
@@ -183,7 +183,7 @@ object Dedup {
         col("d.sig").as("sig_d"), col("b.sig").as("sig_b"))
       .distinct()
     val confirmed = cand
-      .filter(expr(s"size(filter(zip_with(sig_d, sig_b, (x, y) -> x = y), v -> v))")
+      .filter(graft.plans.ArrayOps.longArrayEqCount($"sig_d", $"sig_b")
         .cast("double") / lit(NumPerm.toDouble) >= 0.5)
       .groupBy($"delta_id").agg(min($"base_id").as("dup_of"))
     sig.filter($"doc_id" % 5 === 0).select($"doc_id")
@@ -915,9 +915,11 @@ object Dedup {
     * scalar quantization.
     */
   def quantized(spark: SparkSession, dir: String): DataFrame =
+    // codegen'd kernel (VecKernel.quantizeFloats) — the transform() HOF
+    // form was interpreted and sat under every embedding consumer's scan
     embeddings(spark, dir)
       .select($"vec_id", $"label",
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+        graft.plans.ArrayOps.quantizeFloats($"embedding", 1000000L).as("q"))
 
   /** Cosine threshold for embedding near-dup pairs. The synthetic
     * embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so the

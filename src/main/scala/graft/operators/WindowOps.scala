@@ -198,13 +198,14 @@ object WindowOps {
     * session semantics: UserJumpDetailApp.java:34) and the ClickHouse
     * DWS config implies as its serving table.
     *
-    * Scale shape, three dimension-sized hourly frames joined at the
-    * end (hours × 1 row each):
-    *  - pv/event counts: one map-side-combined aggregate;
-    *  - uv: dedup FIRST ((window, user) distinct, itself map-side
-    *    partial), then a plain count — never a countDistinct mixed
-    *    into the wide aggregate (the Expand trap, measured on the
-    *    approx-UV query in round 7);
+    * Scale shape, two hourly frames joined at the end (hours × 1 row
+    * each), from TWO scans of the events table (was three):
+    *  - pv/event counts AND uv from one (window, user)-keyed partial
+    *    rollup — dedup FIRST (map-side combinable), then the hour
+    *    rollup sums the partials and its row count IS the
+    *    distinct-user count; never a countDistinct mixed into the
+    *    wide aggregate (the Expand trap, measured on the approx-UV
+    *    query in round 7);
     *  - sessions: the [[graft.operators.AnalyticsOps.sessionize]] gap
     *    rule (30 min), sessions attributed to the hour of their FIRST
     *    event, duration exact seconds. The hour string is formatted
@@ -215,15 +216,20 @@ object WindowOps {
     import org.apache.spark.sql.expressions.Window
     val fmt = "yyyy-MM-dd HH:mm:ss"
     val e = events(spark, dir)
-    val hourly = e
-      .groupBy(date_format(date_trunc("hour", $"ts"), fmt).as("window_start"))
-      .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("pv"),
-        count(lit(1)).as("n_events"))
-    val uv = e
-      .select(date_format(date_trunc("hour", $"ts"), fmt).as("window_start"),
+    // pv/event counts and uv from ONE scan: a (window, user)-keyed
+    // partial rollup (map-side combinable — the same dedup-first shape
+    // the uv branch already had), then the hour rollup sums the per-user
+    // partials and counts the rows, which IS the distinct-user count.
+    // Replaces two separate full scans of the events table.
+    val perUser = e
+      .groupBy(date_format(date_trunc("hour", $"ts"), fmt).as("window_start"),
         $"user_id")
-      .distinct()
-      .groupBy($"window_start").agg(count(lit(1)).as("uv"))
+      .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("pv_u"),
+        count(lit(1)).as("n_u"))
+    val hourly = perUser
+      .groupBy($"window_start")
+      .agg(sum($"pv_u").as("pv"), sum($"n_u").as("n_events"),
+        count(lit(1)).as("uv"))
     val byUser = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
     val sess = e
       .select($"user_id", $"event_id", $"ts", unix_timestamp($"ts").as("sec"))
@@ -236,7 +242,7 @@ object WindowOps {
       .agg(min($"ts").as("t0"), (max($"sec") - min($"sec")).as("dur"))
       .groupBy(date_format(date_trunc("hour", $"t0"), fmt).as("window_start"))
       .agg(count(lit(1)).as("sv"), sum($"dur").as("dur_sec"))
-    hourly.join(uv, "window_start")
+    hourly
       .join(sess, Seq("window_start"), "left")
       .select($"window_start", $"pv", $"n_events", $"uv",
         coalesce($"sv", lit(0L)).as("sv"),

@@ -47,6 +47,12 @@ object ArrayOps {
   def pqReconstruct(q: Column, cb: Column, m: Int, sub: Int): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.pqReconstruct(q, cb, m, sub)
 
+  def quantizeFloats(c: Column, factor: Long): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.quantizeFloats(c, factor)
+
+  def longArrayEqCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.longArrayEqCount(a, b)
+
   def zValue2(x: Column, y: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.zValue2(x, y)
 }

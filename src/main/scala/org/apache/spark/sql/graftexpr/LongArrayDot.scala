@@ -202,6 +202,15 @@ object GraftExpressions {
     ExpressionUtils.column(PqReconstruct(
       ExpressionUtils.expression(q), ExpressionUtils.expression(cb), m, sub))
 
+  /** floor(x * factor) scalar quantization of a float array (codegen'd). */
+  def quantizeFloats(c: Column, factor: Long): Column =
+    ExpressionUtils.column(QuantizeFloats(ExpressionUtils.expression(c), factor))
+
+  /** Positionwise equality count of two long arrays (codegen'd). */
+  def longArrayEqCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(LongArrayEqCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Morton Z-value of two bigint columns (codegen'd). */
   def zValue2(x: Column, y: Column): Column =
     ExpressionUtils.column(

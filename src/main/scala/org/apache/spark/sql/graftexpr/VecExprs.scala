@@ -1,0 +1,107 @@
+package org.apache.spark.sql.graftexpr
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Vector-column kernels for the embedding and minhash hot paths.
+  *
+  * [[VecKernel.quantizeFloats]] is the scalar quantizer
+  * `transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * F) AS
+  * BIGINT))` as one codegen'd pass. `Dedup.quantized` is the base of
+  * EVERY embedding consumer (the dedup_embedding family, all sim_*
+  * paths, the k-NN graph and its downstream components/classify
+  * queries), and `transform` is a CodegenFallback HigherOrderFunction —
+  * so the interpreted lambda sat under roughly twenty queries' scans.
+  *
+  * [[VecKernel.longArrayEqCount]] is the minhash signature-agreement
+  * count `size(filter(zip_with(a, b, (x, y) -> x = y), v -> v))` as one
+  * loop — evaluated once per CANDIDATE PAIR in the banded minhash join
+  * (the shared pair set eval_split_leakage / threshold sweep / the
+  * pipeline family all consume) and in the incremental-snapshot dedup.
+  * Per the original's zip_with-to-longer-length semantics, positions
+  * past the shorter array (and null elements) compare to null and are
+  * dropped by the filter, so the kernel counts equal non-null positions
+  * up to the SHORTER length.
+  *
+  * Both are narrow per-row kernels: no shuffle, no state, inlined into
+  * whole-stage codegen. Parity is pinned by VecExprSpec (kernel == HOF
+  * form on the real corpus plus edge shapes) and the oracle gates of
+  * every consumer.
+  */
+object VecKernel {
+  /** floor(x * factor) per float element, widened through double —
+    * bit-identical to the SQL `CAST(floor(CAST(x AS DOUBLE) * factor)
+    * AS BIGINT)`. Null elements stay null.
+    */
+  def quantizeFloats(arr: ArrayData, factor: Long): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) null
+        else math.floor(arr.getFloat(i).toDouble * factor).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of positions (up to the shorter length) where both elements
+    * are non-null and equal.
+    */
+  def longArrayEqCount(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** Scalar quantization of a float-array column (see
+  * [[VecKernel.quantizeFloats]]).
+  */
+case class QuantizeFloats(child: Expression, factor: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(factor >= 1, s"quantize_floats: factor must be >= 1, got $factor")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "quantize_floats"
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.quantizeFloats(v.asInstanceOf[ArrayData], factor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.VecKernel.quantizeFloats($c, ${factor}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeFloats =
+    copy(child = newChild)
+}
+
+/** Positionwise equality count of two long-array columns (see
+  * [[VecKernel.longArrayEqCount]]).
+  */
+case class LongArrayEqCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_array_eq_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernel.longArrayEqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graftexpr.VecKernel.longArrayEqCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayEqCount =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Equivalence contract for the vector kernels
+  * ([[org.apache.spark.sql.graftexpr.VecKernel]]) against the HOF forms
+  * they replaced — the quantizer under every embedding consumer and the
+  * minhash signature-agreement count under the banded pair joins.
+  */
+class VecExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ColStr
+
+  test("quantizeFloats kernel == transform(floor(x * 1e6)) on the real corpus") {
+    val hof = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+    val bad = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(ArrayOps.quantizeFloats($"embedding", 1000000L).as("k"), hof.as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(bad.count() === 0)
+  }
+
+  test("quantizeFloats matches on negative / zero / extreme floats") {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      Seq(0.0f, -0.0f, 1.5f, -1.5f, 0.9999995f, -0.9999995f),
+      Seq(Float.MinPositiveValue, 3.4e8f, -3.4e8f, 1e-9f, -1e-9f, 123.456f),
+      Seq[Float]()).map(a => org.apache.spark.sql.Row(a))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val hof = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+    val bad = df.select(ArrayOps.quantizeFloats($"embedding", 1000000L).as("k"), hof.as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+  }
+
+  test("longArrayEqCount kernel == size(filter(zip_with(eq))) incl. length skew") {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)),
+      (Seq(1L, 2L), Seq(1L, 2L, 3L)), // zip_with pads with null -> dropped
+      (Seq[Long](), Seq(1L)),
+      (Seq(5L, 5L, 5L, 5L), Seq(5L, 5L, 5L, 5L))).map { case (a, b) =>
+      org.apache.spark.sql.Row(a, b)
+    }
+    val at = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", at),
+      org.apache.spark.sql.types.StructField("b", at)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val hof = expr("size(filter(zip_with(a, b, (x, y) -> x = y), v -> v))").cast("long")
+    val bad = df.select(ArrayOps.longArrayEqCount($"a", $"b").as("k"), hof.as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+  }
+
+  test("minhash pair sets are unchanged by the kernel swap (real corpus)") {
+    // the candidate chain itself is exercised end to end: est_jaccard and
+    // the surviving pair set must be what the HOF form produced (pinned
+    // value-level by the dedup_minhash_pairs oracle; this is the fast
+    // in-suite guard)
+    val pairs = graft.functions.Dedup.minhashPairs(spark, "/root/testdata/sf0.01")
+    assert(pairs.count() > 0)
+    val badRange = pairs.filter($"est_jaccard" < 0.5 || $"est_jaccard" > 1.0)
+    assert(badRange.count() === 0)
+  }
+}
