@@ -1133,14 +1133,11 @@ object AnalyticsOps {
     val stats = lineitem(spark, dir)
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey")).as("parts"))
-      .select(explode(expr(
-        """concat(
-          |  flatten(transform(parts, (p, i) ->
-          |    transform(slice(parts, i + 2, size(parts) - i - 1),
-          |      q -> struct(p AS a, q AS b)))),
-          |  transform(parts, p -> struct(p AS a, CAST(NULL AS BIGINT) AS b)),
-          |  array(struct(CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b)))"""
-          .stripMargin)).as("pr"))
+      // codegen'd emit (VecKernel.pairsAndMarkers): the HOF form of this
+      // tagged explode allocated O(k²) slice arrays per basket and
+      // dispatched an interpreted lambda per emitted struct
+      .select(explode(
+        graft.plans.ArrayOps.basketPairsMarkers($"parts")).as("pr"))
       .groupBy($"pr.a".as("ka"), $"pr.b".as("kb"))
       .agg(count(lit(1)).as("n"))
       // persist: the three readers below filter on the GROUPING keys,

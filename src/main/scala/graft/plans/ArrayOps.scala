@@ -53,6 +53,9 @@ object ArrayOps {
   def longArrayEqCount(a: Column, b: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.longArrayEqCount(a, b)
 
+  def basketPairsMarkers(c: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.basketPairsMarkers(c)
+
   def zValue2(x: Column, y: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.zValue2(x, y)
 }

@@ -211,6 +211,10 @@ object GraftExpressions {
     ExpressionUtils.column(LongArrayEqCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Basket a<b pairs + per-part and total markers (codegen'd). */
+  def basketPairsMarkers(c: Column): Column =
+    ExpressionUtils.column(BasketPairsMarkers(ExpressionUtils.expression(c)))
+
   /** Morton Z-value of two bigint columns (codegen'd). */
   def zValue2(x: Column, y: Column): Column =
     ExpressionUtils.column(

@@ -48,6 +48,48 @@ object VecKernel {
     new GenericArrayData(out)
   }
 
+  /** All a<b index pairs of `parts` as (a, b) structs, followed by one
+    * (p, null) marker per element and one (null, null) total marker —
+    * the tagged-explode source of the basket-lift single-pass plan,
+    * built in one allocation. The HOF form
+    * (`concat(flatten(transform(parts, (p, i) -> transform(slice(parts,
+    * i + 2, ...), ...))), ...)`) allocated k slice arrays per basket
+    * (O(k²) intermediate arrays) and dispatched an interpreted lambda
+    * per emitted struct; same output, same order.
+    */
+  def pairsAndMarkers(parts: ArrayData): ArrayData = {
+    val k = parts.numElements()
+    val vals = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      vals(i) = if (parts.isNullAt(i)) null else java.lang.Long.valueOf(parts.getLong(i))
+      i += 1
+    }
+    val out = new Array[Any](k * (k - 1) / 2 + k + 1)
+    var o = 0
+    i = 0
+    while (i < k) {
+      var j = i + 1
+      while (j < k) {
+        out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](vals(i), vals(j)))
+        o += 1
+        j += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < k) {
+      out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](vals(i), null))
+      o += 1
+      i += 1
+    }
+    out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](null, null))
+    new GenericArrayData(out)
+  }
+
   /** Count of positions (up to the shorter length) where both elements
     * are non-null and equal.
     */
@@ -81,6 +123,26 @@ case class QuantizeFloats(child: Expression, factor: Long)
       s"org.apache.spark.sql.graftexpr.VecKernel.quantizeFloats($c, ${factor}L)")
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeFloats =
+    copy(child = newChild)
+}
+
+/** Basket pair/marker emitter (see [[VecKernel.pairsAndMarkers]]). */
+case class BasketPairsMarkers(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", LongType, nullable = true),
+    StructField("b", LongType, nullable = true))), containsNull = false)
+  override def prettyName: String = "basket_pairs_markers"
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.pairsAndMarkers(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.VecKernel.pairsAndMarkers($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BasketPairsMarkers =
     copy(child = newChild)
 }
 

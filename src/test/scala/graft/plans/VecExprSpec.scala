@@ -59,6 +59,24 @@ class VecExprSpec extends AnyFunSuite {
     assert(bad.count() === 0, bad.collect().mkString("; "))
   }
 
+  test("basketPairsMarkers kernel == concat/flatten/slice HOF emit (real baskets)") {
+    val hof = expr(
+      """concat(
+        |  flatten(transform(parts, (p, i) ->
+        |    transform(slice(parts, i + 2, size(parts) - i - 1),
+        |      q -> struct(p AS a, q AS b)))),
+        |  transform(parts, p -> struct(p AS a, CAST(NULL AS BIGINT) AS b)),
+        |  array(struct(CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b)))"""
+        .stripMargin)
+    val baskets = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+    val bad = baskets
+      .select(ArrayOps.basketPairsMarkers($"parts").as("k"), hof.as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(bad.count() === 0)
+  }
+
   test("minhash pair sets are unchanged by the kernel swap (real corpus)") {
     // the candidate chain itself is exercised end to end: est_jaccard and
     // the surviving pair set must be what the HOF form produced (pinned
