@@ -54,8 +54,9 @@ object Session {
   def get(appName: String): SparkSession = {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // engine SQL surface (tokenize_explode, md5_prefix60, minhash_sig,
-    // simhash_fp, word_shingles, long_array_dot); idempotent
+    // engine SQL surface (tokenize, tokenize_explode, word_tiles,
+    // struct_sort_project, md5_prefix60, minhash_sig, simhash_fp,
+    // word_shingles, long_array_dot, sketch aggregates); idempotent
     org.apache.spark.sql.graftexpr.GraftFunctions.registerAll(s)
     s
   }

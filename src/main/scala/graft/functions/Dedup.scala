@@ -852,10 +852,13 @@ object Dedup {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when($"rm".isNotNull, 1L).otherwise(0L)).as("n_removed"),
         // CASE yields null for removed rows; collect_list drops nulls,
-        // array_sort orders by (pos, tok) struct — document order
-        expr("array_join(transform(array_sort(" +
-          "collect_list(CASE WHEN rm IS NULL THEN struct(pos, tok) END)), " +
-          "x -> x.tok), ' ')").as("clean_text"))
+        // struct_sort_project orders by (pos, tok) — document order —
+        // inside whole-stage codegen (the transform/array_sort tower
+        // it replaces was CodegenFallback; StructSortProjectSpec pins
+        // the equivalence)
+        array_join(graft.plans.ArrayOps.structSortProject(
+          expr("collect_list(CASE WHEN rm IS NULL THEN struct(pos, tok) END)")),
+          " ").as("clean_text"))
     docs.select($"doc_id").join(rebuilt, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_tokens", lit(0L)).as("n_tokens"),
@@ -1090,11 +1093,13 @@ object Dedup {
     * `spark.sql` string over a temp view, so a SQL-first consumer can
     * run the full exact-substring dedup pipeline (fingerprint →
     * ownership → span merge → document rebuild) with no Scala imports.
-    * Tokens/fingerprints come from the registered kernels
-    * (`word_shingles`, `md5_prefix60`); everything else is ANSI-ish
-    * Spark SQL (posexplode, struct-min ownership, gaps-and-islands
-    * windows, sequence explode, order-preserving rebuild via
-    * array_sort(collect_list(struct))).
+    * Tokens/fingerprints/rebuild come from the registered kernels
+    * (`tokenize`, `word_shingles`, `md5_prefix60`,
+    * `struct_sort_project`) — every per-row expression in the plan is
+    * codegen'd, no CodegenFallback HOF remains (PlanShapeSpec pins
+    * this); everything else is ANSI-ish Spark SQL (posexplode,
+    * struct-min ownership, gaps-and-islands windows, sequence explode,
+    * order-preserving rebuild).
     *
     * Value-identical to `dedup_substring_remove` (same oracle SQL); the
     * plan shape is pinned by PlanShapeSpec — the SHUFFLE_HASH hints on
@@ -1108,9 +1113,7 @@ object Dedup {
     val k = SpanK
     spark.sql(
       s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
-         |  FROM llm_docs),
+         |  SELECT doc_id, tokenize(text) AS toks FROM llm_docs),
          |tokpos AS (
          |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
          |  FROM toks LATERAL VIEW posexplode(toks) AS pos, tok),
@@ -1144,9 +1147,9 @@ object Dedup {
          |  SELECT /*+ SHUFFLE_HASH(r) */ t.doc_id,
          |    count(1) AS n_tokens,
          |    sum(CASE WHEN r.pos IS NOT NULL THEN 1L ELSE 0L END) AS n_removed,
-         |    array_join(transform(array_sort(
+         |    array_join(struct_sort_project(
          |      collect_list(CASE WHEN r.pos IS NULL THEN struct(t.pos, t.tok) END)),
-         |      x -> x.tok), ' ') AS clean_text
+         |      ' ') AS clean_text
          |  FROM tokpos t LEFT JOIN rmpos r
          |    ON t.doc_id = r.doc_id AND t.pos = r.pos
          |  GROUP BY t.doc_id)
@@ -1162,9 +1165,7 @@ object Dedup {
     documents(spark, dir).createOrReplaceTempView("llm_docs")
     spark.sql(
       s"""WITH tq AS (
-         |  SELECT doc_id, text,
-         |    filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
-         |  FROM llm_docs)
+         |  SELECT doc_id, text, tokenize(text) AS toks FROM llm_docs)
          |SELECT doc_id,
          |  md5_prefix60(normalize_text(text)) AS fp60,
          |  coalesce(simhash_fp(toks, $SimBits), CAST(-1 AS BIGINT)) AS simhash,

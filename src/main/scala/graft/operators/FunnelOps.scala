@@ -175,9 +175,11 @@ object FunnelOps {
       .withColumn("rn", row_number().over(bySession))
       .filter($"rn" <= PathCap)
       .groupBy($"user_id", $"session_no")
-      .agg(concat_ws(">", expr(
-        "transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"))
-        .as("path"))
+      // rank-sorted projection via the codegen'd kernel — the
+      // transform(array_sort(...)) tower it replaces was
+      // CodegenFallback in the aggregate's result projection
+      .agg(concat_ws(">", graft.plans.ArrayOps.structSortProject(
+        expr("collect_list(struct(rn, event_type))"))).as("path"))
     paths.groupBy($"path", $"user_id").agg(count(lit(1)).as("s"))
       .groupBy($"path")
       .agg(sum($"s").as("n_sessions"), count(lit(1)).as("n_users"))

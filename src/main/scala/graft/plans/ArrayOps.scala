@@ -41,6 +41,9 @@ object ArrayOps {
   def tileDedupStats(c: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.tileDedupStats(c)
 
+  def structSortProject(c: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.structSortProject(c)
+
   def tokenProfile(c: Column, stopwords: Seq[String]): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.tokenProfile(c, stopwords)
 

@@ -193,6 +193,12 @@ object GraftExpressions {
   def tileDedupStats(c: Column): Column =
     ExpressionUtils.column(TileDedupStats(ExpressionUtils.expression(c)))
 
+  /** Rank-sorted string projection of array<struct<rank, value>>
+    * (codegen'd) — replaces `transform(array_sort(...), x -> x.v)`.
+    */
+  def structSortProject(c: Column): Column =
+    ExpressionUtils.column(StructSortProject(ExpressionUtils.expression(c)))
+
   /** One-pass per-doc token statistics struct (codegen'd). */
   def tokenProfile(c: Column, stopwords: Seq[String]): Column =
     ExpressionUtils.column(TokenProfile(ExpressionUtils.expression(c), stopwords))

@@ -39,6 +39,15 @@ object PqKernel {
     */
   def reconstruct(q: ArrayData, cb: ArrayData, m: Int, sub: Int): ArrayData = {
     val nCodes = cb.numElements()
+    // fail with the expression's name and the malformed shape, not a
+    // raw getStruct(-1)/index crash deep in generated code: an empty
+    // codebook has no argmin, and a short vector/codeword would read
+    // past its end
+    if (nCodes == 0) throw new IllegalArgumentException(
+      "pq_reconstruct: empty codebook (no nearest codeword exists)")
+    if (q.numElements() < m * sub) throw new IllegalArgumentException(
+      s"pq_reconstruct: vector has ${q.numElements()} elements, geometry " +
+        s"m=$m x sub=$sub needs ${m * sub}")
     val out = new Array[Long](m * sub)
     var mi = 0
     while (mi < m) {
@@ -51,6 +60,9 @@ object PqKernel {
         val row = cb.getStruct(ci, 2)
         val cid = row.getLong(0)
         val cv = row.getArray(1)
+        if (cv.numElements() < m * sub) throw new IllegalArgumentException(
+          s"pq_reconstruct: codeword cid=$cid has ${cv.numElements()} elements, " +
+            s"geometry m=$m x sub=$sub needs ${m * sub}")
         var d = 0L
         var j = 0
         while (j < sub) {

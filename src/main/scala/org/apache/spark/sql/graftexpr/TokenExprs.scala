@@ -133,7 +133,12 @@ object TokenKernel {
   /** First-occurrence dedup of a tile array in ONE hashed pass:
     * (n_tiles, n_kept, kept tiles joined by ' ' in position order) —
     * the same output as keeping tile i iff `array_position(tl, t) ==
-    * i + 1`, without the O(tiles²) rescan.
+    * i + 1`, without the O(tiles²) rescan. Null elements replay the
+    * HOF exactly: `array_position` yields NULL for a null needle, so
+    * the filter predicate is null and the element is DROPPED from
+    * `kept` — but `size(tl)` still counts it in `n_tiles`.
+    * (Unreachable via [[wordTiles]], whose output is containsNull =
+    * false; pinned because the expression accepts any array<string>.)
     */
   def tileDedupStats(arr: ArrayData): InternalRow = {
     val num = arr.numElements()
@@ -141,13 +146,66 @@ object TokenKernel {
     val kept = new java.util.ArrayList[UTF8String](num)
     var i = 0
     while (i < num) {
-      val t = arr.getUTF8String(i)
-      if (seen.add(t)) kept.add(t)
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        if (seen.add(t)) kept.add(t)
+      }
       i += 1
     }
     val txt = UTF8String.concatWs(
       Space, kept.toArray(new Array[UTF8String](kept.size())).toIndexedSeq: _*)
     new GenericInternalRow(Array[Any](num.toLong, kept.size().toLong, txt))
+  }
+
+  /** Sort an array<struct<rank, value>> by (rank, value) and project
+    * the string values, in ONE pass over primitive arrays — the
+    * codegen'd replacement for the rebuild/path-signature tower
+    * `transform(array_sort(collect_list(struct(rank, v))), x -> x.v)`
+    * (`ArraySort` + `ArrayTransform` are both CodegenFallback, so the
+    * tower ran interpreted per GROUP in the hottest aggregates the
+    * dedup-rewrite and funnel families have).
+    *
+    * Equivalence to the HOF chain, element-by-element: `array_sort`
+    * orders structs lexicographically by field with NULL STRUCTS LAST
+    * and null fields first; a projected `x.v` that is null is then
+    * skipped by the downstream `array_join`/`concat_ws` — so the
+    * kernel drops null structs AND null-value structs up front (they
+    * can contribute nothing to the joined output) and sorts the rest
+    * by (rank asc, value asc binary). Output therefore declares
+    * containsNull = false. `intRank` selects the rank accessor
+    * (IntegerType vs LongType first field).
+    */
+  def structSortProject(arr: ArrayData, intRank: Boolean): ArrayData = {
+    val num = arr.numElements()
+    val ranks = new Array[Long](num)
+    val vals = new Array[UTF8String](num)
+    var n = 0
+    var i = 0
+    while (i < num) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 2)
+        if (!row.isNullAt(1)) {
+          ranks(n) = if (row.isNullAt(0)) Long.MinValue
+            else if (intRank) row.getInt(0).toLong else row.getLong(0)
+          vals(n) = row.getUTF8String(1)
+          n += 1
+        }
+      }
+      i += 1
+    }
+    // index sort: ranks are near-unique (row_number / token position),
+    // so the value tie-break almost never evaluates
+    val idx = Array.range(0, n).map(Integer.valueOf)
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c = java.lang.Long.compare(ranks(a), ranks(b))
+        if (c != 0) c else vals(a).compareTo(vals(b))
+      }
+    })
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) { out(j) = vals(idx(j)); j += 1 }
+    new GenericArrayData(out)
   }
 }
 
@@ -222,6 +280,44 @@ case class TokenProfile(child: Expression, stopwords: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenProfile =
+    copy(child = newChild)
+}
+
+/** Rank-sorted string projection of an array<struct<rank, value>>
+  * (see [[TokenKernel.structSortProject]]). Accepts an int or long
+  * first field; resolves the accessor once at analysis time.
+  */
+case class StructSortProject(child: Expression)
+    extends UnaryExpression {
+  private def structType: Option[StructType] = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 2 => Some(s)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    structType match {
+      case Some(s) if (s(0).dataType == IntegerType || s(0).dataType == LongType) &&
+          s(1).dataType == StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"struct_sort_project expects array<struct<int|bigint, string>>, got ${child.dataType.sql}")
+    }
+
+  private lazy val intRank: Boolean =
+    structType.exists(_(0).dataType == IntegerType)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "struct_sort_project"
+
+  override def nullSafeEval(v: Any): Any =
+    TokenKernel.structSortProject(v.asInstanceOf[ArrayData], intRank)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.TokenKernel.structSortProject($c, $intRank)")
+
+  override protected def withNewChildInternal(newChild: Expression): StructSortProject =
     copy(child = newChild)
 }
 

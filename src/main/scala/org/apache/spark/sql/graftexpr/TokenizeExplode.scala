@@ -93,6 +93,24 @@ object GraftFunctions {
       require(exprs.length == 2, s"z_value2 expects 2 arguments, got ${exprs.length}")
       ZValue2(exprs.head, exprs(1))
     },
+    "tokenize" -> { exprs =>
+      require(exprs.length == 1, s"tokenize expects 1 argument, got ${exprs.length}")
+      Tokenize(exprs.head)
+    },
+    "word_tiles" -> { exprs =>
+      require(exprs.length == 2, s"word_tiles expects 2 arguments, got ${exprs.length}")
+      WordTiles(exprs.head, litInt(exprs(1), "word_tiles"))
+    },
+    "tile_dedup_stats" -> { exprs =>
+      require(exprs.length == 1,
+        s"tile_dedup_stats expects 1 argument, got ${exprs.length}")
+      TileDedupStats(exprs.head)
+    },
+    "struct_sort_project" -> { exprs =>
+      require(exprs.length == 1,
+        s"struct_sort_project expects 1 argument, got ${exprs.length}")
+      StructSortProject(exprs.head)
+    },
     "word_shingles" -> { exprs =>
       require(exprs.length == 2, s"word_shingles expects 2 arguments, got ${exprs.length}")
       WordShingles(exprs.head, litInt(exprs(1), "word_shingles"))

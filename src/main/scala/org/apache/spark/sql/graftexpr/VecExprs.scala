@@ -33,16 +33,28 @@ import org.apache.spark.sql.types._
 object VecKernel {
   /** floor(x * factor) per float element, widened through double —
     * bit-identical to the SQL `CAST(floor(CAST(x AS DOUBLE) * factor)
-    * AS BIGINT)`. Null elements stay null.
+    * AS BIGINT)` INCLUDING Spark 4's default-ANSI failure mode: a NaN
+    * or out-of-long-range product raises (named after this expression)
+    * exactly where the ANSI cast would raise CAST_INVALID_INPUT /
+    * CAST_OVERFLOW, instead of silently saturating through
+    * `Double.toLong`. Null elements stay null.
     */
   def quantizeFloats(arr: ArrayData, factor: Long): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) =
-        if (arr.isNullAt(i)) null
-        else math.floor(arr.getFloat(i).toDouble * factor).toLong
+      if (arr.isNullAt(i)) out(i) = null
+      else {
+        val d = math.floor(arr.getFloat(i).toDouble * factor)
+        // d in [-2^63, 2^63) converts exactly; 9.223372036854776E18 is
+        // 2^63 as a double, so >= catches +Inf and the overflow edge
+        if (d.isNaN || d < -9.223372036854776e18 || d >= 9.223372036854776e18)
+          throw new ArithmeticException(
+            s"quantize_floats: element ${arr.getFloat(i)} * $factor = $d " +
+              "is not representable as BIGINT (ANSI cast would overflow)")
+        out(i) = d.toLong
+      }
       i += 1
     }
     new GenericArrayData(out)
@@ -59,13 +71,21 @@ object VecKernel {
     */
   def pairsAndMarkers(parts: ArrayData): ArrayData = {
     val k = parts.numElements()
+    // size the output in Long: at k >= ~65536 the Int expression
+    // k*(k-1)/2 overflows to a wrong/negative array size. A basket that
+    // large is also a denormalized-input bug worth naming — the lift
+    // plan's cost is quadratic in basket width by definition.
+    val sz = k.toLong * (k - 1) / 2 + k + 1
+    if (sz > Int.MaxValue) throw new IllegalArgumentException(
+      s"basket_pairs_markers: basket of $k items would emit $sz structs " +
+        "(exceeds a single array); split or cap the basket upstream")
     val vals = new Array[Any](k)
     var i = 0
     while (i < k) {
       vals(i) = if (parts.isNullAt(i)) null else java.lang.Long.valueOf(parts.getLong(i))
       i += 1
     }
-    val out = new Array[Any](k * (k - 1) / 2 + k + 1)
+    val out = new Array[Any](sz.toInt)
     var o = 0
     i = 0
     while (i < k) {

@@ -146,12 +146,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(antiJoins <= 1, s"expected <=1 cluster-map anti-join, got $antiJoins:\n$plan")
   }
 
+  /** Every CodegenFallback expression anywhere in the physical plan
+    * (recursing through AQE wrappers and subqueries) — the interpreted
+    * islands the kernel wave exists to eliminate. An empty result means
+    * every per-row expression in the plan participates in codegen.
+    */
+  private def codegenFallbacks(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.execution.SparkPlan
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    def walk(p: SparkPlan): Seq[String] = {
+      val here = unwrap(p)
+      val own = here.expressions.flatMap(_.collect {
+        // aggregate functions (collect_list, the sketch aggs) are
+        // exempt: their buffers run through the aggregation operator's
+        // imperative update path whatever traits they mix in — the
+        // contract here is about per-ROW projection/filter islands
+        case cf: CodegenFallback
+            if !cf.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction] =>
+          cf.prettyName
+      })
+      val subs = here.subqueries.flatMap(walk)
+      own ++ subs ++ here.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   test("llm_sql_surface: SQL-text fingerprint pass is one narrow projection, no shuffle") {
     val df = q("llm_sql_surface")
     assert(countShuffles(df) === 0, planString(df))
     val plan = planString(df)
     for (fn <- Seq("md5_prefix60", "simhash_fp", "minhash_sig", "word_shingles"))
       assert(plan.contains(fn), s"$fn missing from plan:\n$plan")
+  }
+
+  test("SQL-text surface queries carry ZERO CodegenFallback expressions") {
+    // the r13 kernel wave's rule — no interpreted HOF in a per-row hot
+    // path — now closed at the SQL string boundary too: the registered
+    // `tokenize` / `struct_sort_project` kernels replace the
+    // filter(split(...)) tokenizer CTE and the transform(array_sort(...))
+    // rebuild, so a SQL-only consumer gets the same fully-codegen plan
+    // the Scala API builds
+    for (name <- Seq("llm_sql_surface", "llm_sql_surface_remove",
+        "dws_sql_surface", "dedup_substring_remove")) {
+      val fb = codegenFallbacks(q(name))
+      assert(fb.isEmpty, s"$name has interpreted expressions: ${fb.mkString(", ")}")
+    }
   }
 
   test("llm_sql_surface_remove: SQL-text removal pass keeps the Scala plan shape") {

@@ -47,4 +47,35 @@ class PqExprSpec extends AnyFunSuite {
       .filter(not($"k" <=> $"h"))
     assert(bad.count() === 0)
   }
+
+  test("pqReconstruct names the expression on malformed input") {
+    // empty codebook / short vector / short codeword must raise a
+    // descriptive error, not getStruct(-1) or an index crash deep in
+    // generated code
+    import org.apache.spark.sql.graftexpr.PqKernel
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    def longs(n: Int): GenericArrayData =
+      new GenericArrayData(Array.tabulate(n)(i => java.lang.Long.valueOf(i.toLong)): Array[Any])
+    def cbOf(cvLen: Int): GenericArrayData = new GenericArrayData(Array[Any](
+      new GenericInternalRow(Array[Any](java.lang.Long.valueOf(0L), longs(cvLen)))))
+    val emptyCb = new GenericArrayData(Array.empty[Any])
+    val e1 = intercept[IllegalArgumentException] {
+      PqKernel.reconstruct(longs(8), emptyCb, 2, 4)
+    }
+    assert(e1.getMessage.contains("pq_reconstruct") &&
+      e1.getMessage.contains("empty codebook"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      PqKernel.reconstruct(longs(7), cbOf(8), 2, 4)
+    }
+    assert(e2.getMessage.contains("pq_reconstruct") &&
+      e2.getMessage.contains("vector"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      PqKernel.reconstruct(longs(8), cbOf(7), 2, 4)
+    }
+    assert(e3.getMessage.contains("pq_reconstruct") &&
+      e3.getMessage.contains("codeword"), e3.getMessage)
+    // well-formed input on the same code path still reconstructs
+    assert(PqKernel.reconstruct(longs(8), cbOf(8), 2, 4).numElements() === 8)
+  }
 }

@@ -130,4 +130,101 @@ class TokenExprSpec extends AnyFunSuite {
       .filter(not($"kt" <=> $"ht") || not($"kl" <=> $"hl"))
     assert(bad.count() === 0)
   }
+
+  test("tileDedupStats drops null elements exactly like the HOF filter") {
+    // array_position(tl, null) is NULL -> the HOF predicate is null and
+    // the element is dropped from kept, while size(tl) still counts it
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      Seq("a", null, "a", "b", null),
+      Seq[String](null, null),
+      Seq("x")).map(a => org.apache.spark.sql.Row(a))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tl",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = true))))
+    val nd = spark.createDataFrame(rows.asJava, schema)
+    val kept = filter($"tl", (t, i) => array_position($"tl", t) === i + 1)
+    val bad = nd.select(
+        ArrayOps.tileDedupStats($"tl").as("k"),
+        struct(size($"tl").cast("bigint").as("n_tiles"),
+          size(kept).cast("bigint").as("n_kept"),
+          array_join(kept, " ").as("dedup_text")).as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+  }
+
+  /** The HOF tower structSortProject replaces, parameterized on the
+    * struct's field names (the kernel is positional).
+    */
+  private def hofSortProject(c: org.apache.spark.sql.Column, v: String) =
+    transform(array_sort(c), x => x.getField(v))
+
+  test("structSortProject == transform(array_sort(...)) joined, long ranks") {
+    // the dedup-rewrite rebuild shape: bigint pos + token, CASE-null
+    // structs dropped by collect_list upstream; here nulls are kept in
+    // the array to pin the join-level equivalence (array_join skips the
+    // nulls the HOF sorts to the end; the kernel never emits them)
+    import scala.jdk.CollectionConverters._
+    val structT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.ArrayType(structT, containsNull = true))))
+    def r(pos: java.lang.Long, tok: String) = org.apache.spark.sql.Row(pos, tok)
+    val rows = Seq(
+      Seq(r(3L, "c"), r(1L, "a"), r(2L, "b")),
+      Seq(r(2L, "z"), null, r(1L, "y"), null),
+      Seq(r(5L, null), r(4L, "keep")), // null value: join skips it either way
+      Seq(r(1L, "dup"), r(1L, "dup"), r(1L, "aaa")), // rank ties -> value order
+      Seq(r(null, "nullrank"), r(0L, "zero")), // null rank sorts first
+      Seq[org.apache.spark.sql.Row](),
+      Seq(r(-9L, "neg"), r(9L, "pos"))).map(a => org.apache.spark.sql.Row(a))
+    val nd = spark.createDataFrame(rows.asJava, schema)
+    val bad = nd.select(
+        array_join(ArrayOps.structSortProject($"a"), " ").as("k"),
+        array_join(hofSortProject($"a", "tok"), " ").as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+  }
+
+  test("structSortProject == HOF tower on int ranks (funnel path shape)") {
+    import scala.jdk.CollectionConverters._
+    val structT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rn", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("et", org.apache.spark.sql.types.StringType)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.ArrayType(structT, containsNull = false))))
+    def r(rn: Int, et: String) = org.apache.spark.sql.Row(rn, et)
+    val rows = Seq(
+      Seq(r(2, "view"), r(1, "click"), r(3, "pay")),
+      Seq(r(1, "solo")),
+      Seq[org.apache.spark.sql.Row]()).map(a => org.apache.spark.sql.Row(a))
+    val nd = spark.createDataFrame(rows.asJava, schema)
+    val bad = nd.select(
+        concat_ws(">", ArrayOps.structSortProject($"a")).as("k"),
+        concat_ws(">", hofSortProject($"a", "et")).as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+  }
+
+  test("structSortProject rebuild equals the removal pass on the real corpus") {
+    // end-to-end: the dedup_substring_remove rebuild aggregate built
+    // with the kernel vs the original HOF tower, same corpus
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = docs.select($"doc_id",
+        posexplode(graft.functions.TextAnalysis.tokens($"text")))
+      .select($"doc_id", $"pos".cast("bigint").as("pos"), $"col".as("tok"))
+    val k = toks.groupBy($"doc_id")
+      .agg(array_join(ArrayOps.structSortProject(
+        expr("collect_list(struct(pos, tok))")), " ").as("t"))
+    val h = toks.groupBy($"doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), " +
+        "x -> x.tok), ' ')").as("t"))
+    val bad = k.as("k").join(h.as("h"), "doc_id")
+      .filter(not(col("k.t") <=> col("h.t")))
+    assert(bad.count() === 0)
+  }
 }

@@ -77,6 +77,41 @@ class VecExprSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("quantizeFloats raises on non-finite input (ANSI cast parity)") {
+    // Spark 4's default-ANSI CAST(floor(NaN/Inf * F) AS BIGINT) raises;
+    // the kernel must not silently saturate through Double.toLong
+    import org.apache.spark.sql.graftexpr.VecKernel
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity)) {
+      val e = intercept[ArithmeticException] {
+        VecKernel.quantizeFloats(new GenericArrayData(Array[Any](1.0f, bad)), 1000000L)
+      }
+      assert(e.getMessage.contains("quantize_floats"), e.getMessage)
+    }
+    // finite values stay fine on the same code path
+    val ok = VecKernel.quantizeFloats(
+      new GenericArrayData(Array[Any](1.5f, null, -2.5f)), 10L)
+    assert(ok.numElements() === 3 && ok.getLong(0) === 15L && ok.isNullAt(1))
+  }
+
+  test("basketPairsMarkers sizes its output in Long (wide-basket guard)") {
+    // k = 66000 makes k*(k-1)/2 overflow Int; the kernel must fail with
+    // a named error BEFORE allocating a wrong-size array
+    import org.apache.spark.sql.graftexpr.VecKernel
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val wide = new GenericArrayData(
+      Array.tabulate(66000)(i => java.lang.Long.valueOf(i.toLong)): Array[Any])
+    val e = intercept[IllegalArgumentException] {
+      VecKernel.pairsAndMarkers(wide)
+    }
+    assert(e.getMessage.contains("basket_pairs_markers"), e.getMessage)
+    // boundary sanity: a small basket still emits C(k,2) + k + 1 structs
+    val small = new GenericArrayData(
+      Array[Any](java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L),
+        java.lang.Long.valueOf(3L)))
+    assert(VecKernel.pairsAndMarkers(small).numElements() === 3 + 3 + 1)
+  }
+
   test("minhash pair sets are unchanged by the kernel swap (real corpus)") {
     // the candidate chain itself is exercised end to end: est_jaccard and
     // the surviving pair set must be what the HOF form produced (pinned
