@@ -29,10 +29,17 @@ package graft
   * every query median measures the shared-READ path all reps actually
   * take, instead of rep 1 of one arbitrary consumer eating the build.
   *
-  * `SPARK_GRAFT_BENCH_DIAG=1` additionally records, per measurement,
-  * the raw seconds plus GC and JIT-compilation milliseconds accrued
-  * inside the timed region (`_diag`) — the instrumentation used to
-  * attribute run-to-run drift to a named JVM mechanism.
+  * Every full run records per-measurement raw seconds and the 1-minute
+  * system load average into `_diag` — the machine carries external
+  * co-scheduled load, and the loadavg trace is what tells an
+  * ambient-inflated run apart from a regression.
+  * `SPARK_GRAFT_BENCH_DIAG=1` additionally records GC and
+  * JIT-compilation milliseconds accrued inside the timed region — the
+  * instrumentation used to attribute run-to-run drift to a named JVM
+  * mechanism. A full run writes its artifact to
+  * `bench_full{_sfTag}_r{N}.json` unless that file is already
+  * committed-and-clean in git, in which case a `-postN` sibling is
+  * written instead — committed round evidence is never clobbered.
   *
   * Uses the `noop` sink so the whole plan (projections, sorts) executes —
   * `count()` would let Catalyst prune most of the work. A query that
@@ -90,7 +97,22 @@ object Bench {
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     def jitMillis: Long = java.lang.management.ManagementFactory
       .getCompilationMXBean.getTotalCompilationTime
-    // per query: Seq[(sec_minus_builds, gc_ms, jit_ms)] per rep
+    // 1-minute load average at measurement time. This machine carries
+    // EXTERNAL co-scheduled load (observed 1-min loadavg ≈5.7 with zero
+    // local processes; the r13 post-round driver run inflated the dedup
+    // family 2.4–4.4× under it) — recording it per rep makes an
+    // inflated run self-identifying instead of reading as a code
+    // regression. /proc/loadavg on Linux; the MXBean elsewhere.
+    def loadAvg: Double =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")))
+        s.split("\\s+")(0).toDouble
+      } catch { case _: Throwable =>
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .getSystemLoadAverage
+      }
+    // per query: Seq[(sec_minus_builds, gc_ms, jit_ms, loadavg)] per rep
     val samples = sorted.map { case (name, fn) =>
       val reps_ = (1 to reps).map { _ =>
         // GC barrier: without it, garbage from the PREVIOUS
@@ -102,6 +124,7 @@ object Bench {
         // state.
         System.gc()
         Thread.sleep(200)
+        val la = loadAvg
         val (g0, j0, b0) = (gcMillis, jitMillis, Materialize.buildSeconds)
         val t0 = System.nanoTime()
         val ok = runOnce(name, fn, "measure")
@@ -109,7 +132,7 @@ object Bench {
           (Materialize.buildSeconds - b0) // builds reported separately
         val (gMs, jMs) = (gcMillis - g0, jitMillis - j0)
         spark.catalog.clearCache() // teardown outside the timed region
-        (if (ok) sec else -1.0, gMs, jMs)
+        (if (ok) sec else -1.0, gMs, jMs, la)
       }
       name -> reps_
     }
@@ -139,11 +162,19 @@ object Bench {
         .map(_.getName.replaceAll("\\D", "").toInt).foldLeft(0)(math.max) + 1
       val builds = Materialize.buildBreakdown
         .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
-      val diagBody = if (!diag) "" else samples.map { case (k, rs) =>
+      // loadavg is ALWAYS in _diag (gc/jit only under the env flag):
+      // it's the field that tells an ambient-load-inflated run apart
+      // from a regression, and the runs that need telling apart are
+      // exactly the ones nobody thought to instrument
+      val diagBody = samples.map { case (k, rs) =>
         val secs = rs.map(_._1).mkString("[", ",", "]")
-        val gcs = rs.map(_._2).mkString("[", ",", "]")
-        val jits = rs.map(_._3).mkString("[", ",", "]")
-        s"""    "$k": {"sec":$secs,"gc_ms":$gcs,"jit_ms":$jits}"""
+        val loads = rs.map(_._4).mkString("[", ",", "]")
+        val gcJit = if (!diag) "" else {
+          val gcs = rs.map(_._2).mkString("[", ",", "]")
+          val jits = rs.map(_._3).mkString("[", ",", "]")
+          s""","gc_ms":$gcs,"jit_ms":$jits"""
+        }
+        s"""    "$k": {"sec":$secs,"load":$loads$gcJit}"""
       }.mkString("  \"_diag\": {\n", ",\n", "\n  },\n")
       val body = results.map { case (k, v) => s"""  "$k": $v""" }
         .mkString(s"""{\n  "_sf": "$sfDir",\n  "_total_sec": $total,\n  "_reps": $reps,\n  "_materialize_sec": $matSec,\n  "_materialize_builds": $builds,\n$diagBody""",
@@ -152,8 +183,33 @@ object Bench {
       // artifact name so they never clobber the round's sf0.1 record
       val sfTag = new java.io.File(sfDir).getName
       val scale = if (sfTag == "sf0.1") "" else s"_$sfTag"
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"/root/repo/bench_full${scale}_r$round.json"), body)
+      // overwrite guard: a COMMITTED round artifact is evidence — the
+      // r13 driver's post-round re-run (made under external load)
+      // silently clobbered the committed pair file on disk. If the
+      // target exists and is git-clean (tracked, unmodified), write a
+      // "-postN"-suffixed sibling instead; a dirty/untracked target is
+      // still in-progress and fine to overwrite.
+      def gitClean(p: java.nio.file.Path): Boolean =
+        try {
+          val pr = new ProcessBuilder("git", "-C", "/root/repo", "status",
+            "--porcelain", "--", p.getFileName.toString).start()
+          val out = new String(pr.getInputStream.readAllBytes()).trim
+          pr.waitFor()
+          out.isEmpty && {
+            val ls = new ProcessBuilder("git", "-C", "/root/repo", "ls-files",
+              "--error-unmatch", p.getFileName.toString).start()
+            ls.getInputStream.readAllBytes(); ls.waitFor() == 0
+          }
+        } catch { case _: Throwable => false }
+      val base = java.nio.file.Paths.get(s"/root/repo/bench_full${scale}_r$round.json")
+      val target = if (!java.nio.file.Files.exists(base) || !gitClean(base)) base
+        else Iterator.from(1)
+          .map(i => java.nio.file.Paths.get(
+            s"/root/repo/bench_full${scale}_r$round-post${if (i == 1) "" else i}.json"))
+          .find(p => !java.nio.file.Files.exists(p) || !gitClean(p)).get
+      if (target != base)
+        System.err.println(s"[bench] $base is committed round evidence; writing $target")
+      java.nio.file.Files.writeString(target, body)
     }
     spark.stop()
   }
