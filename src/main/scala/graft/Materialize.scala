@@ -238,6 +238,28 @@ object Materialize {
       }
     }
 
+  /** Unpersist a SUPERSEDED loop checkpoint's blocks — the retirement
+    * step for iterative operators (pagerank, label propagation,
+    * k-core, components) whose round-N state is dead the moment round
+    * N+1's `localCheckpoint` materializes. Without it, a long-lived
+    * session accumulates every intermediate round's blocks until the
+    * ContextCleaner notices the RDDs are garbage post-GC.
+    *
+    * Guard: acts only when the frame's analyzed plan IS the bare
+    * `LogicalRDD` leaf a `localCheckpoint()` call returns — a
+    * composite plan is never reached into, so passing a derived frame
+    * is a no-op rather than a risk of dropping a leaf someone else
+    * still reads. Callers must still never pass a session-shared
+    * artifact handle ([[shared]] returns exactly such a bare leaf);
+    * those retire through [[invalidate]]'s deferred-drop queue.
+    */
+  def retireCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** Drop every artifact pinned for `spark` (all dirs), unpersisting
     * their checkpoint blocks eagerly (not waiting for the
     * ContextCleaner).

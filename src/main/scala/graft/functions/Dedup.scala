@@ -239,6 +239,11 @@ object Dedup {
     // rows O(log n) times and iterating over the near-dup minority.
     val nodes = edges.select($"a".as("doc_id")).distinct().localCheckpoint(true)
     var labels = nodes.withColumn("label", $"doc_id").localCheckpoint(true)
+    // round N's state (and its half-step) is dead once round N+1 pins —
+    // retire eagerly instead of leaving up to 2×MaxClusterIters block
+    // sets for the ContextCleaner
+    var prevPinned = labels
+    Materialize.retireCheckpoint(nodes) // consumed by the init checkpoint
     var converged = false
     var iter = 0
     while (!converged && iter < MaxClusterIters) {
@@ -264,6 +269,9 @@ object Dedup {
           least($"label", coalesce($"label2", $"label")).as("label"))
         .localCheckpoint(true)
       converged = next.filter($"label" =!= $"old").isEmpty
+      Materialize.retireCheckpoint(stepped) // consumed by `next`'s pin
+      Materialize.retireCheckpoint(prevPinned)
+      prevPinned = next
       labels = next.select($"doc_id", $"label")
       iter += 1
     }
@@ -271,6 +279,7 @@ object Dedup {
       throw new IllegalStateException(
         s"components did not converge in $MaxClusterIters rounds — " +
           "with pointer jumping this indicates a bug, not a long chain")
+    Materialize.retireCheckpoint(edges) // referenced only inside the loop
     labels
   }
 

@@ -68,13 +68,19 @@ object GraphRank {
         .join(edges, ranks("vec_id") === edges("src"))
         .select(col("dst"), expr("pr div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
-      nodes.join(incoming, nodes("vec_id") === incoming("dst"), "left")
+      val stepped = nodes.join(incoming, nodes("vec_id") === incoming("dst"), "left")
         .select(nodes("vec_id"), col("outdeg"), col("nn"),
           expr(s"(15L * ${Scale}L) div (100L * nn) + " +
             "(85L * coalesce(inc, 0L)) div 100L").as("pr"))
         .localCheckpoint() // round N+1 consumes round N's materialized rows
+      // round N's blocks are dead now (round 1's input is `init`, a
+      // derived plan — the retire guard no-ops on it)
+      Materialize.retireCheckpoint(ranks)
+      stepped
     }
-    ranked.select(col("vec_id"), col("outdeg"), col("pr"))
+    val out = ranked.select(col("vec_id"), col("outdeg"), col("pr"))
+    Materialize.retireCheckpoint(nodes) // referenced only inside the loop
+    out
   }
 
   /** Per-vertex triangle count and local clustering coefficient over
@@ -285,13 +291,17 @@ object GraphRank {
           (lit(999999999L) - col("lab"))).as("o"))
         .select(col("dst"),
           (lit(999999999L) - (col("o") % 1000000000L)).cast("long").as("maj"))
-      cur.join(maj, cur("vec_id") === maj("dst"), "left")
+      val stepped = cur.join(maj, cur("vec_id") === maj("dst"), "left")
         .select(cur("vec_id"), col("seeded"), col("truelab"),
           when(col("seeded"), col("truelab"))
             .otherwise(coalesce(col("maj"), col("lab"))).as("lab"))
         .localCheckpoint()
+      Materialize.retireCheckpoint(cur) // no-op on round 1's derived init
+      stepped
     }
-    fin.select(col("vec_id"), col("seeded"), col("lab").as("label"))
+    val out = fin.select(col("vec_id"), col("seeded"), col("lab").as("label"))
+    Materialize.retireCheckpoint(nodes) // referenced only via `init`
+    out
   }
 
   /** `graph_modularity`: per-community modularity terms of the
@@ -454,10 +464,19 @@ object GraphRank {
           .join(drop.select(col("v").as("b")), Seq("b"), "left_anti")
           .select(col("a"), col("b"))
           .localCheckpoint()
+        // retire the superseded round's pins now that this round's are
+        // materialized. Round 1's edge frame is the SHARED undirected
+        // artifact — only loop-created checkpoints retire (the drops
+        // stay: `gone` references every round's)
+        if (round > 1) Materialize.retireCheckpoint(und)
+        Materialize.retireCheckpoint(verts) // round 1: verts0 (loop-owned)
         (kept, keptVerts,
           gone.union(drop.select(col("v"), lit(round.toLong).as("peel_round"))))
     }
     val finalDeg = survivorDegrees(finalEdges, finalVerts).localCheckpoint()
+    // the last survivor sets are dead once their degree table is pinned
+    Materialize.retireCheckpoint(finalEdges)
+    Materialize.retireCheckpoint(finalVerts)
     // would a round CoreRounds+1 peel anyone? (1 row, broadcast)
     val convergence = finalDeg
       .agg(coalesce(min(col("deg") >= CoreK), lit(true)).as("converged"))

@@ -184,4 +184,43 @@ class GraphRankSpec extends AnyFunSuite {
         assert(!inGraph(v), s"$v: peel_round=0 non-core must be off-graph")
     }
   }
+
+  test("iterative loops retire superseded round checkpoints (bounded pins)") {
+    // each iterative operator must unpersist round N's localCheckpoint
+    // blocks once round N+1 is pinned — a long-lived session otherwise
+    // accumulates every intermediate round until the ContextCleaner
+    // notices post-GC. Measured as the persistent-RDD delta of a WARM
+    // call (shared artifacts already built), which must be only the
+    // leaves the returned plan still references.
+    val dir = "/root/testdata/sf0.001"
+    def pinned: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // warm pass: builds knn_undirected / knn graph / pair artifacts
+    run(GraphRank.kCore(spark, dir))
+    run(GraphRank.pagerank(spark, dir))
+    run(GraphRank.labelPropagation(spark, dir))
+    run(graft.functions.Dedup.minhashClusters(spark, dir))
+
+    val b1 = pinned
+    run(GraphRank.kCore(spark, dir))
+    // survivors: CoreRounds drop frames (peeled references them) + finalDeg
+    assert((pinned -- b1).size <= GraphRank.CoreRounds + 1,
+      s"kCore leaked: ${(pinned -- b1).size} new pins")
+
+    val b2 = pinned
+    run(GraphRank.pagerank(spark, dir))
+    assert((pinned -- b2).size <= 1, // the final round's ranks only
+      s"pagerank leaked: ${(pinned -- b2).size} new pins")
+
+    val b3 = pinned
+    run(GraphRank.labelPropagation(spark, dir))
+    assert((pinned -- b3).size <= 1,
+      s"labelPropagation leaked: ${(pinned -- b3).size} new pins")
+
+    val b4 = pinned
+    run(graft.functions.Dedup.minhashClusters(spark, dir))
+    assert((pinned -- b4).size <= 1, // the converged label frame only
+      s"components leaked: ${(pinned -- b4).size} new pins")
+  }
 }
