@@ -238,4 +238,119 @@ object NearDupStream {
       DwsSink.maintain(censusCells(docs), storeDir, "neardup_census",
         keyCols = Seq("owner"), checkpoint = checkpoint)
     }
+
+  // ---- collapsed census: exact-fingerprint group cells ------------------
+
+  /** One row per document carrying its order-independent SimHash
+    * fingerprint — the SAME kernel expression as the batch collapse
+    * family ([[Dedup.simhash]]; unigram SimHash, so mirrored/permuted
+    * copies share a fingerprint exactly). Token-less documents have no
+    * fingerprint and belong to no collapse group — filtered, like the
+    * batch frame.
+    */
+  case class FpHit(fp: Long, doc_id: Long, ts: Long)
+
+  /** A collapse group's serving cell: its fingerprint, min-doc_id
+    * representative (the batch variants' `rep`), total membership, and
+    * the within-group pair weight `n_doc_pairs = C(size, 2)` — the
+    * exact number of same-fingerprint duplicate pairs the group stands
+    * for without materializing them (the accounting identity
+    * DedupCollapseSpec pins on the batch side).
+    */
+  case class CollapseCell(fp: Long, owner: Long, group_size: Long,
+      n_doc_pairs: Long)
+
+  private implicit val fpHitEnc: org.apache.spark.sql.Encoder[FpHit] =
+    org.apache.spark.sql.Encoders.product[FpHit]
+  private implicit val collapseCellEnc: org.apache.spark.sql.Encoder[CollapseCell] =
+    org.apache.spark.sql.Encoders.product[CollapseCell]
+  private implicit val collapseStateEnc: org.apache.spark.sql.Encoder[(Long, Long, Long)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+
+  /** (doc_id, text, ts) stream → watermarked fingerprint stream (narrow;
+    * same Generate barrier as the batch frame so the null filter can't
+    * be pushed into a second kernel evaluation).
+    */
+  def fingerprintHits(docs: DataFrame): Dataset[FpHit] =
+    docs
+      .withColumn("event_time", timestamp_millis($"ts"))
+      .withWatermark("event_time", "1 hour")
+      .select(explode(array(graft.plans.ArrayOps.simhashFp(
+          graft.functions.TextAnalysis.tokens($"text"), Dedup.SimBits))).as("fp"),
+        $"doc_id", $"ts", $"event_time")
+      .filter($"fp".isNotNull)
+      .as[FpHit]
+
+  /** The streaming twin of the batch canonical-collapse guard
+    * ([[Dedup.simhashPairsCollapsed]]): a fingerprint-keyed fold
+    * maintaining (rep = min doc_id, size, pair weight) per collapse
+    * group, emitted in UPDATE mode — a crawl-corpus mega-group (10⁵
+    * mirrored copies of one template) costs ONE state row and one
+    * serving cell per batch it grows in, never Θ(g²) materialized
+    * pairs (which is exactly what [[memberPairs]]' per-pair census
+    * would emit, BandWidthCap notwithstanding, and what the batch
+    * collapse was built to avoid).
+    *
+    * Determinism without watermark ordering: min and count are
+    * commutative over arrival order, so the final cell per fingerprint
+    * is a pure function of the closed input — on a batch Dataset the
+    * operator IS its own batch twin (one ordered pass per group,
+    * NoTimeout), and the streaming run's last update per key converges
+    * to the batch answer. State is one row per DISTINCT fingerprint
+    * with the family's sliding event-time TTL.
+    */
+  def collapsedCells(hits: Dataset[FpHit]): Dataset[CollapseCell] = {
+    val streaming = hits.isStreaming
+    implicit val keyEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    hits
+      .groupByKey((h: FpHit) => h.fp)
+      .flatMapGroupsWithState[(Long, Long, Long), CollapseCell](
+        OutputMode.Update(),
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        case (fp, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // (rep, size, max event ts) — one bounded pass per batch
+            var (rep, size, maxTs) = state.getOption
+              .getOrElse((Long.MaxValue, 0L, Long.MinValue))
+            rows.foreach { h =>
+              if (h.doc_id < rep) rep = h.doc_id
+              if (h.ts > maxTs) maxTs = h.ts
+              size += 1
+            }
+            state.update((rep, size, maxTs))
+            if (streaming) {
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                maxTs + StateTtlMs))
+            }
+            Iterator.single(
+              CollapseCell(fp, rep, size, size * (size - 1) / 2))
+          }
+      }
+  }
+
+  /** Full pipeline: doc stream → collapse-group cells. */
+  def collapsedCensus(docs: DataFrame): DataFrame =
+    collapsedCells(fingerprintHits(docs)).toDF()
+
+  /** Start maintaining the collapsed census in the DWS serving store,
+    * keyed by FINGERPRINT (not owner: a group's rep can move to a
+    * smaller doc_id as members arrive, and a rep-keyed store would
+    * retain the superseded cell; the fingerprint is the group's stable
+    * identity, so latest-wins per fp always serves exactly one
+    * up-to-date cell per collapse group). No relaxed gate needed —
+    * there is no aggregate downstream of the fold.
+    */
+  def serveCollapsedCensus(docs: DataFrame, storeDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    DwsSink.maintain(collapsedCensus(docs), storeDir, "neardup_collapsed",
+      keyCols = Seq("fp"), checkpoint = checkpoint)
 }

@@ -154,6 +154,15 @@ object StreamingDemo {
     val censusQ = NearDupStream.serveCensus(docsStream,
       s"$work/out/dws_store", s"$work/ckpt/census")
 
+    // ---- 6c. collapsed census serving ----------------------------------
+    // the streaming twin of the batch canonical-collapse guard
+    // (dedup_simhash_collapsed): fingerprint-keyed group cells — one
+    // state row and one serving cell per exact-dup family, never
+    // materialized pairs. Docs 1 and 4 are exact copies (one collapse
+    // family of size 2); docs 2 and 3 are singleton fingerprints.
+    val collapseQ = NearDupStream.serveCollapsedCensus(docsStream,
+      s"$work/out/dws_store", s"$work/ckpt/collapse")
+
     // ---- 7. OrderWideApp end-to-end ------------------------------------
     // the reference's flagship DWM app: order_info ⋈ order_detail within
     // ±5 s event time, then enrichment — here against the LIVE dim store
@@ -209,7 +218,8 @@ object StreamingDemo {
       }
       .option("checkpointLocation", s"$work/ckpt/orderwide").start()
 
-    val queries = Seq(logQ, isNewQ, dbQ, bounceQ, kwQ, dupQ, dwsQ, censusQ, owQ)
+    val queries = Seq(logQ, isNewQ, dbQ, bounceQ, kwQ, dupQ, dwsQ, censusQ,
+      collapseQ, owQ)
     queries.foreach(_.processAllAvailable())
     // the dim store now exists (stage 2 ran): feed the order streams,
     // user 7 joins the alice2 dim row written-and-superseded above.
@@ -273,6 +283,20 @@ object StreamingDemo {
     println(s"demo-out neardup_census cells: $census")
     require(census == Map(1L -> 3L),
       s"expected served census {1 -> 3}, got $census")
+    // served collapsed census: docs 1 and 4 share a fingerprint exactly
+    // (exact copies) → one cell (rep 1, size 2, 1 implied pair); docs
+    // 2, 3 and the sentinel are singleton fingerprints
+    val collapsed = DwsSink.read(spark, s"$work/out/dws_store",
+        "neardup_collapsed", Seq("owner", "group_size", "n_doc_pairs"))
+      .collect()
+      .map(r => r.getString(0).toLong ->
+        ((r.getString(1).toLong, r.getString(2).toLong)))
+      .toMap
+    println(s"demo-out neardup_collapsed cells: $collapsed")
+    require(collapsed(1L) == ((2L, 1L)),
+      s"expected collapse family (rep 1, size 2, 1 pair), got $collapsed")
+    require(collapsed.count(_._2._1 == 1L) == 3, // docs 2, 3, sentinel
+      s"expected 3 singleton fingerprint cells, got $collapsed")
     spark.stop()
   }
 }

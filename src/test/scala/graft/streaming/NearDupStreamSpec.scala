@@ -180,4 +180,93 @@ class NearDupStreamSpec extends AnyFunSuite {
       assert(stored() === Map(1L -> 3L))
     } finally q2.stop()
   }
+
+  test("collapsed census: streamed cells match the batch fingerprint groups") {
+    import spark.implicits._
+    // a 4-copy exact-dup family (one copy WORD-PERMUTED — unigram
+    // SimHash is order-independent, so it must join the family), one
+    // 2-copy family, one singleton
+    val permuted = base.split(" ").reverse.mkString(" ")
+    val docs = Seq(
+      D(7, base, t0 + 10 * 60000), // arrives before the eventual rep
+      D(2, base, t0 + 20 * 60000), // min doc_id -> rep moves to 2
+      D(9, permuted, t0 + 30 * 60000),
+      D(4, base, t0 + 40 * 60000),
+      D(5, other, t0 + 15 * 60000),
+      D(6, other, t0 + 25 * 60000),
+      D(8, "a lone unrelated catalog description of columnar engines",
+        t0 + 35 * 60000))
+    // independent batch derivation: the collapse groups ARE the
+    // fingerprint groups (same kernel expression as Dedup.simhash)
+    val expect = docs.toDF()
+      .select(graft.plans.ArrayOps.simhashFp(
+          graft.functions.TextAnalysis.tokens(org.apache.spark.sql.functions.col("text")),
+          graft.functions.Dedup.SimBits).as("fp"), org.apache.spark.sql.functions.col("doc_id"))
+      .groupBy(org.apache.spark.sql.functions.col("fp"))
+      .agg(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("doc_id")).as("owner"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("sz"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(expect.values.map(_._2).toSeq.sorted === Seq(1L, 2L, 4L),
+      s"fixture families wrong: $expect")
+    // batch twin IS the operator (NoTimeout single pass)
+    val batchCells = NearDupStream.collapsedCensus(docs.toDF())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(batchCells.view.mapValues(v => (v._1, v._2)).toMap === expect)
+    batchCells.values.foreach { case (_, sz, pairs) =>
+      assert(pairs === sz * (sz - 1) / 2, "n_doc_pairs accounting identity")
+    }
+
+    // streamed, out of order, across batches: the store keyed by fp
+    // must converge to one up-to-date cell per family — including the
+    // rep moving 7 -> 2 after the smaller id arrives
+    val work = java.nio.file.Files.createTempDirectory("neardup-collapse").toString
+    val ms = MemoryStream[D](enc, spark)
+    val q = NearDupStream.serveCollapsedCensus(ms.toDF(), s"$work/store", s"$work/ckpt")
+    try {
+      ms.addData(docs(0), docs(4))
+      q.processAllAvailable()
+      ms.addData(docs(1), docs(2), docs(6))
+      q.processAllAvailable()
+      ms.addData(docs(3), docs(5))
+      q.processAllAvailable()
+      val got = DwsSink.read(spark, s"$work/store", "neardup_collapsed",
+          Seq("fp", "owner", "group_size", "n_doc_pairs"))
+        .collect()
+        .map(r => r.getString(0).toLong ->
+          ((r.getString(1).toLong, r.getString(2).toLong, r.getString(3).toLong)))
+        .toMap
+      assert(got === batchCells, s"served cells diverge: got $got")
+    } finally q.stop()
+  }
+
+  test("collapsed census: state and rep survive checkpoint restart") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("neardup-collapse-rs").toString
+    val ms = MemoryStream[D](enc, spark)
+    def start() = NearDupStream.serveCollapsedCensus(
+      ms.toDF(), s"$work/store", s"$work/ckpt")
+    def stored(): Map[Long, (Long, Long)] =
+      DwsSink.read(spark, s"$work/store", "neardup_collapsed",
+          Seq("fp", "owner", "group_size"))
+        .collect()
+        .map(r => r.getString(0).toLong ->
+          ((r.getString(1).toLong, r.getString(2).toLong)))
+        .toMap
+    val q1 = start()
+    try {
+      ms.addData(D(3, base, t0), D(5, base, t0 + 1000))
+      q1.processAllAvailable()
+      assert(stored().values.toSeq === Seq((3L, 2L)))
+    } finally q1.stop()
+    // restart: growth continues from recovered (rep, size); a smaller
+    // doc_id arriving post-restart still takes over as rep
+    val q2 = start()
+    try {
+      ms.addData(D(1, base, t0 + 2000))
+      q2.processAllAvailable()
+      assert(stored().values.toSeq === Seq((1L, 3L)))
+    } finally q2.stop()
+  }
 }
