@@ -29,10 +29,12 @@ package graft
   * every query median measures the shared-READ path all reps actually
   * take, instead of rep 1 of one arbitrary consumer eating the build.
   *
-  * Every full run records per-measurement raw seconds and the 1-minute
-  * system load average into `_diag` — the machine carries external
-  * co-scheduled load, and the loadavg trace is what tells an
-  * ambient-inflated run apart from a regression.
+  * Every full run records per-measurement raw seconds, the 1-minute
+  * system load average, and the measurement's summed TASK CPU seconds
+  * into `_diag` — the machine carries external co-scheduled load, and
+  * wall-vs-cpu_s against the loadavg trace is what tells an
+  * ambient-inflated run (wall ≫ cpu_s, high load) apart from a
+  * regression (cpu_s moved too).
   * `SPARK_GRAFT_BENCH_DIAG=1` additionally records GC and
   * JIT-compilation milliseconds accrued inside the timed region — the
   * instrumentation used to attribute run-to-run drift to a named JVM
@@ -112,7 +114,23 @@ object Bench {
         java.lang.management.ManagementFactory.getOperatingSystemMXBean
           .getSystemLoadAverage
       }
-    // per query: Seq[(sec_minus_builds, gc_ms, jit_ms, loadavg)] per rep
+    // Task CPU seconds per measurement: the statistic external
+    // co-scheduled load can't inflate the way it inflates wall-clock
+    // (a stolen core stalls the wall; CPU time only grows via cache/
+    // memory-bandwidth contention). When a rep's wall diverges from its
+    // cpu_s against a high `load` sample, the run is ambient-inflated,
+    // not regressed — readable straight off the artifact now.
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) taskCpuNs.addAndGet(m.executorCpuTime)
+          ()
+        }
+      })
+    // per query, per rep: (sec_minus_builds, gc_ms, jit_ms, loadavg, cpu_s)
     val samples = sorted.map { case (name, fn) =>
       val reps_ = (1 to reps).map { _ =>
         // GC barrier: without it, garbage from the PREVIOUS
@@ -126,15 +144,26 @@ object Bench {
         Thread.sleep(200)
         val la = loadAvg
         val (g0, j0, b0) = (gcMillis, jitMillis, Materialize.buildSeconds)
+        val c0 = taskCpuNs.get()
         val t0 = System.nanoTime()
         val ok = runOnce(name, fn, "measure")
         val sec = (System.nanoTime() - t0) / 1e9 -
           (Materialize.buildSeconds - b0) // builds reported separately
         val (gMs, jMs) = (gcMillis - g0, jitMillis - j0)
+        val cpuS = (taskCpuNs.get() - c0) / 1e9
         spark.catalog.clearCache() // teardown outside the timed region
-        (if (ok) sec else -1.0, gMs, jMs, la)
+        (if (ok) sec else -1.0, gMs, jMs, la, cpuS)
       }
       name -> reps_
+    }
+    // subset runs are the local-iteration/probe path and write no
+    // artifact — print the per-rep diag to stderr so a probe can read
+    // wall vs cpu_s vs load without a full-suite run
+    if (subset.nonEmpty) samples.foreach { case (name, rs) =>
+      rs.zipWithIndex.foreach { case ((sec, _, _, la, cpuS), i) =>
+        System.err.println(
+          f"[bench-diag] $name rep${i + 1} sec=$sec%.3f cpu_s=$cpuS%.1f load=$la%.2f")
+      }
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -169,12 +198,13 @@ object Bench {
       val diagBody = samples.map { case (k, rs) =>
         val secs = rs.map(_._1).mkString("[", ",", "]")
         val loads = rs.map(_._4).mkString("[", ",", "]")
+        val cpus = rs.map(r => math.rint(r._5 * 1000) / 1000).mkString("[", ",", "]")
         val gcJit = if (!diag) "" else {
           val gcs = rs.map(_._2).mkString("[", ",", "]")
           val jits = rs.map(_._3).mkString("[", ",", "]")
           s""","gc_ms":$gcs,"jit_ms":$jits"""
         }
-        s"""    "$k": {"sec":$secs,"load":$loads$gcJit}"""
+        s"""    "$k": {"sec":$secs,"load":$loads,"cpu_s":$cpus$gcJit}"""
       }.mkString("  \"_diag\": {\n", ",\n", "\n  },\n")
       val body = results.map { case (k, v) => s"""  "$k": $v""" }
         .mkString(s"""{\n  "_sf": "$sfDir",\n  "_total_sec": $total,\n  "_reps": $reps,\n  "_materialize_sec": $matSec,\n  "_materialize_builds": $builds,\n$diagBody""",

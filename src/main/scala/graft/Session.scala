@@ -16,11 +16,21 @@ object Session {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     math.min(32, Runtime.getRuntime.availableProcessors()).toString)
 
+  /** Shuffle width: defaults to the core count; SPARK_GRAFT_SHUFFLE
+    * overrides it independently of local[n] — the knob a real cluster
+    * sizes to the target SF (per-task aggregate/join state is
+    * data÷width; a fixed width means per-task state grows with scale,
+    * which is what the sf3 decade probes measure when a ratio exceeds
+    * the data growth).
+    */
+  def shufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
