@@ -60,13 +60,16 @@ object Clustering {
       .agg(collect_list(col("c")).as("cents"))
   }
 
-  /** struct(d2, cid) of the nearest centroid: exact-integer argmin with
-    * lowest-cid tiebreak.
+  /** struct(s, cid) of the nearest centroid: exact-integer argmin with
+    * lowest-cid tiebreak (s = |q|² − 2·q·c + |c|²). The codegen'd
+    * [[org.apache.spark.sql.graftexpr.CentroidKernel]] — the
+    * `array_sort(transform(...))` tower it replaces ran interpreted per
+    * corpus row (CentroidExprSpec pins the equivalence; |q|² is
+    * computed inside the kernel, so the `qnorm` column is no longer
+    * read here).
     */
-  private val nearest: Column = expr(
-    """element_at(array_sort(transform(cents, c ->
-      |  struct(qnorm - 2 * long_array_dot(q, c.cv) + c.cnorm2 AS d2,
-      |         c.cid AS cid))), 1)""".stripMargin)
+  private val nearest: Column = element_at(
+    graft.plans.ArrayOps.centroidRank(col("q"), col("cents"), 1, addQNorm = true), 1)
 
   /** One Lloyd step: assign, then exact integer mean per cluster.
     * Returns (cid, cv, n).
@@ -113,7 +116,7 @@ object Clustering {
         lit(true))
       .withColumn("near", nearest)
       .select(col("vec_id"), col("near.cid").as("cluster"),
-        col("near.d2").as("dist2"))
+        col("near.s").as("dist2"))
 
   /** `cluster_kmeans_inertia`: per-cluster within-cluster sum of squared
     * distances to the trained centroid — THE quality metric a k-means
@@ -157,14 +160,12 @@ object Clustering {
     vecs(spark, dir)
       .join(broadcast(centRow(trained(spark, dir).select(col("cid"), col("cv")))),
         lit(true))
-      .withColumn("ds", expr(
-        """array_sort(transform(cents, c ->
-          |  struct(qnorm - 2 * long_array_dot(q, c.cv) + c.cnorm2 AS d2,
-          |         c.cid AS cid)))""".stripMargin))
+      .withColumn("ds",
+        graft.plans.ArrayOps.centroidRank(col("q"), col("cents"), 2, addQNorm = true))
       .select(col("vec_id"),
         expr("element_at(ds, 1).cid").as("cluster"),
-        expr("element_at(ds, 1).d2").as("a2"),
-        expr("element_at(ds, 2).d2").as("b2"))
+        expr("element_at(ds, 1).s").as("a2"),
+        expr("element_at(ds, 2).s").as("b2"))
       .withColumn("sil", when(col("b2") === 0L, lit(0L))
         .otherwise(expr(s"((b2 - a2) * $SilScale) div b2")))
       .groupBy(col("cluster"))

@@ -413,13 +413,16 @@ object Similarity {
         longArrayNormSq($"q").as("cnorm2"))
       .agg(collect_list(struct($"cent_id", $"cv", $"cnorm2")).as("cents"))
 
-  /** Exact integer cell ranking of `q` against the centroid array:
-    * sorted (|c|² − 2·q·c, cent_id) structs — argmin distance with
-    * lowest-id tiebreak, |q|² being constant per row.
+  /** Exact integer cell ranking of `q` against the centroid array: the
+    * `k` best (|c|² − 2·q·c, cent_id) structs ascending — argmin
+    * distance with lowest-id tiebreak, |q|² constant per row so it is
+    * omitted from the score. The codegen'd
+    * [[org.apache.spark.sql.graftexpr.CentroidKernel]]; the
+    * `array_sort(transform(...))` tower it replaces ran interpreted per
+    * corpus row (CentroidExprSpec pins equivalence).
     */
-  private def cellRanking: Column = expr(
-    """array_sort(transform(cents, c ->
-      |  struct(c.cnorm2 - 2 * long_array_dot(q, c.cv) AS s, c.cent_id AS cid)))""".stripMargin)
+  private def cellRanking(k: Int): Column =
+    graft.plans.ArrayOps.centroidRank($"q", $"cents", k, addQNorm = false)
 
   /** IVF ANN top-k: each query probes its NProbe nearest cells; exact
     * cosine within the probed cells only. The scale path when one LSH
@@ -432,12 +435,12 @@ object Similarity {
       .withColumn("nrm", longArrayNormSq($"q"))
       .join(broadcast(centArr), lit(true))
     val corpus = base
-      .withColumn("cell", element_at(cellRanking, 1).getField("cid"))
+      .withColumn("cell", element_at(cellRanking(1), 1).getField("cid"))
       .select($"vec_id", $"q", $"nrm", $"cell")
     // query-side: same ranking, keep the NProbe best cells
     val probes = base.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"q".as("qv"), $"nrm".as("qnorm"),
-        explode(slice(cellRanking, 1, NProbe)).as("probe"))
+        explode(cellRanking(NProbe)).as("probe"))
       .select($"query_id", $"probe".getField("cid").as("probe_cell"),
         $"qv", $"qnorm")
     val scored = corpus.join(broadcast(probes),
@@ -476,7 +479,7 @@ object Similarity {
     val cells = Dedup.quantized(spark, dir).select($"vec_id", $"q")
       .withColumn("nrm", longArrayNormSq($"q"))
       .join(broadcast(centArr), lit(true))
-      .withColumn("cell", element_at(cellRanking, 1).getField("cid"))
+      .withColumn("cell", element_at(cellRanking(1), 1).getField("cid"))
       .select($"vec_id", $"q", $"nrm", $"cell")
     val dropped = cells.as("x").join(cells.as("y").hint("shuffle_hash"),
         expr("x.cell = y.cell AND x.vec_id < y.vec_id"))
@@ -651,10 +654,10 @@ object Similarity {
       .join(broadcast(centArr), lit(true))
       .join(broadcast(cb), lit(true))
     val corpus = base
-      .withColumn("cell", element_at(cellRanking, 1).getField("cid"))
+      .withColumn("cell", element_at(cellRanking(1), 1).getField("cid"))
     val probes = base.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"q".as("qv"),
-        explode(slice(cellRanking, 1, NProbe)).as("probe"))
+        explode(cellRanking(NProbe)).as("probe"))
       .select($"query_id", $"probe".getField("cid").as("probe_cell"), $"qv")
     // cell-prune BEFORE the per-vector PQ encode/reconstruct: the
     // expensive code derivation runs only on vectors inside SOME probed

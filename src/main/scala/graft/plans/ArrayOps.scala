@@ -44,6 +44,9 @@ object ArrayOps {
   def structSortProject(c: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.structSortProject(c)
 
+  def centroidRank(q: Column, cents: Column, k: Int, addQNorm: Boolean): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.centroidRank(q, cents, k, addQNorm)
+
   def tokenProfile(c: Column, stopwords: Seq[String]): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.tokenProfile(c, stopwords)
 

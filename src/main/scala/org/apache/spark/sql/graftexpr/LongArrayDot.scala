@@ -199,6 +199,13 @@ object GraftExpressions {
   def structSortProject(c: Column): Column =
     ExpressionUtils.column(StructSortProject(ExpressionUtils.expression(c)))
 
+  /** k best (s, cid) centroid scores of a quantized vector (codegen'd)
+    * — replaces `slice(array_sort(transform(cents, ...)), 1, k)`.
+    */
+  def centroidRank(q: Column, cents: Column, k: Int, addQNorm: Boolean): Column =
+    ExpressionUtils.column(CentroidRank(
+      ExpressionUtils.expression(q), ExpressionUtils.expression(cents), k, addQNorm))
+
   /** One-pass per-doc token statistics struct (codegen'd). */
   def tokenProfile(c: Column, stopwords: Seq[String]): Column =
     ExpressionUtils.column(TokenProfile(ExpressionUtils.expression(c), stopwords))

@@ -111,6 +111,16 @@ object GraftFunctions {
         s"struct_sort_project expects 1 argument, got ${exprs.length}")
       StructSortProject(exprs.head)
     },
+    "centroid_rank" -> { exprs =>
+      require(exprs.length == 4,
+        s"centroid_rank expects (q, cents, k, add_qnorm), got ${exprs.length} arguments")
+      val add = exprs(3) match {
+        case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
+        case other => throw new IllegalArgumentException(
+          s"centroid_rank expects a literal BOOLEAN add_qnorm, got $other")
+      }
+      CentroidRank(exprs.head, exprs(1), litInt(exprs(2), "centroid_rank"), add)
+    },
     "word_shingles" -> { exprs =>
       require(exprs.length == 2, s"word_shingles expects 2 arguments, got ${exprs.length}")
       WordShingles(exprs.head, litInt(exprs(1), "word_shingles"))
