@@ -303,11 +303,12 @@ object TextAnalysis {
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
     val toks = tokens($"text")
-    val n1 = greatest(size(toks) - 1, lit(0))
+    // codegen'd bigram emitter (TokenKernel.tokenBigrams) — the
+    // zip_with(slice, slice) tower it replaces ran interpreted and the
+    // plan replays this subtree under each of the three bigram readers
     val bigrams = docs
       .select($"doc_id",
-        explode(zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        explode(graft.plans.ArrayOps.tokenBigrams(toks)).as("bg"))
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
     val c12 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("bfreq"))
     val ctx = bigrams.groupBy($"w1").agg(count(lit(1)).as("cfreq"))

@@ -47,6 +47,9 @@ object ArrayOps {
   def centroidRank(q: Column, cents: Column, k: Int, addQNorm: Boolean): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.centroidRank(q, cents, k, addQNorm)
 
+  def tokenBigrams(c: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.tokenBigrams(c)
+
   def tokenProfile(c: Column, stopwords: Seq[String]): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.tokenProfile(c, stopwords)
 

@@ -199,6 +199,10 @@ object GraftExpressions {
   def structSortProject(c: Column): Column =
     ExpressionUtils.column(StructSortProject(ExpressionUtils.expression(c)))
 
+  /** Consecutive (w1, w2) token bigram structs (codegen'd). */
+  def tokenBigrams(c: Column): Column =
+    ExpressionUtils.column(TokenBigrams(ExpressionUtils.expression(c)))
+
   /** k best (s, cid) centroid scores of a quantized vector (codegen'd)
     * — replaces `slice(array_sort(transform(cents, ...)), 1, k)`.
     */

@@ -157,6 +157,28 @@ object TokenKernel {
     new GenericInternalRow(Array[Any](num.toLong, kept.size().toLong, txt))
   }
 
+  /** Consecutive (w1, w2) token pairs — the bigram emitter under the
+    * bigram-LM fluency scorer, replacing
+    * `zip_with(slice(toks, 1, n-1), slice(toks, 2, n-1), (a, b) ->
+    * struct(a, b))` (interpreted, two slice allocations per row, and
+    * the plan replays the tower once per consumer of the bigram
+    * frame). Empty and 1-token arrays yield the empty array, exactly
+    * like the zero-length slices. Elements assumed non-null
+    * ([[tokenize]] output).
+    */
+  def tokenBigrams(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val m = math.max(n - 1, 0)
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = new GenericInternalRow(
+        Array[Any](arr.getUTF8String(i), arr.getUTF8String(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sort an array<struct<rank, value>> by (rank, value) and project
     * the string values, in ONE pass over primitive arrays — the
     * codegen'd replacement for the rebuild/path-signature tower
@@ -280,6 +302,26 @@ case class TokenProfile(child: Expression, stopwords: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenProfile =
+    copy(child = newChild)
+}
+
+/** Consecutive token bigram structs (see [[TokenKernel.tokenBigrams]]). */
+case class TokenBigrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_bigrams"
+
+  override def nullSafeEval(v: Any): Any =
+    TokenKernel.tokenBigrams(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.TokenKernel.tokenBigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenBigrams =
     copy(child = newChild)
 }
 

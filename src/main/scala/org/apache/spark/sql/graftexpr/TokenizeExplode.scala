@@ -111,6 +111,11 @@ object GraftFunctions {
         s"struct_sort_project expects 1 argument, got ${exprs.length}")
       StructSortProject(exprs.head)
     },
+    "token_bigrams" -> { exprs =>
+      require(exprs.length == 1,
+        s"token_bigrams expects 1 argument, got ${exprs.length}")
+      TokenBigrams(exprs.head)
+    },
     "centroid_rank" -> { exprs =>
       require(exprs.length == 4,
         s"centroid_rank expects (q, cents, k, add_qnorm), got ${exprs.length} arguments")

@@ -131,6 +131,26 @@ class TokenExprSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("tokenBigrams kernel == zip_with(slice, slice) chain incl. empty/1-token") {
+    def hofBigrams(c: org.apache.spark.sql.Column) = {
+      val toks = hofTokens(c)
+      val n1 = greatest(size(toks) - 1, lit(0))
+      zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
+    val bad = df.select($"id",
+        ArrayOps.tokenBigrams(ArrayOps.tokenize($"text")).as("k"),
+        hofBigrams($"text").as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val badC = corpus.select(
+        ArrayOps.tokenBigrams(ArrayOps.tokenize($"text")).as("k"),
+        hofBigrams($"text").as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(badC.count() === 0)
+  }
+
   test("tileDedupStats drops null elements exactly like the HOF filter") {
     // array_position(tl, null) is NULL -> the HOF predicate is null and
     // the element is dropped from kept, while size(tl) still counts it
