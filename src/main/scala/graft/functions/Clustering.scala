@@ -42,12 +42,11 @@ object Clustering {
 
   import org.apache.spark.sql.Column
 
-  /** Corpus with the per-row norm the argmin needs. */
-  private def vecs(spark: SparkSession, dir: String): DataFrame = {
-    import graft.plans.ArrayOps._
+  /** Corpus projection the argmin scans (|q|² now lives inside the
+    * centroid_rank kernel, so no norm column rides along).
+    */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
     Dedup.quantized(spark, dir).select(col("vec_id"), col("q"))
-      .withColumn("qnorm", longArrayNormSq(col("q")))
-  }
 
   /** Collect centroids (cid, cv) into the ONE broadcast row the argmin
     * scans; collect_list order is irrelevant because argmin is
