@@ -7,9 +7,17 @@ package graft
   * directory — the warm pass settles JIT, whole-stage-codegen
   * compilation and file-listing caches for the exact plan shapes being
   * measured (warming at a smaller SF would compile different plans:
-  * small tables broadcast where the target SF sort-merges) — then
-  * measured `SPARK_GRAFT_BENCH_REPS` times (default 3) and reported as
-  * the per-query MEDIAN. Single measurements drifted ±14% run-to-run on
+  * small tables broadcast where the target SF sort-merges) — then, in
+  * the measured phase, runs ONE MORE unmeasured warm-up rep
+  * immediately before its timed reps, and is measured
+  * `SPARK_GRAFT_BENCH_REPS` times (default 3) and reported as the
+  * per-query MEDIAN. The adjacent warm-up rep exists because the
+  * suite-level warm pass alone left the ALPHABETICALLY FIRST family
+  * absorbing whole-JVM warm-up that accrues between its warm pass and
+  * its measurement (r14: `agg_corr_exact` reps read 6.88→2.77→3.26 s,
+  * `agg_listagg` 0.72 s wall on 0.1 s cpu) — an adjacent unmeasured
+  * rep pins every query's steady state at measurement time, not
+  * suite-start time. Single measurements drifted ±14% run-to-run on
   * identical code (the r11 gate spanned 1.84–2.35× across same-day
   * pairs); the median of 3 in-suite measurements, each behind its own
   * GC barrier, makes the committed ratio a statistic of the suite
@@ -64,6 +72,12 @@ object Bench {
         sys.error(s"SPARK_GRAFT_BENCH_REPS must be an integer, got '$v'"))
       case None => 3
     })
+    // size the shuffle width to the target scale factor BEFORE the
+    // session exists (the cluster-realistic configuration: per-task
+    // shuffle state is data÷width, so width follows data); explicit
+    // SPARK_GRAFT_SHUFFLE still wins, and the artifact records
+    // whichever width actually ran
+    val shuffleWidth = Session.sizeShuffleFor(sfDir)
     val spark = Session.get("graft-bench")
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
         label: String): Boolean =
@@ -130,8 +144,21 @@ object Bench {
           ()
         }
       })
+    // cpu_s integrity: TaskEnd events are delivered async — drain the
+    // listener bus at both sample points so a rep's CPU never bleeds
+    // into the next rep's delta (the _diag field exists to be read)
+    def drainBus(): Unit = {
+      org.apache.spark.sql.graftexpr.ListenerDrain.drain(spark.sparkContext)
+      ()
+    }
     // per query, per rep: (sec_minus_builds, gc_ms, jit_ms, loadavg, cpu_s)
     val samples = sorted.map { case (name, fn) =>
+      // adjacent unmeasured warm-up rep (see methodology scaladoc):
+      // absorbs whole-JVM warm-up accrued since the suite warm pass and
+      // — for each Materialize artifact's first consumer — the lazy
+      // rebuild, which the build clock still charges to _materialize_sec
+      runOnce(name, fn, "warmup")
+      spark.catalog.clearCache()
       val reps_ = (1 to reps).map { _ =>
         // GC barrier: without it, garbage from the PREVIOUS
         // measurement (HLL register arrays, shuffle buffers, broadcast
@@ -144,12 +171,14 @@ object Bench {
         Thread.sleep(200)
         val la = loadAvg
         val (g0, j0, b0) = (gcMillis, jitMillis, Materialize.buildSeconds)
+        drainBus()
         val c0 = taskCpuNs.get()
         val t0 = System.nanoTime()
         val ok = runOnce(name, fn, "measure")
         val sec = (System.nanoTime() - t0) / 1e9 -
           (Materialize.buildSeconds - b0) // builds reported separately
         val (gMs, jMs) = (gcMillis - g0, jitMillis - j0)
+        drainBus()
         val cpuS = (taskCpuNs.get() - c0) / 1e9
         spark.catalog.clearCache() // teardown outside the timed region
         (if (ok) sec else -1.0, gMs, jMs, la, cpuS)
@@ -207,7 +236,7 @@ object Bench {
         s"""    "$k": {"sec":$secs,"load":$loads,"cpu_s":$cpus$gcJit}"""
       }.mkString("  \"_diag\": {\n", ",\n", "\n  },\n")
       val body = results.map { case (k, v) => s"""  "$k": $v""" }
-        .mkString(s"""{\n  "_sf": "$sfDir",\n  "_total_sec": $total,\n  "_reps": $reps,\n  "_materialize_sec": $matSec,\n  "_materialize_builds": $builds,\n$diagBody""",
+        .mkString(s"""{\n  "_sf": "$sfDir",\n  "_total_sec": $total,\n  "_reps": $reps,\n  "_shuffle_partitions": $shuffleWidth,\n  "_materialize_sec": $matSec,\n  "_materialize_builds": $builds,\n$diagBody""",
           ",\n", "\n}\n")
       // non-driver scales (e.g. the sf1 audit runs) get their own
       // artifact name so they never clobber the round's sf0.1 record
@@ -230,7 +259,14 @@ object Bench {
               "--error-unmatch", p.getFileName.toString).start()
             ls.getInputStream.readAllBytes(); ls.waitFor() == 0
           }
-        } catch { case _: Throwable => false }
+        } catch { case e: Throwable =>
+          // fail CLOSED: if git itself can't answer, assume the file is
+          // committed evidence and divert to the -post sibling — the
+          // open failure mode is exactly the clobber the guard prevents
+          System.err.println(
+            s"[bench] git status for $p failed (${e.getMessage}); treating as committed")
+          true
+        }
       val base = java.nio.file.Paths.get(s"/root/repo/bench_full${scale}_r$round.json")
       val target = if (!java.nio.file.Files.exists(base) || !gitClean(base)) base
         else Iterator.from(1)

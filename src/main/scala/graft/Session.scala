@@ -16,15 +16,51 @@ object Session {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     math.min(32, Runtime.getRuntime.availableProcessors()).toString)
 
-  /** Shuffle width: defaults to the core count; SPARK_GRAFT_SHUFFLE
-    * overrides it independently of local[n] — the knob a real cluster
-    * sizes to the target SF (per-task aggregate/join state is
-    * data÷width; a fixed width means per-task state grows with scale,
-    * which is what the sf3 decade probes measure when a ratio exceeds
-    * the data growth).
+  /** Shuffle width: explicit SPARK_GRAFT_SHUFFLE wins, then the
+    * scale-factor auto-default installed by [[sizeShuffleFor]], then
+    * the core count. The knob a real cluster sizes to the target SF:
+    * per-task aggregate/join state is data÷width, so a FIXED width
+    * means per-task state grows linearly with scale — the one
+    * super-linear residue the r14 sf3 basket probe measured (50→168
+    * MB/task at 3× data, width 32; width 96 restored linear CPU).
     */
   def shufflePartitions: String =
-    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .orElse(sys.props.get("graft.shuffle.auto"))
+      .getOrElse(cpus)
+
+  /** Scale factor parsed off an sf directory name ("…/sf0.1" → 0.1);
+    * None when the basename isn't sf-tagged (caller keeps the default).
+    */
+  def sfOf(dir: String): Option[Double] = {
+    val base = new java.io.File(dir).getName
+    if (base.startsWith("sf"))
+      scala.util.Try(base.drop(2).toDouble).toOption.filter(_ > 0)
+    else None
+  }
+
+  /** Auto shuffle width for a scale factor: `cpus × max(1, ⌈3·sf⌉)` —
+    * 32 at the driver scales (sf ≤ 0.1), 96 at sf1, 288 at sf3. The
+    * multiplier tracks data linearly above the bench baseline so
+    * per-task shuffle state stays bounded (the cluster-realistic
+    * configuration the basket probe's width-96 control demonstrated),
+    * while the sf ≤ 0.33 floor keeps tasks at least core-count-wide.
+    */
+  def autoShuffleWidth(sfDir: String): Int = {
+    val mult = sfOf(sfDir).map(sf => math.max(1, math.ceil(3 * sf).toInt))
+      .getOrElse(1)
+    cpus.toInt * mult
+  }
+
+  /** Install the sf-derived width as the session default (called by
+    * Bench/Verify BEFORE the session is built; explicit
+    * SPARK_GRAFT_SHUFFLE still overrides). Returns the width the next
+    * session will use, for artifact recording.
+    */
+  def sizeShuffleFor(sfDir: String): Int = {
+    sys.props("graft.shuffle.auto") = autoShuffleWidth(sfDir).toString
+    shufflePartitions.toInt
+  }
 
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()

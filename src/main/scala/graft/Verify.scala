@@ -12,6 +12,9 @@ object Verify {
     // optional extra args: run only these queries (local iteration aid;
     // the driver always passes exactly (sfDir, outDir))
     val subset = args.drop(2).toSet
+    // shuffle width follows the target scale factor (no-op at the
+    // driver's sf0.01; explicit SPARK_GRAFT_SHUFFLE still overrides)
+    Session.sizeShuffleFor(sfDir)
     val spark = Session.get("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -405,6 +405,13 @@ object GraphRank {
     */
   val CoreRounds = 6
 
+  /** Peel rounds the last [[kCore]] call actually EXECUTED (the
+    * early-exit round that found an empty drop set included) — test
+    * observability for the convergence short-circuit; not part of any
+    * query result.
+    */
+  private[graft] val lastPeelRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** `graph_kcore`: [[CoreK]]-core decomposition of the k-NN similarity
     * graph by [[CoreRounds]] rounds of synchronous peeling — drop every
     * surviving node whose degree is under K, remove its edges, repeat.
@@ -432,10 +439,15 @@ object GraphRank {
     * Scale shape per round: one degree aggregate of the edge explode
     * left-joined to the survivor vertex set + two anti-joins of the
     * edge set against the drop set, all on the partitioned vertex key;
-    * rounds are a fixed constant and inter-round state is
+    * rounds are bounded by the fixed constant and inter-round state is
     * `localCheckpoint`ed (the [[pagerank]] lineage-truncation
     * discipline). Peeling is monotone — vertex and edge sets only
-    * shrink — so round cost is bounded by the first.
+    * shrink — so round cost is bounded by the first, and a round whose
+    * drop set is EMPTY proves the fixpoint: the loop exits early
+    * (result row-identical to the unrolled budget — every skipped
+    * round would have recomputed the same survivor sets), saving
+    * full-edge-set aggregate + anti-join passes on graphs that settle
+    * before the budget.
     */
   def kCore(spark: SparkSession, dir: String): DataFrame = {
     val und0 = undirected(spark, dir)
@@ -449,14 +461,32 @@ object GraphRank {
           .groupBy(col("v")).agg(count(lit(1)).as("edge_deg")),
         Seq("v"), "left")
         .select(col("v"), coalesce(col("edge_deg"), lit(0L)).as("deg"))
-    // peeled(v, round) accumulates; vertices + edges shrink each round
+    // peeled(v, round) accumulates; vertices + edges shrink each round.
+    // Early exit: peeling is MONOTONE, so a round that drops nobody
+    // proves every remaining round would also drop nobody — the
+    // surviving sets are already the fixpoint and the skipped rounds
+    // would each have been a full survivor-degree aggregate plus two
+    // anti-joins over the whole surviving edge set (pure waste at
+    // 100×). The drop frame is eagerly localCheckpoint-ed, so the
+    // convergence test is a count on an already-materialized frame,
+    // and the early-exited result is ROW-IDENTICAL to the unrolled
+    // CoreRounds loop (empty drop ⇒ kept ≡ und, keptVerts ≡ verts,
+    // gone unchanged). The executed round count is recorded for the
+    // spec ([[lastPeelRounds]]).
     import spark.implicits._
-    val init = (und0, verts0, Seq.empty[(Long, Long)].toDF("v", "peel_round"))
-    val (finalEdges, finalVerts, peeled) = (1 to CoreRounds).foldLeft(init) {
-      case ((und, verts, gone), round) =>
-        val deg = survivorDegrees(und, verts)
-        val drop = deg.filter(col("deg") < CoreK).select(col("v"))
-          .localCheckpoint()
+    var und = und0
+    var verts = verts0
+    var gone = Seq.empty[(Long, Long)].toDF("v", "peel_round")
+    var round = 1
+    var settled = false
+    while (round <= CoreRounds && !settled) {
+      val deg = survivorDegrees(und, verts)
+      val drop = deg.filter(col("deg") < CoreK).select(col("v"))
+        .localCheckpoint()
+      if (drop.isEmpty) {
+        settled = true
+        Materialize.retireCheckpoint(drop) // empty: nothing references it
+      } else {
         val keptVerts = verts.join(drop, Seq("v"), "left_anti")
           .localCheckpoint()
         val kept = und
@@ -470,12 +500,23 @@ object GraphRank {
         // stay: `gone` references every round's)
         if (round > 1) Materialize.retireCheckpoint(und)
         Materialize.retireCheckpoint(verts) // round 1: verts0 (loop-owned)
-        (kept, keptVerts,
-          gone.union(drop.select(col("v"), lit(round.toLong).as("peel_round"))))
+        und = kept
+        verts = keptVerts
+        gone = gone.union(
+          drop.select(col("v"), lit(round.toLong).as("peel_round")))
+        round += 1
+      }
     }
+    lastPeelRounds.set(if (settled) round else round - 1)
+    val (finalEdges, finalVerts, peeled) = (und, verts, gone)
     val finalDeg = survivorDegrees(finalEdges, finalVerts).localCheckpoint()
-    // the last survivor sets are dead once their degree table is pinned
-    Materialize.retireCheckpoint(finalEdges)
+    // the last survivor sets are dead once their degree table is pinned.
+    // Early exit in round 1 leaves finalEdges aliasing the SHARED
+    // undirected artifact (und0) — never retire that one: its
+    // localCheckpoint blocks are the session-wide k-NN edge set
+    // (components/modularity/triangles read it), and an unpersisted
+    // localCheckpoint is unrecoverable, not recomputable
+    if (!(finalEdges eq und0)) Materialize.retireCheckpoint(finalEdges)
     Materialize.retireCheckpoint(finalVerts)
     // would a round CoreRounds+1 peel anyone? (1 row, broadcast)
     val convergence = finalDeg

@@ -316,26 +316,15 @@ object Relevance {
     * windowed group-and-concat.
     */
   def rakeKeyphrases(spark: SparkSession, dir: String): DataFrame = {
-    val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
-    val phrases = expr(
-      s"""aggregate(
-        |  toks,
-        |  named_struct('ph', CAST(array() AS ARRAY<STRING>),
-        |    'cur', CAST(array() AS ARRAY<STRING>)),
-        |  (acc, t) -> CASE WHEN t IN ($stopList)
-        |    THEN named_struct(
-        |      'ph', CASE WHEN size(acc.cur) > 0
-        |        THEN concat(acc.ph, array(concat_ws(' ', acc.cur)))
-        |        ELSE acc.ph END,
-        |      'cur', CAST(array() AS ARRAY<STRING>))
-        |    ELSE named_struct('ph', acc.ph,
-        |      'cur', concat(acc.cur, array(t))) END,
-        |  acc -> CASE WHEN size(acc.cur) > 0
-        |    THEN concat(acc.ph, array(concat_ws(' ', acc.cur)))
-        |    ELSE acc.ph END)""".stripMargin)
+    // phrase assembly is the codegen'd rake_phrases kernel
+    // ([[org.apache.spark.sql.graftexpr.TokenKernel.rakePhrases]]) —
+    // it replaced an interpreted per-document `aggregate` fold (CASE +
+    // two array concats of lambda dispatch per TOKEN, per corpus row;
+    // kernel wave 3). TokenExprSpec pins kernel ≡ fold on the real
+    // corpus and the stopword/null edge shapes.
     val ph = documents(spark, dir)
-      .select(TextAnalysis.tokens($"text").as("toks"))
-      .select(explode(phrases).as("phrase"))
+      .select(explode(graft.plans.ArrayOps.rakePhrases(
+        TextAnalysis.tokens($"text"), TextAnalysis.stopwords)).as("phrase"))
     // materialize the distinct-phrase table: the word-stats branch and
     // the scoring branch both consume it — lazily each re-ran the
     // corpus phrase fold (two full scans on .explain)

@@ -53,6 +53,9 @@ object ArrayOps {
   def tokenProfile(c: Column, stopwords: Seq[String]): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.tokenProfile(c, stopwords)
 
+  def rakePhrases(c: Column, stopwords: Seq[String]): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.rakePhrases(c, stopwords)
+
   def pqReconstruct(q: Column, cb: Column, m: Int, sub: Int): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.pqReconstruct(q, cb, m, sub)
 

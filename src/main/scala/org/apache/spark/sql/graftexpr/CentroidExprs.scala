@@ -27,8 +27,10 @@ import org.apache.spark.sql.types._
   *
   * [[CentroidKernel.rank]] fuses score + selection into one pass of
   * primitive long arithmetic: per centroid one dot product
-  * (shorter-length-wins, the [[LongArrayDot]] contract; elements
-  * assumed non-null — quantized vectors), score
+  * (shorter-length-wins, the [[LongArrayDot]] contract; a null
+  * element/struct/field raises a NAMED error at its read site — see
+  * [[CentroidKernel.rank]] — since the registered SQL function admits
+  * containsNull inputs the in-repo quantized producers never emit), score
   * `(addQNorm ? |q|² : 0) − 2·dot + cnorm2` in wrapping Long math
   * (identical to the SQL expression's codegen arithmetic), then the
   * `k` smallest by `(s, cid)` — exactly `slice(array_sort(...), 1, k)`
@@ -44,25 +46,51 @@ import org.apache.spark.sql.types._
   * shapes) plus the eight consumers' DuckDB oracle gates.
   */
 object CentroidKernel {
-  /** The `k` best (score, cid) structs, ascending by (score, cid). */
+  /** The `k` best (score, cid) structs, ascending by (score, cid).
+    *
+    * Null elements fail with the expression's name instead of an NPE
+    * in `getStruct`/`getArray` or an undefined-bytes read through
+    * `UnsafeArrayData.getLong` (the [[PqKernel.reconstruct]]
+    * malformed-input precedent): the in-repo consumers never produce
+    * nulls, but `centroid_rank` is a registered SQL function whose
+    * typecheck admits containsNull arrays.
+    */
   def rank(q: ArrayData, cents: ArrayData, k: Int, addQNorm: Boolean): ArrayData = {
     val n = cents.numElements()
     val dim = q.numElements()
+    // null guards sit AT each read site (never a separate pre-scan
+    // pass): only elements actually read can hit the undefined-bytes /
+    // NPE hazard, and an always-false branch fused into the existing
+    // loop is predicted free while an extra O(dim) scan per centroid
+    // is not — this is the engine's hottest per-row loop
+    def nullAt(what: String, pos: Int): Nothing =
+      throw new IllegalArgumentException(
+        s"centroid_rank: null $what at position $pos")
     var qnorm = 0L
     if (addQNorm) {
       var i = 0
-      while (i < dim) { val v = q.getLong(i); qnorm += v * v; i += 1 }
+      while (i < dim) {
+        if (q.isNullAt(i)) nullAt("vector element", i)
+        val v = q.getLong(i); qnorm += v * v; i += 1
+      }
     }
     val ss = new Array[Long](n)
     val ids = new Array[Long](n)
     var ci = 0
     while (ci < n) {
+      if (cents.isNullAt(ci)) nullAt("centroid struct", ci)
       val row = cents.getStruct(ci, 3)
+      if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2))
+        nullAt("centroid struct field (cid/cv/cnorm2)", ci)
       val cv = row.getArray(1)
       val m = math.min(dim, cv.numElements())
       var dot = 0L
       var j = 0
-      while (j < m) { dot += q.getLong(j) * cv.getLong(j); j += 1 }
+      while (j < m) {
+        if (q.isNullAt(j)) nullAt("vector element", j)
+        if (cv.isNullAt(j)) nullAt(s"centroid cid=${row.getLong(0)} element", j)
+        dot += q.getLong(j) * cv.getLong(j); j += 1
+      }
       ss(ci) = qnorm - 2L * dot + row.getLong(2)
       ids(ci) = row.getLong(0)
       ci += 1

@@ -214,6 +214,12 @@ object GraftExpressions {
   def tokenProfile(c: Column, stopwords: Seq[String]): Column =
     ExpressionUtils.column(TokenProfile(ExpressionUtils.expression(c), stopwords))
 
+  /** RAKE candidate phrases: maximal stopword-free token runs joined
+    * by ' ' (codegen'd).
+    */
+  def rakePhrases(c: Column, stopwords: Seq[String]): Column =
+    ExpressionUtils.column(RakePhrases(ExpressionUtils.expression(c), stopwords))
+
   /** PQ nearest-codeword reconstruction of a vector (codegen'd). */
   def pqReconstruct(q: Column, cb: Column, m: Int, sub: Int): Column =
     ExpressionUtils.column(PqReconstruct(

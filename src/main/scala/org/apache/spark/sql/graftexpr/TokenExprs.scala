@@ -163,20 +163,79 @@ object TokenKernel {
     * struct(a, b))` (interpreted, two slice allocations per row, and
     * the plan replays the tower once per consumer of the bigram
     * frame). Empty and 1-token arrays yield the empty array, exactly
-    * like the zero-length slices. Elements assumed non-null
-    * ([[tokenize]] output).
+    * like the zero-length slices.
+    *
+    * Null elements: a pair touching a null token is DROPPED — a null
+    * token can't form a bigram, and emitting null fields would violate
+    * the declared containsNull = false output (downstream codegen
+    * reading an UnsafeRow field it believes non-null is undefined
+    * behavior). Unreachable via [[tokenize]] (non-null output); pinned
+    * because `token_bigrams` is a registered SQL function whose input
+    * type admits array<string> with null elements (the
+    * [[tileDedupStats]] null stance).
     */
   def tokenBigrams(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val m = math.max(n - 1, 0)
     val out = new Array[Any](m)
+    var k = 0
     var i = 0
     while (i < m) {
-      out(i) = new GenericInternalRow(
-        Array[Any](arr.getUTF8String(i), arr.getUTF8String(i + 1)))
+      if (!arr.isNullAt(i) && !arr.isNullAt(i + 1)) {
+        out(k) = new GenericInternalRow(
+          Array[Any](arr.getUTF8String(i), arr.getUTF8String(i + 1)))
+        k += 1
+      }
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(if (k == m) out else out.take(k))
+  }
+
+  /** Maximal stopword-free token runs, each joined by ' ' — the RAKE
+    * candidate-phrase assembler (Rose et al. 2010), replacing the
+    * interpreted per-document `aggregate(toks, struct(ph, cur), ...)`
+    * fold (a CASE + two array concats of LAMBDA DISPATCH per token,
+    * per corpus row — the hottest per-GROUP tower left after kernel
+    * wave 2, and it runs per ROW, not per group).
+    *
+    * Equivalence with the HOF fold, token by token:
+    *  - a stopword CLOSES the current run: if anything was appended
+    *    since the last close, `concat_ws(' ', cur)` is emitted;
+    *  - any other token extends the run;
+    *  - a NULL token extends the run but contributes no text
+    *    (`t IN (stoplist)` is NULL ⇒ the CASE falls to the else
+    *    branch and appends null; `size(acc.cur)` counts it;
+    *    `concat_ws` skips it) — so a run of only nulls emits the
+    *    EMPTY phrase, exactly like the fold. Unreachable via
+    *    [[tokenize]]; pinned because the expression accepts any
+    *    array<string>.
+    *  - the finish lambda flushes a trailing open run.
+    */
+  def rakePhrases(arr: ArrayData, stop: java.util.HashSet[UTF8String]): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[Any](8)
+    val cur = new java.util.ArrayList[UTF8String](8)
+    var curLen = 0 // appended elements INCLUDING nulls (HOF size(acc.cur))
+    def flush(): Unit = {
+      if (curLen > 0) {
+        out.add(UTF8String.concatWs(Space,
+          cur.toArray(new Array[UTF8String](cur.size())).toIndexedSeq: _*))
+        cur.clear()
+        curLen = 0
+      }
+    }
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) curLen += 1
+      else {
+        val t = arr.getUTF8String(i)
+        if (stop.contains(t)) flush()
+        else { cur.add(t); curLen += 1 }
+      }
+      i += 1
+    }
+    flush()
+    new GenericArrayData(out.toArray)
   }
 
   /** Sort an array<struct<rank, value>> by (rank, value) and project
@@ -302,6 +361,37 @@ case class TokenProfile(child: Expression, stopwords: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenProfile =
+    copy(child = newChild)
+}
+
+/** RAKE candidate phrases of a token array (see
+  * [[TokenKernel.rakePhrases]]). `stopwords` is baked into the
+  * expression and shipped to executors as a codegen reference object
+  * (the [[TokenProfile]] pattern).
+  */
+case class RakePhrases(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "rake_phrases"
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](stopwords.size * 2)
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TokenKernel.rakePhrases(v.asInstanceOf[ArrayData], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.TokenKernel.rakePhrases($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RakePhrases =
     copy(child = newChild)
 }
 

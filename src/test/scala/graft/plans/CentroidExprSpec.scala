@@ -90,6 +90,52 @@ class CentroidExprSpec extends AnyFunSuite {
     assert(r2.getStruct(0, 2).getLong(0) === 25L - 2L * 10L)
   }
 
+  test("null elements/structs/fields raise the NAMED error, never an NPE/garbage read") {
+    // the registered SQL function admits containsNull inputs the
+    // in-repo producers never emit — a null must fail with the
+    // expression's name (PqKernel precedent), not NPE in getStruct or
+    // read undefined bytes via UnsafeArrayData.getLong
+    import org.apache.spark.sql.graftexpr.CentroidKernel
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    def longs(xs: Any*): GenericArrayData = new GenericArrayData(xs.toArray)
+    def cent(cid: Any, cv: Any, cnorm2: Any) =
+      new GenericInternalRow(Array[Any](cid, cv, cnorm2))
+    val goodCents = new GenericArrayData(Array[Any](
+      cent(1L, longs(1L, 2L), 5L)))
+    def named(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("centroid_rank"), e.getMessage)
+    }
+    // null query element — read by both the qnorm loop and the dot loop
+    named(CentroidKernel.rank(longs(1L, null), goodCents, 1, addQNorm = true))
+    named(CentroidKernel.rank(longs(1L, null), goodCents, 1, addQNorm = false))
+    // null centroid struct
+    named(CentroidKernel.rank(longs(1L, 2L),
+      new GenericArrayData(Array[Any](null)), 1, addQNorm = false))
+    // null struct field (cv)
+    named(CentroidKernel.rank(longs(1L, 2L),
+      new GenericArrayData(Array[Any](cent(1L, null, 5L))), 1, addQNorm = false))
+    // null centroid vector element
+    named(CentroidKernel.rank(longs(1L, 2L),
+      new GenericArrayData(Array[Any](cent(1L, longs(1L, null), 5L))), 1,
+      addQNorm = false))
+    // null PAST the read window (q longer than cv, addQNorm=false never
+    // reads q(1)) is harmless — guards sit at read sites only
+    val ok = CentroidKernel.rank(longs(3L, null),
+      new GenericArrayData(Array[Any](cent(1L, longs(2L), 4L))), 1,
+      addQNorm = false)
+    assert(ok.getStruct(0, 2).getLong(0) === 4L - 2L * 6L)
+    // and through the registered SQL function with a containsNull array
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT centroid_rank(array(1L, CAST(NULL AS BIGINT)),
+          |  array(named_struct('cid', 1L, 'cv', array(1L, 2L), 'cnorm2', 5L)),
+          |  1, true)""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("centroid_rank"), e.getMessage)
+  }
+
   test("kernel swap leaves the trained k-means assignment unchanged (real corpus)") {
     // end-to-end guard on the shared Lloyd path: every consumer's gate
     // hashes these values

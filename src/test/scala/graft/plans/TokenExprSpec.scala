@@ -151,6 +151,95 @@ class TokenExprSpec extends AnyFunSuite {
     assert(badC.count() === 0)
   }
 
+  test("tokenBigrams drops pairs touching a null token (containsNull=false output holds)") {
+    // unreachable via tokenize (non-null output); pinned because
+    // token_bigrams is a registered SQL function admitting
+    // array<string> with null elements — emitting null w1/w2 into the
+    // declared containsNull=false schema would be undefined downstream
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      Seq("a", null, "b", "c"), // (a,null) and (null,b) dropped; (b,c) kept
+      Seq[String](null, null),  // nothing survives
+      Seq("x", "y")).map(a => org.apache.spark.sql.Row(a))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("toks",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = true))))
+    val nd = spark.createDataFrame(rows.asJava, schema)
+    val got = nd.select(ArrayOps.tokenBigrams($"toks").as("bg"))
+      .select(expr("transform(bg, p -> concat(p.w1, '_', p.w2))").as("s"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got === List(List("b_c"), Nil, List("x_y")))
+    // same via the registered SQL function
+    val sql = spark.sql(
+      "SELECT token_bigrams(array('a', CAST(NULL AS STRING), 'b'))")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(sql.isEmpty)
+  }
+
+  test("rakePhrases kernel == aggregate fold incl. stopword/null/empty edges") {
+    val stopwords = graft.functions.TextAnalysis.stopwords
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    // the exact fold rakeKeyphrases shipped before kernel wave 3
+    def hofPhrases(toks: org.apache.spark.sql.Column) = {
+      val folded = expr(
+        s"""aggregate(
+          |  toks,
+          |  named_struct('ph', CAST(array() AS ARRAY<STRING>),
+          |    'cur', CAST(array() AS ARRAY<STRING>)),
+          |  (acc, t) -> CASE WHEN t IN ($stopList)
+          |    THEN named_struct(
+          |      'ph', CASE WHEN size(acc.cur) > 0
+          |        THEN concat(acc.ph, array(concat_ws(' ', acc.cur)))
+          |        ELSE acc.ph END,
+          |      'cur', CAST(array() AS ARRAY<STRING>))
+          |    ELSE named_struct('ph', acc.ph,
+          |      'cur', concat(acc.cur, array(t))) END,
+          |  acc -> CASE WHEN size(acc.cur) > 0
+          |    THEN concat(acc.ph, array(concat_ws(' ', acc.cur)))
+          |    ELSE acc.ph END)""".stripMargin)
+      folded // caller must alias a column named `toks`
+    }
+    // edge-shape battery: stopword-delimited runs, leading/trailing
+    // stopwords, all-stopwords, no stopwords, empty text
+    val bad = df.select(ArrayOps.tokenize($"text").as("toks"))
+      .select(
+        ArrayOps.rakePhrases($"toks", stopwords).as("k"),
+        hofPhrases($"toks").as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+    // the real corpus (the consumer's exact input distribution)
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(ArrayOps.tokenize($"text").as("toks"))
+    val badC = corpus.select(
+        ArrayOps.rakePhrases($"toks", stopwords).as("k"),
+        hofPhrases($"toks").as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(badC.count() === 0)
+    // null tokens: extend the run but contribute no text; an all-null
+    // run emits the EMPTY phrase — exactly the fold's concat_ws path
+    import scala.jdk.CollectionConverters._
+    val stop0 = stopwords.head
+    val rows = Seq(
+      Seq("aa", null, "bb", stop0, "cc"), // "aa bb" then "cc"
+      Seq[String](null, null),          // one empty phrase
+      Seq(stop0, null, stop0),          // "" (null run between stops)
+      Seq[String]()).map(a => org.apache.spark.sql.Row(a))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("toks",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = true))))
+    val nd = spark.createDataFrame(rows.asJava, schema)
+    val badN = nd.select(
+        ArrayOps.rakePhrases($"toks", stopwords).as("k"),
+        hofPhrases($"toks").as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(badN.count() === 0, badN.collect().mkString("; "))
+    val got = nd.select(ArrayOps.rakePhrases($"toks", stopwords).as("k"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got === List(List("aa bb", "cc"), List(""), List(""), Nil))
+  }
+
   test("tileDedupStats drops null elements exactly like the HOF filter") {
     // array_position(tl, null) is NULL -> the HOF predicate is null and
     // the element is dropped from kept, while size(tl) still counts it
