@@ -409,19 +409,18 @@ object Relevance {
     */
   def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
     val (w1, w2) = Phrase
-    val toks = TextAnalysis.tokens($"text")
+    // adjacency mask fused into the phrase_hits kernel (kernel wave 3:
+    // the zip_with(t, slice(t, 2, n-1), ...) + filter tower allocated
+    // two arrays of interpreted lambda dispatch per document);
+    // IrExprSpec pins kernel ≡ mask on the real corpus + edges
     documents(spark, dir)
-      .select($"doc_id", toks.as("t"))
-      // adjacency mask: m(i) ⇔ t(i)=w1 ∧ t(i+1)=w2; zip_with pads the
-      // shorter tail with null → last cell folds to null, dropped by
-      // both the count filter and array_position
-      .select($"doc_id", size($"t").cast("long").as("n_tokens"),
-        zip_with($"t", slice($"t", lit(2), greatest(size($"t") - 1, lit(0))),
-          (a, b) => a === lit(w1) && b === lit(w2)).as("m"))
       .select($"doc_id",
-        size(filter($"m", x => x)).cast("long").as("phrase_count"),
-        array_position($"m", true).cast("long").as("first_pos"),
-        $"n_tokens")
+        graft.plans.ArrayOps.phraseHits(
+          TextAnalysis.tokens($"text"), w1, w2).as("h"))
+      .select($"doc_id",
+        $"h.phrase_count".as("phrase_count"),
+        $"h.first_pos".as("first_pos"),
+        $"h.n_tokens".as("n_tokens"))
       .filter($"phrase_count" > 0L)
       .orderBy($"phrase_count".desc, $"doc_id")
       .limit(PhraseK)
@@ -466,24 +465,19 @@ object Relevance {
     */
   def proximitySearch(spark: SparkSession, dir: String): DataFrame = {
     val (t1, t2) = Phrase
-    val toks = TextAnalysis.tokens($"text")
-    def positions(term: String): Column = filter(
-      transform(toks, (x, i) => when(x === lit(term), i + 1).otherwise(lit(-1))),
-      p => p >= 0)
+    // position extraction + pair fold fused into the prox_stats kernel
+    // (kernel wave 3: the nested transform/filter/aggregate tower ran
+    // interpreted per document); field contract identical — min_dist
+    // NULL unless both terms occur, near_pairs 0 then — and the pair
+    // loop stays O(tf₁·tf₂), bounded by per-doc term frequency.
+    // IrExprSpec pins kernel ≡ tower on the real corpus + edges
     documents(spark, dir)
-      .select($"doc_id", positions(t1).as("pa"), positions(t2).as("pb"))
-      .filter(size($"pa") > 0 && size($"pb") > 0)
       .select($"doc_id",
-        size($"pa").cast("long").as("n_a"),
-        size($"pb").cast("long").as("n_b"),
-        array_min(transform($"pa",
-          i => array_min(transform($"pb", j => abs(i - j)))))
-          .cast("long").as("min_dist"),
-        aggregate(
-          transform($"pa",
-            i => size(filter($"pb", j => abs(i - j) <= ProxWindow))),
-          lit(0L), (acc, x) => acc + x.cast("long")).as("near_pairs"))
-      .filter($"near_pairs" > 0L)
+        graft.plans.ArrayOps.proxStats(
+          TextAnalysis.tokens($"text"), t1, t2, ProxWindow).as("h"))
+      .select($"doc_id", $"h.n_a".as("n_a"), $"h.n_b".as("n_b"),
+        $"h.min_dist".as("min_dist"), $"h.near_pairs".as("near_pairs"))
+      .filter($"n_a" > 0L && $"n_b" > 0L && $"near_pairs" > 0L)
       .orderBy($"near_pairs".desc, $"min_dist".asc, $"doc_id")
       .limit(PhraseK)
   }

@@ -529,22 +529,15 @@ object Similarity {
     * higher-order functions inside codegen.
     */
   def int8Quantize(spark: SparkSession, dir: String): DataFrame =
-    Dedup.quantized(spark, dir).select($"vec_id", $"q")
-      .withColumn("m",
-        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> greatest(acc, abs(x)))"))
-      .withColumn("v", expr(
-        """transform(q, x -> CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
-          |  ELSE (x * 127) div m END)""".stripMargin))
-      .select($"vec_id", $"m".as("scale"),
-        expr(
-          """aggregate(
-            |  zip_with(v, sequence(CAST(1 AS BIGINT), CAST(size(v) AS BIGINT)),
-            |    (a, b) -> a * b),
-            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("checksum"),
-        // array_min/max (not seeded folds): NULL on an empty vector,
-        // matching the oracle's list_min/list_max exactly
-        array_min($"v").as("v_min"),
-        array_max($"v").as("v_max"))
+    // max-abs fold, quantize transform and order-weighted checksum
+    // fused into the int8_quant_stats kernel (kernel wave 3: three
+    // chained HOF towers each re-walked the vector interpreted per
+    // row); VecExprSpec pins kernel ≡ tower incl. the empty-vector
+    // NULL-checksum edge and the ANSI overflow contract
+    Dedup.quantized(spark, dir).select($"vec_id",
+        graft.plans.ArrayOps.int8QuantStats($"q").as("s"))
+      .select($"vec_id", $"s.scale".as("scale"), $"s.checksum".as("checksum"),
+        $"s.v_min".as("v_min"), $"s.v_max".as("v_max"))
 
   /** Recall@k of the LSH ANN path against the exact brute-force
     * baseline — the measurement a production ANN deployment tracks to

@@ -520,14 +520,17 @@ object TextAnalysis {
     * Pure narrow pass.
     */
   def readability(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens($"text")
-    val sents = filter(split($"text", "[.!?]+"), s => length(trim(s)) > 0)
+    // all three counts fused into the lix_counts kernel (kernel wave 3:
+    // the split+trim sentence filter and the long-word filter were the
+    // registry's last interpreted per-document filters); IrExprSpec
+    // pins kernel ≡ HOF chain clause by clause on the corpus + edges
     documents(spark, dir)
       .select($"doc_id",
-        size(sents).cast("bigint").as("n_sentences"),
-        size(toks).cast("bigint").as("n_words"),
-        size(filter(toks, t => length(t) > LixLongLen)).cast("bigint")
-          .as("n_long_words"))
+        graft.plans.ArrayOps.lixCounts($"text", LixLongLen).as("c"))
+      .select($"doc_id",
+        $"c.n_sentences".as("n_sentences"),
+        $"c.n_words".as("n_words"),
+        $"c.n_long_words".as("n_long_words"))
       .withColumn("lix",
         when($"n_sentences" > 0L && $"n_words" > 0L,
           $"n_words".cast("double") / $"n_sentences".cast("double") +

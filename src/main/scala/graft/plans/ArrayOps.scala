@@ -56,6 +56,18 @@ object ArrayOps {
   def rakePhrases(c: Column, stopwords: Seq[String]): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.rakePhrases(c, stopwords)
 
+  def phraseHits(c: Column, w1: String, w2: String): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.phraseHits(c, w1, w2)
+
+  def proxStats(c: Column, t1: String, t2: String, window: Int): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.proxStats(c, t1, t2, window)
+
+  def lixCounts(c: Column, longLen: Int): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.lixCounts(c, longLen)
+
+  def int8QuantStats(c: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.int8QuantStats(c)
+
   def pqReconstruct(q: Column, cb: Column, m: Int, sub: Int): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.pqReconstruct(q, cb, m, sub)
 

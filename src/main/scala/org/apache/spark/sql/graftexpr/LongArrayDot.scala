@@ -220,6 +220,22 @@ object GraftExpressions {
   def rakePhrases(c: Column, stopwords: Seq[String]): Column =
     ExpressionUtils.column(RakePhrases(ExpressionUtils.expression(c), stopwords))
 
+  /** Phrase-adjacency stats struct of a token array (codegen'd). */
+  def phraseHits(c: Column, w1: String, w2: String): Column =
+    ExpressionUtils.column(PhraseHits(ExpressionUtils.expression(c), w1, w2))
+
+  /** Two-term proximity stats struct of a token array (codegen'd). */
+  def proxStats(c: Column, t1: String, t2: String, window: Int): Column =
+    ExpressionUtils.column(ProxStats(ExpressionUtils.expression(c), t1, t2, window))
+
+  /** LIX readability counts struct of a raw text column (codegen'd). */
+  def lixCounts(c: Column, longLen: Int): Column =
+    ExpressionUtils.column(LixCounts(ExpressionUtils.expression(c), longLen))
+
+  /** Int8 quantization stats struct of a long vector (codegen'd). */
+  def int8QuantStats(c: Column): Column =
+    ExpressionUtils.column(Int8QuantStats(ExpressionUtils.expression(c)))
+
   /** PQ nearest-codeword reconstruction of a vector (codegen'd). */
   def pqReconstruct(q: Column, cb: Column, m: Int, sub: Int): Column =
     ExpressionUtils.column(PqReconstruct(

@@ -191,6 +191,61 @@ object TokenKernel {
     new GenericArrayData(if (k == m) out else out.take(k))
   }
 
+  /** LIX readability counts of a raw text in two scans and zero
+    * allocations: sentences, words, long words (> `longLen` chars).
+    *
+    * Replaces the last interpreted tower under `text_readability` —
+    * `filter(split(text, "[.!?]+"), s -> length(trim(s)) > 0)` plus
+    * `filter(tokens, t -> length(t) > longLen)` (two regex splits, two
+    * lambda-dispatch filters, and the token array built just to count
+    * it). Equivalence, clause by clause:
+    *  - a split fragment survives `length(trim(s)) > 0` iff it
+    *    contains a character other than ' ' (trim strips spaces ONLY —
+    *    a tab/newline-only fragment counts); fragments are the maximal
+    *    runs between `[.!?]` characters, and the empty leading/
+    *    trailing fragments the regex split produces can never contain
+    *    one — so sentences = maximal non-delimiter runs containing a
+    *    non-space character;
+    *  - words are [[tokenize]]'s maximal [a-z0-9] runs of the
+    *    lowercased text; a token's char length IS its run length (the
+    *    runs are ASCII), so long words count without materializing the
+    *    token.
+    */
+  def lixCounts(s: UTF8String, longLen: Int): InternalRow = {
+    val orig = s.toString
+    var sentences = 0L
+    var segHasContent = false
+    var i = 0
+    val n = orig.length
+    while (i < n) {
+      val c = orig.charAt(i)
+      if (c == '.' || c == '!' || c == '?') {
+        if (segHasContent) sentences += 1
+        segHasContent = false
+      } else if (c != ' ') segHasContent = true
+      i += 1
+    }
+    if (segHasContent) sentences += 1
+    val low = s.toLowerCase.toString
+    val m = low.length
+    var words = 0L
+    var longWords = 0L
+    var run = 0
+    var j = 0
+    while (j <= m) {
+      if (j < m && isTokenChar(low.charAt(j))) run += 1
+      else {
+        if (run > 0) {
+          words += 1
+          if (run > longLen) longWords += 1
+        }
+        run = 0
+      }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](sentences, words, longWords))
+  }
+
   /** Maximal stopword-free token runs, each joined by ' ' — the RAKE
     * candidate-phrase assembler (Rose et al. 2010), replacing the
     * interpreted per-document `aggregate(toks, struct(ph, cur), ...)`
@@ -361,6 +416,30 @@ case class TokenProfile(child: Expression, stopwords: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenProfile =
+    copy(child = newChild)
+}
+
+/** LIX readability counts of a raw text column (see
+  * [[TokenKernel.lixCounts]]).
+  */
+case class LixCounts(child: Expression, longLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(longLen >= 1, s"lix_counts: longLen must be >= 1, got $longLen")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_sentences", LongType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_long_words", LongType, nullable = false)))
+  override def prettyName: String = "lix_counts"
+
+  override def nullSafeEval(v: Any): Any =
+    TokenKernel.lixCounts(v.asInstanceOf[UTF8String], longLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.TokenKernel.lixCounts($c, $longLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): LixCounts =
     copy(child = newChild)
 }
 

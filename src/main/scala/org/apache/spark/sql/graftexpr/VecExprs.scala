@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftexpr
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -123,6 +123,87 @@ object VecKernel {
     }
     c
   }
+
+  /** Int8 scalar-quantization statistics of a long vector in ONE pass:
+    * `scale = max |x|` (0 on empty — the seeded `greatest` fold),
+    * `checksum = Σ vᵢ·i` over the 1-based positions of
+    * `vᵢ = scale = 0 ? 0 : (xᵢ·127) div scale` (Java long division ≡
+    * Spark's `div`, truncation toward zero, wrapping multiply), and
+    * `v_min`/`v_max` (NULL on empty — `array_min`/`array_max`
+    * contract). Replaces three chained HOF towers (`aggregate` max
+    * fold, `transform` quantize, `zip_with`+`aggregate` checksum) that
+    * each re-walked the vector interpreted per corpus row.
+    *
+    * Empty-vector checksum is NULL, replicating the tower exactly: the
+    * original's `sequence(1, size(v))` on size 0 is the DESCENDING
+    * `[1, 0]`, so `zip_with` null-pads and the sum fold nulls out —
+    * pinned in VecExprSpec so the equivalence is honest even on the
+    * shape the corpus never produces. Null ELEMENTS raise a named
+    * error at the read site (quantized vectors are non-null by
+    * construction; the centroid_rank/pq_reconstruct malformed-input
+    * precedent).
+    */
+  def int8QuantStats(arr: ArrayData): GenericInternalRow = {
+    val n = arr.numElements()
+    // exact (raising) arithmetic throughout: the session runs Spark 4's
+    // default-ANSI mode, where the tower's abs/multiply/add would raise
+    // on Long overflow rather than wrap — the kernel must not silently
+    // differ on the overflow edge
+    try {
+      var scale = 0L
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"int8_quant_stats: null element at position $i (quantized vectors are non-null)")
+        val a = Math.absExact(arr.getLong(i))
+        if (a > scale) scale = a
+        i += 1
+      }
+      var checksum = 0L
+      var vMin = Long.MaxValue
+      var vMax = Long.MinValue
+      i = 0
+      while (i < n) {
+        val v = if (scale == 0L) 0L
+          else Math.multiplyExact(arr.getLong(i), 127L) / scale
+        checksum = Math.addExact(checksum, Math.multiplyExact(v, i + 1L))
+        if (v < vMin) vMin = v
+        if (v > vMax) vMax = v
+        i += 1
+      }
+      new GenericInternalRow(Array[Any](scale,
+        if (n == 0) null else java.lang.Long.valueOf(checksum),
+        if (n == 0) null else java.lang.Long.valueOf(vMin),
+        if (n == 0) null else java.lang.Long.valueOf(vMax)))
+    } catch {
+      case _: ArithmeticException => throw new ArithmeticException(
+        "int8_quant_stats: Long overflow (ANSI arithmetic would raise here too)")
+    }
+  }
+}
+
+/** Int8 quantization statistics of a long-vector column (see
+  * [[VecKernel.int8QuantStats]]).
+  */
+case class Int8QuantStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = true),
+    StructField("v_min", LongType, nullable = true),
+    StructField("v_max", LongType, nullable = true)))
+  override def prettyName: String = "int8_quant_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.int8QuantStats(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.VecKernel.int8QuantStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
+    copy(child = newChild)
 }
 
 /** Scalar quantization of a float-array column (see

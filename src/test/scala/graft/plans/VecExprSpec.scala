@@ -39,6 +39,62 @@ class VecExprSpec extends AnyFunSuite {
     assert(bad.count() === 0, bad.collect().mkString("; "))
   }
 
+  test("int8QuantStats kernel == max-fold/quantize/checksum towers incl. empty") {
+    // the exact tower int8Quantize shipped before kernel wave 3
+    def hof = {
+      val m = expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> greatest(acc, abs(x)))")
+      struct(m.as("scale"),
+        expr(
+          """aggregate(
+            |  zip_with(
+            |    transform(q, x -> CASE WHEN
+            |        aggregate(q, CAST(0 AS BIGINT), (acc, y) -> greatest(acc, abs(y))) = 0
+            |      THEN CAST(0 AS BIGINT)
+            |      ELSE (x * 127) div aggregate(q, CAST(0 AS BIGINT),
+            |        (acc, y) -> greatest(acc, abs(y))) END),
+            |    sequence(CAST(1 AS BIGINT), CAST(size(q) AS BIGINT)),
+            |    (a, b) -> a * b),
+            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("checksum"),
+        array_min(expr(
+          """transform(q, x -> CASE WHEN
+            |    aggregate(q, CAST(0 AS BIGINT), (acc, y) -> greatest(acc, abs(y))) = 0
+            |  THEN CAST(0 AS BIGINT)
+            |  ELSE (x * 127) div aggregate(q, CAST(0 AS BIGINT),
+            |    (acc, y) -> greatest(acc, abs(y))) END)""".stripMargin)).as("v_min"),
+        array_max(expr(
+          """transform(q, x -> CASE WHEN
+            |    aggregate(q, CAST(0 AS BIGINT), (acc, y) -> greatest(acc, abs(y))) = 0
+            |  THEN CAST(0 AS BIGINT)
+            |  ELSE (x * 127) div aggregate(q, CAST(0 AS BIGINT),
+            |    (acc, y) -> greatest(acc, abs(y))) END)""".stripMargin)).as("v_max"))
+    }
+    // real corpus (the consumer's input distribution)
+    val corpus = graft.functions.Dedup.quantized(spark, "/root/testdata/sf0.01")
+      .select($"q")
+    val bad = corpus.select(ArrayOps.int8QuantStats($"q").as("k"), hof.as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
+    // edges: all-zero (scale 0 -> v=0), negatives, single element, and
+    // the EMPTY vector whose tower checksum nulls out through the
+    // descending sequence(1, 0) zip — the kernel must replicate that
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      Seq(0L, 0L, 0L), Seq(-5L, 3L, -1L), Seq(42L), Seq[Long](),
+      Seq(127L, -127L, 1L, -1L), Seq(1000000L, -999999L, 500000L))
+      .map(a => org.apache.spark.sql.Row(a))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+    val nd = spark.createDataFrame(rows.asJava, schema)
+    val badE = nd.select(ArrayOps.int8QuantStats($"q").as("k"), hof.as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(badE.count() === 0, badE.collect().mkString("; "))
+    val empty = nd.filter(size($"q") === 0)
+      .select(ArrayOps.int8QuantStats($"q").as("k")).collect().head.getStruct(0)
+    assert(empty.getLong(0) === 0L)   // scale fold seeds at 0
+    assert(empty.isNullAt(1) && empty.isNullAt(2) && empty.isNullAt(3))
+  }
+
   test("longArrayEqCount kernel == size(filter(zip_with(eq))) incl. length skew") {
     import scala.jdk.CollectionConverters._
     val rows = Seq(
