@@ -558,6 +558,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("scan-side IR retrieval is ZERO-shuffle up to its bounded top-k") {
+    // phrase/proximity answer per document inside the scan (the wave-3b
+    // phrase_hits/prox_stats kernels); only the top-k leaves the stage.
+    // A positional-postings self-join would shuffle two corpus-sized
+    // streams to answer the same question — this pin keeps that plan
+    // from ever coming back, and keeps the kernels inside a
+    // WholeStageCodegen span ending in TakeOrderedAndProject
+    for (name <- Seq("ir_phrase_search", "ir_proximity_search")) {
+      val df = q(name)
+      assert(countShuffles(df) === 0, s"$name gained a shuffle")
+      val plan = planString(df)
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+      // "*(n)" is how toString renders a WholeStageCodegen span — the
+      // kernels must sit inside one, not on an interpreted path
+      assert(plan.contains("*("), plan)
+    }
+    // readability and int8 quantization are pure narrow passes: no
+    // shuffle at all (no top-k either — one output row per input row)
+    for (name <- Seq("text_readability", "embed_int8")) {
+      assert(countShuffles(q(name)) === 0, s"$name gained a shuffle")
+    }
+  }
+
   test("budget fill windows per source, never an empty-frame global window") {
     val df = q("pipeline_budget_fill")
     val inner = {
