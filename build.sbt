@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one forked JVM (one SparkSession, warmed codegen) and a
+// few specs mutate process-wide state (SessionSpec's graft.shuffle.auto
+// property, GraphRankSpec's thread-local observability counter) under
+// the assumption of sequential execution — pin sbt's default rather
+// than inherit it silently.
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

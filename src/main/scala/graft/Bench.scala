@@ -38,15 +38,23 @@ package graft
   * take, instead of rep 1 of one arbitrary consumer eating the build.
   *
   * Every full run records per-measurement raw seconds, the 1-minute
-  * system load average, and the measurement's summed TASK CPU seconds
-  * into `_diag` — the machine carries external co-scheduled load, and
-  * wall-vs-cpu_s against the loadavg trace is what tells an
-  * ambient-inflated run (wall ≫ cpu_s, high load) apart from a
-  * regression (cpu_s moved too).
+  * system load average, the measurement's summed TASK CPU seconds, and
+  * `ext` — the average number of CPU cores OTHER processes consumed
+  * during the timed region (system-wide busy CPU minus this JVM's
+  * process CPU, over wall) — into `_diag`. The machine carries external
+  * co-scheduled load; `ext` measures it directly, where loadavg stops
+  * discriminating once the bench itself drives the load (sf1 runs
+  * self-generate loadavg 10–20). A rep with ext beyond the suspect
+  * threshold on a non-trivial wall carries `"suspect": true` and is
+  * counted in the artifact-level `_suspect_reps` — a contaminated run
+  * is machine-readable, not a hand audit. `_warmup_reps` records the
+  * adjacent-warm-up protocol so cross-round artifact comparisons can
+  * tell which measurement policy produced a given JSON.
   * `SPARK_GRAFT_BENCH_DIAG=1` additionally records GC and
-  * JIT-compilation milliseconds accrued inside the timed region — the
-  * instrumentation used to attribute run-to-run drift to a named JVM
-  * mechanism. A full run writes its artifact to
+  * JIT-compilation milliseconds accrued inside the timed region, plus
+  * the post-GC-barrier retained heap / Metaspace / CodeHeap megabytes
+  * before each rep — the instrumentation used to attribute run-to-run
+  * drift and in-suite accumulation to a named JVM mechanism. A full run writes its artifact to
   * `bench_full{_sfTag}_r{N}.json` unless that file is already
   * committed-and-clean in git, in which case a `-postN` sibling is
   * written instead — committed round evidence is never clobbered.
@@ -75,10 +83,14 @@ object Bench {
     // size the shuffle width to the target scale factor BEFORE the
     // session exists (the cluster-realistic configuration: per-task
     // shuffle state is data÷width, so width follows data); explicit
-    // SPARK_GRAFT_SHUFFLE still wins, and the artifact records
-    // whichever width actually ran
-    val shuffleWidth = Session.sizeShuffleFor(sfDir)
+    // SPARK_GRAFT_SHUFFLE still wins
+    Session.sizeShuffleFor(sfDir)
     val spark = Session.get("graft-bench")
+    // the artifact records the width the session ACTUALLY runs with,
+    // read back from the live conf — not the width the installer
+    // computed (they differ exactly when a session pre-existed and the
+    // property install was a no-op; see Session.sizeShuffleFor)
+    val shuffleWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
         label: String): Boolean =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -128,6 +140,51 @@ object Bench {
         java.lang.management.ManagementFactory.getOperatingSystemMXBean
           .getSystemLoadAverage
       }
+    // Ambient contamination, measured DIRECTLY instead of inferred:
+    // system-wide busy CPU seconds (/proc/stat, all fields minus
+    // idle+iowait, USER_HZ ticks) minus THIS JVM's process CPU seconds,
+    // deltaed over the timed region and divided by its wall, is the
+    // average number of cores other processes consumed while the rep
+    // ran. Unlike the 1-minute loadavg this separates ambient from
+    // self-load even at sf1, where the bench itself drives loadavg to
+    // 10-20 and the load field stops discriminating. A rep with
+    // ext > SuspectExtCores on a non-trivial wall is flagged
+    // `suspect` in _diag and counted in `_suspect_reps` — contaminated
+    // runs become machine-readable instead of needing the wall-vs-cpu
+    // hand audit the r14/r15 verdicts each re-derived. Threshold: the
+    // sbt parent JVM idles at well under half a core while the forked
+    // bench runs, and the contamination storms this flags ran 10-30
+    // cores, so 1.5 sits an order of magnitude from both.
+    val SuspectExtCores = 1.5
+    val SuspectMinWall = 0.2 // below this, ext/wall is all jitter
+    def sysBusySec: Double =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        val f = line.trim.split("\\s+").drop(1).map(_.toDouble)
+        // user nice system idle iowait irq softirq steal guest guest_nice
+        (f.sum - f(3) - (if (f.length > 4) f(4) else 0.0)) / 100.0
+      } catch { case _: Throwable => -1.0 }
+    def procCpuSec: Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getProcessCpuTime / 1e9
+      catch { case _: Throwable => -1.0 }
+    // JVM-state accumulation instrumentation (recorded per rep under
+    // the diag flag, sampled at the post-GC-barrier steady state):
+    // used heap after a full GC is RETAINED state — growth across a
+    // 273-query suite is exactly the "what accumulates in a long-lived
+    // session" question; Metaspace and the CodeHeap pools grow with
+    // generated codegen classes and JIT output, whose eviction churn
+    // is the other candidate mechanism for late-suite slowdowns.
+    def poolUsedMb(prefix: String): Long =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith(prefix))
+        .map(p => Option(p.getUsage).map(_.getUsed).getOrElse(0L)).sum >> 20
+    def heapUsedMb: Long = {
+      val r = Runtime.getRuntime
+      (r.totalMemory - r.freeMemory) >> 20
+    }
     // Task CPU seconds per measurement: the statistic external
     // co-scheduled load can't inflate the way it inflates wall-clock
     // (a stolen core stalls the wall; CPU time only grows via cache/
@@ -151,7 +208,10 @@ object Bench {
       org.apache.spark.sql.graftexpr.ListenerDrain.drain(spark.sparkContext)
       ()
     }
-    // per query, per rep: (sec_minus_builds, gc_ms, jit_ms, loadavg, cpu_s)
+    // one measured rep's full record
+    case class Rep(sec: Double, gcMs: Long, jitMs: Long, load: Double,
+        cpuS: Double, extCores: Double, suspect: Boolean,
+        heapMb: Long, metaMb: Long, codeMb: Long)
     val samples = sorted.map { case (name, fn) =>
       // adjacent unmeasured warm-up rep (see methodology scaladoc):
       // absorbs whole-JVM warm-up accrued since the suite warm pass and
@@ -169,29 +229,44 @@ object Bench {
         // state.
         System.gc()
         Thread.sleep(200)
+        // post-barrier steady state = RETAINED JVM state (see scaladoc
+        // on poolUsedMb); sampled here, outside the timed region
+        val (hMb, mMb, cMb) = (heapUsedMb, poolUsedMb("Metaspace"),
+          poolUsedMb("CodeHeap"))
         val la = loadAvg
         val (g0, j0, b0) = (gcMillis, jitMillis, Materialize.buildSeconds)
         drainBus()
         val c0 = taskCpuNs.get()
+        val (sys0, prc0) = (sysBusySec, procCpuSec)
         val t0 = System.nanoTime()
         val ok = runOnce(name, fn, "measure")
-        val sec = (System.nanoTime() - t0) / 1e9 -
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (sys1, prc1) = (sysBusySec, procCpuSec)
+        val sec = wall -
           (Materialize.buildSeconds - b0) // builds reported separately
         val (gMs, jMs) = (gcMillis - g0, jitMillis - j0)
         drainBus()
         val cpuS = (taskCpuNs.get() - c0) / 1e9
         spark.catalog.clearCache() // teardown outside the timed region
-        (if (ok) sec else -1.0, gMs, jMs, la, cpuS)
+        val ext =
+          if (sys0 < 0 || prc0 < 0 || wall <= 0) -1.0
+          else math.max(0.0, ((sys1 - sys0) - (prc1 - prc0)) / wall)
+        Rep(if (ok) sec else -1.0, gMs, jMs, la, cpuS,
+          math.rint(ext * 100) / 100,
+          ext > SuspectExtCores && wall > SuspectMinWall,
+          hMb, mMb, cMb)
       }
       name -> reps_
     }
     // subset runs are the local-iteration/probe path and write no
     // artifact — print the per-rep diag to stderr so a probe can read
-    // wall vs cpu_s vs load without a full-suite run
+    // wall vs cpu_s vs ext without a full-suite run
     if (subset.nonEmpty) samples.foreach { case (name, rs) =>
-      rs.zipWithIndex.foreach { case ((sec, _, _, la, cpuS), i) =>
+      rs.zipWithIndex.foreach { case (r, i) =>
         System.err.println(
-          f"[bench-diag] $name rep${i + 1} sec=$sec%.3f cpu_s=$cpuS%.1f load=$la%.2f")
+          f"[bench-diag] $name rep${i + 1} sec=${r.sec}%.3f cpu_s=${r.cpuS}%.1f " +
+            f"load=${r.load}%.2f ext=${r.extCores}%.2f suspect=${r.suspect} " +
+            f"heap=${r.heapMb}MB meta=${r.metaMb}MB code=${r.codeMb}MB")
       }
     }
     def median(xs: Seq[Double]): Double = {
@@ -199,7 +274,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = samples.map { case (name, rs) =>
-      name -> (if (rs.exists(_._1 < 0)) -1.0 else median(rs.map(_._1)))
+      name -> (if (rs.exists(_.sec < 0)) -1.0 else median(rs.map(_.sec)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -220,23 +295,31 @@ object Bench {
         .map(_.getName.replaceAll("\\D", "").toInt).foldLeft(0)(math.max) + 1
       val builds = Materialize.buildBreakdown
         .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
-      // loadavg is ALWAYS in _diag (gc/jit only under the env flag):
-      // it's the field that tells an ambient-load-inflated run apart
-      // from a regression, and the runs that need telling apart are
-      // exactly the ones nobody thought to instrument
+      // loadavg and ext-cores are ALWAYS in _diag (gc/jit/JVM-state
+      // pools only under the env flag): ext is the field that tells an
+      // ambient-load-inflated run apart from a regression, and the runs
+      // that need telling apart are exactly the ones nobody thought to
+      // instrument
+      val suspectReps = samples.map(_._2.count(_.suspect)).sum
       val diagBody = samples.map { case (k, rs) =>
-        val secs = rs.map(_._1).mkString("[", ",", "]")
-        val loads = rs.map(_._4).mkString("[", ",", "]")
-        val cpus = rs.map(r => math.rint(r._5 * 1000) / 1000).mkString("[", ",", "]")
+        val secs = rs.map(_.sec).mkString("[", ",", "]")
+        val loads = rs.map(_.load).mkString("[", ",", "]")
+        val cpus = rs.map(r => math.rint(r.cpuS * 1000) / 1000).mkString("[", ",", "]")
+        val exts = rs.map(_.extCores).mkString("[", ",", "]")
+        val sus = if (!rs.exists(_.suspect)) ""
+          else rs.map(_.suspect).mkString(""","suspect":[""", ",", "]")
         val gcJit = if (!diag) "" else {
-          val gcs = rs.map(_._2).mkString("[", ",", "]")
-          val jits = rs.map(_._3).mkString("[", ",", "]")
-          s""","gc_ms":$gcs,"jit_ms":$jits"""
+          val gcs = rs.map(_.gcMs).mkString("[", ",", "]")
+          val jits = rs.map(_.jitMs).mkString("[", ",", "]")
+          val heaps = rs.map(_.heapMb).mkString("[", ",", "]")
+          val metas = rs.map(_.metaMb).mkString("[", ",", "]")
+          val codes = rs.map(_.codeMb).mkString("[", ",", "]")
+          s""","gc_ms":$gcs,"jit_ms":$jits,"heap_mb":$heaps,"meta_mb":$metas,"code_mb":$codes"""
         }
-        s"""    "$k": {"sec":$secs,"load":$loads,"cpu_s":$cpus$gcJit}"""
+        s"""    "$k": {"sec":$secs,"load":$loads,"cpu_s":$cpus,"ext":$exts$sus$gcJit}"""
       }.mkString("  \"_diag\": {\n", ",\n", "\n  },\n")
       val body = results.map { case (k, v) => s"""  "$k": $v""" }
-        .mkString(s"""{\n  "_sf": "$sfDir",\n  "_total_sec": $total,\n  "_reps": $reps,\n  "_shuffle_partitions": $shuffleWidth,\n  "_materialize_sec": $matSec,\n  "_materialize_builds": $builds,\n$diagBody""",
+        .mkString(s"""{\n  "_sf": "$sfDir",\n  "_total_sec": $total,\n  "_reps": $reps,\n  "_warmup_reps": 1,\n  "_suspect_reps": $suspectReps,\n  "_shuffle_partitions": $shuffleWidth,\n  "_materialize_sec": $matSec,\n  "_materialize_builds": $builds,\n$diagBody""",
           ",\n", "\n}\n")
       // non-driver scales (e.g. the sf1 audit runs) get their own
       // artifact name so they never clobber the round's sf0.1 record

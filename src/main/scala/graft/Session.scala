@@ -71,10 +71,26 @@ object Session {
     * Bench/Verify BEFORE the session is built; explicit
     * SPARK_GRAFT_SHUFFLE still overrides). Returns the width the next
     * session will use, for artifact recording.
+    *
+    * The width is carried by a JVM property that is only read at
+    * session CONSTRUCTION — if a session already exists
+    * (`getOrCreate` reuse in tests or an embedding that built the
+    * session first), installing the property is a silent no-op for
+    * that session. In that case this returns the width the EXISTING
+    * session actually runs with, so an artifact recorded from the
+    * return value never claims a width that didn't apply.
     */
   def sizeShuffleFor(sfDir: String): Int = {
     sys.props("graft.shuffle.auto") = autoShuffleWidth(sfDir).toString
-    shufflePartitions.toInt
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) if !s.sparkContext.isStopped =>
+        System.err.println(
+          "[session] sizeShuffleFor called with a live SparkSession: the " +
+            "auto width applies only to FUTURE sessions; reporting the " +
+            "live session's actual width")
+        s.conf.get("spark.sql.shuffle.partitions").toInt
+      case _ => shufflePartitions.toInt
+    }
   }
 
   def builder(appName: String): SparkSession.Builder =

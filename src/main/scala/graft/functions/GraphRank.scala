@@ -405,12 +405,16 @@ object GraphRank {
     */
   val CoreRounds = 6
 
-  /** Peel rounds the last [[kCore]] call actually EXECUTED (the
-    * early-exit round that found an empty drop set included) — test
-    * observability for the convergence short-circuit; not part of any
-    * query result.
+  /** Peel rounds the last [[kCore]] call ON THIS THREAD actually
+    * EXECUTED (the early-exit round that found an empty drop set
+    * included) — test observability for the convergence short-circuit;
+    * not part of any query result. Thread-local so concurrent kCore
+    * calls (parallel suites, a multi-tenant driver) can't race the
+    * spec's set-then-read pattern: the peel loop runs on the calling
+    * thread, so writer and reader are the same thread by construction.
     */
-  private[graft] val lastPeelRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+  private[graft] val lastPeelRounds: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(-1))
 
   /** `graph_kcore`: [[CoreK]]-core decomposition of the k-NN similarity
     * graph by [[CoreRounds]] rounds of synchronous peeling — drop every

@@ -176,6 +176,14 @@ object VecKernel {
         if (n == 0) null else java.lang.Long.valueOf(vMin),
         if (n == 0) null else java.lang.Long.valueOf(vMax)))
     } catch {
+      // Contract note: what is pinned against the HOF tower is
+      // RAISE-vs-SILENT parity — every input the ANSI tower would have
+      // raised on raises here too, with the kernel's own message. The
+      // exception TYPE differs (bare ArithmeticException /
+      // IllegalArgumentException vs Spark's SparkArithmeticException +
+      // error class); no oracle gate or caller dispatches on the error
+      // class, so the kernel keeps the simpler named error rather than
+      // routing through Spark's internal QueryExecutionErrors factory.
       case _: ArithmeticException => throw new ArithmeticException(
         "int8_quant_stats: Long overflow (ANSI arithmetic would raise here too)")
     }

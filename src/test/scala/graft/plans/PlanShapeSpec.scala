@@ -146,35 +146,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(antiJoins <= 1, s"expected <=1 cluster-map anti-join, got $antiJoins:\n$plan")
   }
 
-  /** Every CodegenFallback expression anywhere in the physical plan
-    * (recursing through AQE wrappers and subqueries) — the interpreted
-    * islands the kernel wave exists to eliminate. An empty result means
-    * every per-row expression in the plan participates in codegen.
-    */
-  private def codegenFallbacks(df: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-    import org.apache.spark.sql.execution.SparkPlan
-    def unwrap(p: SparkPlan): SparkPlan = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case other => other
-    }
-    def walk(p: SparkPlan): Seq[String] = {
-      val here = unwrap(p)
-      val own = here.expressions.flatMap(_.collect {
-        // aggregate functions (collect_list, the sketch aggs) are
-        // exempt: their buffers run through the aggregation operator's
-        // imperative update path whatever traits they mix in — the
-        // contract here is about per-ROW projection/filter islands
-        case cf: CodegenFallback
-            if !cf.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction] =>
-          cf.prettyName
-      })
-      val subs = here.subqueries.flatMap(walk)
-      own ++ subs ++ here.children.flatMap(walk)
-    }
-    walk(df.queryExecution.executedPlan)
-  }
+  // registry-WIDE version of this census lives in CensusSpec; this
+  // alias keeps the SQL-surface contract below reading locally
+  private def codegenFallbacks(df: DataFrame): Seq[String] =
+    PlanAudit.codegenFallbacks(df)
 
   test("llm_sql_surface: SQL-text fingerprint pass is one narrow projection, no shuffle") {
     val df = q("llm_sql_surface")
