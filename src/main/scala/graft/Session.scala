@@ -67,10 +67,59 @@ object Session {
     math.max(cpus.toInt, math.min(byData, 1 << 20).toInt)
   }
 
-  /** Install the sf-derived width as the session default (called by
-    * Bench/Verify BEFORE the session is built; explicit
-    * SPARK_GRAFT_SHUFFLE still overrides). Returns the width the next
-    * session will use, for artifact recording.
+  /** Scan-split open-cost floor for a data directory, derived from the
+    * parquet ROW-GROUP layout (r16, guide §2.2/§6 — the profile that
+    * motivated it is in OPTIMIZATION_r16.md): Spark sizes scan splits
+    * as `min(maxPartitionBytes, max(openCostInBytes, bytes/cores))`,
+    * so a 4 MB open-cost floor caps a small-but-CPU-dense table at
+    * `bytes/4 MB` tasks — at sf1 the 5.9 MB compressed documents
+    * corpus scanned as TWO tasks while tokenize/md5/shingle kernels
+    * burned 5-10 CPU-seconds on it (30 idle cores; measured 3× wall on
+    * `pipeline_dsir_weights` from this setting alone). The floor that
+    * actually matters locally is the ROW GROUP: splits below one
+    * row-group stride schedule empty tasks (the r6 2.5% regression
+    * that set the old 4 MB default). So: open cost = the smallest
+    * per-row-group byte stride among the dir's non-trivial parquet
+    * files, clamped to [64 KB, 4 MB]. Single-row-group sf0.1 fixtures
+    * derive multi-MB strides → clamp to 4 MB, Spark's default, no
+    * empty splits; the multi-row-group sf1 layout derives ~0.2-2 MB →
+    * scans split to the machine. At cluster scale (files ≥ 128 MB,
+    * row groups ~128 MB) `bytes/cores` dominates and the floor never
+    * binds — the rule degrades to Spark's own sizing, exactly like
+    * [[autoShuffleWidth]].
+    */
+  def autoOpenCost(sfDir: String): Long = {
+    val MinClamp = 64L * 1024
+    val MaxClamp = 4L * 1024 * 1024
+    val MinFileBytes = 1L * 1024 * 1024 // dims (nation, region) don't bind
+    try {
+      val root = java.nio.file.Paths.get(sfDir)
+      if (!java.nio.file.Files.isDirectory(root)) return MaxClamp
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val strides = java.nio.file.Files.list(root).iterator()
+      var minStride = Long.MaxValue
+      strides.forEachRemaining { p =>
+        val sz = try java.nio.file.Files.size(p) catch { case _: Throwable => 0L }
+        if (p.toString.endsWith(".parquet") && sz >= MinFileBytes) {
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p.toUri), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val ng = try r.getRowGroups.size finally r.close()
+            if (ng > 0) minStride = math.min(minStride, sz / ng)
+          } catch { case _: Throwable => } // unreadable footer: skip
+        }
+      }
+      if (minStride == Long.MaxValue) MaxClamp
+      else math.max(MinClamp, math.min(MaxClamp, minStride))
+    } catch { case _: Throwable => MaxClamp }
+  }
+
+  /** Install the sf-derived width AND scan open-cost as the session
+    * defaults (called by Bench/Verify BEFORE the session is built;
+    * explicit SPARK_GRAFT_SHUFFLE / SPARK_GRAFT_OPEN_COST still
+    * override). Returns the width the next session will use, for
+    * artifact recording.
     *
     * The width is carried by a JVM property that is only read at
     * session CONSTRUCTION — if a session already exists
@@ -82,6 +131,7 @@ object Session {
     */
   def sizeShuffleFor(sfDir: String): Int = {
     sys.props("graft.shuffle.auto") = autoShuffleWidth(sfDir).toString
+    sys.props("graft.opencost.auto") = autoOpenCost(sfDir).toString
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case Some(s) if !s.sparkContext.isStopped =>
         System.err.println(
@@ -101,15 +151,28 @@ object Session {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
-      // Scan-split open-cost floor. The synthetic fixtures compress to a
-      // few MB, so Spark's 4 MB default floor caps even a 6 M-row table
-      // at 1-2 scan partitions; SPARK_GRAFT_OPEN_COST=65536 restores
-      // 32-way scans on multi-row-group fixtures (sf1 layout). Default
-      // stays Spark's: on SINGLE-row-group files (the driver's sf0.1
-      // data) extra splits are empty and cost a measured ~2.5%, and at
-      // cluster scale files are >=128 MB so the floor never binds.
+      // Scan-split open-cost floor: explicit SPARK_GRAFT_OPEN_COST wins,
+      // then the row-group-derived auto value installed by
+      // [[sizeShuffleFor]] (see [[autoOpenCost]] — the r16 change that
+      // un-capped the 2-task corpus scans at sf1), then Spark's 4 MB
+      // default (correct for the single-row-group sf0.1 fixtures, where
+      // sub-file splits schedule only empty tasks).
       .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (4 * 1024 * 1024).toString))
+        sys.env.get("SPARK_GRAFT_OPEN_COST")
+          .orElse(sys.props.get("graft.opencost.auto"))
+          .getOrElse((4 * 1024 * 1024).toString))
+      // ObjectHashAggregateExec (collect_set/collect_list and every
+      // TypedImperativeAggregate) falls back to SORT-based aggregation
+      // once a task's hash map holds this many keys. Default stays
+      // Spark's 128: an r16 A/B at sf1 raised it to 256k expecting the
+      // sort fallback to be the basket/collect bottleneck and measured
+      // the OPPOSITE — `basket_lift_pairs`' collect_set stage ran
+      // 50.2 s task-time with 12.5 s GC under hash aggregation vs
+      // 31.4 s / 6.2 s sort-based (the sorted path feeds sorted runs
+      // to the merging buffer; the big map churns the 8 GB heap).
+      // Env-tunable for future probes at other memory sizings.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "128"))
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // RocksDB-backed streaming state: state spills to local disk

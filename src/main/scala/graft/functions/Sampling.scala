@@ -701,14 +701,16 @@ object Sampling {
     */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokens($"text")
-    val bigrams = filter(
-      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)),
-      x => x.isNotNull)
+    // codegen'd bigram emitter (TokenKernel.tokenBigrams, the lmScore
+    // pattern) — the zip_with(slice)+filter tower it replaces ran
+    // interpreted over every corpus row; pair → "w1 w2" string via a
+    // codegen concat, so the hashed value is bit-identical
     val bg = documents(spark, dir)
-      .select($"doc_id", $"source", explode(bigrams).as("bg"))
       .select($"doc_id", $"source",
-        (Hashing.md5Hash31($"bg") % DsirBuckets).as("bucket"))
+        explode(graft.plans.ArrayOps.tokenBigrams(toks)).as("p"))
+      .select($"doc_id", $"source",
+        (Hashing.md5Hash31(concat($"p.w1", lit(" "), $"p.w2"))
+          % DsirBuckets).as("bucket"))
     val hist = bg.groupBy($"bucket")
       .agg(count(lit(1)).as("raw_cnt"),
         sum(when($"source".isin(DsirTargets: _*), 1L).otherwise(0L))
@@ -738,23 +740,32 @@ object Sampling {
     */
   def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokens($"text")
-    val bigrams = filter(
-      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)),
-      x => x.isNotNull)
+    // codegen'd bigram emitter — see [[dsirWeights]]
     val bg = documents(spark, dir)
-      .select($"source", explode(bigrams).as("bg"))
-      .select($"source", (Hashing.md5Hash31($"bg") % DsirBuckets).as("bucket"))
+      .select($"source",
+        explode(graft.plans.ArrayOps.tokenBigrams(toks)).as("p"))
+      .select($"source",
+        (Hashing.md5Hash31(concat($"p.w1", lit(" "), $"p.w2"))
+          % DsirBuckets).as("bucket"))
     val perSrc = bg.groupBy($"source", $"bucket").agg(count(lit(1)).as("cnt"))
-    val perBucket = perSrc.groupBy($"bucket").agg(sum($"cnt").as("corpus_cnt"))
-    val perSource = perSrc.groupBy($"source").agg(sum($"cnt").as("src_total"))
-    val corpusTotal = perSrc.agg(sum($"cnt").as("corpus_total"))
+    // r16 (guide §2.4): the margins are WINDOW sums over the already-
+    // aggregated (sources × buckets) frame, not separate aggregation
+    // branches — the three broadcast branches each replanned the
+    // corpus-sized bigram subtree (profiled sf1: FOUR 2-task corpus
+    // stages of 3.3-4.4 s each; neither static exchange reuse nor AQE
+    // stage reuse fired across the differently-pruned branches). One
+    // corpus pass remains; the windows shuffle only the bounded margin
+    // frame (sources × [[DsirBuckets]] rows — the empty-frame window
+    // is a single partition of that bounded size, by construction).
+    // Sums are exact longs either way: values unchanged.
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     perSrc
-      .join(broadcast(perBucket), Seq("bucket"))
-      .join(broadcast(perSource), Seq("source"))
-      .crossJoin(broadcast(corpusTotal))
-      .select($"source", $"bucket", $"cnt", $"corpus_cnt",
-        $"src_total", $"corpus_total")
+      .select($"source", $"bucket", $"cnt",
+        sum($"cnt").over(wB).as("corpus_cnt"),
+        sum($"cnt").over(wS).as("src_total"),
+        sum($"cnt").over(wAll).as("corpus_total"))
   }
 
   /** DuckDB twin of [[dsirWeights]] — same bigram formation (zip against
@@ -812,24 +823,28 @@ object Sampling {
     */
   def dsirExactStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokens($"text")
-    val bigrams = filter(
-      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)),
-      x => x.isNotNull)
+    // codegen'd bigram emitter — see [[dsirWeights]]
     val bg = documents(spark, dir)
-      .select($"doc_id", $"source", explode(bigrams).as("bg"))
       .select($"doc_id", $"source",
-        (Hashing.md5Hash31($"bg") % DsirBuckets).as("bucket"))
+        explode(graft.plans.ArrayOps.tokenBigrams(toks)).as("p"))
+      .select($"doc_id", $"source",
+        (Hashing.md5Hash31(concat($"p.w1", lit(" "), $"p.w2"))
+          % DsirBuckets).as("bucket"))
     val perDoc = bg.groupBy($"doc_id", $"bucket")
       .agg(count(lit(1)).as("n_bg"))
     val hist = bg.groupBy($"bucket")
       .agg(count(lit(1)).as("raw_cnt"),
         sum(when($"source".isin(DsirTargets: _*), 1L).otherwise(0L))
           .as("target_cnt"))
-    val totals = hist.agg(sum($"raw_cnt").as("raw_total"),
-      sum($"target_cnt").as("target_total"))
-    perDoc.join(broadcast(hist), Seq("bucket"))
-      .crossJoin(broadcast(totals))
+    // r16: totals as a window over the FIXED 1024-row histogram — the
+    // separate totals branch replanned the corpus bigram subtree (a
+    // third 2-task corpus stage in the sf1 profile). Exact long sums,
+    // values unchanged; see [[sourceDrift]].
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val histT = hist.select($"bucket", $"raw_cnt", $"target_cnt",
+      sum($"raw_cnt").over(wAll).as("raw_total"),
+      sum($"target_cnt").over(wAll).as("target_total"))
+    perDoc.join(broadcast(histT), Seq("bucket"))
       .select($"doc_id", $"bucket", $"n_bg", $"target_cnt", $"raw_cnt",
         $"target_total", $"raw_total")
   }

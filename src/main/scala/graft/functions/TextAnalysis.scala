@@ -611,16 +611,27 @@ object TextAnalysis {
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
     val uni = arr.select(explode($"ts").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
-    val tot = pairs.agg(sum($"n_ab").as("t"))
-    val utot = uni.agg(sum($"c").as("utot"))
+    // r16 (guide §1.2 "don't compute things you throw away"): the two
+    // scalar totals are CLOSED FORMS of the token counts — t = Σ_docs
+    // Σ_{s≤W} max(n_tok − s, 0) (every shifted zip emits exactly that
+    // many pairs) and utot = Σ_docs n_tok — so they come from ONE
+    // narrow size(ts) scan instead of re-planning the pair/unigram
+    // aggregation subtrees (profiled sf1: the tot branch replayed the
+    // whole 6.5 s pair pass; exchange reuse does not fire across the
+    // differently-projected branches). Exact longs, values unchanged.
+    val sz = size($"ts").cast("bigint")
+    val totals = arr.agg(
+      sum((1 to CoocWindow).map(s => greatest(sz - s, lit(0L))).reduce(_ + _))
+        .as("t"),
+      sum(sz).as("utot"))
     // the unigram table is VOCABULARY-sized — sublinear in corpus but
     // not driver-bounded at web scale, so it joins shuffle-side (the
-    // [[lmScore]] stance), never as a broadcast; only the two 1-row
-    // totals broadcast
+    // [[lmScore]] stance), never as a broadcast; only the 1-row totals
+    // broadcast
     pairs
       .join(uni.select($"w".as("w1"), $"c".as("ca")).hint("shuffle_hash"), "w1")
       .join(uni.select($"w".as("w2"), $"c".as("cb")).hint("shuffle_hash"), "w2")
-      .join(broadcast(tot)).join(broadcast(utot))
+      .join(broadcast(totals))
       .select($"w1", $"w2", $"n_ab",
         ((($"n_ab".cast("double") * $"utot".cast("double")) *
           $"utot".cast("double")) /

@@ -1189,9 +1189,16 @@ object AnalyticsOps {
     l.groupBy($"l_returnflag".as("returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(big($"x")).as("sx"), sum(big($"y")).as("sy"),
-        sum(big($"x") * $"y").as("sxy"),
-        sum(big($"x") * $"x").as("sxx"),
-        sum(big($"y") * $"y").as("syy"))
+        // r16: per-ROW products in long, cast to decimal only for the
+        // SUM — the decimal×long form ran a BigDecimal multiply per
+        // row. Exactness unchanged: per-row values are scale-INDEPENDENT
+        // (x = quantity ≤ ~10², y = price cents ≤ ~10⁷ by the price
+        // formula), so x·y ≤ 10⁹ and y² ≤ 10¹⁴ never overflow long at
+        // ANY corpus size; only the SUMS grow with scale, and those
+        // stay DECIMAL(38,0).
+        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+        sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
       .select($"returnflag", $"n",
         (((big($"n") * $"sxy" - $"sx" * $"sy").cast("double")) /
           (sqrt((big($"n") * $"sxx" - $"sx" * $"sx").cast("double")) *

@@ -41,12 +41,14 @@ class CensusSpec extends AnyFunSuite {
     *    the collected day array — hundreds of elements, dozens of rows.
     *  - per-group rank/drift folds (`eval_*`, `stats_cramers_v`,
     *    `text_token_lang_chi2`, `corpus_source_overlap`,
-    *    `pipeline_dsir_*`, `text_cooccurrence_pmi`): post-aggregate
+    *    `text_cooccurrence_pmi`): post-aggregate
     *    projections over per-group arrays bounded by vocab/bin/source
-    *    cardinality, not corpus size.
+    *    cardinality, not corpus size. (r16: the dsir/source-drift
+    *    bigram formation moved to the codegen `token_bigrams` kernel —
+    *    their entries ratcheted out.)
     *  - band-array probes (`dedup_incremental`, `dedup_lsh_recall`,
     *    `ir_query_expansion`, `rel_bm25_search`, `pipeline_budget_fill`,
-    *    `eval_source_drift`, `embed_gram_matrix`, `embed_whiten_diag`):
+    *    `embed_gram_matrix`, `embed_whiten_diag`):
     *    HOF over a fixed-width signature/weight array in a projection
     *    of an already-reduced (bucketed/aggregated/broadcast) side.
     *  - `set_*_all`: `replicaterows` is Spark's own INTERSECT/EXCEPT
@@ -71,11 +73,8 @@ class CensusSpec extends AnyFunSuite {
     "embed_gram_matrix" -> Set("transform"),
     "embed_whiten_diag" -> Set("aggregate", "zip_with", "transform"),
     "eval_ndcg" -> Set("aggregate"),
-    "eval_source_drift" -> Set("filter", "zip_with"),
     "ir_query_expansion" -> Set("filter"),
     "pipeline_budget_fill" -> Set("filter"),
-    "pipeline_dsir_exact_stats" -> Set("filter", "zip_with"),
-    "pipeline_dsir_weights" -> Set("filter", "zip_with"),
     "rel_bm25_search" -> Set("filter"),
     "set_except_all" -> Set("replicaterows"),
     "set_intersect_all" -> Set("replicaterows"),
