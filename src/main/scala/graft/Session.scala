@@ -150,6 +150,19 @@ object Session {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor. With parallelismFirst (default on), AQE
+      // coalesces post-shuffle stages down to `shuffled bytes /
+      // minPartitionSize` when that is SMALLER than the core count —
+      // and this engine's shuffles carry compressed text whose
+      // downstream work is CPU-dense (candidate-pair generation,
+      // kernels): the r16 profile caught the simhash banded self-join
+      // running as FIVE tasks (6 MB shuffled, 5.3 cpu-s of pair
+      // emission, stage wall = one straggler task). 64 KB lets a
+      // cpu-dense small shuffle keep the machine busy; at cluster
+      // scale the advisory size and genuine data volumes dominate and
+      // the floor never binds (same stance as autoOpenCost).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", (64 * 1024).toString))
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       // Scan-split open-cost floor: explicit SPARK_GRAFT_OPEN_COST wins,
       // then the row-group-derived auto value installed by
