@@ -96,9 +96,9 @@ object Session {
       val root = java.nio.file.Paths.get(sfDir)
       if (!java.nio.file.Files.isDirectory(root)) return MaxClamp
       val conf = new org.apache.hadoop.conf.Configuration()
-      val strides = java.nio.file.Files.list(root).iterator()
       var minStride = Long.MaxValue
-      strides.forEachRemaining { p =>
+      val stream = java.nio.file.Files.list(root)
+      try stream.iterator().forEachRemaining { p =>
         val sz = try java.nio.file.Files.size(p) catch { case _: Throwable => 0L }
         if (p.toString.endsWith(".parquet") && sz >= MinFileBytes) {
           try {
@@ -109,7 +109,7 @@ object Session {
             if (ng > 0) minStride = math.min(minStride, sz / ng)
           } catch { case _: Throwable => } // unreadable footer: skip
         }
-      }
+      } finally stream.close()
       if (minStride == Long.MaxValue) MaxClamp
       else math.max(MinClamp, math.min(MaxClamp, minStride))
     } catch { case _: Throwable => MaxClamp }
@@ -200,6 +200,19 @@ object Session {
         else
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
+      // Plan-description verbosity for listener events. Every query
+      // execution EAGERLY formats its physical plan into the
+      // SQLExecutionStart event, and AQE re-formats it for EVERY stage
+      // materialization (SQLAdaptiveExecutionUpdate) — with the default
+      // "formatted" mode that is the full operator-detail explain, paid
+      // on the driver between jobs. With the UI off nothing ever renders
+      // the string; "simple" keeps the event contract at a fraction of
+      // the formatting cost (r17 driver-latency work, guide §1.2 —
+      // measured as part of the per-stage-transition gap). Purely a
+      // diagnostics-verbosity knob: plans, results and scheduling are
+      // untouched at any scale.
+      .config("spark.sql.ui.explainMode",
+        sys.env.getOrElse("SPARK_GRAFT_UI_EXPLAIN", "simple"))
       // catalog tables (bucketed layouts) land outside the repo tree
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
