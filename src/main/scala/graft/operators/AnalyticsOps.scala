@@ -23,31 +23,51 @@ object AnalyticsOps {
   /** Rollup over (returnflag, linestatus): subtotals + grand total.
     * Grouping nulls are rewritten to 'ALL' via GROUPING() so the output
     * is total-order-able across engines.
+    *
+    * Pre-aggregated before the rollup (r17, guide §2.3 "aggregate
+    * before you shuffle"): `rollup` plans Expand×(levels) BEFORE the
+    * partial aggregate, so the fact scan's agg-hash work is multiplied
+    * by the lattice size — at any scale, since Expand runs per input
+    * row. Aggregating on the FULL grouping key first (exactly the
+    * partial-aggregation identity: count→sum of counts, sum→sum of
+    * sums, exact decimal arithmetic reassociated) leaves Expand a
+    * handful of pre-aggregated rows. GROUPING() semantics are
+    * unchanged — rollup null-extension over the base frame's keys is
+    * the same lattice, and data-borne NULL keys stay distinguished
+    * from rollup-generated ones by grouping(), as before.
     */
   def rollupSummary(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("pn"), sum(dec($"l_quantity")).as("pq"))
       .rollup($"l_returnflag", $"l_linestatus")
       .agg(
         expr("CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END").as("returnflag"),
         expr("CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END").as("linestatus"),
-        count(lit(1)).as("n"),
-        sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+        sum($"pn").as("n"),
+        sum($"pq").cast("double").as("sum_qty"))
       .select($"returnflag", $"linestatus", $"n", $"sum_qty")
 
   /** Explicit GROUPING SETS (beyond rollup/cube's fixed lattices): the
     * (flag, status), (status), () sets — NOT a rollup of (flag, status)
     * (which would subtotal by flag); the per-status subtotal is the
     * set a rollup cannot express, which is the point of the operator.
+    * Pre-aggregated on the full (flag, status) key before the sets
+    * expand — see [[rollupSummary]] (guide §2.3).
     */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
     lineitem(spark, dir).createOrReplaceTempView("li_gsets")
     spark.sql(
-      """SELECT
+      """WITH base AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    count(*) AS pn, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS pp
+        |  FROM li_gsets GROUP BY l_returnflag, l_linestatus)
+        |SELECT
         |  CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
         |  CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM li_gsets
+        |  sum(pn) AS n,
+        |  CAST(sum(pp) AS DOUBLE) AS sum_price
+        |FROM base
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin)
   }
 
@@ -175,16 +195,23 @@ object AnalyticsOps {
         sum(dec($"value")).over(w).cast("double").as("trailing_minute_value"))
   }
 
-  /** Cube over (event_type, day): every dim combination. */
+  /** Cube over (event_type, day): every dim combination. Pre-aggregated
+    * on the full (event_type, day) key before the cube lattice expands
+    * — see [[rollupSummary]] (guide §2.3): Expand×4 now runs over the
+    * few-hundred-row daily aggregate, not the fact scan.
+    */
   def cubeEvents(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .withColumn("dt", date_format($"ts", "yyyy-MM-dd"))
+      .groupBy($"event_type", $"dt")
+      .agg(count(lit(1)).as("pn"),
+        sum($"value".cast("decimal(18,2)")).as("pv"))
       .cube($"event_type", $"dt")
       .agg(
         expr("CASE WHEN grouping(event_type) = 1 THEN 'ALL' ELSE event_type END").as("etype"),
         expr("CASE WHEN grouping(dt) = 1 THEN 'ALL' ELSE dt END").as("day"),
-        count(lit(1)).as("n"),
-        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+        sum($"pn").as("n"),
+        sum($"pv").cast("double").as("sum_value"))
       .select($"etype", $"day", $"n", $"sum_value")
 
   /** Top-3 parts per brand by revenue, via the engine's bounded-heap
@@ -486,8 +513,12 @@ object AnalyticsOps {
       .select(year($"o_orderdate").cast("bigint").as("y"),
         month($"o_orderdate").cast("bigint").as("m"),
         (dec($"o_totalprice") * 100).cast("long").as("cents"))
+      // pre-aggregate on the full (y, m) key before the rollup lattice
+      // expands — see rollupSummary (guide §2.3)
+      .groupBy($"y", $"m")
+      .agg(count(lit(1)).as("pn"), sum($"cents").as("pc"))
       .rollup($"y", $"m")
-      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("revenue_cents"),
+      .agg(sum($"pn").as("n_orders"), sum($"pc").as("revenue_cents"),
         grouping($"y").cast("bigint").as("g_y"),
         grouping($"m").cast("bigint").as("g_m"))
       .select(coalesce($"y", lit(-1L)).as("y"),
