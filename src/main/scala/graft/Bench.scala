@@ -51,7 +51,12 @@ package graft
   * `_suspect_reps` — a contaminated run is machine-readable, not a hand
   * audit. `_warmup_reps` records the
   * adjacent-warm-up protocol so cross-round artifact comparisons can
-  * tell which measurement policy produced a given JSON.
+  * tell which measurement policy produced a given JSON. A query whose
+  * EVERY rep is suspect is measured once more after the suite (storms
+  * pass); the artifact reports the rep set with fewer suspect flags
+  * and keeps the other under `sec_rerun`/`steal_rerun`/`suspect_rerun`
+  * in `_diag`, with `_rerun_queries` counting affected rows — an
+  * all-suspect median measures the hypervisor, not the code.
   * `SPARK_GRAFT_BENCH_DIAG=1` additionally records GC and
   * JIT-compilation milliseconds accrued inside the timed region, plus
   * the post-GC-barrier retained heap / Metaspace / CodeHeap megabytes
@@ -224,14 +229,15 @@ object Bench {
     case class Rep(sec: Double, gcMs: Long, jitMs: Long, load: Double,
         cpuS: Double, extCores: Double, stealCores: Double,
         suspect: Boolean, heapMb: Long, metaMb: Long, codeMb: Long)
-    val samples = sorted.map { case (name, fn) =>
+    def measure(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Rep] = {
       // adjacent unmeasured warm-up rep (see methodology scaladoc):
       // absorbs whole-JVM warm-up accrued since the suite warm pass and
       // — for each Materialize artifact's first consumer — the lazy
       // rebuild, which the build clock still charges to _materialize_sec
       runOnce(name, fn, "warmup")
       spark.catalog.clearCache()
-      val reps_ = (1 to reps).map { _ =>
+      (1 to reps).map { _ =>
         // GC barrier: without it, garbage from the PREVIOUS
         // measurement (HLL register arrays, shuffle buffers, broadcast
         // cleanup) is collected during THIS one's timed region —
@@ -270,12 +276,33 @@ object Bench {
           ext + stl > SuspectExtCores && wall > SuspectMinWall,
           hMb, mMb, cMb)
       }
-      name -> reps_
+    }
+    val firstPass = sorted.map { case (name, fn) => name -> measure(name, fn) }
+    // Suspect-rep re-run pass (r17, VERDICT r16 item 5): a steal storm
+    // crossing a query's alphabetical slot can contaminate ALL of its
+    // reps — the median is then a measurement of the hypervisor, not the
+    // code (r16 final pair: llm_sql_surface_remove 6.15 s at 4.3-7.3
+    // stolen cores vs its 2.76 s clean profile, all three reps flagged).
+    // After the suite, every all-suspect query is measured once more
+    // (storms pass; the tail of the suite is usually outside the storm
+    // window); the artifact reports whichever rep set carries FEWER
+    // suspect flags and keeps the other under `_diag.<q>.sec_rerun…` so
+    // both measurements stay on the record. Queries with at least one
+    // clean rep keep their original median (the median of 3 already
+    // rides over one bad rep).
+    val samples = firstPass.map { case (name, rs) =>
+      if (!rs.forall(_.suspect)) (name, rs, None)
+      else {
+        System.err.println(s"[bench] $name: all $reps reps suspect; re-running once")
+        val rs2 = measure(name, SparkEntry.queries(name))
+        if (rs2.count(_.suspect) < rs.size) (name, rs2, Some(rs))
+        else (name, rs, Some(rs2))
+      }
     }
     // subset runs are the local-iteration/probe path and write no
     // artifact — print the per-rep diag to stderr so a probe can read
     // wall vs cpu_s vs ext without a full-suite run
-    if (subset.nonEmpty) samples.foreach { case (name, rs) =>
+    if (subset.nonEmpty) samples.foreach { case (name, rs, _) =>
       rs.zipWithIndex.foreach { case (r, i) =>
         System.err.println(
           f"[bench-diag] $name rep${i + 1} sec=${r.sec}%.3f cpu_s=${r.cpuS}%.1f " +
@@ -288,14 +315,13 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = samples.map { case (name, rs) =>
+    val results = samples.map { case (name, rs, _) =>
       name -> (if (rs.exists(_.sec < 0)) -1.0 else median(rs.map(_.sec)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val matSec = Materialize.buildSeconds
     val total = results.map(_._2).filter(_ >= 0).sum + matSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"materialize_sec":$matSec,"queries":$qs,"sf":"$sfDir"}""")
     // The driver's BENCH_r<N>.json artifact tail-truncates the stdout
     // line, losing all but the last ~60 per-query timings — so only a
     // minority of queries were round-over-round comparable. Persist the
@@ -316,7 +342,8 @@ object Bench {
       // that need telling apart are exactly the ones nobody thought to
       // instrument
       val suspectReps = samples.map(_._2.count(_.suspect)).sum
-      val diagBody = samples.map { case (k, rs) =>
+      val rerunQueries = samples.count(_._3.nonEmpty)
+      val diagBody = samples.map { case (k, rs, other) =>
         val secs = rs.map(_.sec).mkString("[", ",", "]")
         val loads = rs.map(_.load).mkString("[", ",", "]")
         val cpus = rs.map(r => math.rint(r.cpuS * 1000) / 1000).mkString("[", ",", "]")
@@ -324,6 +351,13 @@ object Bench {
         val steals = rs.map(_.stealCores).mkString("[", ",", "]")
         val sus = if (!rs.exists(_.suspect)) ""
           else rs.map(_.suspect).mkString(""","suspect":[""", ",", "]")
+        // the rep set NOT reported (all-suspect re-run pass): kept on
+        // the record so both measurements are auditable
+        val rerun = other.map { o =>
+          s""","sec_rerun":${o.map(_.sec).mkString("[", ",", "]")}""" +
+            s""","steal_rerun":${o.map(_.stealCores).mkString("[", ",", "]")}""" +
+            s""","suspect_rerun":${o.map(_.suspect).mkString("[", ",", "]")}"""
+        }.getOrElse("")
         val gcJit = if (!diag) "" else {
           val gcs = rs.map(_.gcMs).mkString("[", ",", "]")
           val jits = rs.map(_.jitMs).mkString("[", ",", "]")
@@ -332,10 +366,10 @@ object Bench {
           val codes = rs.map(_.codeMb).mkString("[", ",", "]")
           s""","gc_ms":$gcs,"jit_ms":$jits,"heap_mb":$heaps,"meta_mb":$metas,"code_mb":$codes"""
         }
-        s"""    "$k": {"sec":$secs,"load":$loads,"cpu_s":$cpus,"ext":$exts,"steal":$steals$sus$gcJit}"""
+        s"""    "$k": {"sec":$secs,"load":$loads,"cpu_s":$cpus,"ext":$exts,"steal":$steals$sus$rerun$gcJit}"""
       }.mkString("  \"_diag\": {\n", ",\n", "\n  },\n")
       val body = results.map { case (k, v) => s"""  "$k": $v""" }
-        .mkString(s"""{\n  "_sf": "$sfDir",\n  "_total_sec": $total,\n  "_reps": $reps,\n  "_warmup_reps": 1,\n  "_suspect_reps": $suspectReps,\n  "_shuffle_partitions": $shuffleWidth,\n  "_materialize_sec": $matSec,\n  "_materialize_builds": $builds,\n$diagBody""",
+        .mkString(s"""{\n  "_sf": "$sfDir",\n  "_total_sec": $total,\n  "_reps": $reps,\n  "_warmup_reps": 1,\n  "_suspect_reps": $suspectReps,\n  "_rerun_queries": $rerunQueries,\n  "_shuffle_partitions": $shuffleWidth,\n  "_materialize_sec": $matSec,\n  "_materialize_builds": $builds,\n$diagBody""",
           ",\n", "\n}\n")
       // non-driver scales (e.g. the sf1 audit runs) get their own
       // artifact name so they never clobber the round's sf0.1 record
@@ -377,5 +411,13 @@ object Bench {
       java.nio.file.Files.writeString(target, body)
     }
     spark.stop()
+    // The ONE-LINE JSON contract line is printed LAST, after the
+    // artifact write and session stop, and explicitly flushed (r17,
+    // VERDICT r16 item 1): the driver captures a bounded TAIL of stdout
+    // and BENCH_r15 lost its entire per-query map because later output
+    // pushed the line's head out of the window. Nothing may write to
+    // stdout after this (stderr is fine — the driver parses stdout).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"materialize_sec":$matSec,"queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
