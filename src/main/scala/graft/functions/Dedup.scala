@@ -813,21 +813,19 @@ object Dedup {
     * only where no foreign duplicate overlaps it.
     *
     * Scale shape, on top of the census plan: the ownership aggregate is
-    * the same fp-keyed pass (min(struct(doc,pos)) rides the count), the
-    * removal-position explode is bounded by removed words ≤ corpus
-    * words, and the rebuild is one doc-keyed aggregate whose partition
-    * is a single document — rows never exceed the corpus word budget,
-    * nothing quadratic. The collect_list is per-document (bounded by
-    * document length, the same budget the tile/BPE families carry).
+    * the same fp-keyed pass (min(struct(doc,pos)) rides the count); the
+    * non-owner gram starts aggregate per document (bounded by document
+    * gram count, the tile/BPE budget); and the `span_remove` codegen
+    * kernel performs the island merge and the document rebuild in one
+    * per-document pass on the doc-keyed join of documents against their
+    * removal-start arrays — rows never exceed the corpus word budget,
+    * the document text shuffles exactly once, nothing quadratic.
     */
   def substringSpanRemove(spark: SparkSession, dir: String): DataFrame =
     substringSpanRemoveOf(documents(spark, dir))
 
   /** Core of [[substringSpanRemove]] over any (doc_id, text) frame. */
   def substringSpanRemoveOf(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select($"doc_id", posexplode(TextAnalysis.tokens($"text")))
-      .select($"doc_id", $"pos".cast("bigint").as("pos"), $"col".as("tok"))
     val grams = docs
       .select($"doc_id",
         posexplode(wordShingles(TextAnalysis.tokens($"text"), SpanK)))
@@ -842,39 +840,35 @@ object Dedup {
     val rmGram = grams.join(own.hint("shuffle_hash"), Seq("fp"))
       .filter(!($"doc_id" === $"own.doc_id" && $"pos" === $"own.pos"))
       .select($"doc_id", $"pos")
-    // merge overlapping non-owner gram positions into disjoint spans
-    // (gap <= K-1 ⇒ same island), then explode each span's token range
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos")
-    val rmPos = rmGram
-      .withColumn("ns",
-        when($"pos" - coalesce(lag($"pos", 1).over(w), lit(-SpanK.toLong))
-          > (SpanK - 1), 1L).otherwise(0L))
-      .withColumn("span_id", sum($"ns").over(w))
-      .groupBy($"doc_id", $"span_id")
-      .agg(min($"pos").as("s"), (max($"pos") + (SpanK - 1)).as("e"))
-      .select($"doc_id", explode(sequence($"s", $"e")).as("pos"))
-    val rebuilt = toks
-      .join(rmPos.withColumn("rm", lit(1)).hint("shuffle_hash"),
-        Seq("doc_id", "pos"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when($"rm".isNotNull, 1L).otherwise(0L)).as("n_removed"),
-        // CASE yields null for removed rows; collect_list drops nulls,
-        // struct_sort_project orders by (pos, tok) — document order —
-        // inside whole-stage codegen (the transform/array_sort tower
-        // it replaces was CodegenFallback; StructSortProjectSpec pins
-        // the equivalence)
-        array_join(graft.plans.ArrayOps.structSortProject(
-          expr("collect_list(CASE WHEN rm IS NULL THEN struct(pos, tok) END)")),
-          " ").as("clean_text"))
-    docs.select($"doc_id").join(rebuilt, Seq("doc_id"), "left")
+    // One sorted array of non-owner gram START positions per document,
+    // then the codegen span_remove kernel does the island merge AND the
+    // rebuild in a single per-document pass (r17, guide §2.4/§1.2 —
+    // VERDICT r16 item 3). This replaces the whole token-granular
+    // shuffle tier the rewrite used to pay: the gaps-and-islands window
+    // over removal positions, the span-range explode, the (doc, pos)-
+    // keyed shuffle join of EVERY corpus token against the removal set,
+    // and the collect_list + struct_sort_project rebuild aggregate.
+    // Equivalence (pinned by SubstringSpansSpec): consecutive starts
+    // ≤ K−1 apart cover exactly the merged island span, so "token i
+    // removed iff some start s has s ≤ i ≤ s+K−1" reproduces the
+    // explode-join's removal set; kept tokens joined in document order
+    // are the structSortProject rebuild. Scale shape: the removal-starts
+    // aggregate is bounded by corpus gram count (the rows the old plan
+    // shuffled TWICE at token granularity now shuffle once as longs),
+    // and the doc-keyed join shuffles the document text exactly once.
+    val rmStarts = rmGram.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"pos")).as("rm"))
+    val r = graft.plans.ArrayOps.spanRemove(
+      coalesce(TextAnalysis.tokens($"text"), expr("CAST(array() AS ARRAY<STRING>)")),
+      coalesce($"rm", expr("CAST(array() AS ARRAY<BIGINT>)")), SpanK)
+    docs.join(rmStarts.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select($"doc_id", r.as("r"))
       .select($"doc_id",
-        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
-        coalesce($"n_removed", lit(0L)).as("n_removed"),
-        ($"n_tokens".isNotNull &&
-          ($"n_removed" === $"n_tokens")).as("fully_duplicated"),
-        coalesce($"clean_text", lit("")).as("clean_text"))
+        $"r.n_tokens".as("n_tokens"),
+        $"r.n_removed".as("n_removed"),
+        ($"r.n_tokens" > 0L && $"r.n_removed" === $"r.n_tokens")
+          .as("fully_duplicated"),
+        $"r.clean_text".as("clean_text"))
   }
 
   /** DuckDB twin of [[substringSpanRemove]] (two-step ownership argmin —
@@ -1103,19 +1097,20 @@ object Dedup {
     * run the full exact-substring dedup pipeline (fingerprint →
     * ownership → span merge → document rebuild) with no Scala imports.
     * Tokens/fingerprints/rebuild come from the registered kernels
-    * (`tokenize`, `word_shingles`, `md5_prefix60`,
-    * `struct_sort_project`) — every per-row expression in the plan is
-    * codegen'd, no CodegenFallback HOF remains (PlanShapeSpec pins
-    * this); everything else is ANSI-ish Spark SQL (posexplode,
-    * struct-min ownership, gaps-and-islands windows, sequence explode,
-    * order-preserving rebuild).
+    * (`tokenize`, `word_shingles`, `md5_prefix60`, `span_remove`) —
+    * every per-row expression in the plan is codegen'd, no
+    * CodegenFallback HOF remains (PlanShapeSpec pins this); everything
+    * else is ANSI-ish Spark SQL (posexplode, struct-min ownership,
+    * per-document removal-starts aggregation, doc-keyed rebuild join).
     *
     * Value-identical to `dedup_substring_remove` (same oracle SQL); the
     * plan shape is pinned by PlanShapeSpec — the SHUFFLE_HASH hints on
     * the fp-keyed and rebuild joins survive the text round-trip, and no
     * nested-loop/cartesian join may appear. Scale shape identical to
-    * the Scala form: bounded fp-keyed aggregate, removed-positions ≤
-    * corpus words, one doc-keyed rebuild.
+    * the Scala form: bounded fp-keyed aggregate, one per-document
+    * removal-starts aggregate, one doc-keyed `span_remove` rebuild
+    * (r17 — the kernel replaced the token-granular explode/join tier in
+    * both surfaces; see [[substringSpanRemoveOf]]).
     */
   def sqlSurfaceRemove(spark: SparkSession, dir: String): DataFrame = {
     documents(spark, dir).createOrReplaceTempView("llm_docs")
@@ -1123,9 +1118,6 @@ object Dedup {
     spark.sql(
       s"""WITH toks AS (
          |  SELECT doc_id, tokenize(text) AS toks FROM llm_docs),
-         |tokpos AS (
-         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
-         |  FROM toks LATERAL VIEW posexplode(toks) AS pos, tok),
          |grams AS (
          |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, md5_prefix60(g) AS fp
          |  FROM toks LATERAL VIEW posexplode(word_shingles(toks, $k)) AS pos, g),
@@ -1136,38 +1128,20 @@ object Dedup {
          |  SELECT /*+ SHUFFLE_HASH(o) */ g.doc_id, g.pos
          |  FROM grams g JOIN own o ON g.fp = o.fp
          |  WHERE NOT (g.doc_id = o.own.doc_id AND g.pos = o.own.pos)),
-         |flag AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN pos - coalesce(
-         |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
-         |        CAST(-$k AS BIGINT)) > ${k - 1}
-         |      THEN 1L ELSE 0L END AS ns
-         |  FROM rmg),
-         |isl AS (
-         |  SELECT doc_id, pos,
-         |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-         |  FROM flag),
-         |spans AS (
-         |  SELECT doc_id, min(pos) AS s, max(pos) + ${k - 1} AS e
-         |  FROM isl GROUP BY doc_id, span_id),
-         |rmpos AS (
-         |  SELECT doc_id, explode(sequence(s, e)) AS pos FROM spans),
-         |agg AS (
-         |  SELECT /*+ SHUFFLE_HASH(r) */ t.doc_id,
-         |    count(1) AS n_tokens,
-         |    sum(CASE WHEN r.pos IS NOT NULL THEN 1L ELSE 0L END) AS n_removed,
-         |    array_join(struct_sort_project(
-         |      collect_list(CASE WHEN r.pos IS NULL THEN struct(t.pos, t.tok) END)),
-         |      ' ') AS clean_text
-         |  FROM tokpos t LEFT JOIN rmpos r
-         |    ON t.doc_id = r.doc_id AND t.pos = r.pos
-         |  GROUP BY t.doc_id)
-         |SELECT d.doc_id,
-         |  coalesce(a.n_tokens, 0L) AS n_tokens,
-         |  coalesce(a.n_removed, 0L) AS n_removed,
-         |  (a.n_tokens IS NOT NULL AND a.n_removed = a.n_tokens) AS fully_duplicated,
-         |  coalesce(a.clean_text, '') AS clean_text
-         |FROM llm_docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin)
+         |rm AS (
+         |  SELECT doc_id, sort_array(collect_list(pos)) AS rms
+         |  FROM rmg GROUP BY doc_id),
+         |rb AS (
+         |  SELECT /*+ SHUFFLE_HASH(rm) */ t.doc_id,
+         |    span_remove(coalesce(t.toks, CAST(array() AS ARRAY<STRING>)),
+         |      coalesce(rm.rms, CAST(array() AS ARRAY<BIGINT>)), $k) AS r
+         |  FROM toks t LEFT JOIN rm ON t.doc_id = rm.doc_id)
+         |SELECT doc_id,
+         |  r.n_tokens AS n_tokens,
+         |  r.n_removed AS n_removed,
+         |  (r.n_tokens > 0L AND r.n_removed = r.n_tokens) AS fully_duplicated,
+         |  r.clean_text AS clean_text
+         |FROM rb""".stripMargin)
   }
 
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {

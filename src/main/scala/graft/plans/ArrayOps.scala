@@ -50,6 +50,9 @@ object ArrayOps {
   def tokenBigrams(c: Column): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.tokenBigrams(c)
 
+  def spanRemove(toks: Column, starts: Column, k: Int): Column =
+    org.apache.spark.sql.graftexpr.GraftExpressions.spanRemove(toks, starts, k)
+
   def tokenProfile(c: Column, stopwords: Seq[String]): Column =
     org.apache.spark.sql.graftexpr.GraftExpressions.tokenProfile(c, stopwords)
 

@@ -203,6 +203,13 @@ object GraftExpressions {
   def tokenBigrams(c: Column): Column =
     ExpressionUtils.column(TokenBigrams(ExpressionUtils.expression(c)))
 
+  /** Span-removal document rebuild: (tokens, sorted removal-gram
+    * starts, k) → struct(n_tokens, n_removed, clean_text) (codegen'd).
+    */
+  def spanRemove(toks: Column, starts: Column, k: Int): Column =
+    ExpressionUtils.column(SpanRemove(
+      ExpressionUtils.expression(toks), ExpressionUtils.expression(starts), k))
+
   /** k best (s, cid) centroid scores of a quantized vector (codegen'd)
     * — replaces `slice(array_sort(transform(cents, ...)), 1, k)`.
     */

@@ -343,6 +343,46 @@ object TokenKernel {
     while (j < n) { out(j) = vals(idx(j)); j += 1 }
     new GenericArrayData(out)
   }
+
+  /** Exact-substring span-removal rebuild, ONE pass per document (r17;
+    * the Lee-et-al rewrite's final step). Inputs: the document's token
+    * array and the SORTED ASCENDING start positions of its non-owner
+    * duplicated k-grams (each start s marks tokens [s, s+k-1] for
+    * removal; overlapping marks union — the same island merge the
+    * gaps-and-islands window + sequence-explode + anti-join pipeline
+    * computed, because consecutive starts ≤ k-1 apart cover exactly
+    * the merged span). Output struct:
+    * (n_tokens, n_removed, clean_text = kept tokens joined by ' ').
+    *
+    * Replaces, per document: the window-function island merge, the
+    * span-range explode (rows ≈ removed words), the (doc, pos)-keyed
+    * shuffle join of EVERY corpus token against the removal set, and
+    * the collect_list + structSortProject rebuild aggregate — the
+    * whole token-granular shuffle tier of the two `*_remove` queries.
+    * The per-document scan is O(tokens + starts); state is one int.
+    */
+  def spanRemove(toks: ArrayData, starts: ArrayData, k: Int): InternalRow = {
+    val n = toks.numElements()
+    val m = starts.numElements()
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var removed = 0L
+    var coveredUntil = -1L // highest token index covered by starts seen
+    var j = 0
+    var i = 0
+    while (i < n) {
+      while (j < m && starts.getLong(j) <= i) {
+        val e = starts.getLong(j) + (k - 1)
+        if (e > coveredUntil) coveredUntil = e
+        j += 1
+      }
+      if (i <= coveredUntil) removed += 1
+      else kept.add(toks.getUTF8String(i))
+      i += 1
+    }
+    val cleanText = UTF8String.concatWs(Space,
+      kept.toArray(new Array[UTF8String](kept.size)).toIndexedSeq: _*)
+    new GenericInternalRow(Array[Any](n.toLong, removed, cleanText))
+  }
 }
 
 /** Canonical corpus tokenizer (see [[TokenKernel.tokenize]]). */
@@ -553,4 +593,33 @@ case class TileDedupStats(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): TileDedupStats =
     copy(child = newChild)
+}
+
+/** Span-removal document rebuild (see [[TokenKernel.spanRemove]]):
+  * (token array, sorted non-owner gram start positions, gram width k) →
+  * struct(n_tokens, n_removed, clean_text). The `left` child is the
+  * tokens, `right` the sorted array<bigint> of removal starts.
+  */
+case class SpanRemove(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(LongType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  override def prettyName: String = "span_remove"
+
+  override def nullSafeEval(toks: Any, starts: Any): Any =
+    TokenKernel.spanRemove(
+      toks.asInstanceOf[ArrayData], starts.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) =>
+      s"org.apache.spark.sql.graftexpr.TokenKernel.spanRemove($t, $s, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanRemove =
+    copy(left = newLeft, right = newRight)
 }

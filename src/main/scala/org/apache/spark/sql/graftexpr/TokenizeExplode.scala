@@ -116,6 +116,11 @@ object GraftFunctions {
         s"token_bigrams expects 1 argument, got ${exprs.length}")
       TokenBigrams(exprs.head)
     },
+    "span_remove" -> { exprs =>
+      require(exprs.length == 3,
+        s"span_remove expects (tokens, starts, k), got ${exprs.length} arguments")
+      SpanRemove(exprs.head, exprs(1), litInt(exprs(2), "span_remove"))
+    },
     "centroid_rank" -> { exprs =>
       require(exprs.length == 4,
         s"centroid_rank expects (q, cents, k, add_qnorm), got ${exprs.length} arguments")

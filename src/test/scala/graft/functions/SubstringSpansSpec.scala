@@ -148,4 +148,83 @@ class SubstringSpansSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("span_remove kernel rebuild equals the legacy window/explode/join pipeline (sf0.01)") {
+    // r17: substringSpanRemoveOf's island merge + rebuild moved into the
+    // codegen span_remove kernel; this pins value-equality against the
+    // r16 plan it replaced (gaps-and-islands window over non-owner gram
+    // positions, span-range explode, (doc, pos)-keyed anti join,
+    // collect_list + struct_sort_project rebuild), built inline here.
+    import org.apache.spark.sql.functions._
+    val k = Dedup.SpanK
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val toks = docs
+      .select($"doc_id", posexplode(TextAnalysis.tokens($"text")))
+      .select($"doc_id", $"pos".cast("bigint").as("pos"), $"col".as("tok"))
+    val grams = docs
+      .select($"doc_id",
+        posexplode(graft.plans.ArrayOps.wordShingles(TextAnalysis.tokens($"text"), k)))
+      .select($"doc_id", $"pos".cast("bigint").as("pos"),
+        graft.functions.Hashing.md5Prefix60($"col").as("fp"))
+    val own = grams.groupBy($"fp")
+      .agg(count(lit(1)).as("n_occ"), min(struct($"doc_id", $"pos")).as("own"))
+      .filter($"n_occ" > 1)
+    val rmGram = grams.join(own.hint("shuffle_hash"), Seq("fp"))
+      .filter(!($"doc_id" === $"own.doc_id" && $"pos" === $"own.pos"))
+      .select($"doc_id", $"pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val rmPos = rmGram
+      .withColumn("ns",
+        when($"pos" - coalesce(lag($"pos", 1).over(w), lit(-k.toLong))
+          > (k - 1), 1L).otherwise(0L))
+      .withColumn("span_id", sum($"ns").over(w))
+      .groupBy($"doc_id", $"span_id")
+      .agg(min($"pos").as("s"), (max($"pos") + (k - 1)).as("e"))
+      .select($"doc_id", explode(sequence($"s", $"e")).as("pos"))
+    val rebuilt = toks
+      .join(rmPos.withColumn("rm", lit(1)).hint("shuffle_hash"),
+        Seq("doc_id", "pos"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"rm".isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(graft.plans.ArrayOps.structSortProject(
+          expr("collect_list(CASE WHEN rm IS NULL THEN struct(pos, tok) END)")),
+          " ").as("clean_text"))
+    val legacy = docs.select($"doc_id").join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"),
+        ($"n_tokens".isNotNull &&
+          ($"n_removed" === $"n_tokens")).as("fully_duplicated"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .orderBy($"doc_id").collect().toSeq
+    val kernel = Dedup.substringSpanRemove(spark, "/root/testdata/sf0.01")
+      .orderBy($"doc_id").collect().toSeq
+    assert(kernel === legacy)
+  }
+
+  test("span_remove kernel edge cases: empty doc, overlap union, touching spans, full removal") {
+    import org.apache.spark.sql.functions._
+    val k = Dedup.SpanK
+    def run(toks: Seq[String], starts: Seq[Long]): (Long, Long, String) = {
+      val df = spark.createDataFrame(Seq((toks, starts))).toDF("t", "s")
+        .select(graft.plans.ArrayOps.spanRemove($"t", $"s", k).as("r"))
+        .select($"r.n_tokens", $"r.n_removed", $"r.clean_text")
+      val row = df.collect().head
+      (row.getLong(0), row.getLong(1), row.getString(2))
+    }
+    assert(run(Nil, Nil) === ((0L, 0L, "")))
+    val ws = (0 until 20).map(i => s"w$i")
+    assert(run(ws, Nil) === ((20L, 0L, ws.mkString(" "))))
+    // starts 0 and 5 overlap (5 <= 0 + k - 1): union covers [0, 12]
+    assert(run(ws, Seq(0L, 5L)) ===
+      ((20L, 13L, (13 until 20).map(i => s"w$i").mkString(" "))))
+    // starts exactly k apart touch without overlapping: both removed
+    assert(run(ws, Seq(0L, k.toLong)) ===
+      ((20L, 16L, (16 until 20).map(i => s"w$i").mkString(" "))))
+    // full removal yields the empty rebuild
+    val ws8 = ws.take(k)
+    assert(run(ws8, Seq(0L)) === ((k.toLong, k.toLong, "")))
+  }
 }
