@@ -604,4 +604,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(badBroadcast.isEmpty, "fact-derived subtree under a BroadcastExchange")
   }
+
+  test("empty-frame windows sit only above aggregated (bounded) frames") {
+    // r16 replaced corpus-subtree replay in eval_source_drift /
+    // pipeline_dsir_exact_stats with Window.partitionBy() sums — safe
+    // ONLY because the window input is an already-aggregated frame
+    // bounded by construction (sources × 1024 buckets / 1024-row
+    // histogram). An empty-frame window over an UNaggregated input
+    // moves the whole dataset to one partition — the classic
+    // scale-killer this pin exists to catch (r16 VERDICT item 3).
+    import org.apache.spark.sql.execution.SparkPlan
+    def unwrap(p: SparkPlan): SparkPlan = p.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(p)
+    def isAgg(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _ => false
+    }
+    for (name <- Seq("eval_source_drift", "pipeline_dsir_exact_stats")) {
+      val plan = unwrap(q(name).queryExecution.executedPlan)
+      val emptyPartWindows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(emptyPartWindows.nonEmpty, s"$name: expected empty-frame windows")
+      emptyPartWindows.foreach { w =>
+        // every path from the window to a leaf must cross an aggregate
+        // BEFORE reaching any scan: the window input is aggregated rows
+        def boundedBelow(p: SparkPlan): Boolean =
+          if (isAgg(p)) true
+          else if (p.children.isEmpty) false
+          else p.children.forall(boundedBelow)
+        assert(boundedBelow(w.child),
+          s"$name: empty-frame window over an unaggregated input:\n$w")
+      }
+    }
+  }
 }
