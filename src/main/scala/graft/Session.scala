@@ -87,6 +87,17 @@ object Session {
     * row groups ~128 MB) `bytes/cores` dominates and the floor never
     * binds — the rule degrades to Spark's own sizing, exactly like
     * [[autoShuffleWidth]].
+    *
+    * Mixed-layout caveat (ADVICE r16): the MINIMUM stride is one
+    * session-wide floor, so a dir mixing a small-stride table with a
+    * large SINGLE-row-group table would let splits subdivide the large
+    * file's row group and re-pay the r6 empty-split overhead (~2.5%)
+    * on that one table. Accepted: the shipped fixtures and gen_scale
+    * layouts are stride-homogeneous, the exposure is bounded by the
+    * clamp floor (64 KB splits of a ≥1 MB row group), and the
+    * alternative — per-scan open costs — is not expressible as a
+    * session conf; `SPARK_GRAFT_OPEN_COST` overrides if a mixed layout
+    * ever appears.
     */
   def autoOpenCost(sfDir: String): Long = {
     val MinClamp = 64L * 1024

@@ -483,27 +483,44 @@ object GraphRank {
     var gone = Seq.empty[(Long, Long)].toDF("v", "peel_round")
     var round = 1
     var settled = false
+    // LAZY round state (r17): keptVerts/kept are localCheckpoint(false),
+    // so they materialize INSIDE the next round's drop job instead of
+    // running one dedicated materialization job each — 4 jobs/round → 2
+    // at an unchanged stage count (the loop's sf0.1 wall is stages ×
+    // job/stage latency; at cluster scale fewer driver round-trips per
+    // round is the same win). Retiring a superseded checkpoint must now
+    // WAIT until the lazy frames that read it have materialized — an
+    // unpersisted localCheckpoint is unrecoverable, so retiring before
+    // the next eager action would make the lazy round state
+    // uncomputable. `pendingRetire` holds each round's superseded pins
+    // until the next drop checkpoint (an eager action over the lazy
+    // frames) proves materialization.
+    var pendingRetire: List[DataFrame] = Nil
     while (round <= CoreRounds && !settled) {
       val deg = survivorDegrees(und, verts)
       val drop = deg.filter(col("deg") < CoreK).select(col("v"))
         .localCheckpoint()
+      // the drop job has materialized the lazy und/verts it read — the
+      // frames THEY superseded are dead now
+      pendingRetire.foreach(Materialize.retireCheckpoint)
+      pendingRetire = Nil
       if (drop.isEmpty) {
         settled = true
         Materialize.retireCheckpoint(drop) // empty: nothing references it
       } else {
         val keptVerts = verts.join(drop, Seq("v"), "left_anti")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val kept = und
           .join(drop.select(col("v").as("a")), Seq("a"), "left_anti")
           .join(drop.select(col("v").as("b")), Seq("b"), "left_anti")
           .select(col("a"), col("b"))
-          .localCheckpoint()
-        // retire the superseded round's pins now that this round's are
-        // materialized. Round 1's edge frame is the SHARED undirected
-        // artifact — only loop-created checkpoints retire (the drops
-        // stay: `gone` references every round's)
-        if (round > 1) Materialize.retireCheckpoint(und)
-        Materialize.retireCheckpoint(verts) // round 1: verts0 (loop-owned)
+          .localCheckpoint(eager = false)
+        // queue the superseded round's pins for retirement after the
+        // lazy frames materialize. Round 1's edge frame is the SHARED
+        // undirected artifact — only loop-created checkpoints retire
+        // (the drops stay: `gone` references every round's)
+        pendingRetire =
+          (if (round > 1) List(und) else Nil) ::: List(verts)
         und = kept
         verts = keptVerts
         gone = gone.union(
@@ -513,7 +530,13 @@ object GraphRank {
     }
     lastPeelRounds.set(if (settled) round else round - 1)
     val (finalEdges, finalVerts, peeled) = (und, verts, gone)
+    // eager: materializes the last round's lazy survivor sets too (when
+    // the loop exited on the round budget rather than convergence)
     val finalDeg = survivorDegrees(finalEdges, finalVerts).localCheckpoint()
+    // the budget-exit path leaves the second-to-last round's pins
+    // queued; finalDeg's job just materialized their readers
+    pendingRetire.foreach(Materialize.retireCheckpoint)
+    pendingRetire = Nil
     // the last survivor sets are dead once their degree table is pinned.
     // Early exit in round 1 leaves finalEdges aliasing the SHARED
     // undirected artifact (und0) — never retire that one: its
